@@ -1,0 +1,98 @@
+"""Schema-explicit table loaders for the testdata star schema, plus the
+derived ``ratings`` view the recommender operators run on.
+
+The reference's data model is a 4-column ratings table
+``(user, item, rating, time)`` loaded positionally from header-less CSV
+(``run_als.py:8``: ``pd.read_csv(path, names=["item","user","rating","time"])``).
+The driver testdata has no ratings table, so we derive an equivalent
+interactions table from ``orders ⋈ lineitem``: user = o_custkey,
+item = l_partkey, rating in 1..5 derived deterministically from quantity,
+time = l_shipdate. The derivation is pure SQL so every downstream operator
+stays oracle-checkable.
+
+All parquet reads rely on the parquet footer schema (schema-on-read is
+exact for parquet); CSV/JSONL sources in ``sources/`` are schema-explicit
+(never ``inferSchema`` — SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (SURVEY.md S4). Column pruning + predicate pushdown are
+    handled by Catalyst; callers select/filter on the returned frame.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS) which Spark refuses by
+    default; read it as int64 nanos (legacy conf) and convert to a
+    microsecond TimestampType — the same truncation DuckDB applies, so the
+    oracles agree."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# SQL body of the ratings derivation; shared verbatim between the Spark view
+# and the DuckDB oracle (both engines parse this ANSI subset identically).
+RATINGS_SQL = """
+SELECT o.o_custkey AS user_id,
+       l.l_partkey AS item_id,
+       CAST(1 + CAST(FLOOR(l.l_quantity) AS BIGINT) % 5 AS DOUBLE) AS rating,
+       l.l_shipdate AS ts,
+       l.l_orderkey * 10 + l.l_linenumber AS interaction_id
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's COO-form ratings table (SURVEY.md §1.1): the relational
+    equivalent of the reference's ``sparse.COO`` user×item matrix
+    (``models/als.py:51``) — triples, never densified (SURVEY.md §1.4).
+
+    orders→lineitem is a 1:N equi-join on the orderkey; at 100 TB this is a
+    co-partitioned sort-merge join (both sides hash-shuffled on orderkey,
+    AQE handles skew); at testdata scale AQE turns it into a broadcast."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(RATINGS_SQL)
+
+
+def ratings_from_df(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Same derivation as :func:`ratings` from already-loaded frames."""
+    l, o = lineitem.alias("l"), orders.alias("o")
+    return (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .select(
+            F.col("o.o_custkey").alias("user_id"),
+            F.col("l.l_partkey").alias("item_id"),
+            (1 + F.floor("l.l_quantity").cast("bigint") % 5).cast("double").alias("rating"),
+            F.col("l.l_shipdate").alias("ts"),
+            (F.col("l.l_orderkey") * 10 + F.col("l.l_linenumber")).alias("interaction_id"),
+        )
+    )

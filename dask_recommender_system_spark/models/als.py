@@ -1,0 +1,45 @@
+""""ALS" — alternating full-batch gradient descent (reference
+``models/als.py``; the paper calls it ALS but it is alternating *gradient*
+descent, not the closed-form normal-equation ALS — MLlib ALS in
+``models/mllib_als.py`` is the true-ALS fast path).
+
+Epoch cadence (models/als.py:160-174): error is recomputed TWICE per epoch
+— after the user-side update (so the item side trains against fresh
+residuals) and again after the item-side update (becoming the next epoch's
+starting error). Per-epoch training metrics are taken from the error
+*before* that epoch's updates (models/als.py:164-165). Init is
+uniform(0, 0.1) (models/als.py:73-76) → deterministic hash-uniform here.
+This is ~1.5× FunkSVD's per-epoch cost (report.pdf §7.2.1) — two big joins
+instead of one.
+"""
+
+from __future__ import annotations
+
+from .base import _SGDRecommenderBase
+from .common import checkpoint
+
+
+class ALS(_SGDRecommenderBase):
+    def _run_epochs(self, r_enc, u, i, collect_errors):
+        err = self._error_df(r_enc, u, i).persist()
+        for _ in range(self.epochs):
+            if collect_errors:
+                self._collect_metrics(err)
+
+            # user side from the epoch-start error (stale q columns in err)
+            u_new = checkpoint(self._update_users(err, u))
+
+            # fresh error with updated users (models/als.py:170)
+            err2 = self._error_df(r_enc, u_new, i).persist()
+            err.unpersist()
+
+            # item side from the fresh error — its p_j columns ARE the
+            # updated user factors (models/als.py:171-173)
+            i_new = checkpoint(self._update_items(err2, i))
+
+            # fresh error again → next epoch's start (models/als.py:174)
+            err = self._error_df(r_enc, u_new, i_new).persist()
+            err2.unpersist()
+            u, i = u_new, i_new
+        err.unpersist()
+        return u, i

@@ -1,0 +1,45 @@
+"""Funk SVD — simultaneous full-batch gradient descent (reference
+``models/funk_svd.py``), relational form.
+
+Epoch cadence (models/funk_svd.py:157-170): ONE error computation per
+epoch; user biases/factors update from it; item factors then use the
+*already-updated* user factors against the *stale* error; item biases use
+the stale error only. The reference's init is normal(0, 0.1)
+(models/funk_svd.py:75-78) — here a deterministic hash-uniform of the same
+scale (SURVEY.md §5.1: the reference is unseeded, so only metric-level
+parity is meaningful; exact-parity tests inject explicit inits instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import _SGDRecommenderBase
+from .common import checkpoint
+
+
+class FunkSVD(_SGDRecommenderBase):
+    def _run_epochs(self, r_enc, u, i, collect_errors):
+        for _ in range(self.epochs):
+            # one stale error per epoch (models/funk_svd.py:160-161)
+            err = self._error_df(r_enc, u, i).persist()
+            if collect_errors:
+                self._collect_metrics(err)
+
+            u_new = self._update_users(err, u)
+            u_new = checkpoint(u_new)
+
+            # item update: stale error × UPDATED user factors
+            # (models/funk_svd.py:166-167: u_factors was reassigned above)
+            err_with_new_p = err.select("u_idx", "i_idx", "err").join(
+                u_new.select(
+                    "u_idx", *[F.col(f"f_{j}").alias(f"p_{j}") for j in range(self.k)]
+                ),
+                "u_idx",
+            )
+            i_new = self._update_items(err_with_new_p, i)
+            i_new = checkpoint(i_new)
+
+            err.unpersist()
+            u, i = u_new, i_new
+        return u, i

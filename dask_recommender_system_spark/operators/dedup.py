@@ -1,0 +1,214 @@
+"""Deduplication operators over `documents` (north-star X1 + the
+training-data-pipeline dedup family): exact, n-gram Jaccard (exact
+oracle), MinHash-LSH, SimHash. SURVEY.md §2.9.
+
+Scale ladder (what you'd run at 100 TB, cheapest first):
+1. exact hash dedup            — one shuffle on md5(text)
+2. bag-of-words fingerprint    — operators/text.py::text_fingerprint
+3. SimHash banding             — near-dup candidates via 4×16-bit bands
+4. MinHash-LSH                 — Jaccard-calibrated candidates
+5. exact n-gram Jaccard        — only ever on candidate pairs; declared
+                                 here on the full corpus so DuckDB can
+                                 verify values exactly (the testdata corpus
+                                 is small; the plan is the verification
+                                 stage of 3/4, not a full-corpus O(n²)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+SHINGLE_N = 3
+
+# doc_id → distinct 3-token shingles, shared tokenization with the oracles.
+ORACLE_SHINGLES = """
+    tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+    sh AS (SELECT doc_id,
+                  UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+           FROM tok WHERE len(t) >= 3)
+"""
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct n-token shingles per document, built
+    with array higher-order functions (one narrow stage + explode)."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(t) >= n)
+        .select("doc_id", F.explode(F.array_distinct(gram)).alias("s"))
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+    At 100 TB: hashing first means the shuffle carries 32-byte keys, not
+    documents; the keeper choice is a min() aggregate, not a window."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2): shingle-explode
+    → self-join on shingle → |A∩B| per pair → Jaccard from set sizes.
+    This is the *verification* stage of MinHash/SimHash dedup; standalone
+    it is quadratic in the worst case — the shingle join skews on frequent
+    shingles, which is exactly what the LSH variants below avoid at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    return out
+
+
+@query("dedup_minhash")  # no oracle: LSH hash family is engine-specific
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: MinHash-LSH near-dup candidates (MLlib MinHashLSH over
+    HashingTF'd shingle sets, seed pinned) verified with the approximate
+    Jaccard distance. The scale path: candidate generation is
+    buckets-then-join — cost ∝ collisions, not n². Recall vs the exact
+    n-gram pairs is asserted in tests/test_dedup.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    sets = (
+        shingles(d)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("sh"))
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sets)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@query("dedup_simhash")  # no oracle: xxhash64 is Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, fully JVM-side: per-token 64-bit
+    xxhash64 → per-bit ±1 votes → sign → 64-bit signature; candidates via
+    4×16-bit band buckets (a pair must agree on ≥1 band to be a candidate
+    — Hamming ≤ 3 guarantees it); verified with bit_count(xor) ≤ 12.
+    At 100 TB the band join is the only shuffle and carries (band, 16-bit
+    value) keys."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    h = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    # per-bit vote: sum(±1) over tokens; bit b of the signature = vote>0
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    signatures = votes.select("doc_id", sig.alias("sig")).persist()
+    bands = signatures.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "sig", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 12)
+        .select("doc_a", "doc_b", "hamming")
+    )

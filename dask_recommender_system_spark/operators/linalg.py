@@ -1,0 +1,234 @@
+"""Linear-algebra / tensor operators in relational form (SURVEY.md §2.6).
+
+The reference does its training math on block-chunked Dask arrays; per
+SURVEY.md §1.4 the masked-error formulation is mathematically equivalent to
+relational operations over the COO ratings triples — so every operator here
+is a join/groupBy/higher-order-function plan that never materializes the
+n_users × n_items matrix. Factor vectors are `array<double>` columns
+(MLlib's ``userFactors`` shape); dot products and axpy updates use Spark's
+native higher-order functions (``zip_with`` / ``aggregate``) — JVM-side, no
+Python UDFs in the hot path.
+
+Deterministic pseudo-random factor formula (oracle-reproducible): factors
+for the declared queries come from integer arithmetic on the id, not an RNG
+— both engines compute bit-identical doubles. The training models in
+``models/`` use the same trick for reproducible inits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..registry import query
+
+K = 4  # factor rank used by the declared linalg queries (models use their own)
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+ENCODED_SQL = f"""
+    WITH r0 AS ({RATINGS_SQL}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, item_id
+                                     ORDER BY ts DESC, interaction_id DESC) AS rn
+        FROM r0),
+    r AS (SELECT user_id, item_id, rating, interaction_id FROM ranked WHERE rn = 1),
+    ue AS (SELECT user_id, CAST(ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS BIGINT) AS u_idx
+           FROM (SELECT DISTINCT user_id FROM r)),
+    ie AS (SELECT item_id, CAST(ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS BIGINT) AS i_idx
+           FROM (SELECT DISTINCT item_id FROM r))
+    SELECT ue.u_idx, ie.i_idx, r.rating, r.interaction_id
+    FROM r JOIN ue ON r.user_id = ue.user_id JOIN ie ON r.item_id = ie.item_id
+"""
+
+
+def encoded_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared prep: dedup-keep-last (D2) then dense-encode (A2/J1) — the
+    reference's pipeline order (run_als.py:9-11 → models/als.py:26-32)."""
+    r = _ratings(spark, sf_dir)
+    w = W.partitionBy("user_id", "item_id").orderBy(
+        F.col("ts").desc(), F.col("interaction_id").desc()
+    )
+    r = (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "item_id", "rating", "interaction_id")
+    )
+    ue = (
+        r.select("user_id").distinct()
+        .withColumn("u_idx", (F.row_number().over(W.orderBy("user_id")) - 1).cast("long"))
+    )
+    ie = (
+        r.select("item_id").distinct()
+        .withColumn("i_idx", (F.row_number().over(W.orderBy("item_id")) - 1).cast("long"))
+    )
+    return (
+        r.join(F.broadcast(ue), "user_id")
+        .join(F.broadcast(ie), "item_id")
+        .select("u_idx", "i_idx", "rating", "interaction_id")
+    )
+
+
+@query(
+    "build_coo",
+    oracle=f"WITH e AS ({ENCODED_SQL}) SELECT u_idx, i_idx, rating FROM e",
+)
+def build_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: sparse COO matrix construction (reference models/als.py:48-66:
+    triples → sparse.COO → chunk grid → da.block). In Spark the encoded
+    ratings DataFrame *is* the COO matrix — rows are the nonzeros; a
+    ``repartition(n, "u_idx")`` is the moral equivalent of the chunk grid
+    and is applied by the training loop, not here."""
+    return encoded_ratings(spark, sf_dir).select("u_idx", "i_idx", "rating")
+
+
+# Deterministic "uniform [0, 0.1)" init from integer hashing — the
+# oracle-checkable stand-in for da.random.uniform (models/als.py:73-76).
+INIT_SQL_EXPR = "CAST((idx * 2654435761 + j * 40503) % 100000 AS DOUBLE) / 1000000.0"
+
+
+@query(
+    "init_params",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    u AS (SELECT DISTINCT u_idx AS idx FROM e)
+    SELECT idx, j, ROUND({INIT_SQL_EXPR}, 6) AS init_val
+    FROM u CROSS JOIN (SELECT UNNEST(range(0, {K})) AS j)
+    """,
+)
+def init_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: parameter init (reference models/als.py:68-76: zeros for biases,
+    uniform(0,0.1) for factors). Declared in exploded (idx, j, value) form
+    so the oracle compares scalars; the models build the same values as
+    `array<double>` columns. Hash-based init replaces the RNG: reproducible
+    across engines, partitioning, and retries — at 100 TB, init you can
+    recompute beats init you must persist."""
+    u = encoded_ratings(spark, sf_dir).select(F.col("u_idx").alias("idx")).distinct()
+    j = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("j")
+    val = ((F.col("idx") * 2654435761 + F.col("j") * 40503) % 100000).cast(
+        "double"
+    ) / 1000000.0
+    return u.select("idx", j).withColumn("init_val", F.round(val, 6))
+
+
+# factor_j(id) = ((id*31 + j*17) % 13 - 6) / 10.0  — exactly representable
+# integer math over both engines; used to pin the dot-product plan.
+def _factor_array(id_col: str) -> F.Column:
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(K - 1)),
+        lambda j: ((F.col(id_col) * 31 + j * 17) % 13 - 6).cast("double") / 10.0,
+    )
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Dot product of two array<double> columns via native higher-order
+    functions — whole-stage-codegen'd, no UDF (SURVEY.md L4)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _oracle_dot(u: str, i: str) -> str:
+    """Unrolled dot product for the DuckDB twin (same j order ⇒ same FP)."""
+    terms = [
+        f"(CAST(({u} * 31 + {j} * 17) % 13 - 6 AS DOUBLE) / 10.0) * "
+        f"(CAST(({i} * 31 + {j} * 17) % 13 - 6 AS DOUBLE) / 10.0)"
+        for j in range(K)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "predict_scores",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL})
+    SELECT u_idx, i_idx, ROUND({_oracle_dot('u_idx', 'i_idx')}, 6) AS score
+    FROM e
+    """,
+)
+def predict_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: scoring P·Qᵀ (reference models/als.py:79) — computed per observed
+    pair only (SURVEY.md §1.4), never as the dense matrix. The dot product
+    is ``aggregate(zip_with(P, Q, *), 0, +)`` — JVM higher-order functions.
+    At scale the factor tables join in on u_idx/i_idx; here factors are the
+    deterministic formula so the oracle can reproduce values exactly."""
+    e = encoded_ratings(spark, sf_dir)
+    return e.select(
+        "u_idx",
+        "i_idx",
+        F.round(dot(_factor_array("u_idx"), _factor_array("i_idx")), 6).alias("score"),
+    )
+
+
+@query(
+    "residuals",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    ub AS (SELECT u_idx, ROUND(AVG(rating), 6) AS u_mean FROM e GROUP BY u_idx)
+    SELECT e.interaction_id,
+           ROUND(e.rating - ub.u_mean, 6) AS err
+    FROM e JOIN ub ON e.u_idx = ub.u_idx
+    """,
+)
+def residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: elementwise error on observed cells (reference models/als.py:80
+    ``x - pred * x_mask``). The mask is gone — operating on ratings rows
+    *is* the mask (SURVEY.md §1.4/L2). Here vs the per-user-mean predictor;
+    the training loop computes the same shape vs the model score."""
+    e = encoded_ratings(spark, sf_dir)
+    ub = e.groupBy("u_idx").agg(F.round(F.avg("rating"), 6).alias("u_mean"))
+    return e.join(ub, "u_idx").select(
+        "interaction_id", F.round(F.col("rating") - F.col("u_mean"), 6).alias("err")
+    )
+
+
+@query(
+    "clip_prediction",
+    oracle="""
+    SELECT event_id, ROUND(LEAST(GREATEST(value * 2.0, 1.0), 5.0), 6) AS clipped
+    FROM events
+    """,
+)
+def clip_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: scalar clamp to rating bounds (reference models/als.py:212
+    ``min(max(lo, pred), hi)``) → LEAST/GREATEST, codegen'd."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.least(F.greatest(F.col("value") * 2.0, F.lit(1.0)), F.lit(5.0)), 6
+        ).alias("clipped"),
+    )
+
+
+@query(
+    "math_scalar_suite",
+    oracle="""
+    SELECT event_id,
+           ROUND(ABS(value), 6) AS abs_v,
+           ROUND(value * value, 6) AS sq_v,
+           ROUND(SQRT(ABS(value)), 6) AS sqrt_v,
+           CAST(SIGN(value) AS DOUBLE) AS sign_v,
+           ROUND(POW(ABS(value) + 1.0, 3), 6) AS pow_v
+    FROM events
+    """,
+)
+def math_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: the scalar math surface the reference touches (abs/square/sqrt/
+    sign/pow — models/als.py:63,84-86) as built-in JVM expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.abs(v), 6).alias("abs_v"),
+        F.round(v * v, 6).alias("sq_v"),
+        F.round(F.sqrt(F.abs(v)), 6).alias("sqrt_v"),
+        F.signum(v).cast("double").alias("sign_v"),
+        F.round(F.pow(F.abs(v) + 1.0, 3), 6).alias("pow_v"),
+    )

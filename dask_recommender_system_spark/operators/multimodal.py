@@ -1,0 +1,136 @@
+"""Multimodal-column operators (north-star X4): image/audio/video payloads
+as opaque `binary` columns with typed metadata, plus the Spark-side plumbing
+for decode/feature-extraction UDFs. SURVEY.md §2.9.
+
+The testdata `documents` table has no binary column, so `multimodal_project`
+*constructs* one deterministically (md5 bytes of the text — a stand-in for
+real image bytes) and exercises the full plumbing: BinaryType column →
+struct metadata → byte-level functions → base64 round trip. The decode /
+feature-extract stage (`decode_image_features`) is a real `mapInPandas`
+pipeline over Arrow batches whose actual pixel decoding is stubbed
+(image libs are not in this container — FIXTURES.md) behind a deterministic
+fake; schema, batching and partitioning are real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..data import load_table
+from ..registry import query
+
+
+@query(
+    "multimodal_project",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(unhex(md5(text))) AS img_bytes,
+           to_base64(unhex(md5(text))) AS img_b64,
+           SUBSTR(text, 1, 32) AS caption,
+           lang AS meta_lang,
+           source AS meta_source,
+           CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS meta_tokens
+    FROM documents
+    """,
+)
+def multimodal_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: one row = text + binary payload + typed metadata struct. Builds
+    the binary column (`unhex(md5(text))` — 16 deterministic bytes), a
+    metadata struct, then projects struct fields and byte-level functions.
+    Parquet stores BinaryType natively, so this row shape round-trips
+    columnar at 100 TB with the binary column untouched unless selected
+    (column pruning skips the heavy bytes for metadata-only queries)."""
+    d = load_table(spark, sf_dir, "documents")
+    img = F.unhex(F.md5(F.col("text")))
+    meta = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("tokens"),
+    )
+    rows = d.select("doc_id", "text", img.alias("image"), meta.alias("meta"))
+    return rows.select(
+        "doc_id",
+        F.octet_length("image").alias("img_bytes"),
+        F.base64("image").alias("img_b64"),
+        F.substring("text", 1, 32).alias("caption"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+        F.col("meta.tokens").alias("meta_tokens"),
+    )
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, float, list[float]]:
+    """Deterministic fake decode. A real deployment replaces this body with
+    e.g. PIL/torchvision decode — the libs are absent in this container
+    (FIXTURES.md), so we derive (width, height, mean, 8-dim feature) from
+    the bytes themselves. Raise NotImplementedError here to hard-fail
+    instead of faking, if silent stubbing is unacceptable."""
+    if not payload:
+        return 0, 0, 0.0, [0.0] * 8
+    w = 16 + payload[0] % 64
+    h = 16 + payload[-1] % 64
+    mean = float(sum(payload) / len(payload))
+    feat = [float(payload[i % len(payload)]) / 255.0 for i in range(8)]
+    return w, h, mean, feat
+
+
+def decode_image_features(images: DataFrame) -> DataFrame:
+    """The multimodal slow path done right: `mapInPandas` over Arrow record
+    batches — bytes never leave the executor, Python sees vectorized
+    batches, output schema is declared. Input: (doc_id long, image binary).
+
+    At 100 TB: repartition upstream so each task holds O(100 MB) of
+    payloads; spark.sql.execution.arrow.maxRecordsPerBatch bounds peak
+    Python memory."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["image"].map(lambda b: len(b) if b is not None else 0),
+            }
+            decoded = pdf["image"].map(lambda b: _decode_stub(b or b""))
+            out["width"] = decoded.map(lambda t: t[0])
+            out["height"] = decoded.map(lambda t: t[1])
+            out["mean_intensity"] = decoded.map(lambda t: t[2])
+            out["feature"] = decoded.map(lambda t: t[3])
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(decode, schema=IMAGE_FEATURE_SCHEMA)
+
+
+@query("multimodal_decode")  # no oracle: mapInPandas stage — rows-only check
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4b: the decode/feature-extract pipeline end-to-end on constructed
+    payloads: binary column → mapInPandas(Arrow) → typed features. The
+    decode kernel is a deterministic stub (see `_decode_stub`)."""
+    d = load_table(spark, sf_dir, "documents")
+    images = d.select("doc_id", F.unhex(F.md5(F.col("text"))).alias("image"))
+    feats = decode_image_features(images)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )

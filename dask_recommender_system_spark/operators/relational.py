@@ -1,0 +1,635 @@
+"""Relational operator suite: scans/sinks (S1-S4), projections/filters
+(P1-P4), dedup/sort/split (D1-D4), aggregations (A1-A7 + rollup), joins
+(J1-J3). SURVEY.md §2.1-§2.5.
+
+Every query here is oracle-checked: the DuckDB SQL twin lives next to the
+Spark implementation. Determinism conventions are in ``registry.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..registry import query
+
+IO_DIR = os.environ.get("SPARK_GRAFT_IO_DIR", "/tmp/drs_spark_io")
+
+# Epoch-seconds projection of a timestamp, identical on both engines.
+# Spark: unix_timestamp(ts) (bigint, truncates sub-seconds; instants are
+# session-TZ-independent once the session TZ is pinned — see _utc()).
+# DuckDB: CAST(FLOOR(epoch(ts)) AS BIGINT) (epoch() returns fractional DOUBLE).
+ORACLE_EPOCH = "CAST(FLOOR(epoch({col})) AS BIGINT)"
+
+
+def _utc(spark: SparkSession) -> None:
+    """Pin session TZ so timestamp→epoch projections are engine-stable even
+    when the caller's session was built without UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _epoch(col: str) -> F.Column:
+    return F.unix_timestamp(F.col(col))
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S. Scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+NATION_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: header-less CSV scan with positional, explicit schema — the Spark
+    form of ``pd.read_csv(path, names=[...])`` (reference run_als.py:8).
+    Never ``inferSchema``: schema inference is a second full pass over the
+    data and non-deterministic at 100 TB. Round-trips nation via CSV."""
+    path = f"{IO_DIR}/nation_csv"
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", False
+    ).csv(path)
+    return spark.read.schema(NATION_CSV_SCHEMA).csv(path)
+
+
+REGION_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+
+@query("scan_jsonl", oracle="SELECT r_regionkey, r_name FROM region")
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: JSON-lines scan (reference json-to-csv.py:5-9 does readlines +
+    json.loads per line in driver memory; Spark's JSON source is JSONL-native
+    and distributed). Schema-explicit for the same reasons as S1."""
+    path = f"{IO_DIR}/region_jsonl"
+    load_table(spark, sf_dir, "region").write.mode("overwrite").json(path)
+    return spark.read.schema(REGION_JSON_SCHEMA).json(path).select(
+        "r_regionkey", "r_name"
+    )
+
+
+SEG_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("n_customers", T.LongType()),
+        T.StructField("sum_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "sink_csv",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 6) AS sum_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: header-less CSV sink (reference json-to-csv.py:12
+    ``to_csv(index=False, header=False)``), then read back through the S1
+    scanner — pins the full write→read round trip. Doubles are rounded
+    before the sink so the text round trip is exact."""
+    agg = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 6).alias("sum_acctbal"),
+        )
+    )
+    path = f"{IO_DIR}/seg_csv"
+    agg.write.mode("overwrite").option("header", False).csv(path)
+    return spark.read.schema(SEG_CSV_SCHEMA).csv(path)
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: parquet scan with projection + predicate. Catalyst pushes both
+    into the scan (PushedFilters + 4-column ReadSchema — asserted in
+    tests/test_plans.py), so at 100 TB only matching row groups and the four
+    columns are read. Reference analog: report.pdf §4 (parquet on S3)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P. Projections / filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_columns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    """,
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column projection / drop (reference json-to-csv.py:10,
+    run_als.py:11 ``drop('time')``). Column pruning reaches the parquet
+    footer: only 3 of 11 lineitem columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.drop(
+        "l_partkey", "l_suppkey", "l_quantity", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query(
+    "rename_columns",
+    oracle="SELECT n_nationkey AS id, n_name AS name, n_regionkey AS region_id FROM nation",
+)
+def rename_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: positional rename (reference json-to-csv.py:11
+    ``df.columns = [...]`` → ``df.toDF(*names)``)."""
+    return load_table(spark, sf_dir, "nation").toDF("id", "name", "region_id")
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE c_acctbal > 0 AND c_nationkey IN (
+        SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA')
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: row-level membership predicate (reference models/als.py:207
+    ``if user in self.u_mapping``). The dict-membership test becomes a
+    LEFT SEMI join against the key set — broadcast at dimension size, so no
+    shuffle of the fact side at scale."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    asia_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return cust.join(
+        F.broadcast(asia_nations),
+        cust.c_nationkey == asia_nations.n_nationkey,
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@query(
+    "add_column",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    """,
+)
+def add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: derived-column assignment (reference models/als.py:31-32
+    ``df['col'] = ...``) → ``withColumn`` with JVM-side expressions —
+    whole-stage-codegen'd, no Python in the loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.withColumns(
+        {
+            "revenue": F.round(rev, 6),
+            "charged": F.round(rev * (1 + F.col("l_tax")), 6),
+        }
+    ).select("l_orderkey", "l_linenumber", "revenue", "charged")
+
+
+# ---------------------------------------------------------------------------
+# D. Dedup / sort / split  (the reference's pandas prep pipeline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_full_row",
+    oracle=f"""
+    SELECT DISTINCT event_id, {ORACLE_EPOCH.format(col='ts')} AS ts_s,
+           user_id, event_type, value, props
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: full-row distinct (reference run_als.py:9 ``drop_duplicates()``).
+    Doubled input proves rows actually collapse. At scale this is a
+    hash-partitioned HashAggregate on all columns — map-side partial
+    aggregation halves the shuffle for duplicate-heavy inputs."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.unionAll(ev)
+        .dropDuplicates()
+        .select(
+            "event_id",
+            _epoch("ts").alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+
+
+@query(
+    "dedup_keep_last",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    ranked AS (
+        SELECT user_id, item_id, rating, {ORACLE_EPOCH.format(col='ts')} AS ts_s,
+               ROW_NUMBER() OVER (PARTITION BY user_id, item_id
+                                  ORDER BY ts DESC, interaction_id DESC) AS rn
+        FROM r)
+    SELECT user_id, item_id, rating, ts_s FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: keyed dedup keeping the latest row per (user, item) — the
+    reference's only window function (run_als.py:10 ``sort_values('time')
+    .drop_duplicates(subset=..., keep='last')``). pandas needs a global sort
+    first; the window form shuffles once on the group key and sorts only
+    within partitions — no global sort at 100 TB. interaction_id breaks
+    timestamp ties deterministically."""
+    _utc(spark)
+    r = _ratings(spark, sf_dir)
+    w = W.partitionBy("user_id", "item_id").orderBy(
+        F.col("ts").desc(), F.col("interaction_id").desc()
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "item_id", "rating", _epoch("ts").alias("ts_s"))
+    )
+
+
+@query(
+    "sort_by_time",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS pos,
+           event_id, {ORACLE_EPOCH.format(col='ts')} AS ts_s
+    FROM events ORDER BY ts, event_id LIMIT 100
+    """,
+)
+def sort_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: global sort by time (reference run_als.py:10 ``sort_values``).
+    Spark's orderBy range-partitions (sampled boundaries) so the sort is
+    distributed; the explicit ``pos`` column makes order observable under
+    the driver's order-insensitive hash. event_id breaks ties."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        ev.orderBy("ts", "event_id")
+        .limit(100)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("pos", "event_id", _epoch("ts").alias("ts_s"))
+    )
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL})
+    SELECT user_id, item_id, rating, interaction_id FROM r
+    WHERE interaction_id % 10 < 7
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: deterministic 70/30 train split (reference run_als.py:13
+    ``sample(frac=0.7, random_state=7)``). Declared as a key-hash split
+    (``interaction_id % 10 < 7``) rather than ``randomSplit([0.7,0.3],
+    seed=7)`` because RNG streams are engine-specific and the oracle must
+    reproduce the exact rows; the hash split is also *stable under
+    repartitioning*, which randomSplit is not — at 100 TB that stability is
+    what you want anyway. The test complement is `join_anti_split` (J3)."""
+    return _ratings(spark, sf_dir).filter(F.col("interaction_id") % 10 < 7).select(
+        "user_id", "item_id", "rating", "interaction_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A. Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_keys",
+    oracle=f"WITH r AS ({RATINGS_SQL}) SELECT DISTINCT user_id FROM r",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: distinct key values (reference models/als.py:26-27
+    ``df[user_col].unique()``). Partial (map-side) distinct before the
+    shuffle keeps the exchange proportional to key cardinality, not row
+    count."""
+    return _ratings(spark, sf_dir).select("user_id").distinct()
+
+
+ENCODE_USERS_SQL = f"""
+    WITH r AS ({RATINGS_SQL}),
+    u AS (SELECT DISTINCT user_id FROM r)
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS BIGINT) AS u_idx
+    FROM u
+"""
+
+
+@query("encode_ids", oracle=ENCODE_USERS_SQL)
+def encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: dictionary-encode ids to dense 0..n-1 ints (reference
+    models/als.py:29-32 ``{x: i for i, x in enumerate(ids)}``). The window
+    over the *distinct key set* is dimension-sized (n_users ≪ n_rows), so a
+    single-partition window is acceptable; for fact-scale encodings use
+    ``zipWithIndex``-style block offsets instead (see models/common.py,
+    which this query intentionally mirrors)."""
+    u = _ratings(spark, sf_dir).select("user_id").distinct()
+    w = W.orderBy("user_id")
+    return u.withColumn("u_idx", (F.row_number().over(w) - 1).cast("long"))
+
+
+@query(
+    "count_rows",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items
+    FROM r
+    """,
+)
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: corpus cardinalities (reference models/als.py:35-37). One job,
+    one row out; the two countDistincts expand then partially aggregate —
+    Catalyst plans this as expand + two-phase hash aggregate."""
+    return _ratings(spark, sf_dir).agg(
+        F.count("*").alias("n_ratings"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+    )
+
+
+@query(
+    "global_stats",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL})
+    SELECT CAST(MIN(rating) AS DOUBLE) AS min_rating,
+           CAST(MAX(rating) AS DOUBLE) AS max_rating,
+           ROUND(AVG(rating), 6) AS mean_rating
+    FROM r
+    """,
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: global min/max/mean rating (reference models/als.py:39-41) — the
+    μ term of the model plus the clip bounds. Scalar stats are the only
+    values this engine ever collects to the driver (SURVEY.md §7.4)."""
+    return _ratings(spark, sf_dir).agg(
+        F.min("rating").cast("double").alias("min_rating"),
+        F.max("rating").cast("double").alias("max_rating"),
+        F.round(F.avg("rating"), 6).alias("mean_rating"),
+    )
+
+
+@query(
+    "grouped_sum_user",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL})
+    SELECT user_id, ROUND(SUM(rating), 6) AS sum_rating,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY user_id
+    """,
+)
+def grouped_sum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-user axis sum (reference models/als.py:168 ``da.sum(err,
+    axis=1)``) — the user-bias gradient reduction. Relational form per
+    SURVEY.md §1.4: groupBy over observed rows only; map-side partial sums
+    shrink the shuffle to one row per (partition, user)."""
+    return (
+        _ratings(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("rating"), 6).alias("sum_rating"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "grouped_sum_item",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL})
+    SELECT item_id, ROUND(SUM(rating), 6) AS sum_rating,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY item_id
+    """,
+)
+def grouped_sum_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-item axis sum (reference models/als.py:172, axis=0)."""
+    return (
+        _ratings(spark, sf_dir)
+        .groupBy("item_id")
+        .agg(F.round(F.sum("rating"), 6).alias("sum_rating"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "eval_metrics",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM r)
+    SELECT ROUND(AVG(ABS(rating - mu)), 6) AS mae,
+           ROUND(AVG((rating - mu) * (rating - mu)), 6) AS mse,
+           ROUND(SQRT(AVG((rating - mu) * (rating - mu))), 6) AS rmse
+    FROM r, mu
+    """,
+)
+def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: MAE/MSE/RMSE full reduction (reference models/als.py:83-87,
+    219-223) against the global-mean predictor. μ is rounded before use so
+    both engines difference against the identical constant. One pass, one
+    row; the reference's driver-side numpy reduction becomes a two-phase
+    hash aggregate."""
+    r = _ratings(spark, sf_dir)
+    mu = r.agg(F.round(F.avg("rating"), 6).alias("mu"))
+    err = F.col("rating") - F.col("mu")
+    return r.crossJoin(F.broadcast(mu)).agg(
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.avg(err * err), 6).alias("mse"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bonus (SURVEY.md §2.4 note): hierarchical rollup — not in the
+    reference; pins Spark's grouping-sets capability. Catalyst plans this
+    as a single Expand + hash aggregate, not one job per grouping set."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J. Joins
+# ---------------------------------------------------------------------------
+
+ENCODE_ITEMS_SQL = f"""
+    WITH r AS ({RATINGS_SQL}),
+    i AS (SELECT DISTINCT item_id FROM r)
+    SELECT item_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS BIGINT) AS i_idx
+    FROM i
+"""
+
+
+@query(
+    "join_encode",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    ue AS ({ENCODE_USERS_SQL}),
+    ie AS ({ENCODE_ITEMS_SQL})
+    SELECT r.interaction_id, ue.u_idx, ie.i_idx, r.rating
+    FROM r JOIN ue ON r.user_id = ue.user_id
+           JOIN ie ON r.item_id = ie.item_id
+    """,
+)
+def join_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: apply the id→dense-index mapping (reference models/als.py:31-32
+    ``Series.map(dict)``) as two broadcast hash equi-joins. The dict that
+    lived in driver memory becomes a broadcast dimension table — the join
+    never shuffles the fact side, which is the 100 TB-safe shape."""
+    r = _ratings(spark, sf_dir)
+    ue = encode_ids(spark, sf_dir)
+    iw = W.orderBy("item_id")
+    ie = (
+        r.select("item_id")
+        .distinct()
+        .withColumn("i_idx", (F.row_number().over(iw) - 1).cast("long"))
+    )
+    return (
+        r.join(F.broadcast(ue), "user_id")
+        .join(F.broadcast(ie), "item_id")
+        .select("interaction_id", "u_idx", "i_idx", "rating")
+    )
+
+
+PREDICT_SQL = f"""
+    WITH r AS ({RATINGS_SQL}),
+    train AS (SELECT * FROM r WHERE interaction_id % 10 < 7),
+    test  AS (SELECT * FROM r WHERE interaction_id % 10 >= 7),
+    mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM train),
+    ub AS (SELECT user_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bu
+           FROM train GROUP BY user_id),
+    ib AS (SELECT item_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bi
+           FROM train GROUP BY item_id)
+    SELECT t.interaction_id, t.user_id, t.item_id, t.rating,
+           ROUND(LEAST(GREATEST(
+               (SELECT mu FROM mu) + COALESCE(ub.bu, 0) + COALESCE(ib.bi, 0),
+               1.0), 5.0), 6) AS pred
+    FROM test t
+    LEFT JOIN ub ON t.user_id = ub.user_id
+    LEFT JOIN ib ON t.item_id = ib.item_id
+"""
+
+
+@query("join_predict_lookup", oracle=PREDICT_SQL)
+def join_predict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: predict-time parameter lookup with cold-start fallback (reference
+    models/als.py:202-214 — an O(n) driver loop over dict probes). Here: two
+    LEFT OUTER joins against per-user/per-item bias tables + COALESCE for
+    unseen keys + clip (L8). The driver loop becomes one distributed plan;
+    bias tables are broadcast when they fit, sort-merge otherwise (AQE
+    decides)."""
+    r = _ratings(spark, sf_dir)
+    train = r.filter(F.col("interaction_id") % 10 < 7)
+    test = r.filter(F.col("interaction_id") % 10 >= 7)
+    mu = train.agg(F.round(F.avg("rating"), 6).alias("mu"))
+    ub = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("user_id")
+        .agg(F.round(F.avg("rating") - F.first("mu"), 6).alias("bu"))
+    )
+    ib = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("item_id")
+        .agg(F.round(F.avg("rating") - F.first("mu"), 6).alias("bi"))
+    )
+    raw = (
+        F.col("mu")
+        + F.coalesce(F.col("bu"), F.lit(0.0))
+        + F.coalesce(F.col("bi"), F.lit(0.0))
+    )
+    return (
+        test.join(ub, "user_id", "left")
+        .join(ib, "item_id", "left")
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "interaction_id",
+            "user_id",
+            "item_id",
+            "rating",
+            F.round(F.least(F.greatest(raw, F.lit(1.0)), F.lit(5.0)), 6).alias("pred"),
+        )
+    )
+
+
+@query(
+    "join_anti_split",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    train AS (SELECT interaction_id FROM r WHERE interaction_id % 10 < 7)
+    SELECT r.user_id, r.item_id, r.rating, r.interaction_id FROM r
+    WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.interaction_id = r.interaction_id)
+    """,
+)
+def join_anti_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the split complement as a LEFT ANTI join (reference run_als.py:14
+    ``df.drop(train.index)`` — index subtraction is relationally an
+    anti-join). Pins Spark's semi/anti capability; at scale this is a
+    shuffled hash anti-join on the row key."""
+    r = _ratings(spark, sf_dir)
+    train = r.filter(F.col("interaction_id") % 10 < 7).select("interaction_id")
+    return r.join(train, "interaction_id", "left_anti").select(
+        "user_id", "item_id", "rating", "interaction_id"
+    )

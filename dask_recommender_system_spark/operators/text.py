@@ -1,0 +1,217 @@
+"""Text-analysis operators over the `documents` table (north-star X3 +
+training-data-pipeline text ops: language-ID, quality scoring, token
+counting, fingerprinting). SURVEY.md §2.9.
+
+Everything is built-in `pyspark.sql.functions` (JVM, codegen'd) — tokenizing
+100 TB of text must not cross into Python. Tokenization convention shared
+with the DuckDB oracles: split trimmed text on `\\s+`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+
+# Shared tokenizer expression (Spark + DuckDB twins). Lazy: Column
+# construction needs an active SparkContext.
+def TOKENS() -> F.Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+ORACLE_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN({ORACLE_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(LEN(list_distinct({ORACLE_TOKENS})) AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(list_sum(list_transform({ORACLE_TOKENS}, t -> LENGTH(t))) AS DOUBLE)
+                 / LEN({ORACLE_TOKENS}), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: per-document text statistics — char count, token count, distinct
+    tokens, mean token length. Array higher-order functions keep this one
+    narrow map stage: no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_lens = F.transform(TOKENS(), lambda t: F.length(t))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(TOKENS()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(TOKENS())).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast("double")
+            / F.size(TOKENS()),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (alpha runs | digit runs | single punctuation) — the pre-tokenizer
+    shape GPT-style BPE vocabularies assume. Pure regex, JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(TOKENS()).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately shared verbatim with the oracle SQL.
+LANG_MARKERS = {
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "en": ["the", "and", "of", "to", "in"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "sl": ["je", "na", "se", "da", "ne"],
+}
+
+
+def _oracle_lang_scores() -> str:
+    cases = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        cases.append(
+            f"CAST(LEN(list_filter({ORACLE_TOKENS}, t -> t IN ({lst}))) AS BIGINT)"
+            f" AS score_{lang}"
+        )
+    return ",\n           ".join(cases)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {_oracle_lang_scores()}
+        FROM documents)
+    SELECT doc_id,
+           CASE GREATEST(score_de, score_en, score_fr, score_sl)
+                WHEN score_de THEN 'de'
+                WHEN score_en THEN 'en'
+                WHEN score_fr THEN 'fr'
+                ELSE 'sl' END AS pred_lang,
+           GREATEST(score_de, score_en, score_fr, score_sl) AS score
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-marker counting (the classic n-gram/lexicon
+    heuristic). One narrow stage: per-language token-filter counts, argmax
+    with a fixed tie order (de < en < fr < sl). A real pipeline swaps the
+    lexicons for character-n-gram profiles; the plan shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def lang_score(words: list[str]) -> F.Column:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return F.size(
+            F.expr(f"filter(split(trim(text), '\\\\s+'), t -> t IN ({lst}))")
+        ).cast("long")
+
+    scores = {lang: lang_score(words) for lang, words in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("sl")
+    )
+    return d.select(
+        "doc_id", pred.alias("pred_lang"), best.alias("score")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           SUBSTR(md5(LOWER(trim(text))), 1, 16) AS fp,
+           SUBSTR(md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(trim(LOWER(text)), '\\s+'))), ' ')), 1, 16)
+               AS shingle_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: (a) exact content fingerprint = md5 of
+    normalized text; (b) bag-of-words fingerprint = md5 of the sorted
+    distinct token set — invariant to token order, the cheap first-pass
+    near-dup key before MinHash (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm_tokens = F.array_sort(
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16).alias("fp"),
+        F.substring(F.md5(F.array_join(norm_tokens, " ")), 1, 16).alias("shingle_fp"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(LEN({ORACLE_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(LEN(list_filter({ORACLE_TOKENS},
+                    t -> t IN ('the','and','of','to','in','a','is'))) AS BIGINT)
+                   AS n_stop
+        FROM documents)
+    SELECT doc_id,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
+           ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.5, 6)
+               AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (Gopher/C4-style heuristics, simplified): stopword
+    ratio + length signals combined into [0,1]. All arithmetic over one
+    narrow stage; thresholds would then drive a `filter` at ingest."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(TOKENS()).cast("long")
+    n_stop = F.size(
+        F.expr("filter(split(trim(text), '\\\\s+'), t -> t IN ('the','and','of','to','in','a','is'))")
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.5
+    )
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(n_chars.cast("double") / n_tokens, 6).alias("chars_per_token"),
+        F.round(quality, 6).alias("quality"),
+    )

@@ -1,0 +1,235 @@
+"""Event-time window aggregations, sessionization, pivot, set ops, top-k
+(SURVEY.md §2.8 extensions X5/X6 + capabilities declared explicitly).
+
+Batch ``F.window()`` has identical semantics to Structured Streaming's
+tumbling/sliding windows, so these queries are the batch twins of
+``streaming/windows.py`` — same plans, same oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..registry import query
+from .relational import ORACLE_EPOCH, _utc
+
+EPOCH_TS = ORACLE_EPOCH.format(col="ts")
+
+
+@query(
+    "window_events_tumbling",
+    oracle=f"""
+    SELECT CAST(FLOOR({EPOCH_TS} / 3600) * 3600 AS BIGINT) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: 1-hour tumbling event-time windows over `events` — batch form of
+    the Structured Streaming windowed agg (same ``F.window`` semantics with
+    a watermark; see streaming/windows.py). One shuffle on (window, type);
+    at 100 TB pre-partitioning the stream by event_type removes it."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_events_sliding",
+    oracle=f"""
+    WITH shifted AS (
+        SELECT (FLOOR({EPOCH_TS} / 1800) - k) * 1800 AS window_start, value
+        FROM events CROSS JOIN (SELECT UNNEST(range(0, 2)) AS k))
+    SELECT CAST(window_start AS BIGINT) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM shifted GROUP BY 1
+    """,
+)
+def window_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6b: 1-hour windows sliding every 30 min — each event lands in
+    exactly 2 windows; Spark plans this as an Expand (×2 rows) before the
+    hash aggregate, which is also what the oracle's cross-join models."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN {EPOCH_TS} - LAG({EPOCH_TS}) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM g
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap → new session, via lag + running
+    sum (the standard batch pattern; streaming twin is session_window /
+    applyInPandasWithState in streaming/). One shuffle on user_id."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = W.partitionBy("user_id").orderBy(*order)
+    ep = F.unix_timestamp("ts")
+    gap = ep - F.lag(ep).over(w)
+    return (
+        ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long"),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+@query(
+    "pivot_events",
+    oracle="""
+    SELECT user_id % 50 AS user_bucket,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS evt_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS evt_error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS evt_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS evt_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS evt_view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (implicit-pivot would need an extra
+    job to collect distinct values — always pass the list at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("user_bucket", F.col("user_id") % 50)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"evt_{c}")
+          for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer
+        INTERSECT
+        SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'customer_only' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference — SURVEY.md §2.8; free in
+    Spark): INTERSECT/EXCEPT compile to left-semi/left-anti over distinct
+    inputs."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = cust.intersect(ords).select(F.lit("both").alias("tag"), "c_custkey")
+    only = cust.exceptAll(ords.distinct()).distinct().select(
+        F.lit("customer_only").alias("tag"), "c_custkey"
+    )
+    return both.unionAll(only)
+
+
+@query(
+    "recommend_top_k",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    train AS (SELECT * FROM r WHERE interaction_id % 10 < 7),
+    mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM train),
+    ub AS (SELECT user_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bu
+           FROM train GROUP BY user_id),
+    ib AS (SELECT item_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bi
+           FROM train GROUP BY item_id),
+    users AS (SELECT user_id, bu FROM ub WHERE user_id % 29 = 0),
+    scored AS (
+        SELECT u.user_id, i.item_id,
+               ROUND((SELECT mu FROM mu) + u.bu + i.bi, 6) AS score
+        FROM users u CROSS JOIN ib i),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY score DESC, item_id) AS rnk
+        FROM scored)
+    SELECT user_id, item_id, CAST(rnk AS BIGINT) AS rnk, score
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-user top-k recommendations (report.pdf §2's "top N items";
+    MLlib's ``recommendForAllUsers`` is the model-based fast path — see
+    models/queries.py). Declared oracle form: score every (user, item) pair
+    for a deterministic user sample with the bias model, window-rank ≤ k.
+    At 100 TB the cross join is the cost — the real path prunes with LSH
+    (see operators/similarity.py) or MLlib's blocked BLAS ranking."""
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    train = r.filter(F.col("interaction_id") % 10 < 7)
+    mu = train.agg(F.round(F.avg("rating"), 6).alias("mu"))
+    ub = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("user_id")
+        .agg(F.round(F.avg("rating") - F.first("mu"), 6).alias("bu"))
+    )
+    ib = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("item_id")
+        .agg(F.round(F.avg("rating") - F.first("mu"), 6).alias("bi"))
+    )
+    users = ub.filter(F.col("user_id") % 29 == 0)
+    scored = (
+        users.crossJoin(ib)
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "user_id",
+            "item_id",
+            F.round(F.col("mu") + F.col("bu") + F.col("bi"), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("item_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("user_id", "item_id", "rnk", "score")
+    )

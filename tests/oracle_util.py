@@ -1,0 +1,65 @@
+"""Local replica of the driver's Spark-vs-DuckDB oracle comparison
+(row count + schema + order-insensitive values), strict enough that a pass
+here predicts a pass in CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from dask_recommender_system_spark.data import TABLES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}")
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        problems.append(f"{name}: columns {s_cols} vs oracle {o_cols}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c].values, o[c].values
+        if pd.api.types.is_float_dtype(s[c]):
+            bad = 0
+            for a, b in zip(sv, ov):
+                if (math.isnan(a) != math.isnan(b)) or (
+                    not math.isnan(a) and a != b
+                ):
+                    bad += 1
+            if bad:
+                problems.append(f"{name}: column {c}: {bad} exact-value float mismatches")
+        else:
+            neq = (sv != ov).sum()
+            if neq:
+                idx = (sv != ov).argmax()
+                problems.append(
+                    f"{name}: column {c}: {neq} mismatches (first: {sv[idx]!r} vs {ov[idx]!r})"
+                )
+    return problems
