@@ -100,21 +100,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ann_lsh")  # no oracle: LSH hash family is engine-specific
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path A: random-hyperplane LSH. Each vector gets a sign
-    signature from h random projections; candidates share a signature
-    bucket; exact cosine re-ranks within buckets. All JVM expressions —
-    the projection matrix is a broadcast literal. Recall vs exact top-k is
-    measured in tests/test_similarity.py (and is tunable via n_planes /
-    band structure — fewer planes = bigger buckets = higher recall &
-    cost)."""
+    """X2 scale path A: multi-table random-hyperplane LSH (4 tables × 4
+    planes). Each vector gets one sign-bucket per table; a pair is a
+    candidate if it collides in ANY table (union ≈ the OR-construction
+    that drives recall up); exact cosine re-ranks candidates. All JVM
+    expressions — the projection matrix is a literal folded into the plan.
+    Recall ≥0.8 vs exact top-k is asserted on a clustered fixture in
+    tests/test_dedup_similarity.py; tune tables/planes for the
+    recall-vs-candidates trade."""
     import random
 
     rng = random.Random(42)
-    dim, n_planes = 64, 6
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    dim, n_tables, n_planes = 64, 4, 4
+    tables = [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
     e = _emb(spark, sf_dir)
 
-    def bucket_of(vcol):
+    def bucket_of(vcol, planes):
         b = F.lit(0)
         for p_i, plane in enumerate(planes):
             proj = F.lit(0.0)
@@ -123,12 +127,30 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = b + F.when(proj > 0, F.lit(1 << p_i)).otherwise(0)
         return b
 
-    eb = e.withColumn("bucket", bucket_of(F.col("v"))).persist()
+    # (vec_id, v, table, bucket): one row per table — the OR-construction
+    eb = e.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        bucket_of(F.col("v"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "tb.tbl", "tb.bucket").persist()
     q = eb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
     )
-    cand = eb.join(F.broadcast(q), ["bucket"]).filter(
-        F.col("vec_id") != F.col("query_id")
+    cand = (
+        eb.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .distinct()  # dedupe pairs colliding in multiple tables
     )
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), dot(F.col("qv"), F.col("v")).alias("cos")

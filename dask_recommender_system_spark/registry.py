@@ -62,6 +62,7 @@ def load_all_operators() -> None:
         windows,
     )
     from .models import queries as model_queries  # noqa: F401
+    from .streaming import windows as streaming_windows  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,101 @@
+"""Structured Streaming twins of the batch window operators (SURVEY.md
+§2.8: the reference has no streaming; the engine declares event-time
+windows as streaming-ready, and this module proves it by running the same
+aggregation through ``readStream`` → watermark → windowed agg → sink).
+
+Local smoke: the file source replays `events.parquet` as a bounded
+stream; ``processAllAvailable`` drains it synchronously into a memory
+sink, so the streaming result is comparable against the *batch* oracle —
+`stream_window_tumbling` therefore gets the SAME DuckDB oracle as
+`window_events_tumbling`: one definition of correctness for both
+execution modes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..operators.windows import window_events_tumbling  # reuse the oracle
+from ..registry import REGISTRY
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema-explicit — file
+    streams cannot infer). The file source requires a *directory*, so the
+    single parquet file is staged via symlink. In production this is the
+    same code with ``format("kafka")``; everything downstream is
+    source-agnostic."""
+    import hashlib
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling windowed aggregation with a watermark bounding
+    state: late rows beyond the watermark are dropped and their windows
+    finalized — the state-retention contract that makes this run forever
+    at 100 TB/day."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, name: str) -> None:
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@query(
+    "stream_window_tumbling",
+    oracle=REGISTRY["window_events_tumbling"].oracle,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 streaming form: readStream(events) → watermark → tumbling agg →
+    memory sink, drained synchronously; checked against the *batch* oracle
+    so streaming and batch share one correctness definition."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    agg = tumbling_counts(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(agg, name)
+    return spark.table(name)

@@ -1,0 +1,70 @@
+"""Physical-plan property tests (SURVEY.md §4): pin the plan shapes that
+matter at 100 TB — pushdown, pruning, broadcast dimension joins, bounded
+shuffle counts, whole-stage codegen."""
+
+from __future__ import annotations
+
+from dask_recommender_system_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    count_exchanges,
+    has_wholestage_codegen,
+    physical_plan,
+)
+from dask_recommender_system_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_scan_parquet_pushdown_and_pruning(spark, sf_dir):
+    df = q("scan_parquet", spark, sf_dir)
+    assert_pushed_filter(df, "l_quantity")
+    assert_read_schema_only(
+        df, ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    assert count_exchanges(df) == 0  # pure scan+filter: no shuffle at all
+    assert has_wholestage_codegen(df)
+
+
+def test_project_columns_prunes_scan(spark, sf_dir):
+    df = q("project_columns", spark, sf_dir)
+    assert_read_schema_only(df, ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    plan = physical_plan(df)
+    assert "l_partkey" not in plan.split("ReadSchema", 1)[1].splitlines()[0]
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    assert_broadcast_join(q("filter_predicate", spark, sf_dir))
+    assert_broadcast_join(q("join_encode", spark, sf_dir))
+
+
+def test_narrow_text_ops_have_no_shuffle(spark, sf_dir):
+    for name in ("text_stats", "text_token_count", "text_lang_id",
+                 "text_fingerprint", "text_quality_score", "multimodal_project"):
+        assert count_exchanges(q(name, spark, sf_dir)) == 0, name
+
+
+def test_window_agg_single_shuffle(spark, sf_dir):
+    # tumbling window agg: one shuffle (partial agg map-side, final after)
+    assert count_exchanges(q("window_events_tumbling", spark, sf_dir)) == 1
+    assert count_exchanges(q("grouped_sum_user", spark, sf_dir)) <= 2
+
+
+def test_training_epoch_plan_depth_is_constant(spark):
+    """SURVEY.md §4.3: per-epoch localCheckpoint must keep the plan size
+    O(1) in epochs — without it, epoch N's plan nests N join+agg rounds."""
+    from dask_recommender_system_spark.models import FunkSVD
+
+    rows = [(f"u{i%7}", f"i{i%5}", float(1 + i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "user string, item string, rating double")
+
+    m1 = FunkSVD(n_factors=2, epochs=1).fit(df)
+    m3 = FunkSVD(n_factors=2, epochs=3).fit(df)
+    p1 = len(physical_plan(m1.u_params.select("bias")))
+    p3 = len(physical_plan(m3.u_params.select("bias")))
+    assert p3 < p1 * 2, f"plan grows with epochs: {p1} -> {p3}"
