@@ -146,6 +146,46 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ETL_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.LongType()),
+        T.StructField("item", T.LongType()),
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("time", T.LongType()),
+    ]
+)
+
+
+@query(
+    "etl_jsonl_to_csv",
+    oracle="""
+    SELECT o_custkey AS user, o_orderkey AS item,
+           ROUND(o_totalprice, 2) AS rating,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS time
+    FROM orders
+    """,
+)
+def etl_jsonl_to_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full ETL entry point (json-to-csv.py:5-12, SURVEY.md
+    §3.3 honorable mention): JSONL scan → 4-column projection → positional
+    rename → header-less CSV sink — then read back through the S1 scanner
+    to prove the round trip. One linear pipeline, no shuffle."""
+    _utc(spark)
+    jsonl_path = f"{IO_DIR}/etl_orders_jsonl"
+    csv_path = f"{IO_DIR}/etl_ratings_csv"
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").json(jsonl_path)
+    raw = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).json(jsonl_path)
+    four_col = raw.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 2).alias("p"),
+        F.unix_timestamp("o_orderdate").alias("t"),
+    ).toDF("user", "item", "rating", "time")
+    four_col.write.mode("overwrite").option("header", False).csv(csv_path)
+    return spark.read.schema(ETL_CSV_SCHEMA).csv(csv_path)
+
+
 # ---------------------------------------------------------------------------
 # P. Projections / filters
 # ---------------------------------------------------------------------------

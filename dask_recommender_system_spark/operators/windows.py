@@ -205,7 +205,7 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings_from_df(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     )
-    train = r.filter(F.col("interaction_id") % 10 < 7)
+    train = r.filter(F.col("interaction_id") % 10 < 7).persist()
     mu = train.agg(F.round(F.avg("rating"), 6).alias("mu"))
     ub = (
         train.crossJoin(F.broadcast(mu))
@@ -218,8 +218,16 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("rating") - F.first("mu"), 6).alias("bi"))
     )
     users = ub.filter(F.col("user_id") % 29 == 0)
+    # Candidate pruning (exact): score = μ + bu + bi is additive, so every
+    # user's top-5 under (score DESC, item_id) is contained in the global
+    # top-5 items under (bi DESC, item_id). Keep a 4x margin for safety —
+    # turns the users × n_items cross join (10M+ rows at sf0.1) into
+    # users × 20. With a full P·Q model this pruning generalizes to the
+    # ANN candidates (operators/similarity.py) or MLlib's blocked top-k.
+    iw = W.orderBy(F.col("bi").desc(), F.col("item_id"))
+    ib_top = ib.withColumn("ir", F.row_number().over(iw)).filter(F.col("ir") <= 20).drop("ir")
     scored = (
-        users.crossJoin(ib)
+        users.crossJoin(F.broadcast(ib_top))
         .crossJoin(F.broadcast(mu))
         .select(
             "user_id",
@@ -228,8 +236,9 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("item_id"))
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
         .select("user_id", "item_id", "rnk", "score")
     )
+    return out

@@ -1,0 +1,81 @@
+"""Metric-tolerance training tests on a planted-factor fixture
+(SURVEY.md §5.2(2,5), FIXTURES.md §1): seeded synthetic ratings with
+learnable low-rank structure; training must beat the global-mean baseline
+on held-out data, per-epoch RMSE must fall monotonically, and MLlib ALS
+must land in a comparable band (report.pdf Table 1's comparison)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_recommender_system_spark.models import ALS, FunkSVD
+from dask_recommender_system_spark.models.mllib_als import eval_mllib, fit_mllib_als
+
+N_USERS, N_ITEMS, K_TRUE, N_RATINGS = 400, 150, 4, 16000
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.RandomState(42)
+    P = rng.normal(0, 0.5, (N_USERS, K_TRUE))
+    Q = rng.normal(0, 0.5, (N_ITEMS, K_TRUE))
+    bu = rng.normal(0, 0.3, N_USERS)
+    bi = rng.normal(0, 0.3, N_ITEMS)
+    us = rng.randint(0, N_USERS, N_RATINGS)
+    its = rng.randint(0, N_ITEMS, N_RATINGS)
+    raw = 3.5 + bu[us] + bi[its] + np.einsum("ij,ij->i", P[us], Q[its]) + rng.normal(
+        0, 0.3, N_RATINGS
+    )
+    r = np.clip(np.round(raw), 1, 5)
+    rows = [
+        (f"U{u:05d}", f"I{i:05d}", float(v), int(j))
+        for j, (u, i, v) in enumerate(zip(us, its, r))
+    ]
+    df = spark.createDataFrame(rows, "user string, item string, rating double, rid long")
+    train = df.filter(F.col("rid") % 10 < 7).persist()
+    test = df.filter(F.col("rid") % 10 >= 7).persist()
+    train.count(), test.count()
+    return train, test
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_cls", [FunkSVD, ALS])
+def test_training_beats_baseline(spark, planted, model_cls):
+    train, test = planted
+    m = model_cls(n_factors=8, lr=0.02, reg=0.005, epochs=8)
+    m.fit(train, collect_errors=True)
+    rmses = [t[2] for t in m.train_errors]
+    assert all(a > b for a, b in zip(rmses, rmses[1:])), f"not decreasing: {rmses}"
+
+    mu = m.stats.mean_rating
+    base_rmse = (
+        test.agg(F.avg((F.col("rating") - mu) ** 2).alias("m")).first()["m"] ** 0.5
+    )
+    _, _, rmse = m.eval(m.predict(test))
+    # planted structure is learnable: must beat the constant-μ baseline
+    assert rmse < base_rmse * 0.95, f"rmse {rmse} vs baseline {base_rmse}"
+    # and sit in the plausible band for 1-5 ratings (BASELINE.md: ref ≈ 0.92)
+    assert rmse < 1.3
+
+
+@pytest.mark.slow
+def test_mllib_als_cross_check(spark, planted):
+    """report.pdf Table 1 mirror: same data through MLlib ALS — the two
+    training paths must land in the same RMSE regime."""
+    train, test = planted
+    enc = lambda df: df.select(  # noqa: E731
+        F.substring("user", 2, 5).cast("int").alias("user_id"),
+        F.substring("item", 2, 5).cast("int").alias("item_id"),
+        F.col("rating").cast("float"),
+        "rid",
+    )
+    model = fit_mllib_als(enc(train), rank=8, max_iter=10, reg_param=0.1)
+    mllib_rmse = eval_mllib(model, enc(test))["rmse"]
+
+    m = FunkSVD(n_factors=8, lr=0.02, reg=0.005, epochs=8).fit(train)
+    _, _, sgd_rmse = m.eval(m.predict(test))
+    assert mllib_rmse < 1.3
+    assert abs(sgd_rmse - mllib_rmse) < 0.45, (sgd_rmse, mllib_rmse)
