@@ -232,3 +232,107 @@ def math_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(v).cast("double").alias("sign_v"),
         F.round(F.pow(F.abs(v) + 1.0, 3), 6).alias("pow_v"),
     )
+
+
+# --- oracle-checked single SGD epoch (pins L5+L6+L7 exactly) ---------------
+
+SGD_LR, SGD_REG = 0.01, 0.02
+_H = "2654435761"
+
+
+def _init_sql(idc: str, j: int, salt: int, scale: float) -> str:
+    """SQL twin of models.common.hash_uniform."""
+    return (
+        f"CAST(({idc} * {_H} + {j * 40503 + salt * 7919}) % 100000 AS DOUBLE)"
+        f" / 100000.0 * {scale}"
+    )
+
+
+@query(
+    "sgd_epoch_user_update",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM e),
+    ni AS (SELECT CAST(COUNT(DISTINCT i_idx) AS BIGINT) AS n_items FROM e),
+    up AS (SELECT DISTINCT u_idx,
+                  {_init_sql('u_idx', 99, 1, 0.01)} AS bu,
+                  {_init_sql('u_idx', 0, 1, 0.1)} AS p_0,
+                  {_init_sql('u_idx', 1, 1, 0.1)} AS p_1
+           FROM e),
+    ip AS (SELECT DISTINCT i_idx,
+                  {_init_sql('i_idx', 99, 2, 0.01)} AS bi,
+                  {_init_sql('i_idx', 0, 2, 0.1)} AS q_0,
+                  {_init_sql('i_idx', 1, 2, 0.1)} AS q_1
+           FROM e),
+    err AS (
+        SELECT e.u_idx, e.i_idx,
+               e.rating - ((SELECT mu FROM mu) + up.bu + ip.bi
+                           + up.p_0 * ip.q_0 + up.p_1 * ip.q_1) AS err,
+               ip.q_0, ip.q_1
+        FROM e JOIN up ON e.u_idx = up.u_idx JOIN ip ON e.i_idx = ip.i_idx),
+    g AS (
+        SELECT u_idx, SUM(err) AS err_sum,
+               SUM(err * q_0) AS g_0, SUM(err * q_1) AS g_1
+        FROM err GROUP BY u_idx)
+    SELECT up.u_idx,
+           ROUND(up.bu + {SGD_LR} * (g.err_sum
+                 - (SELECT n_items FROM ni) * {SGD_REG} * up.bu), 6) AS bu_new,
+           ROUND(up.p_0 + {SGD_LR} * (g.g_0 - {SGD_REG} * up.p_0), 6) AS f0_new,
+           ROUND(up.p_1 + {SGD_LR} * (g.g_1 - {SGD_REG} * up.p_1), 6) AS f1_new
+    FROM up JOIN g ON up.u_idx = g.u_idx
+    """,
+)
+def sgd_epoch_user_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+L6+L7, oracle-checked: ONE user-side SGD epoch with deterministic
+    hash-uniform params — error on observed pairs (models/funk_svd.py:161),
+    per-user gradient reduction err@Q (models/als.py:167), and the axpy
+    update θ += lr·(g − reg·θ) with the bias regularizer scaled by
+    n_items because it sits inside the axis sum (models/als.py:168;
+    SURVEY.md §1.4 caveat 2). The full multi-epoch fit (models/) runs this
+    exact dataflow; here DuckDB verifies a single step value-for-value."""
+    from ..models.common import hash_uniform
+
+    e = encoded_ratings(spark, sf_dir)
+    mu = e.agg(F.round(F.avg("rating"), 6).alias("mu"))
+    ni = e.agg(F.countDistinct("i_idx").alias("n_items"))
+    up = e.select("u_idx").distinct().select(
+        "u_idx",
+        hash_uniform(F.col("u_idx"), 99, 0.01, 1).alias("bu"),
+        hash_uniform(F.col("u_idx"), 0, 0.1, 1).alias("p_0"),
+        hash_uniform(F.col("u_idx"), 1, 0.1, 1).alias("p_1"),
+    )
+    ip = e.select("i_idx").distinct().select(
+        "i_idx",
+        hash_uniform(F.col("i_idx"), 99, 0.01, 2).alias("bi"),
+        hash_uniform(F.col("i_idx"), 0, 0.1, 2).alias("q_0"),
+        hash_uniform(F.col("i_idx"), 1, 0.1, 2).alias("q_1"),
+    )
+    err_col = F.col("rating") - (
+        F.col("mu") + F.col("bu") + F.col("bi")
+        + F.col("p_0") * F.col("q_0") + F.col("p_1") * F.col("q_1")
+    )
+    err = (
+        e.join(up, "u_idx")
+        .join(ip, "i_idx")
+        .crossJoin(F.broadcast(mu))
+        .withColumn("err", err_col)
+    )
+    g = err.groupBy("u_idx").agg(
+        F.sum("err").alias("err_sum"),
+        F.sum(F.col("err") * F.col("q_0")).alias("g_0"),
+        F.sum(F.col("err") * F.col("q_1")).alias("g_1"),
+    )
+    return (
+        up.join(g, "u_idx")
+        .crossJoin(F.broadcast(ni))
+        .select(
+            "u_idx",
+            F.round(
+                F.col("bu")
+                + SGD_LR * (F.col("err_sum") - F.col("n_items") * SGD_REG * F.col("bu")),
+                6,
+            ).alias("bu_new"),
+            F.round(F.col("p_0") + SGD_LR * (F.col("g_0") - SGD_REG * F.col("p_0")), 6).alias("f0_new"),
+            F.round(F.col("p_1") + SGD_LR * (F.col("g_1") - SGD_REG * F.col("p_1")), 6).alias("f1_new"),
+        )
+    )

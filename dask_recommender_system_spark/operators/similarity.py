@@ -119,15 +119,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
 
     def bucket_of(vcol, planes):
+        # per plane: sign(v·w) via zip_with+aggregate against an array
+        # LITERAL — one plan node per plane instead of 64 inline terms,
+        # so codegen stays shallow at any dim
         b = F.lit(0)
         for p_i, plane in enumerate(planes):
-            proj = F.lit(0.0)
-            for d_i, w_ in enumerate(plane):
-                proj = proj + F.element_at(vcol, d_i + 1) * F.lit(w_)
+            w_arr = F.array(*[F.lit(x) for x in plane])
+            proj = dot(vcol, w_arr)
             b = b + F.when(proj > 0, F.lit(1 << p_i)).otherwise(0)
         return b
 
-    # (vec_id, v, table, bucket): one row per table — the OR-construction
+    # (vec_id, table, bucket): one row per table — the OR-construction
     eb = e.select(
         "vec_id",
         "v",
@@ -143,17 +145,29 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     ).select("vec_id", "v", "tb.tbl", "tb.bucket").persist()
-    q = eb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
+    q_ids = eb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
-    cand = (
-        eb.join(F.broadcast(q), ["tbl", "bucket"])
+    # candidate pairs as IDS ONLY (dedupe before touching vectors — a
+    # distinct over rows carrying the arrays would shuffle the payloads)
+    cand_ids = (
+        eb.select("vec_id", "tbl", "bucket")
+        .join(F.broadcast(q_ids), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", "vec_id", "v")
-        .distinct()  # dedupe pairs colliding in multiple tables
+        .select("query_id", "vec_id")
+        .distinct()
     )
-    scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), dot(F.col("qv"), F.col("v")).alias("cos")
+    qv = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand_ids.join(e, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qv"), F.col("v")).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
