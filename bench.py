@@ -57,6 +57,9 @@ def main() -> None:
         n = REGISTRY[name].fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        # queries that persist() intermediates must not bill the next query
+        # for their executor-memory footprint
+        spark.catalog.clearCache()
 
     # training benchmark: reference-parity FunkSVD, k=30 (report.pdf config)
     r = ratings_from_df(

@@ -57,6 +57,20 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the input has fewer partitions than the
+    cluster has slots. A parquet scan parallelizes at row-group granularity,
+    so a small single-row-group table (documents/embeddings at low SF) lands
+    in ONE task — and any CPU-heavy narrow stage downstream (shingling,
+    per-vector math) serializes. At 100 TB inputs already arrive in
+    thousands of row groups and this is a no-op; the guard means we never
+    pay an unnecessary full-payload shuffle."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # SQL body of the ratings derivation; shared verbatim between the Spark view
 # and the DuckDB oracle (both engines parse this ANSI subset identically).
 RATINGS_SQL = """

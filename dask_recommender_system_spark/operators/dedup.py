@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, spread
 from ..registry import query
 
 SHINGLE_N = 3
@@ -95,7 +95,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the *verification* stage of MinHash/SimHash dedup; standalone
     it is quadratic in the worst case — the shingle join skews on frequent
     shingles, which is exactly what the LSH variants below avoid at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     sh = shingles(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -117,33 +117,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+MINHASH_NH = 64  # signature width (Jaccard estimate ± ~0.06)
+MINHASH_BANDS = 8  # single-row bands for candidates: P(cand) = 1-(1-s)^8
+
+
 @query("dedup_minhash")  # no oracle: LSH hash family is engine-specific
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1: MinHash-LSH near-dup candidates (MLlib MinHashLSH over
-    HashingTF'd shingle sets, seed pinned) verified with the approximate
-    Jaccard distance. The scale path: candidate generation is
-    buckets-then-join — cost ∝ collisions, not n². Recall vs the exact
-    n-gram pairs is asserted in tests/test_dedup.py."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    d = load_table(spark, sf_dir, "documents")
-    sets = (
-        shingles(d)
-        .groupBy("doc_id")
-        .agg(F.collect_list("s").alias("sh"))
+    """X1: MinHash near-dup candidates, fully JVM-side (no MLlib
+    approxSimilarityJoin — that path recomputes exact distance with a
+    per-pair UDF over the sparse vectors, the slow part at any scale).
+    Signature: each shingle is string-hashed ONCE (xxhash64), then the 64
+    components derive from the 64-bit base via xxhash64(base, t) — fixed
+    12-byte rehash, not 64 passes over the string; min per component is
+    a narrow (key, long) hash aggregate with map-side combine.
+    Candidates: 8 single-row bands (same S-curve as 8 hash tables;
+    P(candidate) = 1-(1-s)^8, ≈0.996 at s=0.5); the band join carries
+    (band, 64-bit value) keys only. Estimated Jaccard = fraction of
+    matching signature components (zip_with), floor 0.2 — reported as
+    jaccard_dist = 1 - estimate. Recall vs the exact n-gram pairs is
+    asserted in tests/test_dedup_similarity.py."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = shingles(d).select("doc_id", F.xxhash64("s").alias("h"))
+    # (doc_id, t, min hash_t): explode over seed indices keeps every stage
+    # narrow-schema — a NH-wide agg needs a ~1 KB agg buffer per group and
+    # NH-col generated code; this form is a plain (key, long) hash
+    # aggregate with map-side combine (shuffle = n_docs × NH longs)
+    e = sh.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_NH - 1))).alias("t")
+    ).select("doc_id", "t", F.xxhash64("h", "t").alias("ht"))
+    mins = e.groupBy("doc_id", "t").agg(F.min("ht").alias("m"))
+    sig = (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "m"))).alias("tm"))
+        .select("doc_id", F.transform("tm", lambda s: s["m"]).alias("sig"))
+        .persist()
     )
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(sets)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.element_at("sig", t + 1).alias("val"),
+                    )
+                    for t in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est_sim = matches.cast("double") / MINHASH_NH
+    return (
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .withColumn("est_sim", est_sim)
+        .filter(F.col("est_sim") >= 0.2)
+        .select("doc_a", "doc_b", F.round(1.0 - F.col("est_sim"), 6).alias("jaccard_dist"))
     )
 
 
@@ -155,7 +200,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Hamming ≤ 3 guarantees it); verified with bit_count(xor) ≤ 12.
     At 100 TB the band join is the only shuffle and carries (band, 16-bit
     value) keys."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     )

@@ -336,3 +336,130 @@ def sgd_epoch_user_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p_1") + SGD_LR * (F.col("g_1") - SGD_REG * F.col("p_1")), 6).alias("f1_new"),
         )
     )
+
+
+@query(
+    "sgd_epoch_item_update",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM e),
+    ni AS (SELECT CAST(COUNT(DISTINCT i_idx) AS BIGINT) AS n_items FROM e),
+    nu AS (SELECT CAST(COUNT(DISTINCT u_idx) AS BIGINT) AS n_users FROM e),
+    up AS (SELECT DISTINCT u_idx,
+                  {_init_sql('u_idx', 99, 1, 0.01)} AS bu,
+                  {_init_sql('u_idx', 0, 1, 0.1)} AS p_0,
+                  {_init_sql('u_idx', 1, 1, 0.1)} AS p_1
+           FROM e),
+    ip AS (SELECT DISTINCT i_idx,
+                  {_init_sql('i_idx', 99, 2, 0.01)} AS bi,
+                  {_init_sql('i_idx', 0, 2, 0.1)} AS q_0,
+                  {_init_sql('i_idx', 1, 2, 0.1)} AS q_1
+           FROM e),
+    err1 AS (
+        SELECT e.u_idx, e.i_idx,
+               e.rating - ((SELECT mu FROM mu) + up.bu + ip.bi
+                           + up.p_0 * ip.q_0 + up.p_1 * ip.q_1) AS err,
+               ip.q_0, ip.q_1
+        FROM e JOIN up ON e.u_idx = up.u_idx JOIN ip ON e.i_idx = ip.i_idx),
+    gu AS (
+        SELECT u_idx, SUM(err) AS err_sum,
+               SUM(err * q_0) AS g_0, SUM(err * q_1) AS g_1
+        FROM err1 GROUP BY u_idx),
+    up2 AS (
+        SELECT up.u_idx,
+               up.bu + {SGD_LR} * (gu.err_sum
+                     - (SELECT n_items FROM ni) * {SGD_REG} * up.bu) AS bu,
+               up.p_0 + {SGD_LR} * (gu.g_0 - {SGD_REG} * up.p_0) AS p_0,
+               up.p_1 + {SGD_LR} * (gu.g_1 - {SGD_REG} * up.p_1) AS p_1
+        FROM up JOIN gu ON up.u_idx = gu.u_idx),
+    err2 AS (
+        SELECT e.i_idx,
+               e.rating - ((SELECT mu FROM mu) + up2.bu + ip.bi
+                           + up2.p_0 * ip.q_0 + up2.p_1 * ip.q_1) AS err,
+               up2.p_0, up2.p_1
+        FROM e JOIN up2 ON e.u_idx = up2.u_idx JOIN ip ON e.i_idx = ip.i_idx),
+    gi AS (
+        SELECT i_idx, SUM(err) AS err_sum,
+               SUM(err * p_0) AS g_0, SUM(err * p_1) AS g_1
+        FROM err2 GROUP BY i_idx)
+    SELECT ip.i_idx,
+           ROUND(ip.bi + {SGD_LR} * (gi.err_sum
+                 - (SELECT n_users FROM nu) * {SGD_REG} * ip.bi), 6) AS bi_new,
+           ROUND(ip.q_0 + {SGD_LR} * (gi.g_0 - {SGD_REG} * ip.q_0), 6) AS f0_new,
+           ROUND(ip.q_1 + {SGD_LR} * (gi.g_1 - {SGD_REG} * ip.q_1), 6) AS f1_new
+    FROM ip JOIN gi ON ip.i_idx = gi.i_idx
+    """,
+)
+def sgd_epoch_item_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALS alternation, oracle-checked: item-side update computed from
+    the FRESH error — user params are updated first, the error is
+    recomputed against them, and only then is the item side updated
+    (models/als.py:160-174; SURVEY.md §2.7 I2 — the one semantic
+    difference from FunkSVD's stale-error cadence). Also pins the
+    n_users-scaled item-bias regularizer (models/als.py:172), which the
+    user-side twin cannot cover."""
+    from ..models.common import hash_uniform
+
+    e = encoded_ratings(spark, sf_dir)
+    mu = e.agg(F.round(F.avg("rating"), 6).alias("mu"))
+    ni = e.agg(F.countDistinct("i_idx").alias("n_items"))
+    nu = e.agg(F.countDistinct("u_idx").alias("n_users"))
+    up = e.select("u_idx").distinct().select(
+        "u_idx",
+        hash_uniform(F.col("u_idx"), 99, 0.01, 1).alias("bu"),
+        hash_uniform(F.col("u_idx"), 0, 0.1, 1).alias("p_0"),
+        hash_uniform(F.col("u_idx"), 1, 0.1, 1).alias("p_1"),
+    )
+    ip = e.select("i_idx").distinct().select(
+        "i_idx",
+        hash_uniform(F.col("i_idx"), 99, 0.01, 2).alias("bi"),
+        hash_uniform(F.col("i_idx"), 0, 0.1, 2).alias("q_0"),
+        hash_uniform(F.col("i_idx"), 1, 0.1, 2).alias("q_1"),
+    )
+
+    def err_of(uparams):
+        pred = (
+            F.col("mu") + F.col("bu") + F.col("bi")
+            + F.col("p_0") * F.col("q_0") + F.col("p_1") * F.col("q_1")
+        )
+        return (
+            e.join(uparams, "u_idx")
+            .join(ip, "i_idx")
+            .crossJoin(F.broadcast(mu))
+            .withColumn("err", F.col("rating") - pred)
+        )
+
+    gu = err_of(up).groupBy("u_idx").agg(
+        F.sum("err").alias("err_sum"),
+        F.sum(F.col("err") * F.col("q_0")).alias("g_0"),
+        F.sum(F.col("err") * F.col("q_1")).alias("g_1"),
+    )
+    up2 = (
+        up.join(gu, "u_idx")
+        .crossJoin(F.broadcast(ni))
+        .select(
+            "u_idx",
+            (F.col("bu") + SGD_LR * (F.col("err_sum") - F.col("n_items") * SGD_REG * F.col("bu"))).alias("bu"),
+            (F.col("p_0") + SGD_LR * (F.col("g_0") - SGD_REG * F.col("p_0"))).alias("p_0"),
+            (F.col("p_1") + SGD_LR * (F.col("g_1") - SGD_REG * F.col("p_1"))).alias("p_1"),
+        )
+    )
+    gi = err_of(up2).groupBy("i_idx").agg(
+        F.sum("err").alias("err_sum"),
+        F.sum(F.col("err") * F.col("p_0")).alias("g_0"),
+        F.sum(F.col("err") * F.col("p_1")).alias("g_1"),
+    )
+    return (
+        ip.join(gi, "i_idx")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "i_idx",
+            F.round(
+                F.col("bi")
+                + SGD_LR * (F.col("err_sum") - F.col("n_users") * SGD_REG * F.col("bi")),
+                6,
+            ).alias("bi_new"),
+            F.round(F.col("q_0") + SGD_LR * (F.col("g_0") - SGD_REG * F.col("q_0")), 6).alias("f0_new"),
+            F.round(F.col("q_1") + SGD_LR * (F.col("g_1") - SGD_REG * F.col("q_1")), 6).alias("f1_new"),
+        )
+    )

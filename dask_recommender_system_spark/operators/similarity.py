@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, spread
 from ..registry import query
 from .linalg import dot
 
@@ -21,7 +21,7 @@ QUERY_MOD = 25  # deterministic query subset: vec_id % 25 == 0
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    return spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 

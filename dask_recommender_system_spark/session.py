@@ -23,6 +23,10 @@ def get_spark(app_name: str = "dask-recommender-system-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # floor on scan splits: a small single-file table must not serialize
+        # a heavy downstream stage onto one task (at cluster scale this is a
+        # harmless minimum; splittable formats still split by size)
+        .config("spark.sql.files.minPartitionNum", str(max(cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
