@@ -673,3 +673,70 @@ def join_anti_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(train, "interaction_id", "left_anti").select(
         "user_id", "item_id", "rating", "interaction_id"
     )
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 6) AS sum_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned read-back — the 100 TB sink shape
+    the reference's S3 parquet stage implies (report.pdf §4) but never
+    writes itself. ``partitionBy`` lays out one directory per priority;
+    the read-back filter prunes to two of them (PartitionFilters in the
+    scan — a query on one priority at 100 TB touches 1/5 of the files).
+    Hive-style partition values come back as strings; cast restores the
+    aggregate's input dtype contract."""
+    path = f"{IO_DIR}/orders_by_priority_parquet"
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "string_date_suite",
+    oracle="""
+    SELECT o_orderkey,
+           LOWER(o_orderpriority) AS pri_lower,
+           SUBSTRING(o_orderstatus, 1, 1) AS status_c,
+           CONCAT(o_orderstatus, '/', o_orderpriority) AS status_pri,
+           LENGTH(o_orderpriority) AS pri_len,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def string_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date scalar-function surface. The reference uses none beyond
+    epoch ordering (SURVEY.md §2.8) — declared to pin the capability the
+    engine inherits from Spark; all JVM-side codegen, no shuffle. Dates
+    leave as epoch-seconds BIGINT so the comparison is session-TZ-proof."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("pri_lower"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+    )

@@ -1,0 +1,115 @@
+"""Scale-technique operators: the two join strategies that keep a 100 TB
+join healthy when AQE alone is not enough — key salting for skew, and
+bucketed storage for repeated co-located joins. Both are declared queries
+whose RESULTS equal the plain join (oracle-checked), so the techniques are
+pinned as semantics-preserving rewrites, not just prose in a README.
+
+The reference never needed either (its datasets fit one machine —
+report.pdf §7.1.2 shows what happened when they didn't: workers OOM'd),
+but its chunk-grid tuning (models/als.py:53-62, chunk_size 4000/5000) is
+the same engineering concern: bound the per-task working set.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..registry import query
+
+N_SALTS = 8
+
+IO_DIR = os.environ.get("SPARK_GRAFT_IO_DIR", "/tmp/drs_spark_io")
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "join_salted",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL})
+    SELECT r.item_id,
+           p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(r.rating), 6) AS sum_rating
+    FROM r JOIN part p ON r.item_id = p.p_partkey
+    GROUP BY r.item_id, p.p_brand
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join, result-identical to the plain join (the
+    oracle IS the plain join). Fact side: salt = interaction_id % S
+    (deterministic — no rand(), so retries and the oracle agree); dim
+    side: each row replicated S ways via explode. The join key becomes
+    (item_id, salt), splitting a hot item's rows across S tasks. At 100 TB
+    this is the manual fallback when AQE's skew splitting can't help —
+    e.g. a skewed *aggregation* key or a non-shuffle-joinable build side;
+    S scales with observed skew (p99 key count / median)."""
+    r = _ratings(spark, sf_dir).withColumn(
+        "salt", (F.col("interaction_id") % N_SALTS).cast("int")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id"), "p_brand"
+    )
+    p_salted = p.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)]))
+    )
+    return (
+        r.join(p_salted, ["item_id", "salt"])
+        .groupBy("item_id", "p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.sum("rating"), 6).alias("sum_rating"))
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 6) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written once with
+    bucketBy(orderkey) + sortBy, then joined WITHOUT a shuffle — the scan
+    partitioning satisfies the join's distribution requirement
+    (tests/test_plans.py asserts zero Exchange between the bucketed scans
+    and the join). This is the 100 TB answer to a fact⋈fact join both
+    sides of which are reused across many queries: pay the shuffle once at
+    write time, never again at read time. The result is oracle-identical
+    to the plain join."""
+    import hashlib
+
+    n_buckets = 8
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tbl = f"drs_bucketed_{name}_{sf_tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                load_table(spark, sf_dir, name)
+                .write.mode("overwrite")
+                .option("path", f"{IO_DIR}/bucketed/{sf_tag}/{name}")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+    l = spark.table(f"drs_bucketed_lineitem_{sf_tag}")
+    o = spark.table(f"drs_bucketed_orders_{sf_tag}")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        )
+    )

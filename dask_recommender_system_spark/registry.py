@@ -57,6 +57,7 @@ def load_all_operators() -> None:
         linalg,
         multimodal,
         relational,
+        scale,
         similarity,
         text,
         windows,

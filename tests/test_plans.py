@@ -68,3 +68,17 @@ def test_training_epoch_plan_depth_is_constant(spark):
     p1 = len(physical_plan(m1.u_params.select("bias")))
     p3 = len(physical_plan(m3.u_params.select("bias")))
     assert p3 < p1 * 2, f"plan grows with epochs: {p1} -> {p3}"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """join_bucketed: bucketBy'd scans satisfy the join + agg distribution
+    requirements — ZERO Exchange anywhere in the plan (the 100 TB payoff:
+    the shuffle was paid once at write time)."""
+    assert count_exchanges(q("join_bucketed", spark, sf_dir)) == 0
+
+
+def test_salted_join_preserves_single_agg_shuffle(spark, sf_dir):
+    """join_salted: salting must not add shuffles beyond the join+agg's
+    own — the dim replication is a narrow explode, fact salting a narrow
+    projection."""
+    assert count_exchanges(q("join_salted", spark, sf_dir)) <= 2
