@@ -242,3 +242,60 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "item_id", "rnk", "score")
     )
     return out
+
+
+@query(
+    "window_functions_suite",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL})
+    SELECT user_id, interaction_id,
+           CAST(RANK() OVER ord AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER ord AS BIGINT) AS drnk,
+           LAG(rating, 1) OVER ord AS prev_rating,
+           LEAD(rating, 1) OVER ord AS next_rating,
+           ROUND(SUM(rating) OVER (PARTITION BY user_id ORDER BY interaction_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS running_sum
+    FROM r
+    WHERE user_id % 50 = 0
+    WINDOW ord AS (PARTITION BY user_id ORDER BY interaction_id)
+    """,
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface beyond D2's ranking dedup (SURVEY.md
+    §2.8 notes the reference has none — declared to pin the inherited
+    capability): rank, dense_rank, lag, lead, and a running frame-bounded
+    sum, all over ONE window partitioning — Spark plans a single sort +
+    WindowExec, one shuffle on user_id. interaction_id is the unique
+    tiebreak (FIXTURES.md determinism rule)."""
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    ).filter(F.col("user_id") % 50 == 0)
+    ord_w = W.partitionBy("user_id").orderBy("interaction_id")
+    run_w = ord_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return r.select(
+        "user_id",
+        "interaction_id",
+        F.rank().over(ord_w).cast("long").alias("rnk"),
+        F.dense_rank().over(ord_w).cast("long").alias("drnk"),
+        F.lag("rating", 1).over(ord_w).alias("prev_rating"),
+        F.lead("rating", 1).over(ord_w).alias("next_rating"),
+        F.round(F.sum("rating").over(run_w), 6).alias("running_sum"),
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++) — the A1/A3 path at
+    100 TB where an exact countDistinct's shuffle is not worth it: one pass,
+    fixed sketch memory per group, relative error ≤ 2.3%. DuckDB's
+    approx_count_distinct uses a different sketch, so this is rows-only for
+    the driver; tests/test_oracle_parity.py asserts the relative-error
+    bound against the exact counts instead."""
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    return r.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.approx_count_distinct("item_id", 0.023).alias("approx_items"),
+        F.approx_count_distinct("user_id", 0.023).alias("approx_users"),
+    )

@@ -37,3 +37,27 @@ def test_oracle_parity(spark, sf_dir, con, name):
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """agg_approx_distinct (rows-only for the driver): HLL++ estimates must
+    sit within ~3x the configured 2.3% rsd of the exact per-bucket counts."""
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["bucket"]: r["approx_items"]
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    from dask_recommender_system_spark.data import load_table, ratings_from_df
+
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    exact = {
+        row["bucket"]: row["n"]
+        for row in r.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(F.countDistinct("item_id").alias("n"))
+        .collect()
+    }
+    for b, n in exact.items():
+        assert abs(approx[b] - n) <= max(0.07 * n, 2), (b, approx[b], n)
