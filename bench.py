@@ -42,7 +42,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from dask_recommender_system_spark.data import ratings_from_df, load_table
-    from dask_recommender_system_spark.models import FunkSVD
+    from dask_recommender_system_spark.models import ALS, FunkSVD
     from dask_recommender_system_spark.registry import REGISTRY, load_all_operators
     from dask_recommender_system_spark.session import get_spark
 
@@ -80,6 +80,21 @@ def main() -> None:
     epoch_s = max(total_s - first_epoch_s, 1e-9) / (FUNK_EPOCHS - 1)
     timings["funk_svd_epoch"] = round(epoch_s, 3)
     timings["funk_svd_fit_total"] = round(total_s, 3)
+
+    # ALS marginal s/epoch (reference: ~1.5x FunkSVD — two error recomputes
+    # per epoch, report.pdf §7.2.1; their local number is 14.39 s/epoch)
+    model = ALS(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=1)
+    t0 = time.perf_counter()
+    model.fit(r, user_col="user_id", item_col="item_id", rating_col="rating")
+    als_first_s = time.perf_counter() - t0
+    model = ALS(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=FUNK_EPOCHS)
+    t0 = time.perf_counter()
+    model.fit(r, user_col="user_id", item_col="item_id", rating_col="rating")
+    als_total_s = time.perf_counter() - t0
+    timings["als_epoch"] = round(
+        max(als_total_s - als_first_s, 1e-9) / (FUNK_EPOCHS - 1), 3
+    )
+    timings["als_fit_total"] = round(als_total_s, 3)
 
     total = round(sum(timings.values()), 3)
     print(
