@@ -134,3 +134,64 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 6).alias("mean_intensity"),
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("thumb_16b", T.BinaryType()),
+    ]
+)
+
+N_FRAMES = 4
+FAKE_FPS_MS = 40  # 25 "fps"
+
+
+def sample_frames(videos: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame-sampling + resize plumbing for video payloads: a flat-map
+    (one payload row → n_frames frame rows) via ``mapInPandas``. The
+    "decode" is a stub (byte-slice frames, 16-byte strided 'thumbnail'
+    standing in for a resize kernel — real ffmpeg/PIL is absent here,
+    FIXTURES.md); the Spark contract is real: declared output schema,
+    Arrow batches, bytes never cross the driver, output cardinality
+    n_frames × input. At 100 TB bound per-task payload bytes upstream
+    (repartition) and per-batch rows (arrow.maxRecordsPerBatch)."""
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[int, int, int, bytes, bytes]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["video"]):
+                payload = payload or b""
+                step = max(len(payload) // n_frames, 1)
+                for f in range(n_frames):
+                    frame = payload[f * step : (f + 1) * step]
+                    thumb = bytes(frame[:: max(len(frame) // 16, 1)][:16])
+                    out.append((int(doc_id), f, f * FAKE_FPS_MS, frame, thumb))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "ts_ms", "frame", "thumb_16b"]
+            )
+
+    return videos.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+
+
+@query("multimodal_frame_sample")  # no oracle: mapInPandas stage — rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4c: video frame-sample + resize plumbing end-to-end on constructed
+    payloads (sha2-derived bytes stand in for video): binary column →
+    flat-map mapInPandas → (doc_id, frame_idx, ts_ms, frame, thumb) rows.
+    Exactly N_FRAMES rows per document (asserted in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    videos = d.select(
+        "doc_id", F.unhex(F.sha2(F.col("text"), 256)).alias("video")
+    )
+    frames = sample_frames(videos)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.base64("thumb_16b").alias("thumb_b64"),
+    )

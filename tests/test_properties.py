@@ -1,0 +1,140 @@
+"""Property tests (SURVEY.md §5.2(4)): randomized semantics checks against
+brute-force replicas — dedup-keep-last (D2), clip (L8), and planted-structure
+checks for the hash-based dedup family on constructed corpora."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dask_recommender_system_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+# one (user, item, rating) triple; times assigned uniquely afterwards so
+# keep-last is well-defined without modeling pandas' stable-sort tiebreak
+_triples = st.lists(
+    st.tuples(
+        st.integers(0, 3), st.integers(0, 3), st.integers(1, 5)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(triples=_triples, perm_seed=st.integers(0, 10**6))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_keep_last_matches_bruteforce(spark, triples, perm_seed):
+    """D2 (run_als.py:10): one row per (user,item), the one with max time."""
+    import random
+
+    times = list(range(len(triples)))
+    random.Random(perm_seed).shuffle(times)
+    rows = [(u, i, float(r), t) for (u, i, r), t in zip(triples, times)]
+
+    expect = {}
+    for u, i, r, t in rows:
+        if (u, i) not in expect or t > expect[(u, i)][1]:
+            expect[(u, i)] = (r, t)
+
+    df = spark.createDataFrame(rows, "user int, item int, rating double, time int")
+    w = W.partitionBy("user", "item").orderBy(F.col("time").desc())
+    got = {
+        (r["user"], r["item"]): (r["rating"], r["time"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    }
+    assert got == expect
+
+
+@given(
+    preds=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    ),
+    lo=st.floats(-10, 0),
+    span=st.floats(0, 10),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_clip_bounds_and_idempotence(spark, preds, lo, span):
+    """L8 (models/als.py:212): clip lands in [lo,hi]; clipping twice is
+    clipping once; in-range values pass through untouched."""
+    hi = lo + span
+    df = spark.createDataFrame([(float(p),) for p in preds], "pred double")
+    clip = F.least(F.greatest(F.col("pred"), F.lit(lo)), F.lit(hi))
+    out = df.select(
+        "pred", clip.alias("c1"), F.least(F.greatest(clip, F.lit(lo)), F.lit(hi)).alias("c2")
+    ).collect()
+    for r in out:
+        assert lo <= r["c1"] <= hi
+        assert r["c1"] == r["c2"]
+        if lo <= r["pred"] <= hi:
+            assert r["c1"] == r["pred"]
+
+
+def _write_docs(spark, tmp_path, docs):
+    d = str(tmp_path / "docfix")
+    spark.createDataFrame(
+        [(i, t, "en", "fix") for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_minhash_planted_duplicates(spark, tmp_path):
+    """Exact duplicates share every minhash component → jaccard_dist 0;
+    token-disjoint docs share none → no candidate pair."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3
+    docs = [base, base, other]
+    d = _write_docs(spark, tmp_path, docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_dist"]
+        for r in REGISTRY["dedup_minhash"].fn(spark, d).collect()
+    }
+    assert pairs.get((0, 1)) == 0.0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_planted_near_duplicates(spark, tmp_path):
+    """A one-token edit of a long doc stays within hamming ≤ 12; disjoint
+    vocab docs never pair."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).split()
+    edited = list(base)
+    edited[7] = "MUTATED"
+    docs = [" ".join(base), " ".join(edited),
+            "uno dos tres cuatro cinco seis siete ocho nueve diez " * 6]
+    d = _write_docs(spark, tmp_path, docs)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in REGISTRY["dedup_simhash"].fn(spark, d).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] <= 12
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_frame_sample_cardinality_and_determinism(spark, sf_dir):
+    """multimodal_frame_sample: exactly N_FRAMES rows per doc; two runs
+    produce identical output (stub decode is deterministic)."""
+    from dask_recommender_system_spark.operators.multimodal import N_FRAMES
+
+    fn = REGISTRY["multimodal_frame_sample"].fn
+    a = fn(spark, sf_dir).orderBy("doc_id", "frame_idx").collect()
+    n_docs = REGISTRY["multimodal_decode"].fn(spark, sf_dir).count()
+    assert len(a) == n_docs * N_FRAMES
+    b = fn(spark, sf_dir).orderBy("doc_id", "frame_idx").collect()
+    assert a == b
