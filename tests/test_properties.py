@@ -138,3 +138,59 @@ def test_frame_sample_cardinality_and_determinism(spark, sf_dir):
     assert len(a) == n_docs * N_FRAMES
     b = fn(spark, sf_dir).orderBy("doc_id", "frame_idx").collect()
     assert a == b
+
+
+def test_user_ewma_matches_pandas_replica(spark, sf_dir):
+    """GROUPED_MAP EWMA equals an independent driver-side replica."""
+    import pandas as pd
+
+    got = (
+        REGISTRY["user_ewma"].fn(spark, sf_dir)
+        .orderBy("user_id", "interaction_id")
+        .toPandas()
+    )
+    assert len(got) > 0
+    from dask_recommender_system_spark.data import load_table, ratings_from_df
+    from dask_recommender_system_spark.operators.grouped import EWMA_ALPHA
+
+    r = (
+        ratings_from_df(
+            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+        )
+        .filter(F.col("user_id") % 100 == 0)
+        .toPandas()
+    )
+    r = r.drop_duplicates().sort_values(["user_id", "ts", "interaction_id"])
+    r["ewma"] = r.groupby("user_id")["rating"].transform(
+        lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+    )
+    # interaction_id is NOT unique in the synthetic data (lineitem repeats
+    # (orderkey, linenumber) with different ts) — compare as sorted value
+    # lists, not by key join
+    want_vals = sorted(
+        (int(u), int(i), round(float(e), 6))
+        for u, i, e in zip(r["user_id"], r["interaction_id"], r["ewma"])
+    )
+    got_vals = sorted(
+        (int(u), int(i), round(float(e), 6))
+        for u, i, e in zip(got["user_id"], got["interaction_id"], got["ewma"])
+    )
+    assert got_vals == want_vals
+
+
+def test_embedding_quantize_roundtrip_error(spark, sf_dir):
+    """int8 quantization: dequantized vectors within scale/2 per component;
+    scale positive; q values in [-127, 127]."""
+    rows = REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir).collect()
+    assert rows
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    for r in rows[:200]:
+        v, s, q = emb[r["vec_id"]], r["scale"], np.array(r["q"])
+        assert s > 0
+        assert q.min() >= -127 and q.max() <= 127
+        assert np.abs(q * s - v).max() <= s / 2 + 1e-9
