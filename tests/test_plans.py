@@ -82,3 +82,43 @@ def test_salted_join_preserves_single_agg_shuffle(spark, sf_dir):
     own — the dim replication is a narrow explode, fact salting a narrow
     projection."""
     assert count_exchanges(q("join_salted", spark, sf_dir)) <= 2
+
+
+# intentional exact brute-force baselines: non-equi joins appear as
+# BroadcastNestedLoopJoin (bounded: one side is the broadcast query/dim set)
+_NON_EQUI_OK = {
+    "similarity_topk", "dedup_embedding_cosine", "recommend_top_k",
+    "similarity_ann_ivf",
+    # single-row scalar-stat crossJoin(broadcast(agg)) — μ / n_items / n_users
+    # attached to every row; the build side is exactly one row
+    "eval_metrics", "join_predict_lookup",
+    "sgd_epoch_user_update", "sgd_epoch_item_update",
+}
+# Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
+_ARROW_OK = {
+    "multimodal_decode", "multimodal_frame_sample", "user_ewma",
+    "embedding_quantize_int8",
+}
+
+
+def test_no_query_uses_rowwise_python_or_cartesian(spark, sf_dir):
+    """Engine-wide physical-plan audit: no query may plan a row-at-a-time
+    Python eval (BatchEvalPython) or an unbounded CartesianProduct; Python
+    appears only as Arrow stages in the declared UDF operators."""
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    for name, qry in sorted(REGISTRY.items()):
+        if name.endswith("_fit_metrics") or name == "mllib_als_recommend":
+            continue  # training loops materialize eagerly; audited via models/
+        if name == "stream_window_tumbling":
+            continue  # executes a streaming query; plan inspected via batch twin
+        df = qry.fn(spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in _NON_EQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NLJ"
+        if name not in _ARROW_OK:
+            for frag in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+                assert frag not in plan, f"{name}: unexpected Python stage {frag}"
+        spark.catalog.clearCache()
