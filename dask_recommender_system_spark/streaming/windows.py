@@ -99,3 +99,29 @@ def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(read_events_stream(spark, sf_dir))
     run_stream_to_memory(agg, name)
     return spark.table(name)
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour windows sliding every 30 min (each event in exactly 2
+    windows — Spark Expands the row before the watermarked agg)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "stream_window_sliding",
+    oracle=REGISTRY["window_events_sliding"].oracle,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6b streaming form: the sliding-window agg through readStream +
+    watermark, drained to a memory sink; same DuckDB oracle as the batch
+    `window_events_sliding` — one correctness definition across modes."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    agg = sliding_counts(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(agg, name)
+    return spark.table(name)
