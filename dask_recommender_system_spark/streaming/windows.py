@@ -125,3 +125,28 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sliding_counts(read_events_stream(spark, sf_dir))
     run_stream_to_memory(agg, name)
     return spark.table(name)
+
+
+@query("stream_sessionize")  # no oracle: emits only CLOSED sessions (append
+# mode) — the open tail session per user never fires; value-parity vs the
+# batch sessionization is asserted in tests/test_streaming.py
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator as a declared query:
+    applyInPandasWithState sessionization (30-min gap) over the replayed
+    events stream — one row per CLOSED session. State per user is
+    (last_ts, session_id, n_events, start); GroupStateTimeout reclaims
+    idle users' state on an unbounded stream (streaming/stateful.py)."""
+    from .stateful import apply_sessionization
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    out = apply_sessionization(stream)
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
