@@ -79,3 +79,20 @@ def test_mllib_als_cross_check(spark, planted):
     _, _, sgd_rmse = m.eval(m.predict(test))
     assert mllib_rmse < 1.3
     assert abs(sgd_rmse - mllib_rmse) < 0.45, (sgd_rmse, mllib_rmse)
+
+
+@pytest.mark.slow
+def test_long_horizon_convergence_hits_reference_band(spark, planted):
+    """report.pdf Figs 6-7 + Table 1 mirror: training longer keeps
+    improving and the held-out RMSE lands in the reference band (≈0.92 on
+    1-5 ratings; we assert < 1.0) — the planted fixture's noise floor
+    (σ=0.3 + rounding) makes that reachable."""
+    train, test = planted
+    # lr=0.02 (fine for 8 epochs) diverges by ~epoch 25 on full-batch GD —
+    # the reference's own answer is a small lr over many epochs (0.001×100)
+    m = FunkSVD(n_factors=8, lr=0.01, reg=0.005, epochs=40)
+    m.fit(train, collect_errors=True)
+    rmses = [t[2] for t in m.train_errors]
+    assert rmses[-1] < rmses[7], f"no gain after epoch 8: {rmses[7]} -> {rmses[-1]}"
+    _, _, rmse = m.eval(m.predict(test))
+    assert rmse < 1.0, f"held-out RMSE {rmse} outside reference band"
