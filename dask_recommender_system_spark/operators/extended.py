@@ -1,0 +1,286 @@
+"""Extended relational operators beyond the reference's inventory
+(SURVEY.md §2.8-§2.9 scope note): as-of join, range/band join, cube,
+exact percentiles, deterministic hash sampling, EXISTS semi-join, and
+the distribution-rank window suite.
+
+The reference (anzemur/dask-recommender-system) has none of these —
+its only joins are the three equi-join shapes in SURVEY.md §2.5
+(models/als.py:31-32, 202-214; run_als.py:14) — but a user migrating a
+production pipeline onto this engine needs them, and each one pins a
+100 TB-relevant physical strategy:
+
+- ``join_asof``: union + last-ignorenulls window — ONE shuffle on the
+  key, never the O(events x orders) range-explosion an inequality join
+  would plan.
+- ``join_range_band``: non-equi band predicate against a literal
+  broadcast dim — NLJ is bounded by the handful of bands.
+- ``sample_deterministic``: md5-hash gate — reproducible across engines
+  and runs, no RNG state; the idiom for carving stable eval slices out
+  of a 100 TB corpus.
+
+Every query here is oracle-checked (DuckDB twin alongside).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+from .relational import ORACLE_EPOCH, _utc
+
+# ---------------------------------------------------------------------------
+# Joins: as-of, range/band, EXISTS
+# ---------------------------------------------------------------------------
+
+ASOF_SQL = f"""
+    SELECT event_id, user_id, ts_epoch, o_orderkey, o_totalprice
+    FROM (
+        SELECT e.event_id, e.user_id,
+               {ORACLE_EPOCH.format(col="e.ts")} AS ts_epoch,
+               o.o_orderkey, ROUND(o.o_totalprice, 6) AS o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    WHERE rn = 1
+"""
+
+
+@query("join_asof", oracle=ASOF_SQL)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (inner): each event gets the latest order by the same
+    key at-or-before its timestamp; ties on date break to max orderkey.
+
+    Physical strategy (the 100 TB shape): tag both sides, UNION, then one
+    ``last(payload, ignorenulls) OVER (PARTITION BY key ORDER BY t, side)``
+    running window — a single shuffle on the join key, linear in
+    |events| + |orders|. The naive inequality join (the oracle's form)
+    plans a per-key range explosion that is quadratic on hot keys; DuckDB
+    can afford it at sf0.01, a cluster cannot.
+    """
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.unix_timestamp("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(0).cast("long").alias("tiebreak"),
+        F.col("event_id"),
+        F.lit(None).cast(
+            "struct<o_orderkey:bigint,o_totalprice:double>"
+        ).alias("payload"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_timestamp("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("o_orderkey").alias("tiebreak"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            F.col("o_orderkey"), F.round("o_totalprice", 6).alias("o_totalprice")
+        ).alias("payload"),
+    )
+    # Order rows at t sort before event rows at the same t (side 0 < 1):
+    # at-or-before is inclusive. Ascending tiebreak => last() = max orderkey.
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "side", "tiebreak")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.unionByName(od)
+        .withColumn("match", F.last("payload", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+        .where(F.col("match").isNotNull())
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts_epoch"),
+            F.col("match.o_orderkey").alias("o_orderkey"),
+            F.col("match.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+PRICE_BANDS = [  # (band, lo inclusive, hi exclusive) — p_retailprice ~ 900..2000
+    ("budget", 0.0, 1100.0),
+    ("mid", 1100.0, 1500.0),
+    ("premium", 1500.0, 1e12),
+]
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+RANGE_BAND_SQL = f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+    SELECT b.band, COUNT(*) AS n_parts,
+           ROUND(SUM(p.p_retailprice), 6) AS sum_price
+    FROM part p
+    JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+"""
+
+
+@query("join_range_band", oracle=RANGE_BAND_SQL)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows matched to [lo, hi) interval dims.
+    The dim is a literal handful of rows, so the non-equi predicate plans
+    as a broadcast nested-loop bounded by |bands| — each fact row tests 3
+    intervals, still a narrow scan-side pipeline at 100 TB. (For large
+    interval dims the scale path is equi-bucketizing both sides first.)"""
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 6).alias("sum_price"),
+        )
+    )
+
+
+EXISTS_SQL = """
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 6) AS c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+"""
+
+
+@query("subquery_exists", oracle=EXISTS_SQL)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelation: customers with >= 1 urgent order. Expressed
+    as LEFT SEMI join — the probe side streams, the build side is the
+    filtered orders projection (keys only cross the shuffle, and the
+    filter is pushed to the orders scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 6).alias("c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations: cube, exact percentiles
+# ---------------------------------------------------------------------------
+
+CUBE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube", oracle=CUBE_SQL)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in ONE
+    Expand + hash aggregate — 4x the rows into one shuffle, never four
+    jobs. Completes the grouping-sets family next to agg_rollup."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+PCTL_SQL = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles", oracle=PCTL_SQL)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SQL PERCENTILE_CONT
+    semantics on both engines). Exact percentile buffers the group's
+    values — fine for bounded groups; the 100 TB default for unbounded
+    cardinality is approx_percentile (t-digest, mergeable map-side),
+    benchmarked in tests as the scale twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("price_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_SQL = """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS o_totalprice
+    FROM orders
+    WHERE SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
+"""
+
+
+@query("sample_deterministic", oracle=SAMPLE_SQL)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: gate on the first md5 byte of the key
+    ('00'..'19' = 26/256 ~ 10.2%). Unlike df.sample(), identical across
+    engines, runs, and partitionings — the idiom for stable held-out
+    slices of a 100 TB corpus (same family as the md5 bucketing the
+    dedup ladder uses). Narrow: filter evaluates at the scan, no
+    shuffle, no RNG state per task."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "19")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank windows (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+NTILE_SQL = """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 6) AS o_totalprice,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("window_ntile_suite", oracle=NTILE_SQL)
+def window_ntile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per priority class: NTILE(4) quartile bucketing,
+    PERCENT_RANK, CUME_DIST — completes the window family next to
+    window_functions_suite's rank/lag/frame set. Unique (price, orderkey)
+    sort key keeps every rank deterministic. One shuffle on the partition
+    key; at scale a skewed partition class is the watch-item (windows
+    can't partial-aggregate), so partition columns must be chosen with
+    bounded per-key cardinality."""
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

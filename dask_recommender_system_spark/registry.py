@@ -54,6 +54,7 @@ def load_all_operators() -> None:
     """Import every operator module so registration side effects run."""
     from .operators import (  # noqa: F401
         dedup,
+        extended,
         grouped,
         linalg,
         multimodal,

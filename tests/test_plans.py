@@ -89,6 +89,8 @@ def test_salted_join_preserves_single_agg_shuffle(spark, sf_dir):
 _NON_EQUI_OK = {
     "similarity_topk", "dedup_embedding_cosine", "recommend_top_k",
     "similarity_ann_ivf",
+    # band join against a literal 3-row interval dim — NLJ bounded by |bands|
+    "join_range_band",
     # single-row scalar-stat crossJoin(broadcast(agg)) — μ / n_items / n_users
     # attached to every row; the build side is exactly one row
     "eval_metrics", "join_predict_lookup",
