@@ -52,58 +52,101 @@ ASOF_SQL = f"""
 """
 
 
-@query("join_asof", oracle=ASOF_SQL)
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (inner): each event gets the latest order by the same
-    key at-or-before its timestamp; ties on date break to max orderkey.
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Generic as-of join: each ``left`` row gets the latest ``right`` row
+    with the same ``key`` and ``right_ts`` <= ``left_ts``; ties on
+    ``right_ts`` break to max ``tiebreak``. Matched payload columns come
+    back as ``asof_<col>``.
 
     Physical strategy (the 100 TB shape): tag both sides, UNION, then one
     ``last(payload, ignorenulls) OVER (PARTITION BY key ORDER BY t, side)``
     running window — a single shuffle on the join key, linear in
-    |events| + |orders|. The naive inequality join (the oracle's form)
-    plans a per-key range explosion that is quadratic on hot keys; DuckDB
-    can afford it at sf0.01, a cluster cannot.
+    |left| + |right|. The naive inequality join plans a per-key range
+    explosion that is quadratic on hot keys.
     """
-    _utc(spark)
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"),
-        F.unix_timestamp("ts").alias("t"),
-        F.lit(1).alias("side"),
-        F.lit(0).cast("long").alias("tiebreak"),
-        F.col("event_id"),
+    payload = F.struct(*payload_cols).alias("__payload")
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.struct(*left.columns).alias("__row"),
+        F.lit(None).cast(f"struct<{','.join(f'{c}:{right.schema[c].dataType.simpleString()}' for c in payload_cols)}>").alias("__payload"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
         F.lit(None).cast(
-            "struct<o_orderkey:bigint,o_totalprice:double>"
-        ).alias("payload"),
+            f"struct<{','.join(f'{c}:{left.schema[c].dataType.simpleString()}' for c in left.columns)}>"
+        ).alias("__row"),
+        payload,
     )
-    od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.unix_timestamp("o_orderdate").alias("t"),
-        F.lit(0).alias("side"),
-        F.col("o_orderkey").alias("tiebreak"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.struct(
-            F.col("o_orderkey"), F.round("o_totalprice", 6).alias("o_totalprice")
-        ).alias("payload"),
-    )
-    # Order rows at t sort before event rows at the same t (side 0 < 1):
-    # at-or-before is inclusive. Ascending tiebreak => last() = max orderkey.
+    # Right rows at t sort before left rows at the same t (side 0 < 1):
+    # at-or-before is inclusive. NULL __tb (left rows) first, then
+    # ascending tiebreak => last() = max tiebreak among tied right rows.
     w = (
-        W.partitionBy("k")
-        .orderBy("t", "side", "tiebreak")
+        W.partitionBy("__k")
+        .orderBy("__t", "__side", F.col("__tb").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        ev.unionByName(od)
-        .withColumn("match", F.last("payload", ignorenulls=True).over(w))
-        .where(F.col("side") == 1)
-        .where(F.col("match").isNotNull())
-        .select(
-            "event_id",
-            F.col("k").alias("user_id"),
-            F.col("t").alias("ts_epoch"),
-            F.col("match.o_orderkey").alias("o_orderkey"),
-            F.col("match.o_totalprice").alias("o_totalprice"),
-        )
+    out = (
+        l_tag.unionByName(r_tag)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+    )
+    if how == "inner":
+        out = out.where(F.col("__match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join: how must be inner|left, got {how}")
+    return out.select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
+
+
+@query("join_asof", oracle=ASOF_SQL)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (inner): each event gets the latest order by the same
+    key at-or-before its timestamp; ties on date break to max orderkey.
+    Mechanism + scale notes: see ``asof_join``; union-window semantics are
+    property-tested against a brute-force replica in
+    tests/test_properties.py. The oracle uses the inequality-join +
+    row_number form DuckDB can afford at sf0.01."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("odate_epoch"),
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+    return asof_join(
+        ev,
+        od,
+        key="user_id",
+        left_ts="ts_epoch",
+        right_ts="odate_epoch",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.col("asof_o_orderkey").alias("o_orderkey"),
+        F.col("asof_o_totalprice").alias("o_totalprice"),
     )
 
 

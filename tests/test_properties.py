@@ -194,3 +194,57 @@ def test_embedding_quantize_roundtrip_error(spark, sf_dir):
         assert s > 0
         assert q.min() >= -127 and q.max() <= 127
         assert np.abs(q * s - v).max() <= s / 2 + 1e-9
+
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)),  # (key, ts)
+    min_size=1,
+    max_size=25,
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """X7 union-window as-of join vs brute force, including duplicate
+    right timestamps (ties -> max tiebreak), left rows with no match
+    (inner drops, left keeps NULL), and boundary equality (inclusive)."""
+    from dask_recommender_system_spark.operators.extended import asof_join
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    rrows = [(k, t, v) for (k, t, v) in right]
+    ldf = spark.createDataFrame(lrows, "lid int, k int, t int")
+    rdf = spark.createDataFrame(rrows, "k int, t int, val int")
+
+    def brute(lid, k, t):
+        cands = [(rt, v) for (rk, rt, v) in rrows if rk == k and rt <= t]
+        return max(cands) if cands else None  # (max ts, then max val=tiebreak)
+
+    expect_inner = {
+        lid: m[1] for (lid, k, t) in lrows if (m := brute(lid, k, t)) is not None
+    }
+    got_inner = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            ldf, rdf, "k", "t", "t", ["val"], tiebreak="val", how="inner"
+        ).collect()
+    }
+    assert got_inner == expect_inner
+
+    expect_left = {lid: (m[1] if (m := brute(lid, k, t)) else None) for (lid, k, t) in lrows}
+    got_left = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            ldf, rdf, "k", "t", "t", ["val"], tiebreak="val", how="left"
+        ).collect()
+    }
+    assert got_left == expect_left
