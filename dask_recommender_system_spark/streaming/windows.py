@@ -127,6 +127,53 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id,
+           event_type,
+           CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT)
+               AS hour_start
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup — the streaming twin of D1/dedup_exact:
+    ``dropDuplicatesWithinWatermark`` keyed on (user_id, event_type,
+    hour_start). The watermark EVICTS a key's dedup state once the key is
+    older than the late-data bound, which is what makes exactly-once-per-key
+    hold on an unbounded stream without unbounded state (the batch
+    ``dropDuplicates`` twin keeps all keys forever). Output is projected to
+    the key columns only, so which physical row survived is irrelevant and
+    the result equals the batch DISTINCT — checked against a DuckDB oracle
+    like every other dedup operator. Duplicates separated by more than the
+    watermark re-emit; at 100 TB/day the watermark is the state-size knob."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+        "ts",
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_start"])
+        .select("user_id", "event_type", "hour_start")
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @query("stream_sessionize")  # no oracle: emits only CLOSED sessions (append
 # mode) — the open tail session per user never fires; value-parity vs the
 # batch sessionization is asserted in tests/test_streaming.py
