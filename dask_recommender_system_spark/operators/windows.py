@@ -115,6 +115,53 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_native",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, {EPOCH_TS} AS t,
+               CASE WHEN {EPOCH_TS} - LAG({EPOCH_TS}) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    s AS (
+        SELECT user_id, t,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+    SELECT user_id, CAST(MIN(t) AS BIGINT) AS session_start,
+           CAST(MAX(t) + 1800 AS BIGINT) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``F.session_window`` (30-min gap) — the idiomatic scale
+    path for sessionization: one hash aggregate with session-merge inside
+    the agg operator, no ranking window pass (compare `sessionize`, the
+    lag+running-sum form, and streaming/stateful.py, the custom stateful
+    form — three implementations, one gap semantics). Sessions merge while
+    inter-event gap <= gap and split when it exceeds it (probe-verified:
+    exact-gap events merge, so the oracle's ``> 1800`` lag test matches).
+    Window end = last event + gap, per Spark's definition. Timestamps are
+    truncated to whole seconds on the Spark side so both engines compare
+    gaps in the same precision."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_seconds(F.unix_timestamp("ts")).alias("tss")
+    )
+    return (
+        ev.groupBy(F.session_window("tss", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+@query(
     "pivot_events",
     oracle="""
     SELECT user_id % 50 AS user_bucket,
