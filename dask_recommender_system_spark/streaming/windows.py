@@ -174,6 +174,40 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_session_window",
+    oracle=REGISTRY["session_window_native"].oracle,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows through Structured Streaming: readStream →
+    watermark → ``session_window`` agg → memory sink. Same DuckDB oracle
+    as the batch `session_window_native` — one gap semantics across three
+    implementations (batch lag-form, batch native, streaming native; plus
+    the custom applyInPandasWithState form). In streaming, the watermark
+    is what lets Spark FINALIZE a session: a session closes when the
+    watermark passes its end, bounding per-user state on an unbounded
+    stream. Complete output mode here so the bounded replay emits every
+    session including the open tail, making the result oracle-comparable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.timestamp_seconds(F.unix_timestamp("ts")).alias("tss")
+    )
+    agg = (
+        ev.withWatermark("tss", "1 hour")
+        .groupBy(F.session_window("tss", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n",
+        )
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name)
+    return spark.table(name)
+
+
 @query("stream_sessionize")  # no oracle: emits only CLOSED sessions (append
 # mode) — the open tail session per user never fires; value-parity vs the
 # batch sessionization is asserted in tests/test_streaming.py
