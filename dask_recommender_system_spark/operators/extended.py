@@ -241,6 +241,35 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GSETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           ROUND(SUM(l_quantity), 6) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    an arbitrary set list {(flag,status), (ship_year), ()} that neither
+    ROLLUP's prefix chain nor CUBE's power set can express. Same physical
+    shape as agg_cube: ONE Expand (3x rows) into one hash aggregate with
+    map-side combine — one shuffle, not one job per set."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("ship_year", F.year("l_shipdate"))
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+            "l_returnflag",
+            "l_linestatus",
+            "ship_year",
+        )
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
 PCTL_SQL = """
     SELECT l_returnflag,
            ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
