@@ -323,6 +323,41 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRAT_SAMPLE_SQL = """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <=
+          CASE o_orderpriority
+               WHEN '1-URGENT' THEN '33'
+               WHEN '2-HIGH'   THEN '19'
+               ELSE '0c'
+          END
+"""
+
+
+@query("sample_stratified", oracle=STRAT_SAMPLE_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum md5 gates (~20%
+    URGENT / ~10% HIGH / ~5% rest) — the class-rebalancing primitive for
+    training-data curation (upweight rare strata, downsample the bulk).
+    Unlike ``df.sampleBy()``, the gate is engine/run/partitioning-stable
+    and needs no RNG state. Still a narrow scan-side filter: the CASE
+    over the stratum column evaluates per row at the scan, no shuffle,
+    so it streams through 100 TB at scan speed like the unstratified
+    `sample_deterministic`."""
+    gate = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    thr = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "33")
+        .when(F.col("o_orderpriority") == "2-HIGH", "19")
+        .otherwise("0c")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(gate <= thr)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distribution-rank windows (ntile / percent_rank / cume_dist)
 # ---------------------------------------------------------------------------

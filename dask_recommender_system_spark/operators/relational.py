@@ -383,6 +383,37 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "split_train_test_temporal",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    c AS (SELECT quantile_cont({ORACLE_EPOCH.format(col='ts')}, 0.8) AS cutoff
+          FROM r)
+    SELECT r.interaction_id,
+           CASE WHEN {ORACLE_EPOCH.format(col='r.ts')} <= c.cutoff
+                THEN 'train' ELSE 'test' END AS split
+    FROM r, c
+    """,
+)
+def split_train_test_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split at the 0.8 time quantile — the split a
+    production recommender actually needs (train on the past, test on the
+    future; the reference's random split, D4, leaks future interactions
+    into training). The cutoff is ONE exact-percentile scalar broadcast
+    back over the rows: agg → crossJoin(broadcast(1 row)) — no collect,
+    no second scan ordering, and the labeling filter is narrow. At 100 TB
+    swap ``percentile`` for ``approx_percentile`` (t-digest, mergeable)
+    and the shape is unchanged."""
+    r = _ratings(spark, sf_dir).select("interaction_id", _epoch("ts").alias("t"))
+    cutoff = r.agg(F.expr("percentile(t, 0.8)").alias("cutoff"))
+    return r.crossJoin(F.broadcast(cutoff)).select(
+        "interaction_id",
+        F.when(F.col("t") <= F.col("cutoff"), "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A. Aggregations
 # ---------------------------------------------------------------------------

@@ -95,6 +95,7 @@ _NON_EQUI_OK = {
     # attached to every row; the build side is exactly one row
     "eval_metrics", "join_predict_lookup",
     "sgd_epoch_user_update", "sgd_epoch_item_update",
+    "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
