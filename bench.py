@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "similarity_topk",
     "similarity_ann_lsh",
+    "join_asof",
+    "agg_grouping_sets",
+    "session_window_native",
+    "split_train_test_temporal",
 ]
 
 FUNK_EPOCHS = 5
