@@ -215,3 +215,30 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_chars.cast("double") / n_tokens, 6).alias("chars_per_token"),
         F.round(quality, 6).alias("quality"),
     )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(LOWER(text),
+                '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the canonical pre-dedup transform (case-fold,
+    strip control chars, collapse runs of whitespace, trim). Running this
+    BEFORE `dedup_exact`/`dedup_minhash` is what makes byte-identical and
+    formatting-variant duplicates collide on one md5/signature. Pure
+    narrow JVM regexp stage: streams through 100 TB at scan speed, no
+    shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f\x7f]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
