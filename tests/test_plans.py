@@ -55,6 +55,28 @@ def test_window_agg_single_shuffle(spark, sf_dir):
     assert count_exchanges(q("grouped_sum_user", spark, sf_dir)) <= 2
 
 
+def test_grouping_family_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS / CUBE compile to ONE Expand feeding ONE partial+final
+    hash aggregate pair — N grouping sets never become N jobs or N shuffles."""
+    for name in ("agg_grouping_sets", "agg_cube", "agg_rollup"):
+        plan = physical_plan(q(name, spark, sf_dir), "simple")
+        assert plan.count("Expand") == 1, name
+        assert count_exchanges(q(name, spark, sf_dir)) == 1, name
+
+
+def test_session_window_native_single_shuffle(spark, sf_dir):
+    """Built-in session windows: partial agg map-side, one Exchange on
+    user_id, then MergingSessions — session merge happens inside the
+    aggregate, not via a second ranking-window pass."""
+    df = q("session_window_native", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "MergingSessions" in physical_plan(df)
+
+
+def test_stratified_sample_is_scan_side(spark, sf_dir):
+    assert count_exchanges(q("sample_stratified", spark, sf_dir)) == 0
+
+
 def test_training_epoch_plan_depth_is_constant(spark):
     """SURVEY.md §4.3: per-epoch localCheckpoint must keep the plan size
     O(1) in epochs — without it, epoch N's plan nests N join+agg rounds."""
