@@ -331,6 +331,46 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_range_rolling",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS t
+               FROM orders)
+    SELECT o_custkey, o_orderkey, t,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY t
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_30d,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY t
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_30d
+    FROM o
+    """,
+)
+def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frames: per-customer rolling 30-day spend
+    and order count. RANGE frames bound by *value* distance (here epoch
+    seconds), not row count — the shape behind "last-N-days" features in
+    training pipelines, and semantically safe under timestamp ties (all
+    peers join the frame, so the result is deterministic without a
+    tiebreak, unlike a ROWS frame). One shuffle on the partition key; the
+    frame is evaluated by a sliding accumulator inside WindowExec, not a
+    self-join — linear per partition at 100 TB."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("t"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("t").rangeBetween(-2592000, 0)
+    return o.select(
+        "o_custkey", "o_orderkey", "t",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("rolling_30d"),
+        F.count("*").over(w).alias("n_30d"),
+    )
+
+
 @query("agg_approx_distinct")  # no oracle: HLL sketches are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++) — the A1/A3 path at
