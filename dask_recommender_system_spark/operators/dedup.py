@@ -257,3 +257,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 12)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+CLUSTERS_SQL = f"""
+    WITH RECURSIVE {ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+           (node = MIN(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters", oracle=CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution — the stage after pair generation that
+    every production dedup pipeline needs: candidate pairs → connected
+    components → one canonical doc per cluster (min doc_id). Iterative
+    min-label propagation: each round, every node takes the min label
+    among itself and its neighbors (one join + one hash aggregate), with
+    per-round ``localCheckpoint`` applying the same bounded-lineage
+    discipline as training (SURVEY.md §4.3). Convergence in O(cluster
+    diameter) rounds — near-dup clusters are almost-cliques, so 2-3
+    rounds; detected by the label-sum fixpoint (labels only decrease, so
+    an unchanged sum IS convergence — one scalar agg per round, no
+    row-level diff join). The DuckDB oracle is a recursive-CTE transitive
+    closure — affordable at sf0.01, quadratic in cluster size; the
+    propagation form ships |V|+|E| rows per round at 100 TB."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(25):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )
