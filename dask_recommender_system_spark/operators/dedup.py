@@ -301,16 +301,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure — affordable at sf0.01, quadratic in cluster size; the
     propagation form ships |V|+|E| rows per round at 100 TB."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    return min_label_components(pairs, nodes).select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def min_label_components(
+    pairs: DataFrame, nodes: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation over
+    undirected ``pairs`` (two columns: endpoint a, endpoint b); every row
+    of ``nodes`` (column ``node``) gets a label — singletons keep their
+    own id. Returns (node, lbl) where lbl = min node id in the component.
+    Per-round localCheckpoint bounds lineage; the label-sum fixpoint
+    (labels only decrease) detects convergence with one scalar agg per
+    round. Property-tested against a union-find replica in
+    tests/test_properties.py."""
+    a, b = pairs.columns
     edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        pairs.select(F.col(b).alias(a), F.col(a).alias(b))
     ).toDF("src", "dst").persist()
-    labels = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
-        .localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=True
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(25):
+    for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -329,8 +347,4 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("lbl").alias("cluster_id"),
-        (F.col("node") == F.col("lbl")).alias("is_canonical"),
-    )
+    return labels

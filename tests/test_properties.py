@@ -248,3 +248,49 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         ).collect()
     }
     assert got_left == expect_left
+
+
+_cc_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(edges=_cc_edges)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_min_label_components_matches_union_find(spark, edges):
+    """X25 label propagation vs brute-force union-find on random graphs,
+    including self-loops, parallel edges, singletons, and chains longer
+    than one propagation round."""
+    from dask_recommender_system_spark.operators.dedup import min_label_components
+
+    nodes = list(range(15))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expect = {}
+    for n in nodes:
+        root = find(n)
+        expect.setdefault(root, []).append(n)
+    expect_lbl = {n: min(expect[find(n)]) for n in nodes}
+
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "a int, b int"
+    )  # empty DataFrames need a schema row; (0,0) self-loop is a no-op
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node int")
+    got = {
+        r["node"]: r["lbl"] for r in min_label_components(pairs, ndf).collect()
+    }
+    assert got == expect_lbl
