@@ -399,7 +399,8 @@ def window_ntile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_SQL = """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

@@ -76,37 +76,69 @@ def user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_per_user(r)
 
 
-@query("embedding_quantize_int8")  # no oracle: array-of-int8 codec is engine-specific
+def quantize_int8_cols(v: F.Column) -> tuple[F.Column, F.Column]:
+    """(scale, quantized-array) columns for symmetric int8 quantization of a
+    ``array<double>`` column: scale = max|x|/127, q_i = clip(⌊x_i/scale +
+    0.5⌋, -127, 127). Pure JVM higher-order functions — no Python crossing;
+    ⌊x+0.5⌋ rounding (not banker's) because FLOOR is bit-identical across
+    engines, which keeps the DuckDB oracle hash-exact."""
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(127.0), F.greatest(F.lit(-127.0), F.floor(x / scale + 0.5))
+        ).cast("int"),
+    )
+    return scale, q
+
+
+def quantize_int8_batch(v: pd.Series) -> pd.Series:
+    """Whole-batch numpy kernel for the same quantization — the vectorized
+    SCALAR pandas_udf shape (np.stack over the Arrow batch, zero per-row
+    Python). Kept as the demonstration twin of :func:`quantize_int8_cols`;
+    parity between the two is asserted in tests/test_properties.py."""
+    a = np.stack(v.to_numpy())  # (batch, dim) — fixed-length vectors
+    m = np.abs(a).max(axis=1)
+    s = np.where(m > 0, m / 127.0, 1.0)
+    q = np.clip(np.floor(a / s[:, None] + 0.5), -127, 127).astype(np.int32)
+    return pd.Series(list(q))
+
+
+QUANT_SQL = """
+    WITH s AS (
+        SELECT vec_id, v,
+               CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+        FROM (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS m
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        )
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos,
+           CAST(LEAST(127, GREATEST(-127, FLOOR(unnest(v) / scale + 0.5)))
+                AS INT) AS qval
+    FROM s
+"""
+
+
+@query("embedding_quantize_int8", oracle=QUANT_SQL)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (per-vector scale =
     max|x|/127) — the memory-scale path for ANN: 4× smaller vectors, dot
-    products in int arithmetic. Vectorized SCALAR ``pandas_udf`` over
-    Arrow batches (numpy does whole batches; no per-row Python). Dequant
-    error ≤ scale/2 per component, asserted in tests."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<int>")
-    def quantize(v: pd.Series) -> pd.Series:
-        def q1(arr):
-            a = np.asarray(arr, dtype=np.float64)
-            m = np.abs(a).max()
-            s = (m / 127.0) if m > 0 else 1.0
-            return np.clip(np.rint(a / s), -127, 127).astype(np.int32).tolist()
-
-        return v.map(q1)
-
-    @pandas_udf("double")
-    def qscale(v: pd.Series) -> pd.Series:
-        return v.map(
-            lambda arr: float(np.abs(np.asarray(arr, dtype=np.float64)).max() / 127.0)
-            or 1.0
-        )
-
+    products in int arithmetic. Entirely JVM higher-order functions
+    (transform/array_max inside codegen — the pandas_udf twin
+    :func:`quantize_int8_batch` exists for the Arrow-batch pattern but the
+    hot path never leaves the JVM). Emits exploded (vec_id, pos, qval)
+    scalars so the result is canonically sortable; dequant error ≤ scale/2
+    per component, asserted in tests."""
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return e.select(
-        "vec_id",
-        F.round(qscale("v"), 9).alias("scale"),
-        quantize("v").alias("q"),
+    scale, q = quantize_int8_cols(F.col("v"))
+    return (
+        e.select("vec_id", F.round(scale, 9).alias("scale"), q.alias("q"))
+        .select("vec_id", "scale", F.posexplode("q").alias("pos", "qval"))
     )

@@ -122,7 +122,6 @@ _NON_EQUI_OK = {
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
     "multimodal_decode", "multimodal_frame_sample", "user_ewma",
-    "embedding_quantize_int8",
 }
 
 
