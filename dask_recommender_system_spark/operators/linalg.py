@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..models.common import encode_sorted_rank
 from ..registry import query
 
 K = 4  # factor rank used by the declared linalg queries (models use their own)
@@ -60,17 +61,13 @@ def encoded_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "item_id", "rating", "interaction_id")
     )
-    ue = (
-        r.select("user_id").distinct()
-        .withColumn("u_idx", (F.row_number().over(W.orderBy("user_id")) - 1).cast("long"))
-    )
-    ie = (
-        r.select("item_id").distinct()
-        .withColumn("i_idx", (F.row_number().over(W.orderBy("item_id")) - 1).cast("long"))
-    )
+    ue = encode_sorted_rank(r.select("user_id"), "user_id", "u_idx")
+    ie = encode_sorted_rank(r.select("item_id"), "item_id", "i_idx")
+    # no broadcast() hint: user/item dims are broadcastable at sf0.1 but not
+    # at 10⁹ rows — let AQE pick broadcast vs shuffle from runtime sizes
     return (
-        r.join(F.broadcast(ue), "user_id")
-        .join(F.broadcast(ie), "item_id")
+        r.join(ue, "user_id")
+        .join(ie, "item_id")
         .select("u_idx", "i_idx", "rating", "interaction_id")
     )
 

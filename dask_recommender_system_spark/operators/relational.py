@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..models.common import encode_sorted_rank
 from ..registry import query
 
 IO_DIR = os.environ.get("SPARK_GRAFT_IO_DIR", "/tmp/drs_spark_io")
@@ -443,14 +444,15 @@ ENCODE_USERS_SQL = f"""
 @query("encode_ids", oracle=ENCODE_USERS_SQL)
 def encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: dictionary-encode ids to dense 0..n-1 ints (reference
-    models/als.py:29-32 ``{x: i for i, x in enumerate(ids)}``). The window
-    over the *distinct key set* is dimension-sized (n_users ≪ n_rows), so a
-    single-partition window is acceptable; for fact-scale encodings use
-    ``zipWithIndex``-style block offsets instead (see models/common.py,
-    which this query intentionally mirrors)."""
-    u = _ratings(spark, sf_dir).select("user_id").distinct()
-    w = W.orderBy("user_id")
-    return u.withColumn("u_idx", (F.row_number().over(w) - 1).cast("long"))
+    models/als.py:29-32 ``{x: i for i, x in enumerate(ids)}``). Uses the
+    two-pass block-offset encoder (models/common.encode_sorted_rank):
+    range-partition the distinct keys, rank within each partition, add
+    cumulative block offsets — bit-identical to ROW_NUMBER() OVER (ORDER BY
+    user_id) - 1 (so the oracle holds) with no single-partition window, the
+    shape that survives 10⁹-key dimensions."""
+    return encode_sorted_rank(
+        _ratings(spark, sf_dir).select("user_id"), "user_id", "u_idx"
+    )
 
 
 @query(
@@ -612,12 +614,10 @@ def join_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles the fact side, which is the 100 TB-safe shape."""
     r = _ratings(spark, sf_dir)
     ue = encode_ids(spark, sf_dir)
-    iw = W.orderBy("item_id")
-    ie = (
-        r.select("item_id")
-        .distinct()
-        .withColumn("i_idx", (F.row_number().over(iw) - 1).cast("long"))
-    )
+    ie = encode_sorted_rank(r.select("item_id"), "item_id", "i_idx")
+    # broadcast is right while dims fit the threshold; past that (10⁹-row
+    # dims) drop the hint and AQE picks shuffle joins from runtime sizes —
+    # the training path in operators/linalg.py does exactly that
     return (
         r.join(F.broadcast(ue), "user_id")
         .join(F.broadcast(ie), "item_id")
