@@ -15,6 +15,8 @@ instead of one.
 
 from __future__ import annotations
 
+import time
+
 from .base import _SGDRecommenderBase
 from .common import checkpoint
 
@@ -23,6 +25,7 @@ class ALS(_SGDRecommenderBase):
     def _run_epochs(self, r_enc, u, i, collect_errors):
         err = self._error_df(r_enc, u, i).persist()
         for _ in range(self.epochs):
+            t0 = time.perf_counter()
             if collect_errors:
                 self._collect_metrics(err)
 
@@ -41,5 +44,6 @@ class ALS(_SGDRecommenderBase):
             err = self._error_df(r_enc, u_new, i_new).persist()
             err2.unpersist()
             u, i = u_new, i_new
+            self.epoch_times.append(time.perf_counter() - t0)
         err.unpersist()
         return u, i

@@ -64,6 +64,9 @@ class _SGDRecommenderBase:
         self.u_params: DataFrame | None = None
         self.i_params: DataFrame | None = None
         self.train_errors: list[tuple[float, float, float]] = []
+        #: wall seconds per epoch (filled by _run_epochs) — flatness at
+        #: epoch 100 is the observable proof of O(1) plan depth
+        self.epoch_times: list[float] = []
 
     # ---------------------------------------------------------------- fit
 

@@ -12,6 +12,8 @@ parity is meaningful; exact-parity tests inject explicit inits instead).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import functions as F
 
 from .base import _SGDRecommenderBase
@@ -21,6 +23,7 @@ from .common import checkpoint
 class FunkSVD(_SGDRecommenderBase):
     def _run_epochs(self, r_enc, u, i, collect_errors):
         for _ in range(self.epochs):
+            t0 = time.perf_counter()
             # one stale error per epoch (models/funk_svd.py:160-161)
             err = self._error_df(r_enc, u, i).persist()
             if collect_errors:
@@ -42,4 +45,5 @@ class FunkSVD(_SGDRecommenderBase):
 
             err.unpersist()
             u, i = u_new, i_new
+            self.epoch_times.append(time.perf_counter() - t0)
         return u, i

@@ -121,23 +121,12 @@ MINHASH_NH = 64  # signature width (Jaccard estimate ± ~0.06)
 MINHASH_BANDS = 8  # single-row bands for candidates: P(cand) = 1-(1-s)^8
 
 
-@query("dedup_minhash")  # no oracle: LSH hash family is engine-specific
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1: MinHash near-dup candidates, fully JVM-side (no MLlib
-    approxSimilarityJoin — that path recomputes exact distance with a
-    per-pair UDF over the sparse vectors, the slow part at any scale).
-    Signature: each shingle is string-hashed ONCE (xxhash64), then the 64
-    components derive from the 64-bit base via xxhash64(base, t) — fixed
-    12-byte rehash, not 64 passes over the string; min per component is
-    a narrow (key, long) hash aggregate with map-side combine.
-    Candidates: 8 single-row bands (same S-curve as 8 hash tables;
-    P(candidate) = 1-(1-s)^8, ≈0.996 at s=0.5); the band join carries
-    (band, 64-bit value) keys only. Estimated Jaccard = fraction of
-    matching signature components (zip_with), floor 0.2 — reported as
-    jaccard_dist = 1 - estimate. Recall vs the exact n-gram pairs is
-    asserted in tests/test_dedup_similarity.py."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    sh = shingles(d).select("doc_id", F.xxhash64("s").alias("h"))
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[NH]) — each shingle string-hashed ONCE
+    (xxhash64), the NH components derived via xxhash64(base, t) — fixed
+    12-byte rehash, not NH passes over the string; min per component is a
+    narrow (key, long) hash aggregate with map-side combine."""
+    sh = shingles(docs).select("doc_id", F.xxhash64("s").alias("h"))
     # (doc_id, t, min hash_t): explode over seed indices keeps every stage
     # narrow-schema — a NH-wide agg needs a ~1 KB agg buffer per group and
     # NH-col generated code; this form is a plain (key, long) hash
@@ -146,12 +135,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_NH - 1))).alias("t")
     ).select("doc_id", "t", F.xxhash64("h", "t").alias("ht"))
     mins = e.groupBy("doc_id", "t").agg(F.min("ht").alias("m"))
-    sig = (
+    return (
         mins.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("t", "m"))).alias("tm"))
         .select("doc_id", F.transform("tm", lambda s: s["m"]).alias("sig"))
-        .persist()
     )
+
+
+def minhash_candidates(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) band-collision candidates: MINHASH_BANDS single-row
+    bands (same S-curve as that many hash tables; P(candidate) =
+    1-(1-s)^bands); the band join carries (band, 64-bit value) keys only."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -166,7 +160,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", "bv.band", "bv.val")
-    cand = (
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -177,6 +171,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query("dedup_minhash")  # no oracle: LSH hash family is engine-specific;
+# the VERIFIED twin below is the value-checked form
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: MinHash near-dup candidates, fully JVM-side (no MLlib
+    approxSimilarityJoin — that path recomputes exact distance with a
+    per-pair UDF over the sparse vectors, the slow part at any scale).
+    Estimated Jaccard = fraction of matching signature components
+    (zip_with), floor 0.2 — reported as jaccard_dist = 1 - estimate.
+    Recall vs the exact n-gram pairs is asserted in
+    tests/test_dedup_similarity.py."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sig = minhash_signatures(d).persist()
+    cand = minhash_candidates(sig)
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -192,16 +201,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # no oracle: xxhash64 is Spark-specific
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection, fully JVM-side: per-token 64-bit
-    xxhash64 → per-bit ±1 votes → sign → 64-bit signature; candidates via
-    4×16-bit band buckets (a pair must agree on ≥1 band to be a candidate
-    — Hamming ≤ 3 guarantees it); verified with bit_count(xor) ≤ 12.
-    At 100 TB the band join is the only shuffle and carries (band, 16-bit
-    value) keys."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    tok = d.select(
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: long) — per-token 64-bit xxhash64 → per-bit ±1 votes
+    → sign → 64-bit signature."""
+    tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     )
     h = tok.select("doc_id", F.xxhash64("t").alias("h"))
@@ -217,7 +220,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = F.lit(0).cast("long")
     for b in range(64):
         sig = sig + F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
-    signatures = votes.select("doc_id", sig.alias("sig")).persist()
+    return votes.select("doc_id", sig.alias("sig"))
+
+
+def simhash_candidates(signatures: DataFrame, n_bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b, sig_a, sig_b) candidates via n_bands equal bit-slices
+    of the 64-bit signature — a pair must agree on ≥1 band to be a
+    candidate, so pigeonhole guarantees recall for Hamming ≤ n_bands-1.
+    Band WIDTH (64/n_bands bits) sets the bucket count and therefore the
+    candidate blowup: the default 4×16 (d≤3, 2^16 buckets) is the
+    production config à la Manku et al.; wider tolerance (16×4, d≤15) has
+    only 2^4 buckets and is viable for calibration corpora, not 100 TB —
+    at scale, tolerance beyond d=3 is the verify stage's job, not the
+    banding's."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     bands = signatures.select(
         "doc_id",
         "sig",
@@ -226,17 +243,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("sig"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sig"), width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bv"),
     ).select("doc_id", "sig", "bv.band", "bv.val")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -251,11 +268,112 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query("dedup_simhash")  # no oracle: xxhash64 is Spark-specific; the
+# VERIFIED twin below is the value-checked form
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, fully JVM-side: banded candidates
+    verified with bit_count(xor) ≤ 12. At 100 TB the band join is the only
+    shuffle and carries (band, 16-bit value) keys."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cand = simhash_candidates(simhash_signatures(d))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 12)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """The LSH *verification* stage at its production scale shape: exact
+    3-gram Jaccard computed ONLY for candidate pairs. Work is
+    O(candidates × shingles/doc), not O(n²): candidates join doc_a's
+    shingles (shuffle on doc_a), then probe doc_b's shingles on
+    (doc_b, shingle) — zero-overlap candidates drop out of the inner join
+    (they cannot pass any positive threshold). Returns
+    (doc_a, doc_b, jaccard) unrounded."""
+    sh = shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+    common = (
+        a_sh.join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+# Oracle for the verified LSH pipelines: the full exact-Jaccard pair set at
+# threshold 0.5. The LSH side is candidates ∩ exact-verify ≥ 0.5; equality
+# holds iff candidate recall@0.5 is total — the property the banding is
+# built for (P(miss) = (1-s)^8 ≤ 2e-8 at s ≥ 0.89, the testdata's near-dup
+# band; deterministic on fixed data and asserted here by the driver's
+# value hash, the strongest check an approximate structure can get).
+JACCARD_VERIFY_SQL = f"""
+    WITH {ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """
+
+
+@query("dedup_minhash_verified", oracle=JACCARD_VERIFY_SQL)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production MinHash-LSH dedup pipeline, value-checked:
+    band-collision candidates (minhash_candidates) → exact Jaccard on
+    candidates only (exact_jaccard_on_pairs) → threshold 0.5. Unlike the
+    candidate query above, every emitted pair carries its EXACT Jaccard,
+    so the DuckDB oracle (full exact pair set ≥ 0.5) verifies values —
+    the driver-green row certifies end-to-end LSH recall, not just shape."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cand = minhash_candidates(minhash_signatures(d))
+    return (
+        exact_jaccard_on_pairs(d, cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash_verified", oracle=JACCARD_VERIFY_SQL)
+def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded dedup pipeline, value-checked: wide-tolerance
+    banding (16×4-bit slices — guaranteed candidates for Hamming ≤ 15) →
+    cheap bit_count(xor) ≤ 12 prefilter (measured Hamming of Jaccard≥0.5
+    pairs in this corpus family tops out at 9) → exact Jaccard verify
+    ≥ 0.5 on the survivors only. The oracle (full exact pair set ≥ 0.5)
+    checks values, so a driver-green row certifies end-to-end recall.
+    The production 4×16 config (dedup_simhash above) trades that recall
+    for 2^16-bucket selectivity — see simhash_candidates."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cand = simhash_candidates(simhash_signatures(d), n_bands=16)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    near = cand.filter(hamming <= 12).select("doc_a", "doc_b")
+    return (
+        exact_jaccard_on_pairs(d, near)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -328,6 +446,7 @@ def min_label_components(
         eager=True
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged = False
     for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.src == labels.node)
@@ -344,7 +463,17 @@ def min_label_components(
         )
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # The fixpoint check already detects this for free: labels only
+        # decrease, so an unchanged sum IS convergence — and a changed sum
+        # at exhaustion means some component (diameter > max_rounds, e.g. a
+        # long near-dup chain) still carries wrong cluster ids.
+        raise RuntimeError(
+            f"min_label_components did not converge within {max_rounds} rounds; "
+            "a component's diameter exceeds max_rounds — raise max_rounds"
+        )
     return labels

@@ -271,8 +271,10 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # turns the users × n_items cross join (10M+ rows at sf0.1) into
     # users × 20. With a full P·Q model this pruning generalizes to the
     # ANN candidates (operators/similarity.py) or MLlib's blocked top-k.
-    iw = W.orderBy(F.col("bi").desc(), F.col("item_id"))
-    ib_top = ib.withColumn("ir", F.row_number().over(iw)).filter(F.col("ir") <= 20).drop("ir")
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-20 merged at the driver, no single-partition ranking window even
+    # at a 10⁹-item dimension.
+    ib_top = ib.orderBy(F.col("bi").desc(), F.col("item_id")).limit(20)
     scored = (
         users.crossJoin(F.broadcast(ib_top))
         .crossJoin(F.broadcast(mu))

@@ -120,6 +120,8 @@ DRIVER_PRIORITY: list[str] = [
     "mllib_als_recommend",
     "stream_sessionize",
     # new in round 2 (appended as they are added)
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
 ]
 
 

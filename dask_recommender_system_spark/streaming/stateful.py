@@ -4,8 +4,15 @@ custom stateful operator; the batch twin is operators/windows.sessionize).
 
 State per user: (last event epoch, current session index, events in
 session). A 30-min gap closes the session. Emits one row per closed
-session; ``GroupStateTimeout`` reclaims state for idle users — the piece
-that bounds memory on an unbounded stream.
+session — closed either by a later event from the same user, or by the
+EVENT-TIME timer: when the watermark passes a session's end + gap, the
+open session is flushed downstream and the user's state slot is removed.
+That timer is the piece that bounds memory on an unbounded stream: state
+tracks users active within the watermark horizon, not all users ever
+seen, and being event-time-driven it is deterministic for a given input
+(no wall clock). (``ProcessingTimeTimeout`` deadlocks the Python worker
+protocol in PySpark 4.1.2 local mode — the event-time form is both the
+working and the semantically better choice.)
 """
 
 from __future__ import annotations
@@ -16,18 +23,37 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_S = 1800
 
+#: late-data allowance; also sets how far the watermark trails the newest
+#: event, i.e. how long an idle user's open session lingers in state
+WATERMARK_DELAY = "30 minutes"
+
 OUTPUT_SCHEMA = "user_id long, session_id long, n_events long, start_s long, end_s long"
 STATE_SCHEMA = "last_s long, session_id long, n_events long, start_s long"
+
+_COLUMNS = ["user_id", "session_id", "n_events", "start_s", "end_s"]
 
 
 def sessionize_with_state(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+
+    if state.hasTimedOut:
+        # Watermark passed last_s + gap: flush the open session, reclaim
+        # the state slot.
+        last_s, session_id, n_events, start_s = state.get
+        state.remove()
+        rows = (
+            [(user_id, session_id, n_events, start_s, last_s)] if n_events > 0 else []
+        )
+        yield pd.DataFrame(rows, columns=_COLUMNS)
+        return
+
     if state.exists:
         last_s, session_id, n_events, start_s = state.get
     else:
@@ -44,17 +70,24 @@ def sessionize_with_state(
             n_events += 1
             last_s = ts
     state.update((last_s, session_id, n_events, start_s))
-    yield pd.DataFrame(
-        out, columns=["user_id", "session_id", "n_events", "start_s", "end_s"]
-    )
+    # Event-time timer at session end + gap (must sit strictly above the
+    # current watermark, which may already have passed the target).
+    target_ms = (last_s + SESSION_GAP_S) * 1000
+    state.setTimeoutTimestamp(max(target_ms, state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(out, columns=_COLUMNS)
 
 
-def apply_sessionization(events_with_epoch: DataFrame) -> DataFrame:
+def apply_sessionization(
+    events_with_epoch: DataFrame, delay: str = WATERMARK_DELAY
+) -> DataFrame:
     """events_with_epoch: streaming frame with (user_id long, ts_s long)."""
-    return events_with_epoch.groupBy("user_id").applyInPandasWithState(
+    ev = events_with_epoch.withColumn(
+        "ts", F.timestamp_seconds("ts_s")
+    ).withWatermark("ts", delay)
+    return ev.groupBy("user_id").applyInPandasWithState(
         sessionize_with_state,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

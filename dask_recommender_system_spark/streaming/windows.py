@@ -208,15 +208,18 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("stream_sessionize")  # no oracle: emits only CLOSED sessions (append
-# mode) — the open tail session per user never fires; value-parity vs the
-# batch sessionization is asserted in tests/test_streaming.py
+@query("stream_sessionize")  # no oracle: closed-session semantics (append
+# mode: sessions closed by a later event OR flushed by the event-time
+# timer) aren't the full batch session set; value-parity vs the batch
+# sessionization + watermark rule is asserted in tests/test_streaming.py
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator as a declared query:
     applyInPandasWithState sessionization (30-min gap) over the replayed
     events stream — one row per CLOSED session. State per user is
-    (last_ts, session_id, n_events, start); GroupStateTimeout reclaims
-    idle users' state on an unbounded stream (streaming/stateful.py)."""
+    (last_ts, session_id, n_events, start); the EventTimeTimeout timer
+    flushes a session once the watermark passes its end + gap and removes
+    the idle user's state slot (streaming/stateful.py), bounding state on
+    an unbounded stream."""
     from .stateful import apply_sessionization
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")

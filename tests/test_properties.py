@@ -321,3 +321,17 @@ def test_min_label_components_matches_union_find(spark, edges):
         r["node"]: r["lbl"] for r in min_label_components(pairs, ndf).collect()
     }
     assert got == expect_lbl
+
+
+def test_min_label_components_raises_on_round_exhaustion(spark):
+    """A chain whose diameter exceeds max_rounds must raise, not return
+    silently-wrong cluster ids (ADVICE r01)."""
+    import pytest as _pytest
+
+    from dask_recommender_system_spark.operators.dedup import min_label_components
+
+    n = 8
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a int, b int")
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "node int")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(pairs, ndf, max_rounds=2)

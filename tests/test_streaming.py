@@ -29,6 +29,42 @@ def test_stream_matches_batch_tumbling(spark, sf_dir):
 
 
 @pytest.mark.slow
+def test_sessionize_event_time_timeout_flushes_idle_users(spark, tmp_path):
+    """EventTimeTimeout contract: once the watermark passes an idle user's
+    session end + gap, the OPEN session is flushed downstream and the
+    user's state slot is removed — the piece that bounds state on an
+    unbounded stream. Event-time-driven, so fully deterministic (no
+    sleeps)."""
+    src = str(tmp_path / "src")
+    schema = "user_id long, ts_s long"
+    # batch 1: user 1 only — two events, one (still-open) session
+    spark.createDataFrame([(1, 1000), (1, 1100)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = apply_sessionization(stream)
+    name = "sess_timeout"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0  # watermark still behind the gap
+        # batch 2: a different user far in the future; the watermark
+        # advances past user 1's (end + gap) and fires their timer
+        spark.createDataFrame([(2, 10_000)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["user_id"], r["session_id"], r["n_events"], r["start_s"], r["end_s"])
+        for r in spark.table(name).collect()
+    }
+    assert (1, 0, 2, 1000, 1100) in rows  # idle user's open session flushed
+    assert all(r[0] != 2 for r in rows)  # user 2's session still open in state
+
+
+@pytest.mark.slow
 def test_stateful_sessionization_matches_batch(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir).select(
         "user_id", F.unix_timestamp("ts").alias("ts_s")
@@ -44,12 +80,17 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir):
         qh.stop()
     got = spark.table(name)
 
-    # batch truth: closed sessions = all sessions except each user's last
+    # batch truth: sessions closed by a later event of the same user, PLUS
+    # tail sessions flushed by the event-time timer — those whose
+    # (end + gap) the final watermark (global max ts − delay) passed
+    from dask_recommender_system_spark.streaming.stateful import SESSION_GAP_S
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = REGISTRY["sessionize"].fn(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_timestamp("ts").alias("ts_s")
     )
+    wm_s = ev.agg(F.max("ts_s")).first()[0] - 1800  # delay = "30 minutes"
     sess = (
         batch.join(ev, "event_id")
         .groupBy("user_id", "session_id")
@@ -58,7 +99,8 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir):
     )
     last = sess.groupBy("user_id").agg(F.max("session_id").alias("last_id"))
     closed = sess.join(last, "user_id").filter(
-        F.col("session_id") < F.col("last_id")
+        (F.col("session_id") < F.col("last_id"))
+        | (F.col("end_s") + SESSION_GAP_S < F.lit(wm_s))
     )
 
     got_set = {
