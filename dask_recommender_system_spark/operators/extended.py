@@ -473,3 +473,39 @@ def explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v")
     ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
 
+
+
+L2NORM_SQL = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v)
+    SELECT vec_id,
+           ROUND(nrm, 6) AS l2_norm,
+           CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos,
+           ROUND(unnest(v) / CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END, 6) AS nval
+    FROM n
+"""
+
+
+@query("embedding_l2_normalize", oracle=L2NORM_SQL)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization of the embedding column — the preprocessing step
+    every cosine-similarity path (similarity_topk, ANN, embedding dedup)
+    assumes: after it, cosine is a plain dot product. Pure JVM
+    higher-order functions (aggregate for Σx², transform for the scaled
+    components) — a narrow map stage that streams at scan speed; emitted
+    as exploded (vec_id, pos, nval) scalars with the vector's l2_norm so
+    the driver canonicalizer can sort rows. Zero vectors pass through
+    unscaled (norm reported 0)."""
+    from ..data import spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    nv = F.transform("v", lambda x: F.round(x / safe, 6))
+    return e.select(
+        "vec_id", F.round(nrm, 6).alias("l2_norm"), nv.alias("nv")
+    ).select("vec_id", "l2_norm", F.posexplode("nv").alias("pos", "nval"))

@@ -242,3 +242,54 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", norm.alias("norm_text"))
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {ORACLE_TOKENS} AS t FROM documents
+                 WHERE LENGTH(trim(text)) > 0),
+    s AS (SELECT doc_id, t, UNNEST(range(0, len(t), {CHUNK_STRIDE})) AS strt
+          FROM tok),
+    c AS (SELECT doc_id, strt, t[strt + 1 : strt + {CHUNK_SIZE}] AS ctoks FROM s)
+    SELECT doc_id,
+           CAST(strt / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(strt AS BIGINT) AS tok_start,
+           CAST(len(ctoks) AS BIGINT) AS n_tokens,
+           array_to_string(ctoks, ' ') AS chunk
+    FROM c
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking — the LLM-training-pipeline op that turns long
+    documents into fixed-size token windows ({CHUNK_SIZE} tokens, stride
+    {CHUNK_STRIDE}, i.e. 16-token overlap) ready for tokenization/packing.
+    One narrow JVM stage: tokenize → window starts (`sequence`) → slice +
+    rejoin per start (`transform` higher-order fn) → `posexplode`. No
+    shuffle, no Python; row count multiplies by ~n_tokens/stride, so at
+    100 TB chunk AFTER quality/dedup filters (the registry order mirrors
+    that: normalize → dedup → chunk)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = TOKENS()
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("long").alias("tok_start"),
+            F.slice(toks, s + 1, CHUNK_SIZE).alias("ctoks"),
+        ),
+    )
+    e = d.select("doc_id", F.posexplode(wins).alias("chunk_idx", "w"))
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("w.tok_start").alias("tok_start"),
+        F.size("w.ctoks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("w.ctoks")).alias("chunk"),
+    )

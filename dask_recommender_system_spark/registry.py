@@ -122,6 +122,8 @@ DRIVER_PRIORITY: list[str] = [
     # new in round 2 (appended as they are added)
     "dedup_minhash_verified",
     "dedup_simhash_verified",
+    "text_chunk",
+    "embedding_l2_normalize",
 ]
 
 
