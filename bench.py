@@ -104,8 +104,10 @@ def main() -> None:
     # (BASELINE.md Tables 2-3 report 100-epoch totals: 966 s FunkSVD at
     # 219k ratings, per-epoch metrics collected). Flat late-epoch times are
     # the observable proof that checkpoint discipline holds plan depth at
-    # O(1) through epoch 100. SPARK_GRAFT_ENDURANCE=0 skips it when
-    # iterating locally.
+    # O(1) through epoch 100. Runs LAST: 100 epochs leave async
+    # localCheckpoint-block cleanup debt in the JVM that must not bill the
+    # comparable per-query/per-epoch segments above.
+    # SPARK_GRAFT_ENDURANCE=0 skips it when iterating locally.
     extras: dict[str, object] = {}
     if os.environ.get("SPARK_GRAFT_ENDURANCE", "1") != "0":
         model = FunkSVD(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=100)
