@@ -68,6 +68,53 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_TOP_K = 20
+
+
+@query(
+    "key_skew_profile",
+    oracle=f"""
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+    r AS (SELECT user_id, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT)
+                     AS rank
+          FROM c)
+    SELECT r.rank, r.user_id, r.n,
+           ROUND(r.n / t.total, 6) AS share
+    FROM r, t WHERE r.rank <= {SKEW_TOP_K}
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key profile: the top-{SKEW_TOP_K} join/agg keys by row
+    count with their share of the table — the diagnostic that decides
+    whether a key needs `join_salted` (or AQE skew splitting) before a
+    100 TB shuffle. Plan shape matters here: counts are a map-side-partial
+    hash aggregate, the global top-k is orderBy+limit — Spark compiles
+    that to TakeOrderedAndProject (per-partition top-k, then a k-row merge
+    on one task), NOT a single-partition global sort, so the distinct-key
+    table never lands on one executor. The rank window and the one-row
+    total join both run on ≤ {SKEW_TOP_K} rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), "user_id").limit(SKEW_TOP_K)
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
 @query(
     "join_bucketed",
     oracle="""

@@ -244,6 +244,175 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", norm.alias("norm_text"))
 
 
+# Decontamination n-gram width. Production pipelines use 8-13-word grams
+# (the published range for benchmark decontamination); 4 here because the
+# synthetic corpus draws from a ~30-word vocabulary, so longer grams never
+# collide and the query would be vacuous. The constant is shared verbatim
+# with the oracle.
+DECON_N = 4
+# Every doc_id ≡ 0 (mod 20) plays the held-out benchmark set.
+DECON_BENCH_MOD = 20
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                 FROM documents WHERE LENGTH(trim(text)) > 0),
+    g AS (SELECT doc_id, UNNEST(list_distinct(list_transform(range(0, len(w) - {DECON_N - 1}),
+                i -> array_to_string(w[i + 1 : i + {DECON_N}], ' ')))) AS gram
+          FROM tok WHERE len(w) >= {DECON_N}),
+    b AS (SELECT DISTINCT gram, doc_id FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    t AS (SELECT doc_id, gram FROM g WHERE doc_id % {DECON_BENCH_MOD} != 0)
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM t JOIN b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the LLM-pipeline op that flags training
+    documents sharing word n-grams with a held-out evaluation set (here:
+    doc_id ≡ 0 mod {DECON_BENCH_MOD} plays the benchmark). Per train doc:
+    how many distinct grams leak, from how many benchmark docs.
+
+    Scale shape: grams are built in one narrow JVM stage (sequence →
+    slice → concat per start, distinct per doc) and the benchmark side —
+    always tiny relative to the corpus — is ``broadcast()``, so the probe
+    over 100 TB of training grams is a map-side hash join with no shuffle
+    of the big side; only the per-doc aggregate shuffles, keyed on doc_id."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - DECON_N),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, DECON_N)),
+        )
+    )
+    g = d.filter(F.size(toks) >= DECON_N).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    bench = (
+        g.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("gram", F.col("doc_id").alias("bench_doc"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+# Quality percentile below which a document is pruned, per language.
+QUALITY_PRUNE_PCT = 0.25
+
+
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(LEN({ORACLE_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(LEN(list_filter({ORACLE_TOKENS},
+                    t -> t IN ('the','and','of','to','in','a','is'))) AS BIGINT)
+                   AS n_stop
+        FROM documents),
+    q AS (
+        SELECT doc_id, lang,
+               LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.5
+                   AS quality
+        FROM s),
+    r AS (
+        SELECT doc_id, lang, quality,
+               PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality, doc_id)
+                   AS pr
+        FROM q)
+    SELECT doc_id, lang, ROUND(quality, 6) AS quality
+    FROM r WHERE pr >= {QUALITY_PRUNE_PCT}
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pruning by per-language quality percentile — drop the bottom
+    {QUALITY_PRUNE_PCT:.0%} of each language's documents by the
+    `text_quality_score` heuristic. Per-language (not global) thresholds
+    are what real pipelines do: absolute quality scores aren't comparable
+    across languages.
+
+    Scale shape: one shuffle, partitioned BY LANGUAGE for the
+    percent_rank window — bounded partition count but potentially skewed
+    (English dominates real corpora); at 100 TB the fix is computing the
+    per-lang threshold via approx quantiles on a sample and broadcasting
+    it back as a plain filter, which this query's exact window form is the
+    oracle for. Tiebreak doc_id makes the rank — and thus the kept set —
+    deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(TOKENS()).cast("long")
+    n_stop = F.size(
+        F.expr(
+            "filter(split(trim(text), '\\\\s+'), t -> t IN ('the','and','of','to','in','a','is'))"
+        )
+    ).cast("long")
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(n_stop.cast("double") / n_tokens * 5.0, F.lit(1.0)) * 0.5
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        d.select("doc_id", "lang", quality.alias("quality"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= QUALITY_PRUNE_PCT)
+        .select("doc_id", "lang", F.round("quality", 6).alias("quality"))
+    )
+
+
+TOKEN_BUCKET_WIDTH = 10
+
+
+@query(
+    "token_histogram",
+    oracle=f"""
+    WITH t AS (SELECT CAST(LEN({ORACLE_TOKENS}) AS BIGINT) AS n_tokens
+               FROM documents)
+    SELECT CAST(FLOOR(n_tokens / {TOKEN_BUCKET_WIDTH}) * {TOKEN_BUCKET_WIDTH} AS BIGINT)
+               AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t
+    GROUP BY 1
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution histogram ({TOKEN_BUCKET_WIDTH}-token
+    buckets) — the length profile every packing/curriculum decision reads
+    before training. Narrow map to a bucket key + hash aggregate with
+    map-side partials; output cardinality = number of buckets, so the
+    shuffle is a few hundred rows regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(TOKENS()).cast("long")
+    bucket = (F.floor(n_tokens / TOKEN_BUCKET_WIDTH) * TOKEN_BUCKET_WIDTH).cast("long")
+    return (
+        d.select(n_tokens.alias("n_tokens"), bucket.alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
 

@@ -124,6 +124,11 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_simhash_verified",
     "text_chunk",
     "embedding_l2_normalize",
+    "decontaminate_ngram_overlap",
+    "corpus_quality_filter",
+    "token_histogram",
+    "key_skew_profile",
+    "stream_stream_join",
 ]
 
 

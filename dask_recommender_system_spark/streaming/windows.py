@@ -208,6 +208,76 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, value,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+               FROM events)
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts_s AS click_ts,
+           p.ts_s AS purchase_ts,
+           ROUND(p.value, 6) AS purchase_value
+    FROM e c JOIN e p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + 7200
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join — click→purchase attribution
+    within a 2-hour window, the canonical funnel query. Both sides are
+    independent readStreams with event-time watermarks; the join carries
+    an explicit time-range condition (`purchase.ts ∈ [click.ts, click.ts
+    + 2 h]`), which is what lets Spark EVICT buffered click state once
+    the purchase-side watermark passes click.ts + 2 h — without it the
+    join would buffer every click forever. Timestamps are floored to
+    whole seconds BEFORE the join on both engines so the match set is
+    bit-identical to the batch self-join oracle (one correctness
+    definition across modes, like every stream twin here). At 100 TB/day
+    the watermark delay is the state-size knob and the user_id equi-key
+    is what partitions the join state."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_seconds(F.unix_timestamp("ts")).alias(f"{alias}_tss"),
+                F.col("value").alias(f"{alias}_value"),
+            )
+            .withWatermark(f"{alias}_tss", "2 hours")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_tss") >= F.col("click_tss"))
+        & (F.col("purchase_tss") <= F.col("click_tss") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("click_tss").alias("click_ts"),
+        F.unix_timestamp("purchase_tss").alias("purchase_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @query("stream_sessionize")  # no oracle: closed-session semantics (append
 # mode: sessions closed by a later event OR flushed by the event-time
 # timer) aren't the full batch session set; value-parity vs the batch
