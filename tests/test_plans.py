@@ -77,6 +77,25 @@ def test_stratified_sample_is_scan_side(spark, sf_dir):
     assert count_exchanges(q("sample_stratified", spark, sf_dir)) == 0
 
 
+def test_skew_profile_topk_is_distributed(spark, sf_dir):
+    """key_skew_profile: the global top-k must compile to
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    single-partition global Sort over the distinct-key table."""
+    plan = physical_plan(q("key_skew_profile", spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_dir):
+    """decontaminate_ngram_overlap: the benchmark gram set joins as the
+    broadcast build side — the 100 TB training-gram probe must not
+    shuffle on the gram key."""
+    assert_broadcast_join(q("decontaminate_ngram_overlap", spark, sf_dir))
+
+
+def test_token_histogram_single_shuffle(spark, sf_dir):
+    assert count_exchanges(q("token_histogram", spark, sf_dir)) == 1
+
+
 def test_training_epoch_plan_depth_is_constant(spark):
     """SURVEY.md §4.3: per-epoch localCheckpoint must keep the plan size
     O(1) in epochs — without it, epoch N's plan nests N join+agg rounds."""
@@ -118,6 +137,7 @@ _NON_EQUI_OK = {
     "eval_metrics", "join_predict_lookup",
     "sgd_epoch_user_update", "sgd_epoch_item_update",
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
+    "key_skew_profile",  # 1-row total-count broadcast onto top-k rows
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
