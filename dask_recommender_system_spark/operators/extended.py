@@ -509,3 +509,43 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", F.round(nrm, 6).alias("l2_norm"), nv.alias("nv")
     ).select("vec_id", "l2_norm", F.posexplode("nv").alias("pos", "nval"))
+
+
+CENTROIDS_SQL = """
+    WITH e AS (SELECT label,
+                      CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS val
+               FROM embeddings)
+    SELECT label, pos,
+           ROUND(AVG(val), 6) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM e GROUP BY label, pos
+"""
+
+
+@query("embedding_centroids", oracle=CENTROIDS_SQL)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid vectors — the aggregation step of k-means / IVF
+    cell training and of class-prototype classifiers, over the embedding
+    column. posexplode to (label, pos, val) scalars, then ONE hash
+    aggregate keyed (label, pos): map-side partial sums shrink the shuffle
+    to |labels| x dims rows no matter how many vectors feed it — the same
+    reduction the SGD gradient aggregate uses (operators/linalg.py). At
+    100 TB this is the pattern for any per-class vector statistic; output
+    stays exploded scalars so the driver canonicalizer can sort rows."""
+    from ..data import spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

@@ -413,6 +413,72 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence-packing parameters: token budget per training sequence, and the
+# number of independent packing streams. Packing is a running-sum
+# recurrence, so it cannot be embarrassingly parallel globally — the scale
+# move is G independent streams (grp = doc_id % G), each packed exactly,
+# with G sized to the cluster. Shared verbatim with the oracle.
+PACK_BUDGET = 256
+PACK_GROUPS = 16
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, doc_id % {PACK_GROUPS} AS grp,
+                      CAST(LEN({ORACLE_TOKENS}) AS BIGINT) AS n_tokens
+               FROM documents WHERE LENGTH(trim(text)) > 0),
+    s AS (SELECT doc_id, grp, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens AS start_tok
+          FROM t)
+    SELECT doc_id, CAST(grp AS BIGINT) AS grp, n_tokens, start_tok,
+           CAST(FLOOR(start_tok / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           CAST(FLOOR((start_tok + n_tokens - 1) / {PACK_BUDGET})
+                - FLOOR(start_tok / {PACK_BUDGET}) + 1 AS BIGINT)
+               AS n_packs_spanned
+    FROM s
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concatenate documents into fixed token-budget
+    training sequences ({PACK_BUDGET} tokens), GPT-style: docs are laid
+    end-to-end in deterministic doc_id order and split at exact budget
+    boundaries (straddling allowed). Packing is a prefix-sum recurrence,
+    so the scale design is {PACK_GROUPS} independent packing streams
+    (grp = doc_id % G): ONE shuffle partitioned by grp, a running-sum
+    window per stream, then pure arithmetic — no global order, no
+    single-partition window. At 100 TB, G scales with the cluster and
+    each stream becomes one output shard of the packed dataset."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    from pyspark.sql import Window
+
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_GROUPS).alias("grp"),
+        F.size(TOKENS()).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.withColumn("start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    first_pack = F.floor(F.col("start_tok") / PACK_BUDGET)
+    last_pack = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_BUDGET)
+    return s.select(
+        "doc_id",
+        F.col("grp").cast("long").alias("grp"),
+        "n_tokens",
+        "start_tok",
+        first_pack.cast("long").alias("pack_id"),
+        (last_pack - first_pack + 1).cast("long").alias("n_packs_spanned"),
+    )
+
+
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
 

@@ -191,6 +191,58 @@ def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                   THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click'
+                   THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+           CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)
+               AS n_signup_then_click,
+           CAST(COUNT(CASE WHEN t_click > t_signup AND t_purchase > t_click
+                THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM u
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis — how many users progressed signup → click →
+    purchase, in that temporal order (first occurrence of each stage).
+    Plan: ONE hash aggregate keyed user_id with conditional MINs (map-side
+    partials shrink the shuffle to one row per user), then a scalar
+    aggregate over the per-user rows. No window, no self-join — the
+    classic funnel self-join formulation is O(events²) per user; the
+    conditional-min form is O(events). Stage times are compared at
+    whole-second epoch precision on both engines so the Spark micros /
+    DuckDB nanos difference cannot flip an ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+
+    def first_ts(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, sec))
+
+    u = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_signup")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(clicked, 1)).alias("n_signup_then_click"),
+        F.count(F.when(purchased, 1)).alias("n_full_funnel"),
+    )
+
+
+@query(
     "set_ops",
     oracle="""
     SELECT 'both' AS tag, c_custkey FROM (
