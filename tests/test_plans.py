@@ -96,6 +96,35 @@ def test_token_histogram_single_shuffle(spark, sf_dir):
     assert count_exchanges(q("token_histogram", spark, sf_dir)) == 1
 
 
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """pack_sequences: the running-sum window must be partitioned by the
+    packing stream (grp) — ONE shuffle, never a global-order single
+    partition window (the scale-killer VERDICT r1 flagged for encoding)."""
+    df = q("pack_sequences", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df, "simple")
+    win = [l for l in plan.splitlines() if "Window" in l]
+    assert win and "windowspecdefinition(grp" in win[0]
+
+
+def test_embedding_centroids_single_agg_shuffle(spark, sf_dir):
+    """embedding_centroids: posexplode is narrow; the only shuffles are the
+    spread() scan repartition and ONE (label, pos)-keyed hash aggregate
+    with map-side partials."""
+    df = q("embedding_centroids", spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert "HashAggregate" in physical_plan(df, "simple")
+
+
+def test_funnel_conversion_two_aggregates_no_join(spark, sf_dir):
+    """funnel_conversion: conditional-min formulation — a user-keyed agg
+    plus the final scalar agg, no self-join (the naive funnel is a
+    per-user O(events^2) self-join)."""
+    df = q("funnel_conversion", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    assert "Join" not in physical_plan(df, "simple")
+
+
 def test_training_epoch_plan_depth_is_constant(spark):
     """SURVEY.md §4.3: per-epoch localCheckpoint must keep the plan size
     O(1) in epochs — without it, epoch N's plan nests N join+agg rounds."""
