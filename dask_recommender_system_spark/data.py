@@ -38,17 +38,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (SURVEY.md S4). Column pruning + predicate pushdown are
     handled by Catalyst; callers select/filter on the returned frame.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS) which Spark refuses by
-    default; read it as int64 nanos (legacy conf) and convert to a
-    microsecond TimestampType — the same truncation DuckDB applies, so the
-    oracles agree."""
+    ``events.ts`` has been generated as both TIMESTAMP(NANOS) (which Spark
+    refuses by default — read as int64 nanos via the legacy conf) and
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both to a
+    microsecond session-tz TimestampType — sessions pin UTC, so this is a
+    wall-clock-preserving relabel and DuckDB's epoch() agrees."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -109,17 +109,12 @@ DRIVER_PRIORITY: list[str] = [
     "stream_window_sliding",
     "stream_dedup",
     "stream_session_window",
-    # never driver-checked in r01, rows-only by design
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "agg_approx_distinct",
-    "funk_svd_fit_metrics",
-    "als_fit_metrics",
-    "mllib_als_recommend",
-    "stream_sessionize",
-    # new in round 2 (appended as they are added)
+    # new in round 2, oracle-backed — full verdicts beat rows-only checks,
+    # so everything oracle-backed sits ahead of the rows-only block (whose
+    # last entry rotates into round 3's window)
+    "embedding_centroids",
+    "pack_sequences",
+    "funnel_conversion",
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "text_chunk",
@@ -129,6 +124,18 @@ DRIVER_PRIORITY: list[str] = [
     "token_histogram",
     "key_skew_profile",
     "stream_stream_join",
+    # never driver-checked in r01, rows-only by design — weakest check, so
+    # the overflow past the driver's 50-row window lands here
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "agg_approx_distinct",
+    "funk_svd_fit_metrics",
+    "als_fit_metrics",
+    "mllib_als_recommend",
+    "stream_sessionize",
+    # round-3 front-runners appended here as they are added
 ]
 
 

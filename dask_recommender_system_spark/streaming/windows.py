@@ -23,36 +23,38 @@ from ..registry import query
 from ..operators.windows import window_events_tumbling  # reuse the oracle
 from ..registry import REGISTRY
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema-explicit — file
     streams cannot infer). The file source requires a *directory*, so the
     single parquet file is staged via symlink. In production this is the
     same code with ``format("kafka")``; everything downstream is
-    source-agnostic."""
+    source-agnostic.
+
+    The stream schema comes from a batch footer read rather than a
+    hard-coded struct: generators have written ``ts`` as both
+    TIMESTAMP(NANOS) (readable only as int64 via the legacy conf) and
+    TIMESTAMP(MICROS), and batch (`data.load_table`) and stream must agree
+    on the same microsecond TimestampType either way."""
     import hashlib
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
     stage = f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    raw = spark.readStream.schema(schema).parquet(stage)
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # int64 nanos
+        return raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    # TIMESTAMP_NTZ(us) → session-tz TimestampType; callers pin UTC, so
+    # this is a wall-clock-preserving relabel matching DuckDB's epoch().
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
