@@ -187,6 +187,85 @@ def etl_jsonl_to_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(ETL_CSV_SCHEMA).csv(csv_path)
 
 
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size, ROUND(p_retailprice, 6) AS p_retailprice
+    FROM part WHERE p_size > 25
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round trip — the other columnar format Spark ships
+    natively (a reference user on Hive-era storage switches formats, not
+    engines). Like parquet, the ORC footer carries the schema and min/max
+    stripe statistics, so the read-back filter is pushed into the scan
+    (PushedFilters asserted in tests/test_plans.py) and only matching
+    stripes are decoded at 100 TB."""
+    path = f"{IO_DIR}/part_orc"
+    (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            F.round("p_retailprice", 6).alias("p_retailprice"),
+        )
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    return spark.read.orc(path).filter(F.col("p_size") > 25)
+
+
+# Quarantine scan: schema of the good columns plus the corrupt-record
+# capture column. Built fresh (NOT via NATION_CSV_SCHEMA.add, which mutates
+# the shared struct in place).
+NATION_QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+
+@query(
+    "scan_csv_quarantine",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey % 5 <> 2",
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforcing CSV scan with corrupt-record quarantine — the
+    ingestion shape a 100 TB pipeline needs when upstream files carry
+    malformed lines (truncated rows, type garbage). The fixture stages
+    nation as CSV with every (key % 5 == 2) row deliberately mangled into
+    a non-parseable line; the scan runs PERMISSIVE with a
+    columnNameOfCorruptRecord capture column, so bad lines surface as rows
+    with the raw text in `_corrupt` instead of failing the job — clean
+    rows flow on, quarantined rows are filterable to a dead-letter sink.
+    Declared result: the clean rows (oracle: the unmangled subset). All
+    narrow — no shuffle, per-line parsing stays in the scan."""
+    path = f"{IO_DIR}/nation_csv_corrupt"
+    n = load_table(spark, sf_dir, "nation")
+    lines = n.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 2,
+            F.concat(F.lit("#corrupt#"), F.col("n_name")),
+        )
+        .otherwise(F.concat_ws(",", "n_nationkey", "n_name", "n_regionkey"))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = (
+        spark.read.schema(NATION_QUARANTINE_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return raw.filter(F.col("_corrupt").isNull()).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # P. Projections / filters
 # ---------------------------------------------------------------------------
@@ -412,6 +491,42 @@ def split_train_test_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("t") <= F.col("cutoff"), "train")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+K_FOLDS = 5
+
+
+@query(
+    "split_kfold",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL})
+    SELECT CAST(interaction_id % {K_FOLDS} AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items,
+           ROUND(SUM(rating), 6) AS sum_rating
+    FROM r GROUP BY 1
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment ({K_FOLDS} folds) plus the
+    fold-balance profile (row / distinct-user / distinct-item counts per
+    fold) that validates the assignment before training. Same design rule
+    as D4: fold = key-hash, not RNG, so the assignment is reproducible
+    across engines, retries, and repartitioning — at 100 TB a fold you can
+    recompute beats a fold you must persist. One grouped aggregate; the
+    two COUNT(DISTINCT)s compile to a single Expand + two-level aggregate,
+    not two jobs."""
+    r = _ratings(spark, sf_dir)
+    return (
+        r.groupBy((F.col("interaction_id") % K_FOLDS).cast("long").alias("fold"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("item_id").alias("n_items"),
+            F.round(F.sum("rating"), 6).alias("sum_rating"),
+        )
     )
 
 

@@ -528,3 +528,61 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w.ctoks").cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.col("w.ctoks")).alias("chunk"),
     )
+
+
+TFIDF_TOP_N = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, UNNEST({ORACLE_TOKENS}) AS term
+                 FROM documents WHERE LENGTH(trim(text)) > 0),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+          WHERE LENGTH(trim(text)) > 0),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 ROUND(tf.tf * LN(n.n_docs / dfq.df), 6) AS score
+          FROM tf JOIN dfq ON tf.term = dfq.term, n),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rnk FROM s)
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {TFIDF_TOP_N}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP_N} terms by tf-idf — the classic
+    keyword-extraction / relevance-feature op over the corpus. Three
+    keyed aggregates chained: term frequency per (doc, term), document
+    frequency per term (counted off the tf table — one row per (doc,term)
+    already), and the corpus size as a one-row broadcast. The tf⋈df join
+    shuffles on term (vocabulary-sized, never broadcast at 100 TB) and the
+    final ranking window is partitioned by doc_id — every stage is keyed,
+    nothing global. Ranking orders by the ROUNDED score with a term
+    tiebreak so last-ulp libm differences between engines cannot reorder
+    the top-k."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    from pyspark.sql import Window
+
+    tok = d.select("doc_id", F.explode(TOKENS()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    s = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

@@ -440,3 +440,44 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("item_id", 0.023).alias("approx_items"),
         F.approx_count_distinct("user_id", 0.023).alias("approx_users"),
     )
+
+
+Z_THRESHOLD = 2.5
+
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+    WITH s AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE ABS(ROUND((e.value - s.mu) / s.sigma, 6)) >= {Z_THRESHOLD}
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| ≥ {Z_THRESHOLD} against the
+    event_type's mean/stddev) — the data-quality screen a training pipeline
+    runs before trusting a metric column. Deliberately two-pass (tiny
+    stats aggregate, then broadcast back over a second scan) rather than an
+    analytic window: with a handful of event_types, a window partitioned by
+    event_type concentrates 100 TB into a few huge partitions, while the
+    broadcast join keeps the second pass embarrassingly parallel. Both
+    engines filter on the ROUNDED z so borderline float noise in the
+    aggregation order cannot flip row membership."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
+    )

@@ -136,6 +136,11 @@ DRIVER_PRIORITY: list[str] = [
     "mllib_als_recommend",
     "stream_sessionize",
     # round-3 front-runners appended here as they are added
+    "scan_orc",
+    "scan_csv_quarantine",
+    "split_kfold",
+    "anomaly_zscore",
+    "tfidf_top_terms",
 ]
 
 

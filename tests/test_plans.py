@@ -140,6 +140,29 @@ def test_training_epoch_plan_depth_is_constant(spark):
     assert p3 < p1 * 2, f"plan grows with epochs: {p1} -> {p3}"
 
 
+def test_scan_orc_pushdown(spark, sf_dir):
+    """scan_orc: the read-back filter must reach the ORC scan as a pushed
+    filter (stripe-stat pruning at 100 TB), same contract as parquet."""
+    df = q("scan_orc", spark, sf_dir)
+    assert_pushed_filter(df, "p_size")
+    assert count_exchanges(df) == 0
+
+
+def test_anomaly_zscore_stats_are_broadcast(spark, sf_dir):
+    """anomaly_zscore: the per-type stats table joins as the broadcast
+    build side — the second pass over events stays embarrassingly
+    parallel instead of a window skew-partitioned by event_type."""
+    assert_broadcast_join(q("anomaly_zscore", spark, sf_dir))
+
+
+def test_tfidf_window_is_doc_partitioned(spark, sf_dir):
+    """tfidf_top_terms: the ranking window must be partitioned by doc_id —
+    keyed, never a global single-partition sort."""
+    plan = physical_plan(q("tfidf_top_terms", spark, sf_dir), "simple")
+    win = [l for l in plan.splitlines() if "Window" in l]
+    assert win and "windowspecdefinition(doc_id" in win[0]
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """join_bucketed: bucketBy'd scans satisfy the join + agg distribution
     requirements — ZERO Exchange anywhere in the plan (the 100 TB payoff:
@@ -167,6 +190,7 @@ _NON_EQUI_OK = {
     "sgd_epoch_user_update", "sgd_epoch_item_update",
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
     "key_skew_profile",  # 1-row total-count broadcast onto top-k rows
+    "tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf table
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
