@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "agg_grouping_sets",
     "session_window_native",
     "split_train_test_temporal",
+    "tfidf_top_terms",
+    "anomaly_zscore",
+    "sink_parquet_sorted",
 ]
 
 FUNK_EPOCHS = 5

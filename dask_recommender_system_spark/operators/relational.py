@@ -216,6 +216,48 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).filter(F.col("p_size") > 25)
 
 
+@query(
+    "sink_parquet_sorted",
+    oracle=f"""
+    SELECT event_id, {ORACLE_EPOCH.format(col='ts')} AS ts_s, event_type,
+           ROUND(value, 6) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+    """,
+)
+def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, sorted parquet layout + stat-pruned read-back —
+    the time-series layout move at 100 TB: ``repartitionByRange(ts)`` +
+    ``sortWithinPartitions(ts)`` makes every output file cover a narrow,
+    disjoint time band, so a read-back band filter skips whole files and
+    row groups on parquet min/max stats instead of scanning the table
+    (single-dimension Z-order). The filter is also pushed into the scan
+    (asserted in tests/test_plans.py). Declared result: one week of
+    events read back through the sorted layout, oracle-checked against
+    the unsorted source — pinning that re-layout preserves content."""
+    _utc(spark)
+    path = f"{IO_DIR}/events_sorted_parquet"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    rb = spark.read.parquet(path).filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-17").cast("timestamp"))
+    )
+    return rb.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
 # Quarantine scan: schema of the good columns plus the corrupt-record
 # capture column. Built fresh (NOT via NATION_CSV_SCHEMA.add, which mutates
 # the shared struct in place).

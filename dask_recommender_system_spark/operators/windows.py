@@ -442,6 +442,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hll_sketch_rollup")  # no oracle: Datasketches HLL binaries are
+# engine-specific; the estimate-vs-exact error bound is asserted in
+# tests/test_oracle_parity.py instead
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB distinct-count pattern:
+    per-(event_type, day) HLL sketches of user_id built in ONE pass at
+    ingest grain, then rolled up to per-event_type distinct-user estimates
+    by UNIONING the day sketches (`hll_union_agg`) — never rescanning the
+    base data. At scale the daily sketch table (a few KB per group) is
+    what you persist; every coarser rollup (weekly, monthly, all-time) is
+    a cheap merge over sketches, which an exact countDistinct cannot do
+    (its per-day distinct sets don't add). Two keyed hash aggregates,
+    both map-side-partial; the second runs on |types|×|days| rows."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n_rows"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_rows").alias("n_rows"),
+        F.count("*").alias("n_days"),
+    )
+
+
 Z_THRESHOLD = 2.5
 
 

@@ -141,6 +141,8 @@ DRIVER_PRIORITY: list[str] = [
     "split_kfold",
     "anomaly_zscore",
     "tfidf_top_terms",
+    "sink_parquet_sorted",
+    "hll_sketch_rollup",
 ]
 
 

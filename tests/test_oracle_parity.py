@@ -61,3 +61,32 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     for b, n in exact.items():
         assert abs(approx[b] - n) <= max(0.07 * n, 2), (b, approx[b], n)
+
+
+def test_hll_rollup_error_bound(spark, sf_dir):
+    """hll_sketch_rollup (rows-only for the driver): the merged-sketch
+    estimate must track the exact per-type distinct-user count within a
+    few percent, and the row/day counts are exact."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+
+    rolled = {
+        r["event_type"]: r
+        for r in REGISTRY["hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    n_rows = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(rolled) == set(exact)
+    for t, n in exact.items():
+        assert abs(rolled[t]["approx_users"] - n) <= max(0.05 * n, 2)
+        assert rolled[t]["n_rows"] == n_rows[t]

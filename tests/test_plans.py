@@ -163,6 +163,22 @@ def test_tfidf_window_is_doc_partitioned(spark, sf_dir):
     assert win and "windowspecdefinition(doc_id" in win[0]
 
 
+def test_sink_parquet_sorted_readback_pushdown(spark, sf_dir):
+    """sink_parquet_sorted: the band filter must reach the read-back scan
+    as a pushed filter — with the range-partitioned sorted layout, that is
+    what turns the filter into file/row-group skipping at 100 TB."""
+    df = q("sink_parquet_sorted", spark, sf_dir)
+    assert_pushed_filter(df, "ts")
+    assert count_exchanges(df) == 0
+
+
+def test_hll_rollup_two_keyed_aggregates(spark, sf_dir):
+    """hll_sketch_rollup: daily sketch build + union rollup = two keyed
+    hash-aggregate shuffles, nothing global."""
+    df = q("hll_sketch_rollup", spark, sf_dir)
+    assert count_exchanges(df) == 2
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """join_bucketed: bucketBy'd scans satisfy the join + agg distribution
     requirements — ZERO Exchange anywhere in the plan (the 100 TB payoff:
