@@ -229,13 +229,24 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-partitioned, sorted parquet layout + stat-pruned read-back —
     the time-series layout move at 100 TB: ``repartitionByRange(ts)`` +
     ``sortWithinPartitions(ts)`` makes every output file cover a narrow,
-    disjoint time band, so a read-back band filter skips whole files and
-    row groups on parquet min/max stats instead of scanning the table
-    (single-dimension Z-order). The filter is also pushed into the scan
-    (asserted in tests/test_plans.py). Declared result: one week of
-    events read back through the sorted layout, oracle-checked against
-    the unsorted source — pinning that re-layout preserves content."""
+    disjoint time band, so the pushed band filter (asserted in
+    tests/test_plans.py) skips non-matching row groups — and pages, via
+    the parquet column index — on their min/max stats inside the reader
+    (single-dimension Z-order). File-level pruning on the same stats is
+    what a table format's metadata index (Delta/Iceberg) would add; with
+    plain parquet the win is per-row-group, which the sorted layout makes
+    near-total because each row group covers a disjoint band. Declared
+    result: one week of events read back through the sorted layout,
+    oracle-checked against the unsorted source — pinning that re-layout
+    preserves content.
+
+    Spark's default parquet timestamp encoding is INT96, which carries NO
+    column statistics — a sorted layout written that way silently loses
+    all pruning. TIMESTAMP_MICROS is set for the write so every row group
+    gets real ts min/max (measured at sf0.1: the week band then touches
+    3/8 row groups instead of 8/8 — see SCALE.md)."""
     _utc(spark)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     path = f"{IO_DIR}/events_sorted_parquet"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"

@@ -166,10 +166,36 @@ def test_tfidf_window_is_doc_partitioned(spark, sf_dir):
 def test_sink_parquet_sorted_readback_pushdown(spark, sf_dir):
     """sink_parquet_sorted: the band filter must reach the read-back scan
     as a pushed filter — with the range-partitioned sorted layout, that is
-    what turns the filter into file/row-group skipping at 100 TB."""
+    what turns the filter into row-group skipping at 100 TB."""
     df = q("sink_parquet_sorted", spark, sf_dir)
     assert_pushed_filter(df, "ts")
     assert count_exchanges(df) == 0
+
+
+def test_sink_parquet_sorted_files_carry_ts_stats(spark, sf_dir):
+    """The written layout must carry real ts min/max column statistics —
+    Spark's default INT96 timestamp encoding writes NONE, silently
+    defeating all pruning. Regression-pins the TIMESTAMP_MICROS output
+    setting, and that the sorted files' ts ranges are disjoint."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    q("sink_parquet_sorted", spark, sf_dir).count()
+    from dask_recommender_system_spark.operators.relational import IO_DIR
+
+    ranges = []
+    for f in glob.glob(f"{IO_DIR}/events_sorted_parquet/*.parquet"):
+        pf = pq.ParquetFile(f)
+        ts_i = pf.schema_arrow.names.index("ts")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(ts_i).statistics
+            assert st is not None and st.has_min_max, f"{f}: no ts stats"
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (_, prev_max), (nxt_min, _) in zip(ranges, ranges[1:]):
+        assert prev_max <= nxt_min, "row-group ts ranges overlap"
 
 
 def test_hll_rollup_two_keyed_aggregates(spark, sf_dir):
