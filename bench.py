@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "anomaly_zscore",
     "sink_parquet_sorted",
+    "parse_logs_regex",
 ]
 
 FUNK_EPOCHS = 5
@@ -68,39 +69,34 @@ def main() -> None:
         # for their executor-memory footprint
         spark.catalog.clearCache()
 
-    # training benchmark: reference-parity FunkSVD, k=30 (report.pdf config)
+    # training benchmark: reference-parity FunkSVD, k=30 (report.pdf config).
+    # Marginal s/epoch comes from the models' own per-epoch timers
+    # (model.epoch_times, which exclude prep/encode), averaging the last
+    # epochs so the first epoch absorbs JIT/shuffle-file warmup. The
+    # previous two-fit subtraction estimator ((total5 - first1) / 4) was
+    # noise-amplifying: one GC pause in either fit lands fully in the
+    # difference (observed 3x swings on identical code).
     r = ratings_from_df(
         load_table(spark, SF_DIR, "lineitem"), load_table(spark, SF_DIR, "orders")
     )
     n_ratings = r.count()
-    model = FunkSVD(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=1)
-    t0 = time.perf_counter()
-    model.fit(r, user_col="user_id", item_col="item_id", rating_col="rating")
-    first_epoch_s = time.perf_counter() - t0  # includes prep/encode/stats
-
     model = FunkSVD(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=FUNK_EPOCHS)
     t0 = time.perf_counter()
     model.fit(r, user_col="user_id", item_col="item_id", rating_col="rating")
     total_s = time.perf_counter() - t0
-    # marginal per-epoch cost, prep amortized out (reference Tables 2-4
-    # report per-epoch seconds the same way)
-    epoch_s = max(total_s - first_epoch_s, 1e-9) / (FUNK_EPOCHS - 1)
+    tail = model.epoch_times[1:]
+    epoch_s = sum(tail) / len(tail)
     timings["funk_svd_epoch"] = round(epoch_s, 3)
     timings["funk_svd_fit_total"] = round(total_s, 3)
 
     # ALS marginal s/epoch (reference: ~1.5x FunkSVD — two error recomputes
     # per epoch, report.pdf §7.2.1; their local number is 14.39 s/epoch)
-    model = ALS(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=1)
-    t0 = time.perf_counter()
-    model.fit(r, user_col="user_id", item_col="item_id", rating_col="rating")
-    als_first_s = time.perf_counter() - t0
     model = ALS(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=FUNK_EPOCHS)
     t0 = time.perf_counter()
     model.fit(r, user_col="user_id", item_col="item_id", rating_col="rating")
     als_total_s = time.perf_counter() - t0
-    timings["als_epoch"] = round(
-        max(als_total_s - als_first_s, 1e-9) / (FUNK_EPOCHS - 1), 3
-    )
+    als_tail = model.epoch_times[1:]
+    timings["als_epoch"] = round(sum(als_tail) / len(als_tail), 3)
     timings["als_fit_total"] = round(als_total_s, 3)
 
     # 100-epoch endurance run at the reference's published config
@@ -127,6 +123,12 @@ def main() -> None:
         extras["funk_svd_100ep_first10_s"] = round(sum(et[:10]) / 10, 3)
         extras["funk_svd_100ep_last10_s"] = round(sum(et[-10:]) / 10, 3)
         extras["funk_svd_100ep_final_rmse"] = round(model.train_errors[-1][2], 6)
+        # steady-state s/epoch over all 100 epochs — the apples-to-apples
+        # number against the reference's published 100-epoch totals
+        # (BASELINE.md Tables 2-3: 966 s / 100 epochs at 219k rows); the
+        # short 5-epoch segment above still carries warmup in its tail.
+        epoch_s = sum(et) / len(et)
+        extras["funk_svd_epoch_steady"] = round(epoch_s, 3)
 
     total = round(sum(timings.values()), 3)
     print(

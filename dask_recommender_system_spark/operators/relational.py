@@ -269,6 +269,53 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "parse_logs_regex",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, {ORACLE_EPOCH.format(col='ts')} AS ts_s
+    FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    """,
+)
+def parse_logs_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-log ingestion: events serialized to a syslog-style text line
+    (deterministic concat), written as a text file, then re-parsed with
+    ``regexp_extract`` + casts back into typed columns — the classic
+    entry stage of a 100 TB pipeline whose upstream is log files, not
+    columnar tables. Parsing is a narrow JVM regex stage fused into the
+    scan (no shuffle, no Python); the type filter applies after the
+    extract, pinning that predicates compose with parsed columns.
+    Timestamps are second-truncated in the line format, matching the
+    engine-wide epoch-seconds projection."""
+    _utc(spark)
+    path = f"{IO_DIR}/events_log_text"
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("["),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit("Z] evt="),
+            F.col("event_id"),
+            F.lit(" user="),
+            F.col("user_id"),
+            F.lit(" type="),
+            F.col("event_type"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    pat = r"^\[(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})Z\] evt=(\d+) user=(\d+) type=(\w+)$"
+    return raw.select(
+        F.regexp_extract("value", pat, 2).cast("long").alias("event_id"),
+        F.regexp_extract("value", pat, 3).cast("long").alias("user_id"),
+        F.regexp_extract("value", pat, 4).alias("event_type"),
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.regexp_extract("value", pat, 1), "yyyy-MM-dd'T'HH:mm:ss"
+            )
+        ).alias("ts_s"),
+    ).filter(F.col("event_type").isin("click", "view", "purchase"))
+
+
 # Quarantine scan: schema of the good columns plus the corrupt-record
 # capture column. Built fresh (NOT via NATION_CSV_SCHEMA.add, which mutates
 # the shared struct in place).

@@ -143,6 +143,7 @@ DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "sink_parquet_sorted",
     "hll_sketch_rollup",
+    "parse_logs_regex",
 ]
 
 
