@@ -269,24 +269,21 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "parse_logs_regex",
-    oracle=f"""
+LOG_LINE_PATTERN = (
+    r"^\[(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})Z\] evt=(\d+) user=(\d+) type=(\w+)$"
+)
+
+PARSE_LOGS_SQL = f"""
     SELECT event_id, user_id, event_type, {ORACLE_EPOCH.format(col='ts')} AS ts_s
     FROM events WHERE event_type IN ('click', 'view', 'purchase')
-    """,
-)
-def parse_logs_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw-log ingestion: events serialized to a syslog-style text line
-    (deterministic concat), written as a text file, then re-parsed with
-    ``regexp_extract`` + casts back into typed columns — the classic
-    entry stage of a 100 TB pipeline whose upstream is log files, not
-    columnar tables. Parsing is a narrow JVM regex stage fused into the
-    scan (no shuffle, no Python); the type filter applies after the
-    extract, pinning that predicates compose with parsed columns.
-    Timestamps are second-truncated in the line format, matching the
-    engine-wide epoch-seconds projection."""
-    _utc(spark)
+    """
+
+
+def write_log_lines(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as syslog-style text lines (deterministic concat) —
+    the fixture for the raw-log ingestion operators. Timestamps are
+    second-truncated in the line format, matching the engine-wide
+    epoch-seconds projection."""
     path = f"{IO_DIR}/events_log_text"
     ev = load_table(spark, sf_dir, "events")
     lines = ev.select(
@@ -302,8 +299,14 @@ def parse_logs_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value")
     )
     lines.write.mode("overwrite").text(path)
-    raw = spark.read.text(path)
-    pat = r"^\[(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})Z\] evt=(\d+) user=(\d+) type=(\w+)$"
+    return path
+
+
+def parse_log_lines(raw: DataFrame) -> DataFrame:
+    """regexp_extract + casts from a `value: string` frame back to typed
+    columns — shared verbatim by the batch and streaming ingestion twins
+    (identical expressions ⇒ identical semantics ⇒ one oracle)."""
+    pat = LOG_LINE_PATTERN
     return raw.select(
         F.regexp_extract("value", pat, 2).cast("long").alias("event_id"),
         F.regexp_extract("value", pat, 3).cast("long").alias("user_id"),
@@ -314,6 +317,22 @@ def parse_logs_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ts_s"),
     ).filter(F.col("event_type").isin("click", "view", "purchase"))
+
+
+@query("parse_logs_regex", oracle=PARSE_LOGS_SQL)
+def parse_logs_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-log ingestion: events serialized to a syslog-style text line
+    (deterministic concat), written as a text file, then re-parsed with
+    ``regexp_extract`` + casts back into typed columns — the classic
+    entry stage of a 100 TB pipeline whose upstream is log files, not
+    columnar tables. Parsing is a narrow JVM regex stage fused into the
+    scan (no shuffle, no Python); the type filter applies after the
+    extract, pinning that predicates compose with parsed columns. The
+    streaming twin `stream_parse_logs` replays the same lines through
+    readStream with the same parse expressions and the same oracle."""
+    _utc(spark)
+    path = write_log_lines(spark, sf_dir)
+    return parse_log_lines(spark.read.text(path))
 
 
 # Quarantine scan: schema of the good columns plus the corrupt-record

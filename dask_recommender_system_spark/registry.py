@@ -144,6 +144,7 @@ DRIVER_PRIORITY: list[str] = [
     "sink_parquet_sorted",
     "hll_sketch_rollup",
     "parse_logs_regex",
+    "stream_parse_logs",
 ]
 
 

@@ -280,6 +280,32 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_parse_logs",
+    oracle=REGISTRY["parse_logs_regex"].oracle,
+)
+def stream_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming raw-log ingestion — the tail -f shape of
+    `parse_logs_regex`: the staged log-line directory replays through
+    ``readStream.text`` into the SAME regexp_extract parse/cast chain
+    (`operators.relational.parse_log_lines`, shared verbatim), so batch
+    and stream share one oracle. Stateless narrow pipeline → append mode
+    with no watermark needed; in production the source is the log
+    shipper's bucket and this exact query runs forever."""
+    from ..operators.relational import parse_log_lines, write_log_lines
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = write_log_lines(spark, sf_dir)
+    parsed = parse_log_lines(spark.readStream.text(path))
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = parsed.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @query("stream_sessionize")  # no oracle: closed-session semantics (append
 # mode: sessions closed by a later event OR flushed by the event-time
 # timer) aren't the full batch session set; value-parity vs the batch
