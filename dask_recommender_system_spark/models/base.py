@@ -114,6 +114,8 @@ class _SGDRecommenderBase:
         u, i = checkpoint(u), checkpoint(i)
 
         self.train_errors = []
+        self.epoch_times = []  # per-fit, like train_errors — bench's
+        # marginal-epoch estimator slices epoch_times[1:] of ONE fit
         u, i = self._run_epochs(r_enc, u, i, collect_errors)
         self.u_params, self.i_params = u, i
         r_enc.unpersist()

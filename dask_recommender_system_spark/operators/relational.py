@@ -246,17 +246,23 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets real ts min/max (measured at sf0.1: the week band then touches
     3/8 row groups instead of 8/8 — see SCALE.md)."""
     _utc(spark)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     path = f"{IO_DIR}/events_sorted_parquet"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    (
-        ev.repartitionByRange(8, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # conf is scoped to this one write and restored — leaking it would make
+    # every later parquet sink's encoding depend on whether this query ran
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            ev.repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     rb = spark.read.parquet(path).filter(
         (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
         & (F.col("ts") < F.lit("2024-01-17").cast("timestamp"))
@@ -629,7 +635,7 @@ K_FOLDS = 5
     """,
 )
 def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-fold cross-validation assignment ({K_FOLDS} folds) plus the
+    """K-fold cross-validation assignment (K_FOLDS = 5 folds) plus the
     fold-balance profile (row / distinct-user / distinct-item counts per
     fold) that validates the assignment before training. Same design rule
     as D4: fold = key-hash, not RNG, so the assignment is reproducible

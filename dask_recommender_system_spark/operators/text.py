@@ -394,7 +394,7 @@ TOKEN_BUCKET_WIDTH = 10
     """,
 )
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-count distribution histogram ({TOKEN_BUCKET_WIDTH}-token
+    """Token-count distribution histogram (TOKEN_BUCKET_WIDTH = 10-token
     buckets) — the length profile every packing/curriculum decision reads
     before training. Narrow map to a bucket key + hash aggregate with
     map-side partials; output cardinality = number of buckets, so the
@@ -443,10 +443,10 @@ PACK_GROUPS = 16
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — concatenate documents into fixed token-budget
-    training sequences ({PACK_BUDGET} tokens), GPT-style: docs are laid
+    training sequences (PACK_BUDGET = 256 tokens), GPT-style: docs are laid
     end-to-end in deterministic doc_id order and split at exact budget
     boundaries (straddling allowed). Packing is a prefix-sum recurrence,
-    so the scale design is {PACK_GROUPS} independent packing streams
+    so the scale design is PACK_GROUPS = 16 independent packing streams
     (grp = doc_id % G): ONE shuffle partitioned by grp, a running-sum
     window per stream, then pure arithmetic — no global order, no
     single-partition window. At 100 TB, G scales with the cluster and
@@ -501,8 +501,8 @@ CHUNK_STRIDE = 48
 )
 def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking — the LLM-training-pipeline op that turns long
-    documents into fixed-size token windows ({CHUNK_SIZE} tokens, stride
-    {CHUNK_STRIDE}, i.e. 16-token overlap) ready for tokenization/packing.
+    documents into fixed-size token windows (CHUNK_SIZE = 64 tokens, stride
+    CHUNK_STRIDE = 48, i.e. 16-token overlap) ready for tokenization/packing.
     One narrow JVM stage: tokenize → window starts (`sequence`) → slice +
     rejoin per start (`transform` higher-order fn) → `posexplode`. No
     shuffle, no Python; row count multiplies by ~n_tokens/stride, so at
@@ -553,7 +553,7 @@ TFIDF_TOP_N = 3
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-{TFIDF_TOP_N} terms by tf-idf — the classic
+    """Per-document top-k (TFIDF_TOP_N = 3) terms by tf-idf — the classic
     keyword-extraction / relevance-feature op over the corpus. Three
     keyed aggregates chained: term frequency per (doc, term), document
     frequency per term (counted off the tf table — one row per (doc,term)

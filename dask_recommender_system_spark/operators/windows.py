@@ -478,11 +478,12 @@ Z_THRESHOLD = 2.5
     SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value,
            ROUND((e.value - s.mu) / s.sigma, 6) AS z
     FROM events e JOIN s ON e.event_type = s.event_type
-    WHERE ABS(ROUND((e.value - s.mu) / s.sigma, 6)) >= {Z_THRESHOLD}
+    WHERE s.sigma > 0
+      AND ABS(ROUND((e.value - s.mu) / s.sigma, 6)) >= {Z_THRESHOLD}
     """,
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group z-score outlier detection (|z| ≥ {Z_THRESHOLD} against the
+    """Per-group z-score outlier detection (|z| ≥ Z_THRESHOLD = 2.5 against the
     event_type's mean/stddev) — the data-quality screen a training pipeline
     runs before trusting a metric column. Deliberately two-pass (tiny
     stats aggregate, then broadcast back over a second scan) rather than an
@@ -490,11 +491,14 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type concentrates 100 TB into a few huge partitions, while the
     broadcast join keeps the second pass embarrassingly parallel. Both
     engines filter on the ROUNDED z so borderline float noise in the
-    aggregation order cannot flip row membership."""
+    aggregation order cannot flip row membership; zero-variance and
+    single-row groups are excluded EXPLICITLY (sigma > 0) on both sides —
+    division-by-zero semantics differ across engines/configs (NULL vs
+    NaN/inf), so the guard keeps membership engine-independent."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
-    )
+    ).filter(F.col("sigma") > 0)
     z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
     return (
         ev.join(F.broadcast(stats), "event_type")

@@ -135,7 +135,12 @@ DRIVER_PRIORITY: list[str] = [
     "als_fit_metrics",
     "mllib_als_recommend",
     "stream_sessionize",
-    # round-3 front-runners appended here as they are added
+    # ---- round-3 front-runners ----
+    # Queries added mid-round-2: the 50-slot window above is already fully
+    # claimed by round-1's never-checked set (including its rows-only
+    # entries, which still need their FIRST driver verdict), so these wait.
+    # At round-3 start, rotate: move this block to the TOP and drop every
+    # name that earned a green CORRECTNESS_r02 row to the bottom.
     "scan_orc",
     "scan_csv_quarantine",
     "split_kfold",

@@ -47,14 +47,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     raw = spark.readStream.schema(schema).parquet(stage)
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):  # int64 nanos
-        return raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    # TIMESTAMP_NTZ(us) → session-tz TimestampType; callers pin UTC, so
-    # this is a wall-clock-preserving relabel matching DuckDB's epoch().
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # same normalization as the batch loader — one function, so batch and
+    # stream cannot desynchronize on the next encoding change
+    from ..data import normalize_event_ts
+
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
