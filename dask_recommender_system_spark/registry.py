@@ -150,6 +150,7 @@ DRIVER_PRIORITY: list[str] = [
     "hll_sketch_rollup",
     "parse_logs_regex",
     "stream_parse_logs",
+    "stream_foreachbatch_sink",
 ]
 
 

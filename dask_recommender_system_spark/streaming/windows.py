@@ -303,6 +303,61 @@ def stream_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+           ROUND(value, 6) AS value
+    FROM events
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL sink via ``foreachBatch`` — the production shape for
+    writing a stream to batch storage with replay-safe (idempotent)
+    semantics: each micro-batch lands in its OWN ``batch_id=`` partition
+    with dynamic partition overwrite, so a batch replayed after a failure
+    overwrites exactly its previous output instead of duplicating it
+    (exactly-once at the sink without a transactional table format).
+    foreachBatch is also where per-batch batch-only operations (MERGE,
+    JDBC upserts, multi-sink fan-out) attach to a stream. Declared
+    result: the sink read back — oracle-checked against the source
+    table, pinning that stream → foreachBatch → parquet loses and
+    duplicates nothing."""
+    import shutil
+
+    from ..operators.relational import IO_DIR
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out_dir = f"{IO_DIR}/stream_fb_sink"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = stream.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "event_type", "ts_s", "value"
+    )
+
+
 @query("stream_sessionize")  # no oracle: closed-session semantics (append
 # mode: sessions closed by a later event OR flushed by the event-time
 # timer) aren't the full batch session set; value-parity vs the batch
