@@ -124,6 +124,68 @@ QUANT_SQL = """
 """
 
 
+COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_ratings", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("events_per_rating", T.DoubleType()),
+    ]
+)
+
+COGROUP_SQL = """
+    WITH r AS (
+        SELECT o.o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_ratings
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    ),
+    e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY user_id)
+    SELECT r.user_id, r.n_ratings, e.n_events,
+           ROUND(e.n_events * 1.0 / r.n_ratings, 6) AS events_per_rating
+    FROM r JOIN e ON r.user_id = e.user_id
+"""
+
+
+@query("cogroup_user_activity", oracle=COGROUP_SQL)
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pattern — ``groupBy(k).cogroup(other.groupBy(k))``
+    ``.applyInPandas``: both tables shuffle ONCE on the key, then each
+    user's ratings AND events arrive together in one Python call. This
+    query's per-user logic (count alignment) is deliberately
+    SQL-expressible so the cogroup machinery itself is value-checked
+    against a two-aggregate join oracle; the pattern's real use is
+    per-key alignment logic SQL can't express (sequence interleaving,
+    per-user model scoring against history) — this pins the plumbing
+    that would carry it. Completes the Arrow-crossing pattern matrix:
+    scalar pandas_udf, GROUPED_MAP, mapInPandas, cogroup,
+    applyInPandasWithState. Inner-join semantics (users active on both
+    sides) keep the output null-free for canonical hashing."""
+    r = _ratings(spark, sf_dir).select("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def align(key: tuple, r_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+        nr, ne = len(r_pdf), len(e_pdf)
+        if nr == 0 or ne == 0:
+            return pd.DataFrame(columns=[f.name for f in COGROUP_SCHEMA.fields])
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_ratings": nr,
+                    "n_events": ne,
+                    "events_per_rating": float(np.round(ne / nr, 6)),
+                }
+            ]
+        )
+
+    return (
+        r.groupBy("user_id")
+        .cogroup(ev.groupBy("user_id"))
+        .applyInPandas(align, schema=COGROUP_SCHEMA)
+    )
+
+
 @query("embedding_quantize_int8", oracle=QUANT_SQL)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (per-vector scale =

@@ -151,6 +151,7 @@ DRIVER_PRIORITY: list[str] = [
     "parse_logs_regex",
     "stream_parse_logs",
     "stream_foreachbatch_sink",
+    "cogroup_user_activity",
 ]
 
 

@@ -237,6 +237,7 @@ _NON_EQUI_OK = {
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
     "multimodal_decode", "multimodal_frame_sample", "user_ewma",
+    "cogroup_user_activity",
 }
 
 
@@ -258,6 +259,7 @@ def test_no_query_uses_rowwise_python_or_cartesian(spark, sf_dir):
         if name not in _NON_EQUI_OK:
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NLJ"
         if name not in _ARROW_OK:
-            for frag in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            for frag in ("ArrowEvalPython", "FlatMapGroupsInPandas",
+                         "FlatMapCoGroupsInPandas", "MapInPandas"):
                 assert frag not in plan, f"{name}: unexpected Python stage {frag}"
         spark.catalog.clearCache()
