@@ -275,6 +275,55 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Numeric columns profiled pairwise by corr_matrix; shared with the oracle.
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "corr_matrix",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"ROUND(CORR({a}, {b}), 6) AS corr FROM lineitem"
+        for idx, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[idx + 1 :]
+    ),
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the numeric fact columns —
+    the feature-redundancy screen run before training. ALL pairs compute
+    in ONE aggregate over ONE scan (each corr carries its own
+    (n, Σx, Σy, Σxy, Σx², Σy²) moments map-side), then unpivot to long
+    form — never one pass per pair: at 100 TB, k(k-1)/2 passes is the
+    difference between one job and a day of them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for idx, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[idx + 1 :]
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    long = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"{a}__{b}").alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return long.select("p.col_a", "p.col_b", "p.corr")
+
+
 LOG_LINE_PATTERN = (
     r"^\[(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})Z\] evt=(\d+) user=(\d+) type=(\w+)$"
 )

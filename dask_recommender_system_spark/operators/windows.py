@@ -467,6 +467,47 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# x for the trend fit: days since 2024-01-01 (epoch 1704067200) — scaling
+# the regressor keeps slopes in a readable range and is shared verbatim
+# with the oracle.
+TREND_EPOCH0 = 1704067200
+
+
+@query(
+    "trend_linear_fit",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(REGR_SLOPE(value, (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - {TREND_EPOCH0}) / 86400.0), 6) AS slope,
+           ROUND(REGR_INTERCEPT(value, (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - {TREND_EPOCH0}) / 86400.0), 6) AS intercept,
+           ROUND(CORR(value, (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - {TREND_EPOCH0}) / 86400.0), 6) AS r
+    FROM events GROUP BY event_type
+    """,
+)
+def trend_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (value regressed on
+    event-time, per event_type) via the built-in regression AGGREGATES —
+    the scalable way to fit a million tiny models: one map-side-partial
+    hash aggregate carrying the (n, Σx, Σy, Σxy, Σx²) moments, no
+    iteration, no Python, no per-group collect. The same shape fits
+    per-user / per-item trends at 100 TB (group key swaps, plan doesn't).
+    Both engines compute REGR_SLOPE/REGR_INTERCEPT/CORR natively from
+    identical second-truncated day offsets."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(TREND_EPOCH0)) / 86400.0
+    d = ev.select("event_type", F.col("value").alias("y"), x.alias("x"))
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.corr("y", "x"), 6).alias("r"),
+    )
+
+
 Z_THRESHOLD = 2.5
 
 

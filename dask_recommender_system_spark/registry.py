@@ -152,6 +152,8 @@ DRIVER_PRIORITY: list[str] = [
     "stream_parse_logs",
     "stream_foreachbatch_sink",
     "cogroup_user_activity",
+    "trend_linear_fit",
+    "corr_matrix",
 ]
 
 
