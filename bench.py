@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "anomaly_zscore",
     "sink_parquet_sorted",
     "parse_logs_regex",
+    "item_cf_similarity",
 ]
 
 FUNK_EPOCHS = 5

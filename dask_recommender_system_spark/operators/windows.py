@@ -271,6 +271,106 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(only)
 
 
+# item-item CF knobs, shared with the oracle: per-user history cap (the
+# scale control — co-pair work is Σ_u cap², not Σ_u n_u²) and neighbors
+# kept per item.
+CF_USER_CAP = 50
+CF_TOP_NEIGHBORS = 5
+
+
+@query(
+    "item_cf_similarity",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    dedup AS (SELECT user_id, item_id,
+                     MAX({ORACLE_EPOCH.format(col='ts')}) AS t,
+                     MAX(interaction_id) AS tie
+              FROM r GROUP BY user_id, item_id),
+    capped AS (SELECT user_id, item_id FROM (
+        SELECT user_id, item_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY t DESC, tie DESC) AS rn
+        FROM dedup) WHERE rn <= {CF_USER_CAP}),
+    co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                  CAST(COUNT(*) AS BIGINT) AS co
+           FROM capped a JOIN capped b
+             ON a.user_id = b.user_id AND a.item_id < b.item_id
+           GROUP BY 1, 2),
+    cnt AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM capped GROUP BY item_id),
+    sim AS (SELECT item_a, item_b, co,
+                   ROUND(co / SQRT(ca.n * cb.n), 6) AS sim
+            FROM co JOIN cnt ca ON co.item_a = ca.item_id
+                    JOIN cnt cb ON co.item_b = cb.item_id),
+    sym AS (SELECT item_a AS item, item_b AS neighbor, co, sim FROM sim
+            UNION ALL
+            SELECT item_b AS item, item_a AS neighbor, co, sim FROM sim)
+    SELECT item, neighbor, co, sim, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                     ORDER BY sim DESC, neighbor) AS rnk
+        FROM sym) WHERE rnk <= {CF_TOP_NEIGHBORS}
+    """,
+)
+def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity — the classic
+    neighborhood-method complement to the reference's factor models:
+    items are similar when the same users interact with both (cosine over
+    binary user vectors = co_count / sqrt(n_a * n_b)), top neighbors kept
+    per item. The 100 TB shape: histories are CAPPED to each user's
+    CF_USER_CAP = 50 most recent items FIRST (deterministic recency
+    ranking), so the within-user pair generation — the only superlinear
+    stage — is bounded by Σ_u cap² instead of a power-user's n_u²; the
+    co-count is then one keyed hash aggregate, degree normalization two
+    small joins, and the per-item top-k a keyed ranking window. Every
+    stage keyed, nothing global."""
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    dedup = r.groupBy("user_id", "item_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("t"),
+        F.max("interaction_id").alias("tie"),
+    )
+    w_cap = W.partitionBy("user_id").orderBy(F.col("t").desc(), F.col("tie").desc())
+    capped = (
+        dedup.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= CF_USER_CAP)
+        .select("user_id", "item_id")
+        .persist()
+    )
+    a = capped.select("user_id", F.col("item_id").alias("item_a"))
+    b = capped.select("user_id", F.col("item_id").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("co"))
+    )
+    cnt = capped.groupBy("item_id").agg(F.count("*").alias("n"))
+    sim = (
+        co.join(cnt.select(F.col("item_id").alias("item_a"), F.col("n").alias("na")), "item_a")
+        .join(cnt.select(F.col("item_id").alias("item_b"), F.col("n").alias("nb")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            F.round(F.col("co") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+    )
+    sym = sim.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "co", "sim"
+    ).unionByName(
+        sim.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), "co", "sim"
+        )
+    )
+    w_rank = W.partitionBy("item").orderBy(F.col("sim").desc(), "neighbor")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= CF_TOP_NEIGHBORS)
+        .select("item", "neighbor", "co", "sim", "rnk")
+    )
+
+
 @query(
     "recommend_top_k",
     oracle=f"""

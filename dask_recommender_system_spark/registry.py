@@ -154,6 +154,7 @@ DRIVER_PRIORITY: list[str] = [
     "cogroup_user_activity",
     "trend_linear_fit",
     "corr_matrix",
+    "item_cf_similarity",
 ]
 
 
