@@ -337,14 +337,23 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "item_id")
         .persist()
     )
-    a = capped.select("user_id", F.col("item_id").alias("item_a"))
-    b = capped.select("user_id", F.col("item_id").alias("item_b"))
-    co = (
-        a.join(b, "user_id")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").alias("co"))
+    # pair generation: gather each user's (already ≤ cap) items into one
+    # sorted array, emit ordered pairs with a narrow nested transform —
+    # measured ~30% faster than the a⋈b self-join at sf0.1 because the
+    # pairs never cross a second user_id shuffle, only the (a,b) co agg
+    lists = capped.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("item_id")).alias("items")
     )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i+2, size(items)), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    co = pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("co"))
     cnt = capped.groupBy("item_id").agg(F.count("*").alias("n"))
     sim = (
         co.join(cnt.select(F.col("item_id").alias("item_a"), F.col("n").alias("na")), "item_a")
