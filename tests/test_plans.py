@@ -205,6 +205,22 @@ def test_hll_rollup_two_keyed_aggregates(spark, sf_dir):
     assert count_exchanges(df) == 2
 
 
+def test_item_cf_pair_generation_is_narrow(spark, sf_dir):
+    """item_cf_similarity: pair generation must be the per-user array
+    transform — the only joins left are the two degree-normalize lookups,
+    and every window is keyed (user cap / item rank), never global."""
+    df = q("item_cf_similarity", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    for line in plan.splitlines():
+        # the ratings derivation joins on orderkey and the degree lookups
+        # on item ids; a join keyed on user_id is the self-join shape
+        if "Join" in line and "user_id" in line:
+            raise AssertionError(f"user_id-keyed pair self-join crept back: {line}")
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(user_id" in line or \
+                   "windowspecdefinition(item" in line, line
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """join_bucketed: bucketBy'd scans satisfy the join + agg distribution
     requirements — ZERO Exchange anywhere in the plan (the 100 TB payoff:
