@@ -174,7 +174,10 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "user_id": key[0],
                     "n_ratings": nr,
                     "n_events": ne,
-                    "events_per_rating": float(np.round(ne / nr, 6)),
+                    # raw quotient here; rounding happens JVM-side below so
+                    # the rule is HALF_UP like DuckDB ROUND, not numpy's
+                    # half-to-even (ADVICE r02)
+                    "events_per_rating": ne / nr,
                 }
             ]
         )
@@ -183,6 +186,7 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.groupBy("user_id")
         .cogroup(ev.groupBy("user_id"))
         .applyInPandas(align, schema=COGROUP_SCHEMA)
+        .withColumn("events_per_rating", F.round("events_per_rating", 6))
     )
 
 

@@ -429,9 +429,14 @@ PACK_GROUPS = 16
                       CAST(LEN({ORACLE_TOKENS}) AS BIGINT) AS n_tokens
                FROM documents WHERE LENGTH(trim(text)) > 0),
     s AS (SELECT doc_id, grp, n_tokens,
-                 SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                 -- CAST: DuckDB types windowed SUM(BIGINT) as HUGEINT, which
+                 -- the driver's pandas bridge materializes as float64 and the
+                 -- strict value hash then diverges (512.0 vs 512) even though
+                 -- values are identical. Same bug class as json_extract_props
+                 -- round 1 — every oracle output column must be cast.
+                 CAST(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     - n_tokens AS start_tok
+                     - n_tokens AS BIGINT) AS start_tok
           FROM t)
     SELECT doc_id, CAST(grp AS BIGINT) AS grp, n_tokens, start_tok,
            CAST(FLOOR(start_tok / {PACK_BUDGET}) AS BIGINT) AS pack_id,

@@ -331,11 +331,14 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("interaction_id").alias("tie"),
     )
     w_cap = W.partitionBy("user_id").orderBy(F.col("t").desc(), F.col("tie").desc())
+    # NOT persisted: capped feeds two consumers (lists, cnt) but its
+    # shuffle output is reused via Spark's exchange reuse, and a persist
+    # with no in-function action to unpersist after would stay pinned in
+    # executor memory for the rest of a full-registry sweep (ADVICE r02).
     capped = (
         dedup.withColumn("rn", F.row_number().over(w_cap))
         .filter(F.col("rn") <= CF_USER_CAP)
         .select("user_id", "item_id")
-        .persist()
     )
     # pair generation: gather each user's (already ≤ cap) items into one
     # sorted array, emit ordered pairs with a narrow nested transform —
@@ -534,26 +537,79 @@ def window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketches are engine-specific
+# HLL++ rsd for agg_approx_distinct, and the value-checked error bound:
+# the driver-verifiable claim is |estimate - exact| <= max(BOUND*exact, 3),
+# a >4-sigma envelope around the 2.3% rsd — deterministically true for the
+# sketch on any dataset the driver regenerates, so it can be hash-compared
+# against an oracle that emits the same exact counts and a constant 1.
+APPROX_DISTINCT_RSD = 0.023
+APPROX_DISTINCT_BOUND = 0.10
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    e AS (SELECT user_id % 10 AS bucket,
+                 COUNT(DISTINCT item_id) AS exact_items,
+                 COUNT(DISTINCT user_id) AS exact_users
+          FROM r GROUP BY user_id % 10)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(exact_items AS BIGINT) AS exact_items,
+           CAST(exact_users AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS items_within_bound,
+           CAST(1 AS BIGINT) AS users_within_bound
+    FROM e
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++) — the A1/A3 path at
     100 TB where an exact countDistinct's shuffle is not worth it: one pass,
     fixed sketch memory per group, relative error ≤ 2.3%. DuckDB's
-    approx_count_distinct uses a different sketch, so this is rows-only for
-    the driver; tests/test_oracle_parity.py asserts the relative-error
-    bound against the exact counts instead."""
+    approx_count_distinct uses a different sketch, so the raw estimate
+    cannot be hash-compared; instead the query emits the exact counts plus
+    a bounded-error FLAG (|estimate - exact| within a >4-sigma envelope of
+    the rsd), which the oracle CAN compute — promoting this from rows-only
+    to a full value-checked verdict. The exact countDistinct branch exists
+    only for this verification; production use emits the estimate alone."""
     r = ratings_from_df(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     )
-    return r.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
-        F.approx_count_distinct("item_id", 0.023).alias("approx_items"),
-        F.approx_count_distinct("user_id", 0.023).alias("approx_users"),
+    agged = r.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.approx_count_distinct("item_id", APPROX_DISTINCT_RSD).alias("ai"),
+        F.approx_count_distinct("user_id", APPROX_DISTINCT_RSD).alias("au"),
+        F.countDistinct("item_id").alias("exact_items"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    bound = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact))
+        <= F.greatest(F.lit(APPROX_DISTINCT_BOUND) * F.col(exact), F.lit(3.0))
+    ).cast("long")
+    return agged.select(
+        "bucket",
+        "exact_items",
+        "exact_users",
+        bound("ai", "exact_items").alias("items_within_bound"),
+        bound("au", "exact_users").alias("users_within_bound"),
     )
 
 
-@query("hll_sketch_rollup")  # no oracle: Datasketches HLL binaries are
-# engine-specific; the estimate-vs-exact error bound is asserted in
-# tests/test_oracle_parity.py instead
+# Datasketches HLL (lgK=12) RSE is ~1.6%; the value-checked envelope is
+# |estimate - exact| <= max(HLL_ROLLUP_BOUND*exact, 3) — ~5 sigma.
+HLL_ROLLUP_BOUND = 0.08
+
+
+@query(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB distinct-count pattern:
     per-(event_type, day) HLL sketches of user_id built in ONE pass at
@@ -563,16 +619,40 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     what you persist; every coarser rollup (weekly, monthly, all-time) is
     a cheap merge over sketches, which an exact countDistinct cannot do
     (its per-day distinct sets don't add). Two keyed hash aggregates,
-    both map-side-partial; the second runs on |types|×|days| rows."""
+    both map-side-partial; the second runs on |types|×|days| rows.
+
+    Datasketches binaries are engine-specific, so the raw estimate cannot
+    be hash-compared against DuckDB; the query instead emits the exact
+    per-type distinct count plus a bounded-error FLAG the oracle can also
+    compute (promoting it from rows-only to a full value-checked verdict).
+    The exact branch is verification-only; production keeps the sketch
+    path, whose whole point is never rescanning the base data."""
     _utc(spark)
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n_rows"))
-    return daily.groupBy("event_type").agg(
+    rolled = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.sum("n_rows").alias("n_rows"),
         F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return rolled.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_rows",
+        "n_days",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(
+                F.lit(HLL_ROLLUP_BOUND) * F.col("exact_users"), F.lit(3.0)
+            )
+        )
+        .cast("long")
+        .alias("within_bound"),
     )
 
 

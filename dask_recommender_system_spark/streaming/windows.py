@@ -23,6 +23,10 @@ from ..registry import query
 from ..operators.windows import window_events_tumbling  # reuse the oracle
 from ..registry import REGISTRY
 
+# src path -> sniffed parquet schema (see read_events_stream)
+_SNIFFED_SCHEMA: dict[str, T.StructType] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema-explicit — file
     streams cannot infer). The file source requires a *directory*, so the
@@ -40,7 +44,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(src).schema
+    # footer-sniff once per src path: the eager batch read exists only to
+    # learn the ts encoding, which is fixed within a run — caching it keeps
+    # a blocking metadata job out of every streaming query's setup
+    # (ADVICE r02)
+    schema = _SNIFFED_SCHEMA.get(src)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+        _SNIFFED_SCHEMA[src] = schema
     stage = f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"

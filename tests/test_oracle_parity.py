@@ -40,12 +40,14 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """agg_approx_distinct (rows-only for the driver): HLL++ estimates must
-    sit within ~3x the configured 2.3% rsd of the exact per-bucket counts."""
+    """agg_approx_distinct now value-checks itself: each row carries the
+    exact counts plus a 0/1 bounded-error flag the oracle reproduces as a
+    constant 1 — all flags must be 1 and the exact counts must match an
+    independent exact computation."""
     from pyspark.sql import functions as F
 
-    approx = {
-        r["bucket"]: r["approx_items"]
+    rows = {
+        r["bucket"]: r
         for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
     }
     from dask_recommender_system_spark.data import load_table, ratings_from_df
@@ -59,14 +61,17 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         .agg(F.countDistinct("item_id").alias("n"))
         .collect()
     }
+    assert set(rows) == set(exact)
     for b, n in exact.items():
-        assert abs(approx[b] - n) <= max(0.07 * n, 2), (b, approx[b], n)
+        assert rows[b]["exact_items"] == n
+        assert rows[b]["items_within_bound"] == 1, (b, rows[b])
+        assert rows[b]["users_within_bound"] == 1, (b, rows[b])
 
 
 def test_hll_rollup_error_bound(spark, sf_dir):
-    """hll_sketch_rollup (rows-only for the driver): the merged-sketch
-    estimate must track the exact per-type distinct-user count within a
-    few percent, and the row/day counts are exact."""
+    """hll_sketch_rollup now value-checks itself: each row carries the exact
+    per-type distinct-user count plus a 0/1 sketch-error flag the oracle
+    reproduces as a constant 1."""
     from pyspark.sql import functions as F
 
     from dask_recommender_system_spark.data import load_table
@@ -88,5 +93,6 @@ def test_hll_rollup_error_bound(spark, sf_dir):
     }
     assert set(rolled) == set(exact)
     for t, n in exact.items():
-        assert abs(rolled[t]["approx_users"] - n) <= max(0.05 * n, 2)
+        assert rolled[t]["exact_users"] == n
+        assert rolled[t]["within_bound"] == 1, (t, rolled[t])
         assert rolled[t]["n_rows"] == n_rows[t]
