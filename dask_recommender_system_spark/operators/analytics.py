@@ -1,0 +1,180 @@
+"""Product/behavioral analytics operators (SURVEY.md §2.9 round-3
+additions X52-X54): retention cohorts, event-transition counts, RFM
+segmentation. The reference pipeline stops at ratings aggregation
+(``reference/models/als.py`` consumes a user×item matrix); these are the
+standard analytics queries a team running that pipeline asks of the same
+event/order data, expressed in the shapes that survive 100 TB — keyed
+aggregates, lag windows keyed per user, and quantile-broadcast bucketing
+instead of global NTILE sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import query
+from .relational import ORACLE_EPOCH, _utc
+
+EPOCH_TS = ORACLE_EPOCH.format(col="ts")
+
+# One week in seconds: with a UTC session and naive event timestamps the
+# gap between two Monday-midnight week starts is exactly k * 604800.
+WEEK_S = 604800
+
+
+@query(
+    "retention_cohorts",
+    oracle=f"""
+    WITH f AS (SELECT user_id,
+                      MIN(date_trunc('week', ts)) AS cohort_week
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+          FROM events)
+    SELECT CAST(FLOOR(epoch(f.cohort_week)) AS BIGINT) AS cohort_week,
+           CAST(FLOOR((epoch(a.act_week) - epoch(f.cohort_week))
+                / {WEEK_S}) AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52: weekly retention-cohort matrix — users bucketed by first-seen
+    week, counted in every later week they return. The 100 TB shape: one
+    keyed agg for first-seen (per-user MIN), one keyed distinct for
+    (user, active-week), then a user_id-keyed join — both aggregates and
+    the join share the user_id shuffle key, so AQE coalesces them onto one
+    exchange; the output is |weeks|² rows regardless of input size. No
+    global window, no driver collect."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort_week").alias("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
+                / WEEK_S
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "event_transition_counts",
+    oracle="""
+    WITH t AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_type
+               FROM events)
+    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53: first-order event-transition (Markov) counts — for each user's
+    time-ordered event stream, count (previous type → current type) pairs
+    corpus-wide. One user_id-keyed lag window (event_id tiebreak makes the
+    order total, so the lag is deterministic), then a tiny keyed agg whose
+    output is |types|² rows. The per-user window is the same shuffle shape
+    as sessionize; nothing global, no Python."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# RFM quintile boundaries as a broadcast scalar row, NOT a global NTILE:
+# ntile(5) over all customers is a single-partition window sort — the
+# classic 100 TB scale-killer. Instead: one aggregate computes the four
+# quintile cut points per metric (exact interpolated percentiles, the same
+# quantile_cont arithmetic DuckDB uses), the 1-row result broadcasts, and
+# scoring is a narrow comparison chain. Boundaries are rounded to 6 so
+# both engines compare against bit-identical cut points.
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey AS user_id,
+               MAX({ORACLE_EPOCH.format(col="o_orderdate")}) AS recency,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(SUM(o_totalprice), 6) AS monetary
+        FROM orders GROUP BY o_custkey),
+    q AS (SELECT
+        {", ".join(f"ROUND(quantile_cont({m}, {p}), 6) AS {m[0]}{int(p * 100)}"
+                   for m in ("recency", "frequency", "monetary")
+                   for p in RFM_QS)}
+        FROM rfm)
+    SELECT user_id, recency, frequency, monetary,
+           CAST(1 + (recency > r20)::INT + (recency > r40)::INT
+                  + (recency > r60)::INT + (recency > r80)::INT AS BIGINT)
+               AS r_score,
+           CAST(1 + (frequency > f20)::INT + (frequency > f40)::INT
+                  + (frequency > f60)::INT + (frequency > f80)::INT AS BIGINT)
+               AS f_score,
+           CAST(1 + (monetary > m20)::INT + (monetary > m40)::INT
+                  + (monetary > m60)::INT + (monetary > m80)::INT AS BIGINT)
+               AS m_score
+    FROM rfm CROSS JOIN q
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: RFM (recency / frequency / monetary) customer segmentation —
+    each customer scored 1-5 per metric by quintile. Implemented without
+    the textbook global NTILE (a single-partition sort at scale): one
+    keyed agg builds per-customer R/F/M, one scalar aggregate computes the
+    12 quintile boundaries (exact interpolated percentiles — the same
+    arithmetic as DuckDB's quantile_cont, rounded to 6 for bit parity),
+    and a broadcast cross join + comparison chain assigns scores. Scoring
+    is embarrassingly parallel; the only data-sized shuffle is the
+    per-customer agg."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.max(F.unix_timestamp("o_orderdate")).alias("recency"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 6).alias("monetary"),
+    )
+    cuts = rfm.agg(
+        *[
+            F.round(F.expr(f"percentile({m}, {p})"), 6).alias(f"{m[0]}{int(p * 100)}")
+            for m in ("recency", "frequency", "monetary")
+            for p in RFM_QS
+        ]
+    )
+
+    def score(m: str) -> F.Column:
+        c = F.lit(1)
+        for p in RFM_QS:
+            c = c + (F.col(m) > F.col(f"{m[0]}{int(p * 100)}")).cast("int")
+        return c.cast("long").alias(f"{m[0]}_score")
+
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency",
+        "frequency",
+        "monetary",
+        score("recency"),
+        score("frequency"),
+        score("monetary"),
+    )

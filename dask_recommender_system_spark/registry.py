@@ -53,6 +53,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all_operators() -> None:
     """Import every operator module so registration side effects run."""
     from .operators import (  # noqa: F401
+        analytics,
         dedup,
         extended,
         grouped,
@@ -83,6 +84,9 @@ def load_all_operators() -> None:
 # registered query has a green CORRECTNESS_r* row across rounds.
 DRIVER_PRIORITY: list[str] = [
     # ---- (a) new in round 3 (add names here as queries land) ----
+    "retention_cohorts",
+    "event_transition_counts",
+    "rfm_segmentation",
     # ---- (b) never driver-checked, oracle-backed ----
     "item_cf_similarity",
     "trend_linear_fit",
