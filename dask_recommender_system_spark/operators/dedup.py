@@ -477,3 +477,78 @@ def min_label_components(
             "a component's diameter exceeds max_rounds — raise max_rounds"
         )
     return labels
+
+
+# --- edit-distance-verified fuzzy dedup (X57) ----------------------------
+# Max edit distance accepted as a near-duplicate. Pairs are sourced from
+# the SAME MinHash banding as dedup_minhash_verified (recall at Jaccard
+# >= 0.5 is the property the banding is built for); the verify metric is
+# character-level Levenshtein instead of shingle Jaccard — the fuzzy-dedup
+# variant used when token order and small in-word edits matter (OCR scans,
+# templated spam). Spark computes it with the bounded form
+# levenshtein(l, r, threshold), which abandons a pair's DP early once the
+# distance provably exceeds LEV_MAX — at 100 TB the verify cost is
+# O(candidates × len × LEV_MAX), not O(candidates × len²).
+LEV_MAX = 64
+
+
+@query(
+    "dedup_levenshtein_verified",
+    oracle=f"""
+    WITH {ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+           ROUND(1 - levenshtein(da.text, db.text) * 1.0
+                 / GREATEST(LENGTH(da.text), LENGTH(db.text)), 6) AS sim
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    WHERE levenshtein(da.text, db.text) <= {LEV_MAX}
+    """,
+)
+def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57: fuzzy dedup verified by bounded edit distance — MinHash-LSH
+    band candidates -> exact-Jaccard >= 0.5 prefilter (reuses the proven
+    candidate path, so the oracle's full exact pair set checks recall) ->
+    character-level Levenshtein <= LEV_MAX on the survivors only, via
+    Spark's early-abandoning levenshtein(l, r, threshold). Emits the raw
+    distance and a normalized similarity; ASCII corpus makes Java
+    UTF-16-code-unit and DuckDB character distances identical."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cand = minhash_candidates(minhash_signatures(d))
+    ver = (
+        exact_jaccard_on_pairs(d, cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    texts = d.select("doc_id", "text")
+    pairs = ver.join(
+        texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+        "doc_a",
+    ).join(
+        texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+        "doc_b",
+    )
+    return (
+        pairs.withColumn("lev", F.levenshtein("ta", "tb", LEV_MAX).cast("long"))
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= LEV_MAX))
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev",
+            F.round(
+                1 - F.col("lev") / F.greatest(F.length("ta"), F.length("tb")), 6
+            ).alias("sim"),
+        )
+    )

@@ -591,3 +591,133 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_N)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+# --- PII redaction (X55) -------------------------------------------------
+# Patterns are the \b-anchored subset shared by Java regex (Spark) and RE2
+# (DuckDB) so both engines tokenize matches identically. The synthetic
+# corpus contains no digits at all, so deterministic markers are planted
+# per doc_id before redaction — the value check then exercises real
+# multi-match regexp_replace/regexp_count parity instead of a no-op.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE = "\\b\\d{3}-\\d{4}\\b"
+
+_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' from 10.'"
+    "         || CAST(doc_id % 200 AS VARCHAR) || '.'"
+    "         || CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'"
+    "         || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+)
+
+_PII_ORACLE = (
+    "WITH p AS (SELECT doc_id, " + _PLANT_SQL + " AS t FROM documents)\n"
+    "    SELECT doc_id,\n"
+    "           CAST(LEN(regexp_extract_all(t, '" + PII_EMAIL + "')) AS BIGINT) AS n_emails,\n"
+    "           CAST(LEN(regexp_extract_all(t, '" + PII_IPV4 + "')) AS BIGINT) AS n_ips,\n"
+    "           CAST(LEN(regexp_extract_all(t, '" + PII_PHONE + "')) AS BIGINT) AS n_phones,\n"
+    "           regexp_replace(regexp_replace(regexp_replace(t,\n"
+    "               '" + PII_EMAIL + "', '<EMAIL>', 'g'),\n"
+    "               '" + PII_IPV4 + "', '<IP>', 'g'),\n"
+    "               '" + PII_PHONE + "', '<PHONE>', 'g') AS redacted\n"
+    "    FROM p"
+)
+
+
+@query("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55: PII redaction — the compliance pass every training-data
+    pipeline runs before anything else: emails, IPv4 addresses, and phone
+    numbers replaced with typed placeholder tokens, plus per-doc match
+    counts for audit. Pure JVM regexp_replace/regexp_count chain inside
+    whole-stage codegen — one narrow map stage, no shuffle, no Python; at
+    100 TB this runs at scan speed. DuckDB's regexp_replace needs the 'g'
+    flag to match Spark's replace-all semantics (single-replace is the
+    DuckDB default — a classic silent-divergence trap the oracle pins)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com"),
+        F.when(
+            doc_id % 2 == 0,
+            F.concat(
+                F.lit(" from 10."), (doc_id % 200).cast("string"),
+                F.lit("."), (doc_id % 250).cast("string"), F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit(" call 555-"), (1000 + doc_id % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", planted.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+# --- repetition filter (X56) ---------------------------------------------
+# Gopher-style repetition signal: fraction of a document's token trigrams
+# that are duplicates. The keep threshold compares the ROUNDED fraction on
+# both sides so the flag cannot flip on a last-ulp division difference.
+REP_MAX_DUP_FRAC = 0.2
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {ORACLE_TOKENS} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+          FROM tok WHERE len(t) >= 3)
+    SELECT doc_id,
+           CAST(LEN(tg) AS BIGINT) AS n_trigrams,
+           CAST(LEN(list_distinct(tg)) AS BIGINT) AS n_distinct,
+           ROUND(1 - LEN(list_distinct(tg)) * 1.0 / LEN(tg), 6) AS dup_frac,
+           CAST(ROUND(1 - LEN(list_distinct(tg)) * 1.0 / LEN(tg), 6)
+                <= {REP_MAX_DUP_FRAC} AS BIGINT) AS keep
+    FROM g
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56: excess-repetition quality filter (the Gopher/C4 rule family):
+    a document whose token trigrams repeat heavily is boilerplate or spam.
+    dup_frac = 1 - distinct_trigrams/total_trigrams, keep iff the rounded
+    fraction is under REP_MAX_DUP_FRAC. Trigrams are built with array
+    higher-order functions (sequence -> transform -> slice) entirely inside
+    codegen — one narrow map stage, no shuffle, no explode (the trigram
+    list never leaves its row), so at 100 TB this is scan-bound like the
+    other text scorers."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TOKENS().alias("t")).filter(F.size("t") >= 3)
+    g = t.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"
+        ).alias("tg"),
+    )
+    dup_frac = F.round(
+        1 - F.size(F.array_distinct("tg")) / F.size("tg"), 6
+    )
+    return g.select(
+        "doc_id",
+        F.size("tg").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("tg")).cast("long").alias("n_distinct"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= REP_MAX_DUP_FRAC).cast("long").alias("keep"),
+    )

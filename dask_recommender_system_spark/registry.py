@@ -87,6 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "dedup_levenshtein_verified",
     # ---- (b) never driver-checked, oracle-backed ----
     "item_cf_similarity",
     "trend_linear_fit",
