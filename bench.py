@@ -41,6 +41,14 @@ BENCH_QUERIES = [
     "sink_parquet_sorted",
     "parse_logs_regex",
     "item_cf_similarity",
+    # round-3 additions — appended so every earlier query keeps its
+    # position/order and round-over-round comparisons stay apples-to-apples
+    "retention_cohorts",
+    "event_transition_counts",
+    "rfm_segmentation",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "dedup_levenshtein_verified",
 ]
 
 FUNK_EPOCHS = 5

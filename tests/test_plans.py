@@ -291,3 +291,43 @@ def test_no_query_uses_rowwise_python_or_cartesian(spark, sf_dir):
                          "FlatMapCoGroupsInPandas", "MapInPandas"):
                 assert frag not in plan, f"{name}: unexpected Python stage {frag}"
         spark.catalog.clearCache()
+
+
+def test_text_scorers_round3_are_narrow(spark, sf_dir):
+    """text_pii_redact / text_repetition_filter: pure per-row expression
+    chains — ZERO exchanges; regex redaction and trigram stats must run at
+    scan speed at 100 TB."""
+    assert count_exchanges(q("text_pii_redact", spark, sf_dir)) == 0
+    assert count_exchanges(q("text_repetition_filter", spark, sf_dir)) == 0
+
+
+def test_rfm_segmentation_has_no_global_window(spark, sf_dir):
+    """rfm_segmentation: quintile scoring must come from the broadcast
+    percentile cut-row, NEVER a global NTILE — no Window operator at all;
+    the only SinglePartition exchange is the 1-row scalar cuts aggregate;
+    the cut-row joins back via a broadcast nested-loop cross join."""
+    df = q("rfm_segmentation", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Window" not in plan
+    assert plan.count("SinglePartition") == 1  # the 12-value cuts row only
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_retention_cohorts_all_keyed(spark, sf_dir):
+    """retention_cohorts: two user-keyed aggs + keyed join — no window, no
+    single-partition stage anywhere."""
+    df = q("retention_cohorts", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_event_transitions_window_is_user_keyed(spark, sf_dir):
+    """event_transition_counts: the lag window must be keyed per user —
+    a global (unpartitioned) window would serialize the whole corpus."""
+    df = q("event_transition_counts", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(user_id" in line, line

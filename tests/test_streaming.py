@@ -54,6 +54,19 @@ def test_sessionize_event_time_timeout_flushes_idle_users(spark, tmp_path):
             "append"
         ).parquet(src)
         q.processAllAvailable()
+        # batch 3: user 1 RETURNS after the timeout. If their state slot
+        # was truly removed (not just flushed), the new session restarts
+        # at session_id 0; a surviving slot would emit session_id 1.
+        spark.createDataFrame([(1, 20_000)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # batch 4: push the watermark past the returned session's end + gap
+        # so its timer fires and the re-opened session reaches the sink
+        spark.createDataFrame([(3, 100_000)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
     finally:
         q.stop()
     rows = {
@@ -61,7 +74,11 @@ def test_sessionize_event_time_timeout_flushes_idle_users(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert (1, 0, 2, 1000, 1100) in rows  # idle user's open session flushed
-    assert all(r[0] != 2 for r in rows)  # user 2's session still open in state
+    # eviction proof (VERDICT r02 item 7): the post-timeout return opens a
+    # FRESH state slot — session_id is 0 again, not a continuation
+    assert (1, 0, 1, 20_000, 20_000) in rows
+    assert all(not (r[0] == 1 and r[1] >= 1) for r in rows)
+    assert all(r[0] != 3 for r in rows)  # user 3's session still open in state
 
 
 @pytest.mark.slow
