@@ -178,3 +178,100 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency"),
         score("monetary"),
     )
+
+
+# SCD2 open-interval sentinel: 9999-01-01 00:00:00 UTC as epoch seconds —
+# NULL-free validity intervals keep the cross-engine canonical hash simple
+# (pandas turns NULL BIGINT columns into float64 with NaN).
+SCD2_OPEN_END = 253402214400
+
+
+@query(
+    "scd2_intervals",
+    oracle=f"""
+    WITH o AS (SELECT user_id, event_type, {EPOCH_TS} AS t,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    ch AS (SELECT user_id, event_type, t FROM o
+           WHERE prev IS NULL OR prev <> event_type),
+    iv AS (SELECT user_id, event_type, t AS valid_from,
+                  LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+           FROM ch)
+    SELECT user_id, event_type AS attr, valid_from,
+           COALESCE(nxt, {SCD2_OPEN_END}) AS valid_to,
+           CAST(nxt IS NULL AS BIGINT) AS is_current
+    FROM iv
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58: slowly-changing-dimension type-2 build — turn a per-user
+    change-event stream into validity intervals: collapse consecutive
+    repeats of the same attribute value (lag), then close each version
+    with the next change's timestamp (lead), open tail capped with a
+    sentinel instead of NULL. This is the standard dimension-history ETL
+    every warehouse needs; both windows are keyed per user (the sessionize
+    shuffle shape), so at 100 TB it is one user_id exchange end-to-end —
+    change-collapse, interval-close, and current-flagging all ride it."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.select(
+            "user_id", "event_type", F.unix_timestamp("ts").alias("t"),
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("ts"), F.col("event_id"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("t")
+    return ch.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(w2).alias("nxt"),
+    ).select(
+        "user_id",
+        "attr",
+        "valid_from",
+        F.coalesce("nxt", F.lit(SCD2_OPEN_END)).alias("valid_to"),
+        F.col("nxt").isNull().cast("long").alias("is_current"),
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle=f"""
+    WITH o AS (SELECT user_id, value, {EPOCH_TS} AS t,
+                      LEAD({EPOCH_TS}) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(MAX(nxt) - MIN(t) AS BIGINT) AS span_s,
+           ROUND(SUM(value * (nxt - t)) / SUM(nxt - t), 6) AS twa
+    FROM o WHERE nxt IS NOT NULL AND nxt > t
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59: time-weighted average over an irregular per-user time series —
+    each observation weighted by how long it remained current (interval to
+    the next observation), the correct mean for unevenly sampled metrics
+    (a plain AVG over-counts burst periods). One keyed lead window + one
+    keyed agg, both on user_id — a single exchange end-to-end at 100 TB.
+    Zero-length intervals (same-second observations) drop out, matching
+    the measure-theoretic definition and keeping the quotient NULL-free."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "value", F.unix_timestamp("ts").alias("t"),
+        F.lead(F.unix_timestamp("ts")).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("t")))
+    dt = F.col("nxt") - F.col("t")
+    return o.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        (F.max("nxt") - F.min("t")).cast("long").alias("span_s"),
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twa"),
+    )

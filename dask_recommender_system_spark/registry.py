@@ -90,6 +90,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact",
     "text_repetition_filter",
     "dedup_levenshtein_verified",
+    "scd2_intervals",
+    "time_weighted_avg",
     # ---- (b) never driver-checked, oracle-backed ----
     "item_cf_similarity",
     "trend_linear_fit",
