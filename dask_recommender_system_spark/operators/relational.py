@@ -1060,3 +1060,63 @@ def string_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.unix_timestamp("o_orderdate").alias("order_epoch"),
     )
+
+
+@query(
+    "merge_upsert_cdc",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    base AS (SELECT user_id, item_id, rating,
+                    {ORACLE_EPOCH.format(col="ts")} AS t, interaction_id,
+                    0 AS pri, 'K' AS op
+             FROM r WHERE interaction_id % 10 < 8),
+    delta AS (SELECT user_id, item_id, ROUND(rating + 0.5, 6) AS rating,
+                     {ORACLE_EPOCH.format(col="ts")} AS t, interaction_id,
+                     1 AS pri,
+                     CASE WHEN interaction_id % 3 = 0 THEN 'D' ELSE 'U' END AS op
+              FROM r WHERE interaction_id % 10 >= 8),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, item_id
+                   ORDER BY pri DESC, t DESC, interaction_id DESC) AS rn
+               FROM u)
+    SELECT user_id, item_id, rating, op AS src
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert contract) on plain
+    DataFrames: apply a CDC delta (updates + deletes) onto a base snapshot
+    with last-writer-wins per key. NOT implemented as the textbook
+    full-outer join — both sides union with a priority tag (delta beats
+    base, then recency, then a unique tiebreak) and ONE ranking window
+    keyed by the merge key picks each key's winner; a winning delete drops
+    the key. At 100 TB that is a single co-partitioned shuffle on the
+    merge key — the same cost as the dedup_keep_last it generalizes — and
+    no join-skew surface. Base/delta/op assignments are deterministic
+    interaction_id splits so both engines see identical inputs."""
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    ).withColumn("t", F.unix_timestamp("ts"))
+    base = r.filter(F.col("interaction_id") % 10 < 8).select(
+        "user_id", "item_id", "rating", "t", "interaction_id",
+        F.lit(0).alias("pri"), F.lit("K").alias("op"),
+    )
+    delta = r.filter(F.col("interaction_id") % 10 >= 8).select(
+        "user_id", "item_id",
+        F.round(F.col("rating") + 0.5, 6).alias("rating"),
+        "t", "interaction_id",
+        F.lit(1).alias("pri"),
+        F.when(F.col("interaction_id") % 3 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = W.partitionBy("user_id", "item_id").orderBy(
+        F.col("pri").desc(), F.col("t").desc(), F.col("interaction_id").desc()
+    )
+    return (
+        base.unionByName(delta)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", "item_id", "rating", F.col("op").alias("src"))
+    )

@@ -383,6 +383,15 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-user list size, and the candidate-prune margin: the additive bias
+# model only needs the global top (RECO_TOP_K × RECO_PRUNE_MARGIN) items
+# as candidates (exact containment — see the docstring), so the margin is
+# a safety knob, not a recall knob. SCALE.md §"choosing k and margins"
+# covers picking these at a 10⁹-item catalog.
+RECO_TOP_K = 5
+RECO_PRUNE_MARGIN = 4
+
+
 @query(
     "recommend_top_k",
     oracle=f"""
@@ -403,7 +412,7 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY score DESC, item_id) AS rnk
         FROM scored)
     SELECT user_id, item_id, CAST(rnk AS BIGINT) AS rnk, score
-    FROM ranked WHERE rnk <= 5
+    FROM ranked WHERE rnk <= {RECO_TOP_K}
     """,
 )
 def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,15 +439,17 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     users = ub.filter(F.col("user_id") % 29 == 0)
     # Candidate pruning (exact): score = μ + bu + bi is additive, so every
-    # user's top-5 under (score DESC, item_id) is contained in the global
-    # top-5 items under (bi DESC, item_id). Keep a 4x margin for safety —
-    # turns the users × n_items cross join (10M+ rows at sf0.1) into
-    # users × 20. With a full P·Q model this pruning generalizes to the
-    # ANN candidates (operators/similarity.py) or MLlib's blocked top-k.
-    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
-    # top-20 merged at the driver, no single-partition ranking window even
-    # at a 10⁹-item dimension.
-    ib_top = ib.orderBy(F.col("bi").desc(), F.col("item_id")).limit(20)
+    # user's top-k under (score DESC, item_id) is contained in the global
+    # top-k items under (bi DESC, item_id). RECO_PRUNE_MARGIN keeps a
+    # safety multiple — turns the users × n_items cross join (10M+ rows at
+    # sf0.1) into users × (k × margin). With a full P·Q model this pruning
+    # generalizes to the ANN candidates (operators/similarity.py) or
+    # MLlib's blocked top-k. orderBy+limit compiles to
+    # TakeOrderedAndProject — per-partition top-k merged at the driver, no
+    # single-partition ranking window even at a 10⁹-item dimension.
+    ib_top = ib.orderBy(F.col("bi").desc(), F.col("item_id")).limit(
+        RECO_TOP_K * RECO_PRUNE_MARGIN
+    )
     scored = (
         users.crossJoin(F.broadcast(ib_top))
         .crossJoin(F.broadcast(mu))
@@ -451,7 +462,7 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy(F.col("score").desc(), F.col("item_id"))
     out = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= RECO_TOP_K)
         .select("user_id", "item_id", "rnk", "score")
     )
     return out

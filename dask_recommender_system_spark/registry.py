@@ -92,6 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_levenshtein_verified",
     "scd2_intervals",
     "time_weighted_avg",
+    "merge_upsert_cdc",
     # ---- (b) never driver-checked, oracle-backed ----
     "item_cf_similarity",
     "trend_linear_fit",
