@@ -721,3 +721,72 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_frac"),
         (dup_frac <= REP_MAX_DUP_FRAC).cast("long").alias("keep"),
     )
+
+
+# --- corpus mix rebalancing (X61) ----------------------------------------
+# Deterministic per-doc "uniform" in [0,1): a Knuth multiplicative hash of
+# doc_id reduced mod 2^20 — pure integer arithmetic, so Spark and DuckDB
+# (and any retry of any partition) derive the SAME keep decision with no
+# RNG state. 2654435761 = floor(2^32 / golden ratio).
+MIX_HASH_MULT = 2654435761
+MIX_HASH_MOD = 1048576  # 2^20
+
+#: overall size target as a fraction of the corpus: each source's keep
+#: rate aims at an equal share of (MIX_TARGET_FRAC × corpus). The synthetic
+#: sources are near-balanced, so a target of 1.0 would keep everything and
+#: never exercise the hash cutoff; 0.5 makes this a rebalance AND
+#: downsample pass, which is also the common production shape (rebalance
+#: while shedding volume).
+MIX_TARGET_FRAC = 0.5
+
+
+@query(
+    "corpus_mix_rebalance",
+    oracle=f"""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src
+            FROM documents)
+    SELECT d.doc_id, d.source,
+           CAST(((d.doc_id * {MIX_HASH_MULT}) % {MIX_HASH_MOD})
+                / {MIX_HASH_MOD}.0
+                < LEAST(1.0, {MIX_TARGET_FRAC} * CAST(tot.total AS DOUBLE)
+                        / tot.n_src / c.cnt)
+                AS BIGINT) AS kept
+    FROM documents d JOIN c USING (source) CROSS JOIN tot
+    """,
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: training-mix rebalancing — downsample over-represented sources
+    so every source contributes (at most) an equal share of the corpus,
+    the domain-mix step between dedup/filtering and tokenization in an
+    LLM data pipeline. Per-source keep rates come from one tiny keyed
+    count (broadcast dim join) plus one scalar total; the keep decision is
+    a deterministic integer hash of doc_id, so it is reproducible across
+    engines, retries, and partitionings — no RNG, no seed plumbing, and a
+    re-run of one failed partition at 100 TB keeps the same documents.
+    Emits every doc with its 0/1 kept flag (the strongest hashable
+    surface); the filtered corpus is ``.filter("kept = 1")``."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    tot = d.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    u = ((F.col("doc_id") * MIX_HASH_MULT) % MIX_HASH_MOD) / F.lit(
+        float(MIX_HASH_MOD)
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(MIX_TARGET_FRAC)
+        * F.col("total").cast("double")
+        / F.col("n_src")
+        / F.col("cnt"),
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "source", (u < rate).cast("long").alias("kept"))
+    )

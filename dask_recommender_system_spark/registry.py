@@ -93,6 +93,7 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_intervals",
     "time_weighted_avg",
     "merge_upsert_cdc",
+    "corpus_mix_rebalance",
     # ---- (b) never driver-checked, oracle-backed ----
     "item_cf_similarity",
     "trend_linear_fit",
