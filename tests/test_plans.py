@@ -331,3 +331,31 @@ def test_event_transitions_window_is_user_keyed(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(user_id" in line, line
+
+
+def test_scd2_and_twa_single_user_exchange(spark, sf_dir):
+    """scd2_intervals / time_weighted_avg: ONE user_id shuffle end-to-end —
+    the collapse/close (or lead+agg) stages all ride the same keyed
+    exchange, and every window is keyed per user."""
+    for name in ("scd2_intervals", "time_weighted_avg"):
+        df = q(name, spark, sf_dir)
+        assert count_exchanges(df) == 1, name
+        plan = physical_plan(df, "simple")
+        assert "SinglePartition" not in plan, name
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "windowspecdefinition(user_id" in line, (name, line)
+
+
+def test_merge_upsert_is_window_not_join(spark, sf_dir):
+    """merge_upsert_cdc: the merge itself must be the union + merge-key
+    ranking window — no full-outer join (the join-skew surface the design
+    avoids); the only joins are the broadcast ratings derivation."""
+    df = q("merge_upsert_cdc", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "FullOuter" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert re.search(
+                r"windowspecdefinition\(user_id#\d+L?, item_id#\d+L?", line
+            ), line
