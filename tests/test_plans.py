@@ -261,6 +261,8 @@ _NON_EQUI_OK = {
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
     "key_skew_profile",  # 1-row total-count broadcast onto top-k rows
     "tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf table
+    "rfm_segmentation",  # 1-row quintile-cuts broadcast onto per-user RFM
+    "corpus_mix_rebalance",  # 1-row corpus-total broadcast onto docs
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
