@@ -1,0 +1,248 @@
+"""Training-data preparation operators (SURVEY.md §2.9 round-3 additions
+X62-X64): deterministic negative sampling, exact-arithmetic feature
+binning, and vocabulary building with a cumulative-mass cutoff. The
+reference stops at the positive ratings matrix (``reference/models/als.py``
+consumes observed triples only); these are the ops a team turns that same
+matrix into model-ready training data with — implicit-feedback negatives,
+bucketed categorical features, and a token vocabulary — each expressed in
+the shapes that survive 100 TB: keyed shuffles, broadcast scalars, and the
+two-pass block-offset scheme instead of any single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..data import RATINGS_SQL, load_table, ratings_from_df, spread
+from ..registry import query
+from .text import ORACLE_TOKENS, TOKENS
+
+# Negative sampling: K kept negatives per positive, drawn from C > K
+# deterministic candidates so anti-join attrition (a candidate the user
+# actually interacted with) rarely starves an interaction below K.
+NEG_K = 4
+NEG_CAND = 8
+# Knuth multiplicative-hash constant — same one the factor-init uses
+# (models/common.py hash_uniform); consecutive +j offsets guarantee the
+# C candidates of one interaction are distinct whenever |items| >= C.
+HASH_A = 2654435761
+
+_NEG_ORACLE = f"""
+WITH r AS ({RATINGS_SQL}),
+p AS (SELECT DISTINCT user_id, item_id, interaction_id FROM r),
+m AS (SELECT MAX(item_id) AS n_items FROM p),
+cand AS (
+  SELECT p.user_id, p.item_id, p.interaction_id, g.j,
+         1 + ((p.interaction_id * {HASH_A} + p.item_id * 40503) % m.n_items
+              + g.j) % m.n_items AS neg_item
+  FROM p CROSS JOIN m
+  CROSS JOIN (SELECT UNNEST(range(0, {NEG_CAND})) AS j) g
+),
+flt AS (
+  SELECT c.user_id, c.item_id, c.interaction_id, c.j, c.neg_item
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM p s
+                    WHERE s.user_id = c.user_id AND s.item_id = c.neg_item)
+)
+SELECT user_id, item_id, interaction_id, neg_item,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, item_id, interaction_id
+                               ORDER BY j) AS BIGINT) AS neg_rank
+FROM flt
+QUALIFY neg_rank <= {NEG_K}
+"""
+
+
+@query("negative_sampling", oracle=_NEG_ORACLE)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62: implicit-feedback negative sampling — for every positive
+    interaction, NEG_K deterministic unseen items (the training-pair
+    generator BPR/WARP-style recommender losses need; the reference's SGD
+    consumes observed positives only, ``reference/models/funk_svd.py``).
+
+    Determinism instead of RNG: candidate item = multiplicative hash of
+    the interaction id plus a consecutive offset, so the sample is
+    reproducible across engines, retries, and repartitionings — at 100 TB
+    a resampled retry that disagrees with the first attempt is a silent
+    training-data fork. Consecutive offsets make one interaction's C
+    candidates collision-free by construction (no within-group dedup
+    pass). Positives are the DISTINCT (user, item, interaction) triples —
+    the derived interaction_id is not unique in the synthetic lineitem,
+    and a ranking keyed by a colliding id would be tie-nondeterministic;
+    the hash seed mixes item_id in so colliding ids still draw different
+    candidate runs. Shape: candidate generation is a narrow ×C explode
+    off a 1-row broadcast max; the seen-filter is a keyed LEFT ANTI join
+    on (user_id, item); the keep-K ranking window is keyed per positive
+    triple. Nothing global, nothing driver-side."""
+    r = (
+        ratings_from_df(
+            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+        )
+        .select("user_id", "item_id", "interaction_id")
+        .distinct()
+    )
+    n_items = r.agg(F.max("item_id").alias("n_items"))
+    cand = (
+        r.crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            "item_id",
+            "interaction_id",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_CAND - 1))).alias("j"),
+            "n_items",
+        )
+        .withColumn(
+            "neg_item",
+            1
+            + (
+                (F.col("interaction_id") * HASH_A + F.col("item_id") * 40503)
+                % F.col("n_items")
+                + F.col("j")
+            )
+            % F.col("n_items"),
+        )
+    )
+    seen = r.select("user_id", F.col("item_id").alias("neg_item")).distinct()
+    flt = cand.join(seen, ["user_id", "neg_item"], "left_anti")
+    w = W.partitionBy("user_id", "item_id", "interaction_id").orderBy("j")
+    return (
+        flt.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("user_id", "item_id", "interaction_id", "neg_item", "neg_rank")
+    )
+
+
+# Feature binning: exact-arithmetic bucket boundaries only (integer floor
+# division, modulo, digit extraction) — a log- or quantile-scale bin whose
+# edge lands on a libm-rounded boundary can differ between engines in the
+# last ulp and flip a bucket; these cannot.
+PRICE_BIN_WIDTH = 30000
+PRICE_BIN_MAX = 19
+HIGH_VALUE_CUT = 150000
+
+
+@query(
+    "feature_binning",
+    oracle=f"""
+    SELECT o_orderkey,
+           LEAST(CAST(FLOOR(o_totalprice / {PRICE_BIN_WIDTH}) AS BIGINT),
+                 {PRICE_BIN_MAX}) AS price_bin,
+           o_custkey % 100 AS cust_bucket,
+           LEAST(CAST(FLOOR(o_totalprice / {PRICE_BIN_WIDTH}) AS BIGINT),
+                 {PRICE_BIN_MAX}) * 100 + o_custkey % 100 AS cross_bucket,
+           CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS priority_idx,
+           CAST(o_totalprice > {HIGH_VALUE_CUT} AS BIGINT) AS is_high_value
+    FROM orders
+    """,
+)
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63: model-ready categorical features from raw columns — clipped
+    fixed-width price bin, hash bucket, crossed feature, ordinal code from
+    the priority string, and a binary flag. Pure per-row JVM expression
+    chain: ZERO exchanges, runs at scan speed inside one whole-stage
+    codegen span at any scale (plan-asserted in tests/test_plans.py).
+    Bin edges use integer floor-division only — see module constant note
+    on why no log/quantile edges appear here (quantile binning is
+    rfm_segmentation's broadcast-cuts pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    price_bin = F.least(
+        F.floor(F.col("o_totalprice") / PRICE_BIN_WIDTH).cast("long"),
+        F.lit(PRICE_BIN_MAX),
+    )
+    cust_bucket = F.col("o_custkey") % 100
+    return o.select(
+        "o_orderkey",
+        price_bin.alias("price_bin"),
+        cust_bucket.alias("cust_bucket"),
+        (price_bin * 100 + cust_bucket).alias("cross_bucket"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_idx"),
+        (F.col("o_totalprice") > HIGH_VALUE_CUT).cast("long").alias("is_high_value"),
+    )
+
+
+# Vocabulary cutoff: keep tokens while the cumulative mass BEFORE the token
+# is under VOCAB_MASS_PCT% — compared in exact integer arithmetic
+# ((cum - freq) * 100 < pct * total) so no float boundary can flip a flag.
+VOCAB_MASS_PCT = 95
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST({ORACLE_TOKENS}) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+f AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term),
+t AS (SELECT SUM(freq) AS total FROM f),
+w AS (SELECT term, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk,
+             SUM(freq) OVER (ORDER BY freq DESC, term
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f)
+SELECT w.term, CAST(w.freq AS BIGINT) AS freq, CAST(w.rnk AS BIGINT) AS rnk,
+       ROUND(CAST(w.cum AS DOUBLE) / t.total, 6) AS cum_share,
+       CAST((w.cum - w.freq) * 100 < {VOCAB_MASS_PCT} * t.total AS BIGINT)
+         AS in_vocab
+FROM w CROSS JOIN t
+"""
+
+
+@query("vocab_coverage", oracle=_VOCAB_ORACLE)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64: tokenizer-style vocabulary build — every distinct token with
+    its global frequency rank and cumulative corpus share, flagged
+    in-vocab while the mass before it is under VOCAB_MASS_PCT% (the
+    frequency-cutoff step of BPE/WordPiece vocab induction).
+
+    The global rank + running mass are computed WITHOUT a single-partition
+    window, via the same two-pass block-offset scheme as the id encoder
+    (models/common.py encode_sorted_rank): range-partition the |vocab|-row
+    frequency table on (freq DESC, term), pin blocks with an eager
+    localCheckpoint, rank/cumsum each block locally under a
+    partition-id-keyed window, then add broadcast per-block (row, mass)
+    offsets from one O(num_partitions)-row collect. Bit-identical to
+    ``ROW_NUMBER()/SUM() OVER (ORDER BY freq DESC, term)`` — the DuckDB
+    oracle IS that query — while the largest single task holds
+    |vocab|/num_parts tokens instead of all of them. The heavy corpus
+    scan collapses to |vocab| rows in the keyed frequency agg first; at
+    open-web scale add a min-frequency prefilter before ranking
+    (SCALE.md)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    f = (
+        spread(d)
+        .select(F.explode(TOKENS()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    spark_ = spark
+    p = spark_.sparkContext.defaultParallelism
+    blocks = f.repartitionByRange(
+        p, F.col("freq").desc(), F.col("term")
+    ).localCheckpoint(eager=True)
+    tagged = blocks.withColumn("_pid", F.spark_partition_id())
+    stats = tagged.groupBy("_pid").agg(
+        F.count("*").alias("_n"), F.sum("freq").alias("_mass")
+    ).collect()
+    offs, row_acc, mass_acc = [], 0, 0
+    for row in sorted(stats, key=lambda r: r["_pid"]):
+        offs.append((row["_pid"], row_acc, mass_acc))
+        row_acc += row["_n"]
+        mass_acc += row["_mass"]
+    off_df = spark_.createDataFrame(offs, "_pid INT, _row_off LONG, _mass_off LONG")
+    total = F.lit(mass_acc)
+    lw = W.partitionBy("_pid").orderBy(F.col("freq").desc(), "term")
+    cum = F.col("_mass_off") + F.sum("freq").over(
+        lw.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.join(F.broadcast(off_df), "_pid")
+        .select(
+            "term",
+            "freq",
+            (F.col("_row_off") + F.row_number().over(lw)).cast("long").alias("rnk"),
+            F.round(cum.cast("double") / total, 6).alias("cum_share"),
+            ((cum - F.col("freq")) * 100 < VOCAB_MASS_PCT * total)
+            .cast("long")
+            .alias("in_vocab"),
+        )
+    )

@@ -63,6 +63,7 @@ def load_all_operators() -> None:
         scale,
         similarity,
         text,
+        training,
         windows,
     )
     from .models import queries as model_queries  # noqa: F401
@@ -84,6 +85,9 @@ def load_all_operators() -> None:
 # registered query has a green CORRECTNESS_r* row across rounds.
 DRIVER_PRIORITY: list[str] = [
     # ---- (a) new in round 3 (add names here as queries land) ----
+    "negative_sampling",
+    "feature_binning",
+    "vocab_coverage",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

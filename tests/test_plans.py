@@ -263,6 +263,7 @@ _NON_EQUI_OK = {
     "tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf table
     "rfm_segmentation",  # 1-row quintile-cuts broadcast onto per-user RFM
     "corpus_mix_rebalance",  # 1-row corpus-total broadcast onto docs
+    "negative_sampling",  # 1-row max-item broadcast onto the positives
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -347,6 +348,45 @@ def test_scd2_and_twa_single_user_exchange(spark, sf_dir):
         for line in plan.splitlines():
             if "windowspecdefinition" in line:
                 assert "windowspecdefinition(user_id" in line, (name, line)
+
+
+def test_feature_binning_is_narrow(spark, sf_dir):
+    """feature_binning: pure per-row expression chain — ZERO exchanges,
+    one whole-stage codegen span; featurization must run at scan speed."""
+    df = q("feature_binning", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert has_wholestage_codegen(df)
+
+
+def test_negative_sampling_window_is_triple_keyed(spark, sf_dir):
+    """negative_sampling: the keep-K ranking window must be keyed by the
+    full positive triple (a window keyed by the colliding interaction_id
+    alone is tie-nondeterministic AND a skew surface), and the seen-filter
+    must plan as a LEFT ANTI join, never a subquery re-execution."""
+    df = q("negative_sampling", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "LeftAnti" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert re.search(
+                r"windowspecdefinition\(user_id#\d+L?, item_id#\d+L?,"
+                r" interaction_id#\d+L?",
+                line,
+            ), line
+
+
+def test_vocab_coverage_no_global_window(spark, sf_dir):
+    """vocab_coverage: global rank + running mass must come from the
+    block-offset scheme — every window keyed by partition id, ZERO
+    SinglePartition exchanges anywhere (the single-partition sort a naive
+    ``ROW_NUMBER() OVER (ORDER BY freq)`` would plan is the 100 TB
+    failure mode this operator exists to avoid)."""
+    df = q("vocab_coverage", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(_pid" in line, line
 
 
 def test_merge_upsert_is_window_not_join(spark, sf_dir):
