@@ -275,3 +275,121 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("nxt") - F.min("t")).cast("long").alias("span_s"),
         F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twa"),
     )
+
+
+@query(
+    "timeseries_resample",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+    ),
+    cal AS (
+      SELECT s.user_id, UNNEST(generate_series(s.lo, s.hi,
+                                               INTERVAL 1 DAY)) AS day
+      FROM span s
+    )
+    SELECT c.user_id,
+           {ORACLE_EPOCH.format(col='c.day')} AS day_s,
+           LAST_VALUE(d.v IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CAST(d.day IS NULL AS BIGINT) AS is_gap
+    FROM cal c LEFT JOIN daily d
+      ON c.user_id = d.user_id AND c.day = d.day
+    """,
+)
+def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: per-user daily resample with forward fill — turn an irregular
+    event series into the dense, gap-flagged daily grid feature pipelines
+    and sequence models consume. Shape: a keyed daily agg collapses the
+    corpus to |user|×|days| rows FIRST; each user's calendar comes from an
+    in-row ``sequence()`` explode off that user's own (min, max) span —
+    never a global calendar cross join, so a one-day user costs one row
+    and the densification is bounded by the true output size. The
+    fill window rides the same user_id key as the agg and join. Daily
+    sums are ROUNDED BEFORE the fill on both engines so the propagated
+    value is bit-identical however each engine ordered the additions."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("day").alias("day_s"),
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNull().cast("long").alias("is_gap"),
+    )
+
+
+# Incremental rollup maintenance: the "stored" rollup is the partial-state
+# aggregate of the closed partition (even epoch-days here — a stand-in for
+# "all days before today"); the delta is the open partition's raw rows.
+# Merging = union the partial states and re-reduce: SUM of SUMs, SUM of
+# COUNTs, derive AVG at the end — exactly the algebraic-aggregate merge
+# a Lambda/incremental-view pipeline runs, and why the stored state must
+# be (sum, count), never avg.
+@query(
+    "rollup_incremental_merge",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68: incremental rollup maintenance — merge a stored partial-state
+    rollup with a fresh delta and reproduce the full recompute EXACTLY
+    (the oracle IS the full recompute; equality is the proof the stored
+    state is mergeable). At 100 TB this is the difference between
+    re-aggregating the whole history every day and touching only the new
+    partition: base and delta each reduce map-side to |keys| partial rows,
+    and the merge is ONE keyed agg over partials — input-size-independent
+    once the base is materialized. AVG is derived sum/cnt at the very end;
+    rounding happens only on emitted columns, never on merged state."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_part", F.floor(F.unix_timestamp("ts") / 86400) % 2
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("cnt"), F.sum("value").alias("s")
+        )
+
+    base = partial(ev.filter(F.col("_part") == 0))   # the stored rollup
+    delta = partial(ev.filter(F.col("_part") == 1))  # today's new rows
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("s", 6).alias("sum_value"),
+            F.round(F.col("s") / F.col("cnt"), 6).alias("avg_value"),
+        )
+    )

@@ -160,3 +160,129 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
         )
     )
+
+
+# --- runtime bloom-style join pruning -----------------------------------
+# Single-hash bloom expressed relationally: the build side's occupied
+# hash-bucket set (<= BLOOM_M distinct ints, ~1 MB broadcast at any build
+# size) prunes the probe side map-side BEFORE its shuffle. Spark's own
+# runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled)
+# injects exactly this rewrite when statistics allow; declaring it as an
+# operator pins the semantics (result == plain join — no false negatives)
+# and keeps it available when the optimizer's thresholds say no.
+BLOOM_M = 1 << 17
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 200000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65: bloom-pruned fact⋈dim join, result-identical to the plain join (the
+    oracle IS the plain join). Build: the selective orders subset's
+    occupied bucket set ``pmod(xxhash64(key), M)`` — bounded at M rows no
+    matter how large the build side, unlike a broadcast hash join's full
+    relation. Probe: lineitem joins the broadcast bucket set LEFT SEMI on
+    its own key hash — a map-side filter that drops ~(1 - n/M) of probe
+    rows BEFORE the join shuffle — then the exact equi-join removes the
+    false positives. At 100 TB the win is shuffle-volume: only surviving
+    probe rows are hashed across the wire. One hash function suffices —
+    the exact join makes precision a cost knob, not a correctness one."""
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    buckets = sel.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(BLOOM_M)).alias("_b")
+    ).distinct()
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = l.withColumn(
+        "_b", F.pmod(F.xxhash64("l_orderkey"), F.lit(BLOOM_M))
+    ).join(F.broadcast(buckets), "_b", "left_semi")
+    return (
+        pruned.join(sel, pruned["l_orderkey"] == sel["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+        )
+    )
+
+
+# --- Misra-Gries heavy hitters ------------------------------------------
+# Threshold: a key is heavy iff freq * HH_K > total (share > 1/HH_K).
+# Per-partition Misra-Gries with HH_CAP counters keeps every key whose
+# partition share exceeds 1/(HH_CAP+1); by pigeonhole a globally-heavy key
+# is partition-heavy somewhere, so with HH_CAP >= HH_K the candidate union
+# is a guaranteed superset — the exact recount then yields EXACTLY the
+# true heavy-hitter set, which is why a sketch op can have a plain-SQL
+# oracle. The synthetic ratings are near-uniform (TPC-H parts), so the
+# query plants deterministic skew first — 3/4 of the mass collapses onto
+# 16 hot keys — the same planted-fixture pattern text_pii_redact uses.
+HH_K = 50
+HH_CAP = 64
+_HH_SKEW = "CASE WHEN user_id % 4 = 0 THEN item_id ELSE item_id % 16 END"
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    s AS (SELECT {_HH_SKEW} AS key FROM r),
+    t AS (SELECT COUNT(*) AS total FROM s)
+    SELECT s.key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM s CROSS JOIN t
+    GROUP BY s.key, t.total
+    HAVING COUNT(*) * {HH_K} > t.total
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66: Misra-Gries heavy hitters (share > 1/HH_K) — candidate-then-verify,
+    the same two-phase shape as the dedup family: a bounded in-memory
+    sketch per partition (HH_CAP counters, Arrow-batched) emits candidate
+    keys, then ONE keyed exact recount over the broadcast candidate set
+    confirms. Why not a plain groupBy? At 100 TB a full (key, count)
+    aggregate materializes |keys| rows ACROSS the shuffle to find the top
+    handful; here the shuffle carries only |partitions| × HH_CAP candidate
+    rows plus the recount of candidate-matching rows — the standard
+    streaming-sketch trade, with exactness restored by the verify pass
+    (see module comment for the superset guarantee)."""
+    import pandas as pd
+
+    r = _ratings(spark, sf_dir).select(F.expr(_HH_SKEW).alias("key"))
+
+    def mg(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for k, c in pdf["key"].value_counts().items():
+                counters[k] = counters.get(int(k), 0) + int(c)
+                if len(counters) > HH_CAP:
+                    d = min(counters.values())
+                    counters = {
+                        k2: c2 - d for k2, c2 in counters.items() if c2 > d
+                    }
+        yield pd.DataFrame({"key": list(counters.keys())}, dtype="int64")
+
+    cand = r.mapInPandas(mg, "key long").distinct()
+    total = r.agg(F.count("*").alias("_total"))
+    return (
+        r.join(F.broadcast(cand), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K > F.col("_total"))
+        .select("key", "cnt")
+    )

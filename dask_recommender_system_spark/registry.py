@@ -88,6 +88,10 @@ DRIVER_PRIORITY: list[str] = [
     "negative_sampling",
     "feature_binning",
     "vocab_coverage",
+    "join_bloom_pruned",
+    "heavy_hitters",
+    "timeseries_resample",
+    "rollup_incremental_merge",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

@@ -264,11 +264,12 @@ _NON_EQUI_OK = {
     "rfm_segmentation",  # 1-row quintile-cuts broadcast onto per-user RFM
     "corpus_mix_rebalance",  # 1-row corpus-total broadcast onto docs
     "negative_sampling",  # 1-row max-item broadcast onto the positives
+    "heavy_hitters",  # 1-row total-count broadcast onto candidate counts
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
     "multimodal_decode", "multimodal_frame_sample", "user_ewma",
-    "cogroup_user_activity",
+    "cogroup_user_activity", "heavy_hitters",
 }
 
 
@@ -387,6 +388,50 @@ def test_vocab_coverage_no_global_window(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(_pid" in line, line
+
+
+def test_bloom_pruned_probe_filter_is_broadcast_semi(spark, sf_dir):
+    """join_bloom_pruned: the bucket-set prune must plan as a broadcast
+    LEFT SEMI hash join on the probe side (a map-side filter before the
+    exact join's shuffle) — if the bucket set ever shuffle-joins, the
+    prune costs what it saves."""
+    df = q("join_bloom_pruned", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "LeftSemi" in plan
+    semi_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert any("Broadcast" in l for l in semi_lines), semi_lines
+
+
+def test_heavy_hitters_sketch_is_arrow_and_recount_keyed(spark, sf_dir):
+    """heavy_hitters: the sketch runs as ONE Arrow-batched MapInPandas
+    stage; the verify pass is a broadcast candidate semi-join + keyed
+    exact recount — never a full-key aggregate shipped to the driver."""
+    df = q("heavy_hitters", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("MapInPandas") == 1
+    assert "LeftSemi" in plan
+
+
+def test_timeseries_resample_all_user_keyed(spark, sf_dir):
+    """timeseries_resample: daily agg, span agg, calendar join, and fill
+    window all ride user-keyed exchanges — no SinglePartition anywhere,
+    and the fill window is keyed per user."""
+    df = q("timeseries_resample", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(user_id" in line, line
+
+
+def test_rollup_incremental_merge_stays_keyed(spark, sf_dir):
+    """rollup_incremental_merge: base/delta partials + merge are all keyed
+    hash aggregates — no window, no SinglePartition, bounded exchanges."""
+    df = q("rollup_incremental_merge", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 3
 
 
 def test_merge_upsert_is_window_not_join(spark, sf_dir):
