@@ -1120,3 +1120,73 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("user_id", "item_id", "rating", F.col("op").alias("src"))
     )
+
+
+# --- Z-order (Morton) parquet layout (X71) -------------------------------
+# Two-dimensional generalization of sink_parquet_sorted: interleave the low
+# Z_BITS bits of (user_id, day) so sorting by ONE scalar clusters BOTH
+# dimensions — every row group then covers a narrow band of users AND of
+# days, and min/max stats prune reads filtered on either column. This is
+# what Delta/Iceberg's OPTIMIZE ZORDER BY does; plain parquet gets the same
+# per-row-group effect from the explicit sort key.
+Z_BITS = 16
+
+
+def _z_spark(u: F.Column, d: F.Column) -> F.Column:
+    u, d = u.bitwiseAND((1 << Z_BITS) - 1), d.bitwiseAND((1 << Z_BITS) - 1)
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        z = (
+            z
+            + F.shiftright(u, i).bitwiseAND(1) * F.lit(1 << (2 * i))
+            + F.shiftright(d, i).bitwiseAND(1) * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def _z_duckdb(u: str, d: str) -> str:
+    m = (1 << Z_BITS) - 1
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({u} & {m}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({d} & {m}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "sink_parquet_zorder",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+           {_z_duckdb('user_id', 'CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)')}
+             AS z
+    FROM events
+    """,
+)
+def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: Z-order-clustered parquet layout + read-back. The Morton key
+    interleaves the low {{Z_BITS}} bits of (user_id, day), so
+    ``repartitionByRange(z) + sortWithinPartitions(z)`` gives every output
+    file a narrow band of BOTH dimensions — a filter on either column
+    prunes row groups on min/max stats alone (measured in
+    tests/test_plans.py: per-row-group user_id span shrinks vs the
+    unclustered source). The declared result is the read-back with the
+    recomputed key, oracle-checked against the source — pinning that the
+    relayout preserves content AND that both engines agree bit-for-bit on
+    the interleave. The key is pure integer shift/mask arithmetic in one
+    codegen stage; the only shuffle is the range partitioner's."""
+    _utc(spark)
+    path = f"{IO_DIR}/events_zorder_parquet"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    )
+    z = ev.withColumn("z", _z_spark(F.col("user_id"), F.col("day_idx")))
+    (
+        z.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select("event_id", "user_id", "day_idx", "z")

@@ -790,3 +790,76 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "source", (u < rate).cast("long").alias("kept"))
     )
+
+
+# --- BM25 relevance scoring (X70) ----------------------------------------
+# Okapi BM25 with the Lucene idf variant ln(1 + (N - df + .5)/(df + .5)).
+# Query terms are literals present in the synthetic corpus vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "vector")
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH d AS (SELECT doc_id, {ORACLE_TOKENS} AS toks
+           FROM documents WHERE LENGTH(trim(text)) > 0),
+tok AS (SELECT doc_id, LEN(toks) AS dl, UNNEST(toks) AS term FROM d),
+tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, dl, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              AVG(LEN(toks)) AS avgdl FROM d)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       ROUND(SUM(
+         LN(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * tf.tf * ({BM25_K1} + 1)
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / st.avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st
+GROUP BY tf.doc_id
+"""
+
+
+@query("bm25_score", oracle=_BM25_ORACLE)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: Okapi BM25 relevance of every document to a fixed term set —
+    the ranking function behind classic full-text retrieval and the
+    lexical half of hybrid (BM25 + embedding) search. One corpus scan
+    produces (doc, dl, term) with the doc length carried IN-ROW through
+    the explode, so no separate doc-length join is ever needed; term
+    frequencies collapse in a keyed agg, the |query|-row df table and the
+    1-row (N, avgdl) stats broadcast onto it, and the final score is one
+    doc-keyed agg. The explode is pre-filtered to the query terms, so
+    the shuffled tf table is |docs|×|query| at worst — at 100 TB the
+    corpus scan dominates and everything downstream is bounded by the
+    query size."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = d.select("doc_id", F.size(TOKENS()).alias("dl"),
+                    F.explode(TOKENS()).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    st = d.select(F.size(TOKENS()).alias("dl0")).agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl0").alias("avgdl")
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    num = F.col("tf") * (BM25_K1 + 1)
+    den = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.round(F.sum(idf * num / den), 6).alias("bm25"),
+        )
+    )

@@ -56,6 +56,7 @@ def load_all_operators() -> None:
         analytics,
         dedup,
         extended,
+        graph,
         grouped,
         linalg,
         multimodal,
@@ -92,6 +93,9 @@ DRIVER_PRIORITY: list[str] = [
     "heavy_hitters",
     "timeseries_resample",
     "rollup_incremental_merge",
+    "pagerank_items",
+    "bm25_score",
+    "sink_parquet_zorder",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

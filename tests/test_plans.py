@@ -265,6 +265,7 @@ _NON_EQUI_OK = {
     "corpus_mix_rebalance",  # 1-row corpus-total broadcast onto docs
     "negative_sampling",  # 1-row max-item broadcast onto the positives
     "heavy_hitters",  # 1-row total-count broadcast onto candidate counts
+    "bm25_score",  # 1-row (N, avgdl) corpus-stats broadcast onto tf
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -432,6 +433,52 @@ def test_rollup_incremental_merge_stays_keyed(spark, sf_dir):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_bm25_small_sides_broadcast(spark, sf_dir):
+    """bm25_score: the |query|-row df table and 1-row corpus stats must
+    broadcast onto tf — a shuffle join against a 3-row side would add two
+    pointless exchanges to the corpus-dominated plan."""
+    df = q("bm25_score", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir):
+    """sink_parquet_zorder: after the write, row-group min/max stats must
+    show real 2-D clustering — the PRODUCT of the two dimensions' mean
+    fractional spans under 0.5 (an unclustered layout scores ~1.0; which
+    single dimension tightens most depends on which has more varying bits
+    at a given SF, so the product is the scale-robust invariant)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_recommender_system_spark.operators.relational import IO_DIR
+
+    q("sink_parquet_zorder", spark, sf_dir).count()  # force the write
+    spans = {"user_id": [], "day_idx": []}
+    lo = {"user_id": 1 << 62, "day_idx": 1 << 62}
+    hi = {"user_id": -(1 << 62), "day_idx": -(1 << 62)}
+    for f in glob.glob(f"{IO_DIR}/events_zorder_parquet/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            st = {
+                row.column(i).path_in_schema: row.column(i).statistics
+                for i in range(row.num_columns)
+            }
+            for c in spans:
+                spans[c].append(st[c].max - st[c].min)
+                lo[c] = min(lo[c], st[c].min)
+                hi[c] = max(hi[c], st[c].max)
+    assert len(spans["user_id"]) >= 4, "expected multiple row groups"
+    frac = {
+        c: (sum(spans[c]) / len(spans[c])) / max(hi[c] - lo[c], 1)
+        for c in spans
+    }
+    assert frac["user_id"] * frac["day_idx"] < 0.5, frac
 
 
 def test_merge_upsert_is_window_not_join(spark, sf_dir):
