@@ -393,3 +393,240 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / F.col("cnt"), 6).alias("avg_value"),
         )
     )
+
+
+# Drift bins: exact integer arithmetic only (floor division + clip), same
+# rationale as feature_binning. Laplace-smoothed shares keep ln(p/q)
+# finite when a bin is empty on one side — the smoothing is part of the
+# declared semantics so both engines compute identical terms.
+PSI_BIN_W = 25
+PSI_BIN_MAX = 15
+
+
+@query(
+    "data_drift_psi",
+    oracle=f"""
+    WITH d AS (
+      SELECT LEAST(CAST(FLOOR(value / {PSI_BIN_W}) AS BIGINT),
+                   {PSI_BIN_MAX}) AS bin,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    mid AS (SELECT (MIN(day) + MAX(day)) / 2 AS m FROM d),
+    c AS (
+      SELECT d.bin,
+             CAST(SUM(CASE WHEN d.day < mid.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN d.day >= mid.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cur
+      FROM d CROSS JOIN mid GROUP BY d.bin
+    ),
+    t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+                 CAST(SUM(n_cur) AS DOUBLE) AS t_cur,
+                 CAST(COUNT(*) AS DOUBLE) AS n_bins FROM c)
+    SELECT c.bin, c.n_ref, c.n_cur,
+           ROUND((c.n_cur + 1) / (t.t_cur + t.n_bins)
+                 - (c.n_ref + 1) / (t.t_ref + t.n_bins), 6) AS share_delta,
+           ROUND(((c.n_cur + 1) / (t.t_cur + t.n_bins)
+                  - (c.n_ref + 1) / (t.t_ref + t.n_bins))
+                 * LN(((c.n_cur + 1) / (t.t_cur + t.n_bins))
+                      / ((c.n_ref + 1) / (t.t_ref + t.n_bins))), 6)
+             AS psi_term
+    FROM c CROSS JOIN t
+    """,
+)
+def data_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: Population Stability Index drift monitor — the standard
+    production check that a feature's distribution hasn't shifted between
+    a reference window (first half of the data's day span) and the
+    current window (second half). ONE corpus scan, enforced: the corpus
+    collapses to |bins|×|days| cells in a single keyed aggregate that is
+    eagerly localCheckpoint'ed — the split boundary, the ref/cur
+    conditional sums, and the bin totals are all derived from those
+    cells, so no downstream branch ever re-reads the input (without the
+    checkpoint Spark's static plan re-scans the corpus once per branch).
+    Per-bin PSI terms emit with Laplace smoothing so empty-on-one-side
+    bins stay finite; the fleet-level alarm is SUM(psi_term) > 0.2,
+    computable from this output by one more keyed agg at any scale."""
+    _utc(spark)
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.least(
+                F.floor(F.col("value") / PSI_BIN_W).cast("long"),
+                F.lit(PSI_BIN_MAX),
+            ).alias("bin"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("bin", "day")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    mid = cells.agg(((F.min("day") + F.max("day")) / 2).alias("m"))
+    c = (
+        cells.crossJoin(F.broadcast(mid))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("day") >= F.col("m"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+        F.count("*").cast("double").alias("n_bins"),
+    )
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("n_bins"))
+    p_ref = (F.col("n_ref") + 1) / (F.col("t_ref") + F.col("n_bins"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_cur - p_ref, 6).alias("share_delta"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+    )
+
+
+@query(
+    "chi2_independence",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7 AS dow
+      FROM events
+    ),
+    o AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS obs
+          FROM d GROUP BY event_type, dow),
+    rm AS (SELECT event_type, CAST(SUM(obs) AS DOUBLE) AS row_n
+           FROM o GROUP BY event_type),
+    cm AS (SELECT dow, CAST(SUM(obs) AS DOUBLE) AS col_n FROM o GROUP BY dow),
+    t AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM o)
+    SELECT o.event_type, o.dow, o.obs,
+           ROUND(rm.row_n * cm.col_n / t.n, 6) AS expected,
+           ROUND(POW(o.obs - rm.row_n * cm.col_n / t.n, 2)
+                 / (rm.row_n * cm.col_n / t.n), 6) AS chi2_term
+    FROM o JOIN rm ON o.event_type = rm.event_type
+           JOIN cm ON o.dow = cm.dow
+           CROSS JOIN t
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73: χ² independence test between two categorical columns (event
+    type × arithmetic day-of-week) — the feature-screening statistic for
+    categorical/categorical dependence (the categorical twin of
+    corr_matrix). ONE keyed contingency agg collapses the corpus to
+    |types|×7 cells, eagerly localCheckpoint'ed so the four downstream
+    branches (row marginal, column marginal, total, final join) all read
+    the cells, never the corpus — without the checkpoint Spark's static
+    plan re-scans the input once per branch. Marginals broadcast back
+    onto the cells with the 1-row total.
+    Day-of-week is epoch-day mod 7, pure integer arithmetic —
+    engine weekday functions disagree on week origin. Emits per-cell
+    expected counts and χ² contributions over observed cells; the test
+    statistic is their sum."""
+    _utc(spark)
+    d = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("dow"),
+    )
+    o = (
+        d.groupBy("event_type", "dow")
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    rm = o.groupBy("event_type").agg(F.sum("obs").cast("double").alias("row_n"))
+    cm = o.groupBy("dow").agg(F.sum("obs").cast("double").alias("col_n"))
+    t = o.agg(F.sum("obs").cast("double").alias("n"))
+    e = F.col("row_n") * F.col("col_n") / F.col("n")
+    return (
+        o.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "dow",
+            "obs",
+            F.round(e, 6).alias("expected"),
+            F.round(F.pow(F.col("obs") - e, 2) / e, 6).alias("chi2_term"),
+        )
+    )
+
+
+SESSION_PATH_LEN = 3
+SESSION_PATH_TOP = 20
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, day,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM e WHERE rn <= {SESSION_PATH_LEN}
+      GROUP BY user_id, day
+    ),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM paths GROUP BY path)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+             AS rank,
+           path, n_sessions
+    FROM c
+    QUALIFY rank <= {SESSION_PATH_TOP}
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74: top session entry paths — the first {SESSION_PATH_LEN} event
+    types of each (user, day) session joined into a path string, counted
+    corpus-wide, top-{SESSION_PATH_TOP} emitted. The path build is ONE
+    session-keyed agg: events collect as (ts, event_id, type) structs,
+    ``array_sort`` orders them IN-ROW (collect_list order is
+    partition-nondeterministic — the struct sort with the event_id
+    tiebreak restores a total order without a window), ``slice`` keeps
+    the prefix. Path counting is a second keyed agg whose output is
+    |distinct paths|; the global top-k is orderBy+limit, which Spark
+    plans as TakeOrderedAndProject (per-partition top-k + k-row merge),
+    never a single-partition sort. The rank window then runs on
+    ≤ {SESSION_PATH_TOP} rows."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("s")), 1, SESSION_PATH_LEN),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    c = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    top = c.orderBy(F.col("n_sessions").desc(), "path").limit(SESSION_PATH_TOP)
+    w = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "path", "n_sessions"
+    )

@@ -1190,3 +1190,54 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path).select("event_id", "user_id", "day_idx", "z")
+
+
+# --- one-pass column profiling (X75) -------------------------------------
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "schema_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS vmin,
+           ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS vmax
+    FROM orders"""
+        for c in PROFILE_COLS
+    ),
+)
+def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75: one-pass data-quality profile — per column: row count, null
+    count, exact distinct count, min, max, in long form. ONE aggregate
+    computes every metric for every profiled column; Spark plans the
+    exact multi-column COUNT(DISTINCT) as two scan branches (Expand'd
+    distinct paths + plain metrics) — constant in the number of profiled
+    columns, never the oracle's one-scan-per-column union form. The
+    Expand is the deliberate price of exactness (|cols|× the scan rows
+    into the partial aggregate); the 100 TB profiling run swaps in
+    approx_count_distinct (the agg_approx_distinct pattern, bounded-error
+    HLL++) and drops to one branch. The 1-row wide result unpivots
+    driver-free via stack()."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__mn"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__mx"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_rows, n_null, n_distinct, vmin, vmax)"
+    )

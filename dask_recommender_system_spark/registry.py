@@ -96,6 +96,10 @@ DRIVER_PRIORITY: list[str] = [
     "pagerank_items",
     "bm25_score",
     "sink_parquet_zorder",
+    "data_drift_psi",
+    "chi2_independence",
+    "session_path_topk",
+    "schema_profile",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

@@ -266,6 +266,8 @@ _NON_EQUI_OK = {
     "negative_sampling",  # 1-row max-item broadcast onto the positives
     "heavy_hitters",  # 1-row total-count broadcast onto candidate counts
     "bm25_score",  # 1-row (N, avgdl) corpus-stats broadcast onto tf
+    "data_drift_psi",  # 1-row split-boundary + totals broadcasts onto bins
+    "chi2_independence",  # 1-row grand-total broadcast onto cells
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -479,6 +481,39 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir):
         for c in spans
     }
     assert frac["user_id"] * frac["day_idx"] < 0.5, frac
+
+
+def test_stats_ops_never_rescan_corpus(spark, sf_dir):
+    """data_drift_psi / chi2_independence: every downstream branch (split
+    boundary, marginals, totals, final join) must read the checkpointed
+    cells aggregate — ZERO parquet scans in the final plan. Without the
+    eager checkpoint Spark's static plan re-scans the corpus once per
+    branch (measured: 8 scans each before the fix)."""
+    for name in ("data_drift_psi", "chi2_independence"):
+        plan = physical_plan(q(name, spark, sf_dir), "formatted")
+        assert plan.count("Scan parquet") == 0, name
+
+
+def test_session_path_topk_uses_partial_topk(spark, sf_dir):
+    """session_path_topk: the global top-k must plan as
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    full single-partition sort of the path-count table."""
+    plan = physical_plan(q("session_path_topk", spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [n_sessions" not in plan
+
+
+def test_schema_profile_scans_constant_in_columns(spark, sf_dir):
+    """schema_profile: ONE aggregate computes every metric for every
+    column. Spark plans the exact multi-column COUNT(DISTINCT) as two
+    scan branches (the Expand'd distinct paths + the plain metrics) —
+    CONSTANT in the number of profiled columns, never one scan per
+    column (the oracle's union form). The 100 TB variant swaps in HLL++
+    and drops to one branch."""
+    df = q("schema_profile", spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    assert plan.count("Scan parquet") <= 2
+    assert "Expand" in plan
 
 
 def test_merge_upsert_is_window_not_join(spark, sf_dir):
