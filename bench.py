@@ -49,6 +49,16 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "text_repetition_filter",
     "dedup_levenshtein_verified",
+    # round-3 batch 2 — appended, same order-stability rule
+    "negative_sampling",
+    "vocab_coverage",
+    "join_bloom_pruned",
+    "heavy_hitters",
+    "timeseries_resample",
+    "pagerank_items",
+    "bm25_score",
+    "sink_parquet_zorder",
+    "session_path_topk",
 ]
 
 FUNK_EPOCHS = 5

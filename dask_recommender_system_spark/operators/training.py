@@ -246,3 +246,158 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_vocab"),
         )
     )
+
+
+# Per-key sampling: K kept per user, chosen by a shared multiplicative
+# hash instead of rand() — the deterministic-reservoir stand-in. The full
+# ordering key is (hash, interaction, item, rating): everything after the
+# hash is tiebreak so engines can only disagree on orderings of fully
+# identical rows, which are interchangeable in the output multiset.
+SAMPLE_PER_KEY = 3
+SAMPLE_MOD = 1000003  # prime > any per-user row count
+
+_SAMPLE_ORACLE = f"""
+WITH r AS ({{ratings}}),
+h AS (
+  SELECT user_id, item_id, interaction_id, rating,
+         (interaction_id * {HASH_A} + item_id * 40503) % {SAMPLE_MOD} AS hk
+  FROM r
+)
+SELECT user_id, item_id, interaction_id, rating,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id
+         ORDER BY hk, interaction_id, item_id, rating) AS BIGINT) AS rn
+FROM h
+QUALIFY rn <= {SAMPLE_PER_KEY}
+"""
+
+
+@query("sample_per_key", oracle=_SAMPLE_ORACLE.format(ratings=RATINGS_SQL))
+def sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76: deterministic K-per-key sampling — the reservoir-sample
+    equivalent for bounding per-user training contributions (power users
+    otherwise dominate both SGD gradients and CF co-counts; the
+    item_cf recency cap is the time-biased sibling of this
+    frequency-unbiased one). Hash-ordering instead of rand() means the
+    sample is identical across engines, retries, and repartitionings.
+    ONE user-keyed ranking window — same shuffle shape as
+    dedup_keep_last; at 100 TB the window's per-user state is K rows."""
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    hk = (F.col("interaction_id") * HASH_A + F.col("item_id") * 40503) % SAMPLE_MOD
+    w = W.partitionBy("user_id").orderBy(
+        hk, "interaction_id", "item_id", "rating"
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= SAMPLE_PER_KEY)
+        .select("user_id", "item_id", "interaction_id", "rating", "rn")
+    )
+
+
+# Winsorize + robust-scale: clip bounds and the median/IQR come from ONE
+# exact-percentile aggregate broadcast onto the rows (the rfm_segmentation
+# pattern) — never a global sort. Cut points are ROUNDED so both engines
+# clip against bit-identical boundaries.
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@query(
+    "feature_winsorize",
+    oracle=f"""
+    WITH q AS (SELECT ROUND(quantile_cont(o_totalprice, {WINSOR_LO}), 6) AS lo,
+                      ROUND(quantile_cont(o_totalprice, {WINSOR_HI}), 6) AS hi,
+                      ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+                      ROUND(quantile_cont(o_totalprice, 0.50), 6) AS med,
+                      ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+               FROM orders)
+    SELECT o_orderkey,
+           ROUND(LEAST(GREATEST(o_totalprice, q.lo), q.hi), 6) AS clipped,
+           ROUND((o_totalprice - q.med) / (q.q3 - q.q1), 6) AS robust_z,
+           CAST(o_totalprice < q.lo OR o_totalprice > q.hi AS BIGINT)
+             AS was_clipped
+    FROM orders CROSS JOIN q
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77: winsorization + robust scaling — clip a heavy-tailed feature
+    at [p1, p99] (WINSOR_LO/WINSOR_HI) and center/scale
+    by median/IQR (outlier-immune, unlike mean/std z-scores). All five
+    cut points come from ONE exact-percentile aggregate (same
+    interpolated arithmetic as DuckDB quantile_cont, rounded for bit
+    parity) broadcast as a single row; scoring is a narrow comparison
+    chain — embarrassingly parallel, no global sort anywhere. At
+    unbounded cardinality swap percentile → approx_percentile, the
+    corpus_quality_filter twin documented in SCALE.md."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.round(F.expr(f"percentile(o_totalprice, {WINSOR_LO})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(o_totalprice, {WINSOR_HI})"), 6).alias("hi"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("med"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q3"),
+    )
+    x = F.col("o_totalprice")
+    return o.crossJoin(F.broadcast(q)).select(
+        "o_orderkey",
+        F.round(F.least(F.greatest(x, F.col("lo")), F.col("hi")), 6).alias(
+            "clipped"
+        ),
+        F.round((x - F.col("med")) / (F.col("q3") - F.col("q1")), 6).alias(
+            "robust_z"
+        ),
+        ((x < F.col("lo")) | (x > F.col("hi"))).cast("long").alias("was_clipped"),
+    )
+
+
+@query(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({ORACLE_TOKENS}) AS term
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    v AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS freq FROM tok
+          GROUP BY term),
+    t AS (SELECT SUM(freq) AS total FROM v)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(v.freq / t.total)), 6) AS avg_logprob,
+           ROUND(EXP(-AVG(LN(v.freq / t.total))), 6) AS perplexity
+    FROM tok JOIN v ON tok.term = v.term CROSS JOIN t
+    GROUP BY tok.doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78: unigram language-model scoring — per-document mean token
+    log-probability under the corpus unigram distribution, and its
+    perplexity. The statistical quality filter that catches
+    gibberish/boilerplate before expensive model-based scoring (low
+    avg_logprob = rare-token soup; very low perplexity = repetitive
+    boilerplate) — together with text_repetition_filter and
+    corpus_quality_filter this completes the pre-training quality ladder.
+    Two corpus scans by design: one collapses to the |vocab|-row unigram
+    table (tiny — broadcast onto the second tokenize-and-join pass);
+    materializing the tokenized corpus to skip the rescan would cost
+    ~|corpus|×|avg tokens| spill at 100 TB, strictly worse than
+    re-tokenizing inside codegen. OOV is impossible by construction
+    (vocab and scores come from the same corpus snapshot)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = spread(d).select("doc_id", F.explode(TOKENS()).alias("term"))
+    v = tok.groupBy("term").agg(F.count("*").cast("double").alias("freq"))
+    t = v.agg(F.sum("freq").alias("total"))
+    lp = F.log(F.col("freq") / F.col("total"))
+    return (
+        tok.join(F.broadcast(v), "term")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(lp)), 6).alias("perplexity"),
+        )
+    )

@@ -100,6 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "chi2_independence",
     "session_path_topk",
     "schema_profile",
+    "sample_per_key",
+    "feature_winsorize",
+    "unigram_logprob_score",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

@@ -268,6 +268,8 @@ _NON_EQUI_OK = {
     "bm25_score",  # 1-row (N, avgdl) corpus-stats broadcast onto tf
     "data_drift_psi",  # 1-row split-boundary + totals broadcasts onto bins
     "chi2_independence",  # 1-row grand-total broadcast onto cells
+    "feature_winsorize",  # 1-row percentile-cuts broadcast onto rows
+    "unigram_logprob_score",  # 1-row corpus-total broadcast onto tokens
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -514,6 +516,37 @@ def test_schema_profile_scans_constant_in_columns(spark, sf_dir):
     plan = physical_plan(df, "formatted")
     assert plan.count("Scan parquet") <= 2
     assert "Expand" in plan
+
+
+def test_sample_per_key_window_is_user_keyed(spark, sf_dir):
+    """sample_per_key: the K-per-key ranking must be keyed per user —
+    same shuffle shape as dedup_keep_last, never a global sample sort."""
+    df = q("sample_per_key", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(user_id" in line, line
+
+
+def test_winsorize_scores_without_global_sort(spark, sf_dir):
+    """feature_winsorize: all five cut points come from the 1-row
+    percentile aggregate (the only SinglePartition); scoring itself is a
+    windowless comparison chain — the rfm_segmentation shape."""
+    df = q("feature_winsorize", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Window" not in plan
+    assert plan.count("SinglePartition") == 1
+
+
+def test_unigram_score_vocab_broadcasts(spark, sf_dir):
+    """unigram_logprob_score: the |vocab|-row unigram table must
+    broadcast onto the token stream — a term-shuffled join here would
+    re-shuffle the whole tokenized corpus for a tiny build side."""
+    df = q("unigram_logprob_score", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_merge_upsert_is_window_not_join(spark, sf_dir):
