@@ -1123,17 +1123,27 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Z-order (Morton) parquet layout (X71) -------------------------------
-# Two-dimensional generalization of sink_parquet_sorted: interleave the low
-# Z_BITS bits of (user_id, day) so sorting by ONE scalar clusters BOTH
-# dimensions — every row group then covers a narrow band of users AND of
-# days, and min/max stats prune reads filtered on either column. This is
-# what Delta/Iceberg's OPTIMIZE ZORDER BY does; plain parquet gets the same
-# per-row-group effect from the explicit sort key.
-Z_BITS = 16
+# Two-dimensional generalization of sink_parquet_sorted. Each dimension is
+# first RANGE-NORMALIZED to Z_BITS-bit buckets off its own observed
+# (min, max) — interleaving raw bits instead only ever clusters the
+# dimension whose HIGH bits vary (measured at sf0.1: day_idx values share
+# all high bits, so raw interleave left day spans at 1.0 while user took
+# 0.15; normalized, both dimensions shrink). This normalize-then-
+# interleave is what Delta/Iceberg's OPTIMIZE ZORDER BY does; plain
+# parquet gets the same per-row-group min/max pruning from the explicit
+# sort key. All arithmetic is exact-integer so both engines agree
+# bit-for-bit.
+Z_BITS = 8
+
+
+def _z_bucket_spark(x: str, lo: str, hi: str) -> F.Column:
+    # `div` is exact BIGINT division — float `/` + FLOOR can disagree with
+    # DuckDB's integer `//` in the last ulp when the quotient grazes an
+    # integer boundary
+    return F.expr(f"(({x} - {lo}) * {1 << Z_BITS}) div ({hi} - {lo} + 1)")
 
 
 def _z_spark(u: F.Column, d: F.Column) -> F.Column:
-    u, d = u.bitwiseAND((1 << Z_BITS) - 1), d.bitwiseAND((1 << Z_BITS) - 1)
     z = F.lit(0).cast("long")
     for i in range(Z_BITS):
         z = (
@@ -1145,36 +1155,44 @@ def _z_spark(u: F.Column, d: F.Column) -> F.Column:
 
 
 def _z_duckdb(u: str, d: str) -> str:
-    m = (1 << Z_BITS) - 1
     terms = []
     for i in range(Z_BITS):
-        terms.append(f"((({u} & {m}) >> {i}) & 1) * {1 << (2 * i)}")
-        terms.append(f"((({d} & {m}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((({u}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({d}) >> {i}) & 1) * {1 << (2 * i + 1)}")
     return "(" + " + ".join(terms) + ")"
+
+
+_Z_DAY = "CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)"
+_Z_UB = f"((user_id - b.ulo) * {1 << Z_BITS}) // (b.uhi - b.ulo + 1)"
+_Z_DB = f"(({_Z_DAY} - b.dlo) * {1 << Z_BITS}) // (b.dhi - b.dlo + 1)"
 
 
 @query(
     "sink_parquet_zorder",
     oracle=f"""
+    WITH b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+                      MIN({_Z_DAY}) AS dlo, MAX({_Z_DAY}) AS dhi
+               FROM events)
     SELECT event_id, user_id,
-           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_idx,
-           {_z_duckdb('user_id', 'CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)')}
-             AS z
-    FROM events
+           {_Z_DAY} AS day_idx,
+           {_z_duckdb(_Z_UB, _Z_DB)} AS z
+    FROM events CROSS JOIN b
     """,
 )
 def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X71: Z-order-clustered parquet layout + read-back. The Morton key
-    interleaves the low {{Z_BITS}} bits of (user_id, day), so
-    ``repartitionByRange(z) + sortWithinPartitions(z)`` gives every output
-    file a narrow band of BOTH dimensions — a filter on either column
-    prunes row groups on min/max stats alone (measured in
-    tests/test_plans.py: per-row-group user_id span shrinks vs the
-    unclustered source). The declared result is the read-back with the
-    recomputed key, oracle-checked against the source — pinning that the
-    relayout preserves content AND that both engines agree bit-for-bit on
-    the interleave. The key is pure integer shift/mask arithmetic in one
-    codegen stage; the only shuffle is the range partitioner's."""
+    """X71: Z-order-clustered parquet layout + read-back. Each dimension
+    (user_id, day) is range-normalized to Z_BITS-bit buckets off its own
+    observed min/max (1-row broadcast — see module comment on why raw-bit
+    interleave fails), then Morton-interleaved;
+    ``repartitionByRange(z) + sortWithinPartitions(z)`` gives every
+    output file a narrow band of BOTH dimensions — a filter on either
+    column prunes row groups on min/max stats alone (product-of-spans
+    invariant measured in tests/test_plans.py and SCALE.md). The declared
+    result is the read-back with the recomputed key, oracle-checked
+    against the source — pinning that the relayout preserves content AND
+    that both engines agree bit-for-bit on normalize + interleave. The
+    key is exact integer arithmetic in one codegen stage; the only
+    data-sized shuffle is the range partitioner's."""
     _utc(spark)
     path = f"{IO_DIR}/events_zorder_parquet"
     ev = load_table(spark, sf_dir, "events").select(
@@ -1182,9 +1200,18 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
     )
-    z = ev.withColumn("z", _z_spark(F.col("user_id"), F.col("day_idx")))
+    b = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("day_idx").alias("dlo"),
+        F.max("day_idx").alias("dhi"),
+    )
+    ub = _z_bucket_spark("user_id", "ulo", "uhi").cast("long")
+    db = _z_bucket_spark("day_idx", "dlo", "dhi").cast("long")
+    z = ev.crossJoin(F.broadcast(b)).withColumn("z", _z_spark(ub, db))
     (
-        z.repartitionByRange(8, "z")
+        z.select("event_id", "user_id", "day_idx", "z")
+        .repartitionByRange(8, "z")
         .sortWithinPartitions("z")
         .write.mode("overwrite")
         .parquet(path)
