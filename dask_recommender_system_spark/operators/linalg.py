@@ -460,3 +460,85 @@ def sgd_epoch_item_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q_1") + SGD_LR * (F.col("g_1") - SGD_REG * F.col("q_1")), 6).alias("f1_new"),
         )
     )
+
+
+# --- BPR epoch (X79) ------------------------------------------------------
+# Bayesian Personalized Ranking: the implicit-feedback pairwise loss the
+# negative_sampling operator (training.py X62) exists to feed. One batch
+# epoch over (user, pos_item, neg_item) triples:
+#   x    = p_u · (q_i − q_j)
+#   σ'   = 1 / (1 + e^x)          (= σ(−x), the BPR gradient weight)
+#   p_u += lr · ( Σ σ'·(q_i − q_j) − reg·p_u )
+# Factors are the SAME hash-uniform init the SGD epochs use — computed
+# INLINE as expressions, so the epoch needs no factor-table joins at all:
+# triples → narrow gradient expressions → ONE user-keyed aggregate →
+# update. At 100 TB the epoch's only data-sized shuffles are the ones the
+# sampler already pays plus this single keyed agg.
+BPR_SALT_U = 3
+BPR_SALT_I = 4
+
+
+def _bpr_oracle() -> str:
+    from .training import _NEG_ORACLE
+
+    qp = [_init_sql("t.item_id", j, BPR_SALT_I, 0.1) for j in (0, 1)]
+    qn = [_init_sql("t.neg_item", j, BPR_SALT_I, 0.1) for j in (0, 1)]
+    pu = [_init_sql("t.user_id", j, BPR_SALT_U, 0.1) for j in (0, 1)]
+    x = (
+        f"({pu[0]}) * (({qp[0]}) - ({qn[0]}))"
+        f" + ({pu[1]}) * (({qp[1]}) - ({qn[1]}))"
+    )
+    return f"""
+WITH trip AS ({_NEG_ORACLE}),
+g AS (
+  SELECT t.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_triples,
+         SUM((1.0 / (1.0 + EXP({x}))) * (({qp[0]}) - ({qn[0]}))) AS g_0,
+         SUM((1.0 / (1.0 + EXP({x}))) * (({qp[1]}) - ({qn[1]}))) AS g_1
+  FROM trip t GROUP BY t.user_id
+)
+SELECT user_id, n_triples,
+       ROUND({_init_sql('user_id', 0, BPR_SALT_U, 0.1)}
+             + {SGD_LR} * (g_0 - {SGD_REG}
+                 * ({_init_sql('user_id', 0, BPR_SALT_U, 0.1)})), 6) AS p0_new,
+       ROUND({_init_sql('user_id', 1, BPR_SALT_U, 0.1)}
+             + {SGD_LR} * (g_1 - {SGD_REG}
+                 * ({_init_sql('user_id', 1, BPR_SALT_U, 0.1)})), 6) AS p1_new
+FROM g
+"""
+
+
+@query("bpr_epoch_user_update", oracle=_bpr_oracle())
+def bpr_epoch_user_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79: one BPR (implicit-feedback pairwise ranking) epoch, user side,
+    value-checked — closes the loop on negative_sampling (X62): the
+    sampled (user, pos, neg) triples ARE this loss's training data, the
+    k=2 hash-uniform factors ARE the SGD epochs' init convention, and
+    DuckDB verifies the σ-weighted pairwise gradient value-for-value.
+    Because the hash init is a pure expression, user and item factors are
+    computed inline on the triple rows — ZERO factor-table joins; the
+    epoch's entire own cost is narrow codegen plus ONE user-keyed
+    gradient aggregate. (The multi-epoch generalization iterates exactly
+    like models/base.py: update → checkpoint → re-derive; factors stay
+    relational throughout.)"""
+    from ..models.common import hash_uniform
+    from .training import negative_sampling
+
+    t = negative_sampling(spark, sf_dir)
+    qp = [hash_uniform(F.col("item_id"), j, 0.1, BPR_SALT_I) for j in (0, 1)]
+    qn = [hash_uniform(F.col("neg_item"), j, 0.1, BPR_SALT_I) for j in (0, 1)]
+    pu = [hash_uniform(F.col("user_id"), j, 0.1, BPR_SALT_U) for j in (0, 1)]
+    x = pu[0] * (qp[0] - qn[0]) + pu[1] * (qp[1] - qn[1])
+    sig = 1.0 / (1.0 + F.exp(x))
+    g = t.groupBy("user_id").agg(
+        F.count("*").alias("n_triples"),
+        F.sum(sig * (qp[0] - qn[0])).alias("g_0"),
+        F.sum(sig * (qp[1] - qn[1])).alias("g_1"),
+    )
+    p = [hash_uniform(F.col("user_id"), j, 0.1, BPR_SALT_U) for j in (0, 1)]
+    return g.select(
+        "user_id",
+        "n_triples",
+        F.round(p[0] + SGD_LR * (F.col("g_0") - SGD_REG * p[0]), 6).alias("p0_new"),
+        F.round(p[1] + SGD_LR * (F.col("g_1") - SGD_REG * p[1]), 6).alias("p1_new"),
+    )

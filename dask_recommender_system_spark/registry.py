@@ -103,6 +103,7 @@ DRIVER_PRIORITY: list[str] = [
     "sample_per_key",
     "feature_winsorize",
     "unigram_logprob_score",
+    "bpr_epoch_user_update",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

@@ -271,6 +271,7 @@ _NON_EQUI_OK = {
     "feature_winsorize",  # 1-row percentile-cuts broadcast onto rows
     "unigram_logprob_score",  # 1-row corpus-total broadcast onto tokens
     "sink_parquet_zorder",  # 1-row dim-min/max broadcast for normalization
+    "bpr_epoch_user_update",  # inherits negative_sampling's 1-row max
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -518,6 +519,19 @@ def test_schema_profile_scans_constant_in_columns(spark, sf_dir):
     plan = physical_plan(df, "formatted")
     assert plan.count("Scan parquet") <= 2
     assert "Expand" in plan
+
+
+def test_bpr_epoch_adds_no_joins_over_sampler(spark, sf_dir):
+    """bpr_epoch_user_update: factors are inline hash expressions, so the
+    epoch must add ZERO joins beyond the ones the negative sampler itself
+    plans — a factor-table join creeping in would add two keyed shuffles
+    per epoch at 100 TB."""
+    import re as _re
+
+    sampler = physical_plan(q("negative_sampling", spark, sf_dir), "simple")
+    epoch = physical_plan(q("bpr_epoch_user_update", spark, sf_dir), "simple")
+    n_joins = lambda p: len(_re.findall(r"Join", p))
+    assert n_joins(epoch) == n_joins(sampler), (n_joins(epoch), n_joins(sampler))
 
 
 def test_sample_per_key_window_is_user_keyed(spark, sf_dir):
