@@ -104,6 +104,7 @@ DRIVER_PRIORITY: list[str] = [
     "feature_winsorize",
     "unigram_logprob_score",
     "bpr_epoch_user_update",
+    "stream_hll_rollup",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

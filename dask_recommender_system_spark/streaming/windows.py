@@ -395,3 +395,69 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+STREAM_HLL_BOUND = 0.05  # HLL++ default lgK rel-err ~1.6%; headroom for tiny windows
+
+
+@query(
+    "stream_hll_rollup",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT)
+             AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of hll_sketch_rollup (X44): per-hour HLL sketches of
+    distinct users built INSIDE the watermarked streaming aggregate
+    (``hll_sketch_agg`` is a mergeable typed aggregate, so it runs in
+    streaming state like any sum), drained to the memory sink as binary
+    sketch columns. A batch post-pass estimates each window and checks it
+    against the exact per-window distinct count — the same
+    bounded-error-flag promotion that made the batch sketch op
+    value-checkable. At 100 TB this is the live-dashboard pattern: the
+    streaming job maintains KB-sized sketch state per window instead of
+    the distinct user SET, late data merges into the same sketch, and
+    any coarser rollup (day, week) is a sketch union downstream — never
+    a replay of the stream."""
+    from ..data import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "sk")
+    )
+    run_stream_to_memory(agg, name)
+    sketches = spark.table(name)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_start")
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        sketches.select(
+            "window_start", F.hll_sketch_estimate("sk").alias("approx_users")
+        )
+        .join(exact, "window_start")
+        .select(
+            "window_start",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(STREAM_HLL_BOUND) * F.col("exact_users"), F.lit(3.0)
+                )
+            )
+            .cast("long")
+            .alias("within_bound"),
+        )
+    )
