@@ -1193,6 +1193,13 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     that both engines agree bit-for-bit on normalize + interleave. The
     key is exact integer arithmetic in one codegen stage; the only
     data-sized shuffle is the range partitioner's."""
+    path = _write_zorder_layout(spark, sf_dir)
+    return spark.read.parquet(path).select("event_id", "user_id", "day_idx", "z")
+
+
+def _write_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The Z-order write shared by sink_parquet_zorder (read-back oracle)
+    and scan_manifest_pruned (file-skipping consumer)."""
     _utc(spark)
     path = f"{IO_DIR}/events_zorder_parquet"
     ev = load_table(spark, sf_dir, "events").select(
@@ -1216,7 +1223,69 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(path)
     )
-    return spark.read.parquet(path).select("event_id", "user_id", "day_idx", "z")
+    return path
+
+
+# Manifest band for the pruned scan: user ids start at 0 at every SF, so
+# a low band is non-empty at sf0.001 (15 users) AND a tiny, prunable
+# fraction at sf0.1 (1.5k users).
+MANIFEST_BAND = (4, 8)
+
+
+@query(
+    "scan_manifest_pruned",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_idx
+    FROM events
+    WHERE user_id BETWEEN {MANIFEST_BAND[0]} AND {MANIFEST_BAND[1]}
+    """,
+)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: file-level manifest pruning — the table-format metadata-index
+    pattern (Delta/Iceberg data skipping) built from plain parquet. The
+    manifest is read from the parquet FOOTERS (KB of metadata per file,
+    zero data I/O — exactly what a table format persists at commit time);
+    a band query first filters the manifest, reads only overlapping
+    files, then applies the exact filter. The manifest is O(|files|)
+    driver-plane metadata, like the encoder's offsets — never data — and
+    because the Z-order layout gives each file a narrow band of both
+    dimensions, most files drop out before any data I/O (tests assert
+    fewer than all files survive). Result is oracle-identical to the
+    full-scan filter: skipping is a pure I/O optimization, pinned as
+    semantics-free."""
+    path = _write_zorder_layout(spark, sf_dir)
+    files = _manifest_prune(path, "user_id", *MANIFEST_BAND)
+    lo, hi = MANIFEST_BAND
+    return (
+        spark.read.parquet(*files)
+        .filter(F.col("user_id").between(lo, hi))
+        .select("event_id", "user_id", "day_idx")
+    )
+
+
+def _manifest_prune(path: str, col: str, lo: int, hi: int) -> list[str]:
+    """Footer-only manifest: per-file (min, max) of ``col`` from parquet
+    metadata, returning the files whose range overlaps [lo, hi]."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    keep = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            st = {
+                row.column(i).path_in_schema: row.column(i).statistics
+                for i in range(row.num_columns)
+            }[col]
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmax is not None and fmax >= lo and fmin <= hi:
+            keep.append(f)
+    return keep
 
 
 # --- one-pass column profiling (X75) -------------------------------------

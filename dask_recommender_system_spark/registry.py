@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "unigram_logprob_score",
     "bpr_epoch_user_update",
     "stream_hll_rollup",
+    "scan_manifest_pruned",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

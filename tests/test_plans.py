@@ -565,6 +565,28 @@ def test_unigram_score_vocab_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_manifest_prune_skips_files(spark):
+    """scan_manifest_pruned: the footer-only manifest must actually skip
+    files for the band query. Needs enough distinct users that the
+    Z-order layout separates the band into a file subset, so this runs at
+    sf0.01 (at sf0.001's 15 users the band covers ~1/3 of the id range
+    and every file overlaps — correct, but skip-free)."""
+    from dask_recommender_system_spark.operators.relational import (
+        IO_DIR,
+        MANIFEST_BAND,
+        _manifest_prune,
+        _write_zorder_layout,
+    )
+
+    path = _write_zorder_layout(spark, "/root/testdata/sf0.01")
+    import glob
+
+    total = len(glob.glob(f"{path}/*.parquet"))
+    kept = len(_manifest_prune(path, "user_id", *MANIFEST_BAND))
+    assert total >= 4
+    assert kept < total, (kept, total)
+
+
 def test_merge_upsert_is_window_not_join(spark, sf_dir):
     """merge_upsert_cdc: the merge itself must be the union + merge-key
     ranking window — no full-outer join (the join-skew surface the design
