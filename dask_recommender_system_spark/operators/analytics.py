@@ -1,6 +1,9 @@
 """Product/behavioral analytics operators (SURVEY.md §2.9 round-3
-additions X52-X54): retention cohorts, event-transition counts, RFM
-segmentation. The reference pipeline stops at ratings aggregation
+additions X52-X54, X58-X59, X67-X68, X72-X74): retention cohorts,
+event-transition counts, RFM segmentation, SCD2 intervals, time-weighted
+averages, daily resample + forward fill, incremental rollup merge, PSI
+drift, chi-squared independence, and session paths. The
+reference pipeline stops at ratings aggregation
 (``reference/models/als.py`` consumes a user×item matrix); these are the
 standard analytics queries a team running that pipeline asks of the same
 event/order data, expressed in the shapes that survive 100 TB — keyed
@@ -319,6 +322,11 @@ def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("v"))
+        # both the span branch and the calendar join consume daily; the
+        # eager checkpoint (output-sized: |user|×|days| rows) keeps the
+        # static plan from re-scanning the corpus per branch — same fix as
+        # data_drift_psi / chi2_independence
+        .localCheckpoint(eager=True)
     )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")

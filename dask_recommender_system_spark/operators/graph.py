@@ -83,9 +83,18 @@ def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e.groupBy("u", "v").agg(F.count("*").cast("double").alias("w"))
     deg = edges.groupBy("u").agg(F.sum("w").alias("dw"))
+    p = spark.sparkContext.defaultParallelism
     en = (
         edges.join(deg, "u")
         .select("u", "v", (F.col("w") / F.col("dw")).alias("wn"))
+        # hash-partition on the iteration join key BEFORE the checkpoint:
+        # localCheckpoint preserves outputPartitioning, so every iteration
+        # joins against co-located edges and only the |nodes|-row ranks
+        # table moves. At bench scale AQE broadcasts ranks and this is
+        # timing-neutral (measured); at 10⁹ nodes ranks cannot broadcast
+        # and this is the difference between shuffling the edge table
+        # once vs once per iteration.
+        .repartition(p, "u")
         .localCheckpoint(eager=True)  # reused every iteration
     )
     n = float(deg.count())

@@ -1,6 +1,7 @@
 """Training-data preparation operators (SURVEY.md §2.9 round-3 additions
-X62-X64): deterministic negative sampling, exact-arithmetic feature
-binning, and vocabulary building with a cumulative-mass cutoff. The
+X62-X64, X76-X78): deterministic negative sampling, exact-arithmetic
+feature binning, vocabulary building with a cumulative-mass cutoff,
+K-per-key sampling, winsorize/robust scaling, and unigram-LM scoring. The
 reference stops at the positive ratings matrix (``reference/models/als.py``
 consumes observed triples only); these are the ops a team turns that same
 matrix into model-ready training data with — implicit-feedback negatives,

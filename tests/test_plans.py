@@ -493,8 +493,9 @@ def test_stats_ops_never_rescan_corpus(spark, sf_dir):
     boundary, marginals, totals, final join) must read the checkpointed
     cells aggregate — ZERO parquet scans in the final plan. Without the
     eager checkpoint Spark's static plan re-scans the corpus once per
-    branch (measured: 8 scans each before the fix)."""
-    for name in ("data_drift_psi", "chi2_independence"):
+    branch (measured: 8 scans each before the fix). timeseries_resample
+    checkpoints its daily aggregate for the same reason."""
+    for name in ("data_drift_psi", "chi2_independence", "timeseries_resample"):
         plan = physical_plan(q(name, spark, sf_dir), "formatted")
         assert plan.count("Scan parquet") == 0, name
 
