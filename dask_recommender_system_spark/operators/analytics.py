@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..registry import query
+from ..registry import REGISTRY, query
 from .relational import ORACLE_EPOCH, _utc
 
 EPOCH_TS = ORACLE_EPOCH.format(col="ts")
@@ -637,4 +637,56 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("n_sessions").desc(), "path")
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "path", "n_sessions"
+    )
+
+
+@query(
+    "join_point_in_interval",
+    oracle=f"""
+    WITH o AS (SELECT user_id, event_type, {EPOCH_TS} AS t,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    ch AS (SELECT user_id, event_type, t FROM o
+           WHERE prev IS NULL OR prev <> event_type),
+    iv AS (SELECT user_id, event_type AS attr, t AS valid_from,
+                  COALESCE(LEAD(t) OVER (PARTITION BY user_id ORDER BY t),
+                           {SCD2_OPEN_END}) AS valid_to
+           FROM ch)
+    SELECT iv.user_id, iv.attr, iv.valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 6) AS sum_value
+    FROM iv JOIN (SELECT user_id, {EPOCH_TS} AS t, value FROM events) e
+      ON e.user_id = iv.user_id
+     AND e.t >= iv.valid_from AND e.t < iv.valid_to
+    GROUP BY iv.user_id, iv.attr, iv.valid_from
+    """,
+)
+def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82: point-in-interval (temporal dimension) join — enrich each fact
+    event with the SCD2 dimension version valid AT its timestamp, then
+    aggregate per version. The third member of the temporal-join family:
+    join_asof takes the latest-before row, join_range_band a fixed-width
+    band, this one an arbitrary validity interval. Plan shape: the join
+    is EQUI on user_id with the interval bounds as a residual range
+    filter — one keyed shuffle, per-user interval lists are small (the
+    SCD2 change count), so the within-key comparison is bounded; never a
+    cross join against the interval table. Intervals come from the same
+    collapse/close construction scd2_intervals pins (half-open
+    [from, to) — every event lands in exactly one version)."""
+    _utc(spark)
+    iv = REGISTRY["scd2_intervals"].fn(spark, sf_dir).select(
+        "user_id", "attr", "valid_from", "valid_to"
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "value"
+    )
+    return (
+        e.join(iv, "user_id")
+        .filter((F.col("t") >= F.col("valid_from")) & (F.col("t") < F.col("valid_to")))
+        .groupBy("user_id", "attr", "valid_from")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
     )

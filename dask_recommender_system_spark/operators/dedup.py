@@ -552,3 +552,77 @@ def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+
+
+# Containment threshold: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.8 flags A
+# as (near-)contained in B — the sub-document duplication signal Jaccard
+# misses (a paragraph pasted into a much larger doc has low Jaccard but
+# containment ≈ 1). Computed on the VERIFIED near-dup pair set (exact
+# Jaccard ≥ 0.5, where banding recall is total — see JACCARD_VERIFY_SQL);
+# an unconditional containment sweep needs shingle-inverted-index blocking
+# with stop-shingle pruning, whose semantics depend on the pruning
+# threshold and are therefore not declared here.
+CONTAIN_T = 0.8
+
+_CONTAIN_SQL = f"""
+    WITH {ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / sa.n, 6) AS contain_a_in_b,
+           ROUND(CAST(c AS DOUBLE) / sb.n, 6) AS contain_b_in_a,
+           CAST(CAST(c AS DOUBLE) / LEAST(sa.n, sb.n) >= {CONTAIN_T}
+                AS BIGINT) AS is_contained
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """
+
+
+@query("dedup_containment", oracle=_CONTAIN_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83: asymmetric shingle containment on the verified near-dup pair
+    set — both directions C(A→B), C(B→A) plus a smaller-side containment
+    flag. Jaccard is symmetric and dilutes when sizes differ; containment
+    is the measure that catches a document swallowed by a larger one.
+    Pipeline: MinHash band candidates → exact common-shingle counts on
+    candidates only (O(cand × shingles/doc), the exact_jaccard machinery)
+    → per-pair division by each side's own shingle count. Everything
+    keyed, nothing all-pairs; the unconditional sweep alternative and why
+    it is not declared is in the threshold comment above."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
+    )
+    cand = minhash_candidates(minhash_signatures(docs))
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+    common = (
+        a_sh.join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    c = F.col("c").cast("double")
+    jac = c / (F.col("na") + F.col("nb") - F.col("c"))
+    return common.filter(jac >= 0.5).select(
+        "doc_a",
+        "doc_b",
+        F.round(c / F.col("na"), 6).alias("contain_a_in_b"),
+        F.round(c / F.col("nb"), 6).alias("contain_b_in_a"),
+        (c / F.least("na", "nb") >= CONTAIN_T).cast("long").alias("is_contained"),
+    )

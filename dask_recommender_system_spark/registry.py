@@ -106,6 +106,8 @@ DRIVER_PRIORITY: list[str] = [
     "bpr_epoch_user_update",
     "stream_hll_rollup",
     "scan_manifest_pruned",
+    "join_point_in_interval",
+    "dedup_containment",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",

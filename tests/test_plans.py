@@ -566,6 +566,19 @@ def test_unigram_score_vocab_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_point_in_interval_join_is_user_equi(spark, sf_dir):
+    """join_point_in_interval: the temporal join must plan as an EQUI
+    join on user_id with the interval bounds as residual predicates —
+    a pure range (theta) join here would cross every event with every
+    interval."""
+    df = q("join_point_in_interval", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "NestedLoop" not in plan
+    assert re.search(r"Join [^\n]*\[user_id", plan) or re.search(
+        r"Join [^\n]*user_id#\d+L?\]", plan
+    ), plan[:800]
+
+
 def test_manifest_prune_skips_files(spark):
     """scan_manifest_pruned: the footer-only manifest must actually skip
     files for the band query. Needs enough distinct users that the
