@@ -335,3 +335,95 @@ def test_min_label_components_raises_on_round_exhaustion(spark):
     ndf = spark.createDataFrame([(i,) for i in range(n)], "node int")
     with _pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(pairs, ndf, max_rounds=2)
+
+
+def test_negative_sampling_invariants(spark, sf_dir):
+    """Structural invariants the oracle hash can't state directly: no
+    sampled negative is a seen (user, item) positive; at most NEG_K
+    negatives per positive triple; the sample is deterministic across
+    re-evaluation (hash-derived, no RNG)."""
+    from dask_recommender_system_spark.operators.training import NEG_K
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    fn = REGISTRY["negative_sampling"].fn
+    out = fn(spark, sf_dir).toPandas()
+    assert out["neg_rank"].max() <= NEG_K
+    per_triple = out.groupby(["user_id", "item_id", "interaction_id"]).size()
+    assert per_triple.max() <= NEG_K
+
+    from dask_recommender_system_spark.data import load_table, ratings_from_df
+
+    seen = set(
+        map(
+            tuple,
+            ratings_from_df(
+                load_table(spark, sf_dir, "lineitem"),
+                load_table(spark, sf_dir, "orders"),
+            )
+            .select("user_id", "item_id")
+            .distinct()
+            .toPandas()
+            .itertuples(index=False),
+        )
+    )
+    sampled = set(map(tuple, out[["user_id", "neg_item"]].itertuples(index=False)))
+    assert not (sampled & seen), "sampled a seen positive"
+
+    again = fn(spark, sf_dir).toPandas()
+    assert len(again) == len(out)
+
+
+def test_vocab_coverage_invariants(spark, sf_dir):
+    """rank is a contiguous 1..|vocab| permutation; cum_share is
+    monotone non-decreasing along rank and ends at 1.0; in_vocab is a
+    prefix property (never 0 then 1 again down the ranking)."""
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    out = (
+        REGISTRY["vocab_coverage"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    assert list(out["rnk"]) == list(range(1, len(out) + 1))
+    assert (out["cum_share"].diff().dropna() >= -1e-9).all()
+    assert abs(out["cum_share"].iloc[-1] - 1.0) < 1e-6
+    flags = list(out["in_vocab"])
+    assert flags == sorted(flags, reverse=True), "in_vocab not a prefix"
+
+
+def test_heavy_hitters_exactly_true_set(spark, sf_dir):
+    """The sketch+recount output must equal the exact heavy-hitter set —
+    the pigeonhole superset guarantee made effective by the recount."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table, ratings_from_df
+    from dask_recommender_system_spark.operators.scale import _HH_SKEW, HH_K
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    got = {
+        (r["key"], r["cnt"])
+        for r in REGISTRY["heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    ).select(F.expr(_HH_SKEW).alias("key"))
+    total = r.count()
+    exact = {
+        (row["key"], row["cnt"])
+        for row in r.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+        if row["cnt"] * HH_K > total
+    }
+    assert got == exact
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """PageRank invariants: every relative rank positive, and total mass
+    conserved — sum(r) = 1 exactly in exact arithmetic, so sum(rank_rel)
+    = n within accumulated float tolerance."""
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    out = REGISTRY["pagerank_items"].fn(spark, sf_dir).toPandas()
+    assert (out["rank_rel"] > 0).all()
+    n = len(out)
+    assert abs(out["rank_rel"].sum() - n) < 1e-2 * n**0.5 + 1e-3
