@@ -49,7 +49,11 @@ def ewma_per_user(ratings: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     history length upstream or salt by time-bucket with a stitch pass."""
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "interaction_id"])
+        # rating tiebreak makes the order TOTAL over the output columns:
+        # the derived interaction_id collides in the synthetic lineitem,
+        # and an under-specified order would make the recurrence sequence
+        # (hence every later ewma value) partition-order-dependent
+        pdf = pdf.sort_values(["ts", "interaction_id", "rating"])
         y = pdf["rating"].ewm(alpha=alpha, adjust=False).mean()
         return pd.DataFrame(
             {
@@ -63,10 +67,49 @@ def ewma_per_user(ratings: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     return ratings.groupBy("user_id").applyInPandas(ewma, schema=EWMA_SCHEMA)
 
 
-@query("user_ewma")  # no oracle: sequential recurrence, not ANSI-SQL-expressible
+# Closed-form oracle for the EWMA recurrence (adjust=False):
+#   y_k = (1-α)^k · [ x_0 + α · Σ_{j=1..k} x_j · (1-α)^(-j) ]
+# — a windowed sum of r^j-scaled terms rescaled by (1-α)^k. Valid while
+# per-user series stay short enough that r^k = (1-α)^(-k) fits a double
+# (k ≲ 1800 at α=0.3; the sampled users carry ~40 rows per SF). The
+# ENGINE keeps the sequential pandas recurrence — the form that scales to
+# arbitrarily long histories — and DuckDB uses the closed form, promoting
+# this query from rows-only to a full value-checked verdict.
+_EWMA_R = 1.0 / (1.0 - EWMA_ALPHA)
+
+_EWMA_ORACLE = f"""
+WITH r AS ({{ratings}}),
+f AS (SELECT DISTINCT user_id, item_id, rating, ts, interaction_id
+      FROM r WHERE user_id % 100 = 0),
+o AS (SELECT user_id, interaction_id, rating,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, interaction_id, rating) - 1 AS k
+      FROM f),
+s AS (SELECT user_id, interaction_id, rating, k,
+             SUM(CASE WHEN k = 0 THEN rating
+                      ELSE {EWMA_ALPHA} * rating * POW({_EWMA_R}, k) END)
+               OVER (PARTITION BY user_id ORDER BY k
+                     ROWS UNBOUNDED PRECEDING) AS acc
+      FROM o)
+SELECT user_id, interaction_id, rating,
+       ROUND(POW({1.0 - EWMA_ALPHA}, k) * acc, 6) AS ewma
+FROM s
+"""
+
+
+def _ewma_oracle() -> str:
+    from ..data import RATINGS_SQL
+
+    return _EWMA_ORACLE.format(ratings=RATINGS_SQL)
+
+
+@query("user_ewma", oracle=_ewma_oracle())
 def user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA over the ratings stream (deterministic user subset to
-    bound output). Python-replica-tested in tests/test_properties.py."""
+    bound output). The engine runs the sequential recurrence (the form
+    that scales to unbounded history); the oracle verifies it against the
+    closed form — see _EWMA_ORACLE. Python-replica-tested in
+    tests/test_properties.py."""
     r = (
         _ratings(spark, sf_dir)
         .filter(F.col("user_id") % 100 == 0)

@@ -160,7 +160,9 @@ def test_user_ewma_matches_pandas_replica(spark, sf_dir):
         .filter(F.col("user_id") % 100 == 0)
         .toPandas()
     )
-    r = r.drop_duplicates().sort_values(["user_id", "ts", "interaction_id"])
+    r = r.drop_duplicates().sort_values(
+        ["user_id", "ts", "interaction_id", "rating"]
+    )
     r["ewma"] = r.groupby("user_id")["rating"].transform(
         lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
     )
