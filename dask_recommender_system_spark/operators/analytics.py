@@ -690,3 +690,107 @@ def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+@query(
+    "grouped_median_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(quantile_cont(value, 0.5), 6) AS median
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, med.n, med.median,
+           ROUND(quantile_cont(ABS(e.value - med.median), 0.5), 6) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type, med.n, med.median
+    """,
+)
+def grouped_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84: per-group robust location/scale — exact median and MAD
+    (median absolute deviation), the outlier-immune counterparts of
+    mean/std that anomaly_zscore and feature_winsorize lean on. Two keyed
+    aggregates over two scans: medians first (a |types|-row table,
+    broadcast back), then deviations' median — MAD is a nested quantile
+    and cannot fuse into one pass. The median is ROUNDED before the
+    deviation pass so both engines take |x − med| against bit-identical
+    centers (same discipline as the winsorize cut points). At unbounded
+    group cardinality swap percentile → approx_percentile per the
+    corpus_quality_filter twin note in SCALE.md."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "n", "median")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - median), 0.5)"), 6
+            ).alias("mad")
+        )
+        .select("event_type", "n", "median", "mad")
+    )
+
+
+# Each event opens a fixed attention window; the union length is the
+# user's truly-covered time (overlaps counted once) — the denominator
+# engagement metrics need. 300 s = the sessionize gap's "active" scale.
+INTERVAL_LEN_S = 300
+
+
+@query(
+    "interval_union_length",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, {EPOCH_TS} AS s, {EPOCH_TS} + {INTERVAL_LEN_S} AS e,
+             event_id
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prev_max_e, s))))
+                AS BIGINT) AS covered_s
+    FROM w GROUP BY user_id
+    """,
+)
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85: interval-union coverage — total time each user was "active"
+    with overlapping per-event windows counted ONCE (the sweep-line
+    union-of-intervals, as a window function). Per user: sort intervals
+    by start, carry the running max end over PRECEDING rows, and each
+    interval contributes max(0, end − max(start, prev_max_end)) — new
+    coverage only. ONE user-keyed window + ONE keyed agg riding the same
+    exchange; pure integer epoch arithmetic end-to-end so the hash
+    comparison has no float surface at all."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + INTERVAL_LEN_S).alias("e"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    iv = ev.withColumn("prev_max_e", F.max("e").over(w))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce("prev_max_e", F.col("s"))),
+    )
+    return iv.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(contrib).cast("long").alias("covered_s"),
+    )

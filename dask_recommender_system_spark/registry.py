@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "scan_manifest_pruned",
     "join_point_in_interval",
     "dedup_containment",
+    "grouped_median_mad",
     "retention_cohorts",
     "event_transition_counts",
     "rfm_segmentation",
@@ -139,6 +140,10 @@ DRIVER_PRIORITY: list[str] = [
     "hll_sketch_rollup",
     # ---- (e) never driver-checked, rows-only by design ----
     "stream_sessionize",
+    # ---- overflow: 51st never-checked query — the 50-slot window is
+    # full of never-checked + the repaired pack_sequences; this one
+    # fronts the round-4 rotation instead ----
+    "interval_union_length",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
