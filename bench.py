@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "bm25_score",
     "sink_parquet_zorder",
     "session_path_topk",
+    "data_drift_psi",
+    "bpr_epoch_user_update",
+    "interval_union_length",
 ]
 
 FUNK_EPOCHS = 5
