@@ -1337,3 +1337,93 @@ def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(PROFILE_COLS)}, {stack}) AS "
         "(col_name, n_rows, n_null, n_distinct, vmin, vmax)"
     )
+
+
+# --- small-files compaction (X86) ----------------------------------------
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 8
+
+
+@query(
+    "sink_compacted",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           {ORACLE_EPOCH.format(col='ts')} AS ts_s, ROUND(value, 6) AS value
+    FROM events
+    """,
+)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86: small-files compaction — the maintenance job every streaming
+    or per-partition ingest needs: a landing zone of many tiny files
+    (simulated: {COMPACT_SMALL_FILES} shards) rewritten into
+    {COMPACT_TARGET_FILES} right-sized files. At 100 TB small files are a
+    triple tax: NameNode/listing metadata, per-file open cost, and
+    row-groups too small for min/max stats or vectorized reads to pay
+    off. The compactor is a plain repartition-and-rewrite whose result is
+    pinned oracle-identical to the source — compaction is semantics-free,
+    like the Z-order relayout. File counts before/after are asserted in
+    tests/test_plans.py, not emitted (layout is physical, not part of the
+    declared result)."""
+    _utc(spark)
+    landing = f"{IO_DIR}/events_landing_small"
+    compacted = f"{IO_DIR}/events_compacted"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+    )
+    ev.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(landing)
+    (
+        spark.read.parquet(landing)
+        .repartition(COMPACT_TARGET_FILES)
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return spark.read.parquet(compacted)
+
+
+# --- schema-evolution merge (X87) ----------------------------------------
+@query(
+    "schema_evolution_merge",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {ORACLE_EPOCH.format(col='ts')} AS ts_s,
+           CASE WHEN user_id % 2 = 0 THEN NULL ELSE event_type END
+             AS event_type,
+           CAST(user_id % 2 = 0 AS BIGINT) AS schema_v
+    FROM events
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87: schema-evolution ingestion — two generations of writers land
+    files with DIFFERENT schemas (v1 lacks the event_type column) in one
+    dataset; the read unifies them with ``mergeSchema`` and null-fills
+    the missing column. This is the contract every long-lived 100 TB
+    table lives under: columns get added, old files stay. mergeSchema
+    reads every footer at planning time — fine per-read here, and the
+    reason production tables graduate to a table format where the merged
+    schema is a commit-log lookup instead. The split (even/odd user) is
+    deterministic so the oracle reproduces exactly which rows lost the
+    column; schema_v tags provenance. NULL event_type stays a string
+    column → pandas object, hash-stable (no float64 NaN trap)."""
+    _utc(spark)
+    base = f"{IO_DIR}/events_schema_evo"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_type"
+    )
+    v1 = ev.filter(F.col("user_id") % 2 == 0).drop("event_type")
+    v2 = ev.filter(F.col("user_id") % 2 != 0)
+    v1.write.mode("overwrite").parquet(f"{base}/gen=v1")
+    v2.write.mode("overwrite").parquet(f"{base}/gen=v2")
+    rb = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=v1", f"{base}/gen=v2"
+    )
+    return rb.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        "event_type",
+        F.col("event_type").isNull().cast("long").alias("schema_v"),
+    )

@@ -140,10 +140,12 @@ DRIVER_PRIORITY: list[str] = [
     "hll_sketch_rollup",
     # ---- (e) never driver-checked, rows-only by design ----
     "stream_sessionize",
-    # ---- overflow: 51st never-checked query — the 50-slot window is
-    # full of never-checked + the repaired pack_sequences; this one
-    # fronts the round-4 rotation instead ----
+    # ---- overflow: never-checked queries beyond the 50-slot window
+    # (full of never-checked + the repaired pack_sequences); these front
+    # the round-4 rotation ----
     "interval_union_length",
+    "sink_compacted",
+    "schema_evolution_merge",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

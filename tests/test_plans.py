@@ -579,6 +579,25 @@ def test_point_in_interval_join_is_user_equi(spark, sf_dir):
     ), plan[:800]
 
 
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """sink_compacted: the landing zone must hold many small files and
+    the compacted layout few — the content equality is the oracle's job,
+    the physical layout is pinned here."""
+    import glob
+
+    from dask_recommender_system_spark.operators.relational import (
+        COMPACT_SMALL_FILES,
+        COMPACT_TARGET_FILES,
+        IO_DIR,
+    )
+
+    q("sink_compacted", spark, sf_dir).count()
+    n_small = len(glob.glob(f"{IO_DIR}/events_landing_small/*.parquet"))
+    n_big = len(glob.glob(f"{IO_DIR}/events_compacted/*.parquet"))
+    assert n_small == COMPACT_SMALL_FILES
+    assert n_big <= COMPACT_TARGET_FILES
+
+
 def test_manifest_prune_skips_files(spark):
     """scan_manifest_pruned: the footer-only manifest must actually skip
     files for the band query. Needs enough distinct users that the
