@@ -863,3 +863,93 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(idf * num / den), 6).alias("bm25"),
         )
     )
+
+
+# --- URL canonicalization dedup (X88) ------------------------------------
+# The corpus has no URLs, so deterministic variants are planted per doc_id
+# (the text_pii_redact planted-fixture convention, FIXTURES.md §6): 50
+# canonical targets appear under case, www., trailing-slash, utm-param and
+# fragment variations. Canonicalization = lowercase scheme+host, strip
+# www., drop utm_* params, drop fragments, strip trailing slash — the
+# subset of RFC 3986 normalization that is pure regex (shared Java/RE2
+# syntax so both engines rewrite identically).
+_URL_PLANT_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END"
+    " || 'Example.com/Articles/' || CAST(doc_id % 50 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+    " || '?utm_source=feed&utm_campaign=' || CAST(doc_id % 7 AS VARCHAR)"
+    " || CASE WHEN doc_id % 4 = 0 THEN '#section' || CAST(doc_id % 9 AS VARCHAR)"
+    "         ELSE '' END"
+)
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_URL_PLANT_SQL} AS url FROM documents),
+    c AS (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(lower(url), '://www\\.', '://', 'g'),
+                     '#.*$', '', 'g'),
+                     '(\\?|&)utm_[^&#]*', '\\1', 'g'),
+                     '\\?&|&&', '?', 'g'),
+                     '[?&/]+$', '', 'g') AS canon
+          FROM p),
+    d AS (SELECT canon,
+                 CAST(COUNT(*) AS BIGINT) AS n_variants,
+                 MIN(doc_id) AS keeper_doc_id
+          FROM c GROUP BY canon)
+    SELECT c.doc_id, c.url, c.canon, d.n_variants, d.keeper_doc_id,
+           CAST(c.doc_id = d.keeper_doc_id AS BIGINT) AS is_keeper
+    FROM c JOIN d ON c.canon = d.canon
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88: URL canonicalization + dedup — the crawl-ingest step that
+    collapses scheme/case, www., tracking-param, fragment, and
+    trailing-slash variants onto one canonical key before content is ever
+    fetched twice. Canonicalization is a narrow JVM regex chain (scan
+    speed, zero shuffle); the dedup is ONE canonical-keyed agg joined
+    back for per-row keeper flags. Both engines run byte-identical
+    patterns from the shared \\b-free Java∩RE2 regex subset; the planted
+    variants make the value check exercise every rewrite rule (case,
+    www-strip, utm-drop, fragment-drop, slash-strip) rather than a
+    no-op."""
+    # the plant SQL is shared verbatim with the oracle; Spark's parser
+    # wants STRING where DuckDB writes VARCHAR
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_URL_PLANT_SQL.replace("AS VARCHAR", "AS STRING")).alias("url"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("url")), r"://www\.", "://"
+                    ),
+                    r"#.*$",
+                    "",
+                ),
+                r"(\?|&)utm_[^&#]*",
+                r"$1",
+            ),
+            r"\?&|&&",
+            "?",
+        ),
+        r"[?&/]+$",
+        "",
+    )
+    c = d.withColumn("canon", canon)
+    agg = c.groupBy("canon").agg(
+        F.count("*").alias("n_variants"), F.min("doc_id").alias("keeper_doc_id")
+    )
+    return c.join(agg, "canon").select(
+        "doc_id",
+        "url",
+        "canon",
+        "n_variants",
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).cast("long").alias("is_keeper"),
+    )

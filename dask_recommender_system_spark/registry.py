@@ -146,6 +146,7 @@ DRIVER_PRIORITY: list[str] = [
     "interval_union_length",
     "sink_compacted",
     "schema_evolution_merge",
+    "dedup_url_canonicalize",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
