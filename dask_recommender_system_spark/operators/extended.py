@@ -549,3 +549,78 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+# --- one-pass embedding covariance/correlation (X89) ----------------------
+# First COV_D dimensions only: the moment set is D(D+1)/2 + D aggregate
+# expressions in ONE pass with NO explode — at D=8 that is 44 columns; at
+# the full 64 dims it would be 2 144, where the right tool becomes a
+# block-matrix aggregation (or sampling) rather than named columns. The
+# corr_matrix operator (relational.py) is the scalar-column twin.
+COV_D = 8
+
+
+def _cov_pairs() -> list[tuple[int, int]]:
+    return [(i, j) for i in range(COV_D) for j in range(i, COV_D)]
+
+
+def _cov_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(embedding[{i + 1}] * embedding[{j + 1}]) AS s_{i}_{j}"
+        for i, j in _cov_pairs()
+    )
+    means = ", ".join(
+        f"AVG(embedding[{i + 1}]) AS m_{i}" for i in range(COV_D)
+    )
+    def cov(i, j):
+        return f"(s_{i}_{j} / n - m_{i} * m_{j})"
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS i, {j} AS j,
+            ROUND({cov(i, j)}, 6) AS cov,
+            ROUND({cov(i, j)} / SQRT(({cov(i, i)}) * ({cov(j, j)})), 6) AS corr
+        FROM w"""
+        for i, j in _cov_pairs()
+    )
+    return f"""
+    WITH w AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, {means}, {sums}
+               FROM embeddings)
+    {rows}
+    """
+
+
+@query("embedding_covariance", oracle=_cov_oracle())
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89: covariance + correlation matrix over the leading COV_D
+    embedding dimensions — the feature-screening / whitening statistic
+    for vector columns, and the input a PCA step would eigendecompose.
+    ONE scan, ONE aggregate: every second moment is a named expression
+    over array element accesses (no posexplode — an exploded pairwise
+    form would shuffle rows × D² instead of aggregating map-side), and
+    the |pairs|-long output unpivots from the single wide row via
+    stack(). The scalar-column twin is corr_matrix; see the COV_D
+    constant note for where the named-column form stops scaling in D."""
+    e = load_table(spark, sf_dir, "embeddings")
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [
+        F.avg(F.col("embedding").getItem(i)).alias(f"m_{i}")
+        for i in range(COV_D)
+    ]
+    aggs += [
+        F.sum(
+            F.col("embedding").getItem(i) * F.col("embedding").getItem(j)
+        ).alias(f"s_{i}_{j}")
+        for i, j in _cov_pairs()
+    ]
+    wide = e.agg(*aggs)
+
+    def cov(i, j):
+        return f"(s_{i}_{j} / n - m_{i} * m_{j})"
+
+    stack = ", ".join(
+        f"{i}L, {j}L, ROUND({cov(i, j)}, 6),"
+        f" ROUND({cov(i, j)} / SQRT(({cov(i, i)}) * ({cov(j, j)})), 6)"
+        for i, j in _cov_pairs()
+    )
+    return wide.selectExpr(
+        f"stack({len(_cov_pairs())}, {stack}) AS (i, j, cov, corr)"
+    )

@@ -147,6 +147,8 @@ DRIVER_PRIORITY: list[str] = [
     "sink_compacted",
     "schema_evolution_merge",
     "dedup_url_canonicalize",
+    "embedding_covariance",
+    "stream_drift_psi",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

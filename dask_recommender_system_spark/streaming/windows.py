@@ -461,3 +461,97 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_bound"),
         )
     )
+
+
+@query(
+    "stream_drift_psi",
+    oracle="""
+    WITH d AS (
+      SELECT LEAST(CAST(FLOOR(value / 25) AS BIGINT), 15) AS bin,
+             CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS h
+      FROM events
+    ),
+    mid AS (SELECT (MIN(h) + MAX(h)) / 2 AS m FROM d),
+    c AS (
+      SELECT d.bin,
+             CAST(SUM(CASE WHEN d.h < mid.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN d.h >= mid.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM d CROSS JOIN mid GROUP BY d.bin
+    ),
+    t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+                 CAST(SUM(n_cur) AS DOUBLE) AS t_cur,
+                 CAST(COUNT(*) AS DOUBLE) AS n_bins FROM c)
+    SELECT c.bin, c.n_ref, c.n_cur,
+           ROUND((c.n_cur + 1) / (t.t_cur + t.n_bins)
+                 - (c.n_ref + 1) / (t.t_ref + t.n_bins), 6) AS share_delta,
+           ROUND(((c.n_cur + 1) / (t.t_cur + t.n_bins)
+                  - (c.n_ref + 1) / (t.t_ref + t.n_bins))
+                 * LN(((c.n_cur + 1) / (t.t_cur + t.n_bins))
+                      / ((c.n_ref + 1) / (t.t_ref + t.n_bins))), 6)
+             AS psi_term
+    FROM c CROSS JOIN t
+    """,
+)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of data_drift_psi (X72): the live drift monitor. The
+    STREAMING job maintains only per-(hour-window, bin) counts — bounded
+    state: |windows in watermark| × |bins| rows, regardless of event
+    volume — drained to the memory sink; the batch post-pass derives the
+    reference/current split and the Laplace-smoothed PSI terms from
+    those cells exactly as the batch operator does from its checkpointed
+    cells. At 100 TB the cells table IS what you persist from the
+    stream (a few KB/hour); re-anchoring the reference window or
+    recomputing PSI is then cell arithmetic, never an event replay. Same
+    bins, same smoothing, same output schema as the batch twin — one
+    drift definition across modes."""
+    from ..operators.analytics import PSI_BIN_MAX, PSI_BIN_W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.least(
+                F.floor(F.col("value") / PSI_BIN_W).cast("long"),
+                F.lit(PSI_BIN_MAX),
+            ).alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("h"), "bin", "n")
+    )
+    run_stream_to_memory(agg, name)
+    cells = spark.table(name)
+    mid = cells.agg(((F.min("h") + F.max("h")) / 2).alias("m"))
+    c = (
+        cells.crossJoin(F.broadcast(mid))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("h") < F.col("m"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("h") >= F.col("m"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+        F.count("*").cast("double").alias("n_bins"),
+    )
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("n_bins"))
+    p_ref = (F.col("n_ref") + 1) / (F.col("t_ref") + F.col("n_bins"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_cur - p_ref, 6).alias("share_delta"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+    )
