@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "data_drift_psi",
     "bpr_epoch_user_update",
     "interval_union_length",
+    "dedup_url_canonicalize",
+    "embedding_covariance",
+    "sink_compacted",
 ]
 
 FUNK_EPOCHS = 5

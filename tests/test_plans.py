@@ -579,6 +579,26 @@ def test_point_in_interval_join_is_user_equi(spark, sf_dir):
     ), plan[:800]
 
 
+def test_embedding_covariance_single_scan_no_explode(spark, sf_dir):
+    """embedding_covariance: the full moment set must come from ONE scan
+    and ONE aggregate with no Generate (explode) — an exploded pairwise
+    form would shuffle rows × D²."""
+    df = q("embedding_covariance", spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    assert plan.count("Scan parquet") == 1
+    simple = physical_plan(df, "simple")
+    assert "Generate" not in simple.split("HashAggregate")[-1]
+
+
+def test_url_canonicalize_single_keyed_agg(spark, sf_dir):
+    """dedup_url_canonicalize: canonicalization is narrow regex codegen;
+    the only shuffles are the canonical-keyed agg + its join back."""
+    df = q("dedup_url_canonicalize", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SinglePartition" not in plan
+    assert count_exchanges(df) <= 3
+
+
 def test_compaction_reduces_file_count(spark, sf_dir):
     """sink_compacted: the landing zone must hold many small files and
     the compacted layout few — the content equality is the oracle's job,
