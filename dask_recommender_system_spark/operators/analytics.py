@@ -634,7 +634,11 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
     top = c.orderBy(F.col("n_sessions").desc(), "path").limit(SESSION_PATH_TOP)
-    w = Window.orderBy(F.col("n_sessions").desc(), "path")
+    # pmod-constant partition: ≤ SESSION_PATH_TOP rows in one explicit
+    # group — avoids the unpartitioned-WindowExec warning (see sort_by_time)
+    w = Window.partitionBy(F.pmod(F.col("n_sessions"), F.lit(1))).orderBy(
+        F.col("n_sessions").desc(), "path"
+    )
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "path", "n_sessions"
     )

@@ -102,7 +102,11 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").cast("double").alias("total"))
     top = counts.orderBy(F.col("n").desc(), "user_id").limit(SKEW_TOP_K)
-    w = Window.orderBy(F.col("n").desc(), "user_id")
+    # pmod-constant partition: ≤ SKEW_TOP_K rows in one explicit group —
+    # avoids the unpartitioned-WindowExec warning (see sort_by_time)
+    w = Window.partitionBy(F.pmod(F.col("user_id"), F.lit(1))).orderBy(
+        F.col("n").desc(), "user_id"
+    )
     return (
         top.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w).cast("long"))

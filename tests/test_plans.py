@@ -267,6 +267,7 @@ _NON_EQUI_OK = {
     "heavy_hitters",  # 1-row total-count broadcast onto candidate counts
     "bm25_score",  # 1-row (N, avgdl) corpus-stats broadcast onto tf
     "data_drift_psi",  # 1-row split-boundary + totals broadcasts onto bins
+    "stream_drift_psi",  # same two 1-row broadcasts in the batch post-pass
     "chi2_independence",  # 1-row grand-total broadcast onto cells
     "feature_winsorize",  # 1-row percentile-cuts broadcast onto rows
     "unigram_logprob_score",  # 1-row corpus-total broadcast onto tokens
