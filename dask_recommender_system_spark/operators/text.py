@@ -953,3 +953,66 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_doc_id",
         (F.col("doc_id") == F.col("keeper_doc_id")).cast("long").alias("is_keeper"),
     )
+
+
+# --- BPE merge-pair statistics (X91) --------------------------------------
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "bpe_merge_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+                 FROM documents WHERE LENGTH(trim(text)) > 0),
+    pairs AS (
+      SELECT UNNEST(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS pair
+      FROM tok WHERE len(t) >= 2
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+           split_part(pair, ' ', 1) AS left_tok,
+           split_part(pair, ' ', 2) AS right_tok,
+           n
+    FROM c
+    QUALIFY rank <= {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91: most frequent adjacent token pairs — the statistic the first
+    BPE/WordPiece merge step maximizes, and the adjacency complement of
+    vocab_coverage's unigram ranking (a full BPE trainer iterates: count
+    pairs → merge the argmax → recount). Pairs are built IN-ROW with
+    array higher-order functions (no self-join, no window — order comes
+    from the array itself), counted in one keyed agg whose output is
+    |distinct pairs|; the global top-k is orderBy+limit
+    (TakeOrderedAndProject) with the rank window running on ≤
+    {BPE_TOP_PAIRS} rows. Tokens match \\S+ so the space-joined pair key
+    splits back unambiguously."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = TOKENS()
+    pairs = d.filter(F.size(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+                ),
+            )
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    top = c.orderBy(F.col("n").desc(), "pair").limit(BPE_TOP_PAIRS)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.col("n").desc(), "pair"
+    )
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("left_tok"),
+        F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("right_tok"),
+        "n",
+    )

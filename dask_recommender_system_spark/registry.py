@@ -149,6 +149,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_url_canonicalize",
     "embedding_covariance",
     "stream_drift_psi",
+    "bpe_merge_pairs",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
