@@ -542,3 +542,86 @@ def bpr_epoch_user_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p[0] + SGD_LR * (F.col("g_0") - SGD_REG * p[0]), 6).alias("p0_new"),
         F.round(p[1] + SGD_LR * (F.col("g_1") - SGD_REG * p[1]), 6).alias("p1_new"),
     )
+
+
+def _bpr_item_oracle() -> str:
+    from .training import _NEG_ORACLE
+
+    qp = [_init_sql("t.item_id", j, BPR_SALT_I, 0.1) for j in (0, 1)]
+    qn = [_init_sql("t.neg_item", j, BPR_SALT_I, 0.1) for j in (0, 1)]
+    pu = [_init_sql("t.user_id", j, BPR_SALT_U, 0.1) for j in (0, 1)]
+    x = (
+        f"({pu[0]}) * (({qp[0]}) - ({qn[0]}))"
+        f" + ({pu[1]}) * (({qp[1]}) - ({qn[1]}))"
+    )
+    sig = f"(1.0 / (1.0 + EXP({x})))"
+    return f"""
+WITH trip AS ({_NEG_ORACLE}),
+contrib AS (
+  SELECT t.item_id AS item, {sig} * ({pu[0]}) AS g0, {sig} * ({pu[1]}) AS g1
+  FROM trip t
+  UNION ALL
+  SELECT t.neg_item AS item, -{sig} * ({pu[0]}), -{sig} * ({pu[1]})
+  FROM trip t
+),
+g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             SUM(g0) AS g_0, SUM(g1) AS g_1
+      FROM contrib GROUP BY item)
+SELECT item, n_occurrences,
+       ROUND({_init_sql('item', 0, BPR_SALT_I, 0.1)}
+             + {SGD_LR} * (g_0 - {SGD_REG}
+                 * ({_init_sql('item', 0, BPR_SALT_I, 0.1)})), 6) AS q0_new,
+       ROUND({_init_sql('item', 1, BPR_SALT_I, 0.1)}
+             + {SGD_LR} * (g_1 - {SGD_REG}
+                 * ({_init_sql('item', 1, BPR_SALT_I, 0.1)})), 6) AS q1_new
+FROM g
+"""
+
+
+@query("bpr_epoch_item_update", oracle=_bpr_item_oracle())
+def bpr_epoch_item_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: the item side of the BPR epoch — positives accumulate
+    +σ'(x)·p_u, sampled negatives −σ'(x)·p_u; one item can appear in
+    both roles across triples and its update merges both streams.
+    Relationally: a UNION of the two narrow contribution projections off
+    the SAME triple table (one pass, signs flipped), then ONE item-keyed
+    gradient aggregate — the alternation partner of
+    bpr_epoch_user_update, with the same zero-factor-table-join property
+    (factors are inline hash expressions). Together the pair IS one full
+    BPR epoch; the multi-epoch loop iterates them exactly like
+    models/base.py alternates user/item updates."""
+    from ..models.common import hash_uniform
+    from .training import negative_sampling
+
+    t = negative_sampling(spark, sf_dir)
+    qp = [hash_uniform(F.col("item_id"), j, 0.1, BPR_SALT_I) for j in (0, 1)]
+    qn = [hash_uniform(F.col("neg_item"), j, 0.1, BPR_SALT_I) for j in (0, 1)]
+    pu = [hash_uniform(F.col("user_id"), j, 0.1, BPR_SALT_U) for j in (0, 1)]
+    x = pu[0] * (qp[0] - qn[0]) + pu[1] * (qp[1] - qn[1])
+    sig = 1.0 / (1.0 + F.exp(x))
+    pos = t.select(
+        F.col("item_id").alias("item"),
+        (sig * pu[0]).alias("g0"),
+        (sig * pu[1]).alias("g1"),
+    )
+    neg = t.select(
+        F.col("neg_item").alias("item"),
+        (-sig * pu[0]).alias("g0"),
+        (-sig * pu[1]).alias("g1"),
+    )
+    g = (
+        pos.unionByName(neg)
+        .groupBy("item")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.sum("g0").alias("g_0"),
+            F.sum("g1").alias("g_1"),
+        )
+    )
+    q = [hash_uniform(F.col("item"), j, 0.1, BPR_SALT_I) for j in (0, 1)]
+    return g.select(
+        "item",
+        "n_occurrences",
+        F.round(q[0] + SGD_LR * (F.col("g_0") - SGD_REG * q[0]), 6).alias("q0_new"),
+        F.round(q[1] + SGD_LR * (F.col("g_1") - SGD_REG * q[1]), 6).alias("q1_new"),
+    )

@@ -150,6 +150,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_covariance",
     "stream_drift_psi",
     "bpe_merge_pairs",
+    "bpr_epoch_item_update",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -273,6 +273,7 @@ _NON_EQUI_OK = {
     "unigram_logprob_score",  # 1-row corpus-total broadcast onto tokens
     "sink_parquet_zorder",  # 1-row dim-min/max broadcast for normalization
     "bpr_epoch_user_update",  # inherits negative_sampling's 1-row max
+    "bpr_epoch_item_update",  # same — two sampler branches, two 1-row maxes
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
