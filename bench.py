@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "dedup_url_canonicalize",
     "embedding_covariance",
     "sink_compacted",
+    "bpe_merge_pairs",
+    "bpr_epoch_item_update",
 ]
 
 FUNK_EPOCHS = 5
