@@ -624,3 +624,170 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_cov_pairs())}, {stack}) AS (i, j, cov, corr)"
     )
+
+
+# --- as-of direction variants (X93, X94) ----------------------------------
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("odate_epoch"),
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+    return ev, od
+
+
+ASOF_FWD_SQL = f"""
+    SELECT o_orderkey, user_id, odate_s, next_orderkey, next_odate_s,
+           (next_odate_s - odate_s) / 86400 AS gap_days
+    FROM (
+        SELECT a.o_orderkey, a.o_custkey AS user_id,
+               {ORACLE_EPOCH.format(col="a.o_orderdate")} AS odate_s,
+               b.o_orderkey AS next_orderkey,
+               {ORACLE_EPOCH.format(col="b.o_orderdate")} AS next_odate_s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.o_orderkey
+                   ORDER BY b.o_orderdate ASC, b.o_orderkey DESC
+               ) AS rn
+        FROM orders a
+        JOIN orders b
+          ON b.o_custkey = a.o_custkey AND b.o_orderdate > a.o_orderdate
+    )
+    WHERE rn = 1
+"""
+
+
+@query("join_asof_forward", oracle=ASOF_FWD_SQL)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93: forward as-of join — each order gets the customer's NEXT
+    order strictly after it (pandas merge_asof direction='forward'; the
+    repurchase-interval building block; the backward twin is join_asof).
+    Same union-window machinery on NEGATED time — backward-on(-t) IS
+    forward-on(t) — with the right side shifted by +1 s on the negated
+    axis to make the bound STRICT (dates are whole-day epochs, so 1 s
+    cannot reorder distinct dates); strictness is also what excludes the
+    row itself. One shuffle on the join key, linear in |L|+|R|; ties at
+    the next date break to max orderkey like the backward twin. gap_days
+    is exact integer arithmetic."""
+    _utc(spark)
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("odate_s"),
+    )
+    out = asof_join(
+        od.withColumn("neg_t", -F.col("odate_s")),
+        od.select(
+            "user_id",
+            F.col("o_orderkey").alias("next_orderkey"),
+            F.col("odate_s").alias("next_odate_s"),
+        ).withColumn("neg_t", -F.col("next_odate_s") + 1),
+        key="user_id",
+        left_ts="neg_t",
+        right_ts="neg_t",
+        payload_cols=["next_orderkey", "next_odate_s"],
+        tiebreak="next_orderkey",
+    )
+    return out.select(
+        "o_orderkey",
+        "user_id",
+        "odate_s",
+        F.col("asof_next_orderkey").alias("next_orderkey"),
+        F.col("asof_next_odate_s").alias("next_odate_s"),
+        (
+            (F.col("asof_next_odate_s") - F.col("odate_s"))
+            / F.lit(86400)
+        ).alias("gap_days"),
+    )
+
+
+ASOF_NEAREST_SQL = f"""
+    SELECT event_id, user_id, ts_epoch, o_orderkey, o_totalprice, went_back
+    FROM (
+        SELECT e.event_id, e.user_id,
+               {ORACLE_EPOCH.format(col="e.ts")} AS ts_epoch,
+               o.o_orderkey, ROUND(o.o_totalprice, 6) AS o_totalprice,
+               CAST(o.o_orderdate <= e.ts AS BIGINT) AS went_back,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY ABS({ORACLE_EPOCH.format(col="o.o_orderdate")}
+                               - {ORACLE_EPOCH.format(col="e.ts")}),
+                            CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+                            o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+    )
+    WHERE rn = 1
+"""
+
+
+@query("join_asof_nearest", oracle=ASOF_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94: nearest as-of join — each event gets whichever order is
+    closest in time, either direction; exact ties go backward (pandas
+    merge_asof direction='nearest'). Two union-window passes (backward +
+    forward — each one keyed shuffle, linear) LEFT-joined on the event
+    key, then a narrow argmin over the two candidate distances. The
+    oracle affords the unconstrained per-key pair join + global argmin
+    ROW_NUMBER at sf0.01; the engine never builds per-key pairs — at
+    100 TB the two-pass form stays linear while the oracle's form is
+    Σ_key |E_k|·|O_k|."""
+    ev, od = _asof_inputs(spark, sf_dir)
+    back = asof_join(
+        ev,
+        od,
+        key="user_id",
+        left_ts="ts_epoch",
+        right_ts="odate_epoch",
+        payload_cols=["o_orderkey", "o_totalprice", "odate_epoch"],
+        tiebreak="o_orderkey",
+        how="left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.col("asof_o_orderkey").alias("b_key"),
+        F.col("asof_o_totalprice").alias("b_price"),
+        F.col("asof_odate_epoch").alias("b_t"),
+    )
+    fwd = asof_join(
+        ev.withColumn("neg_ts", -F.col("ts_epoch")),
+        od.withColumn("neg_odate", -F.col("odate_epoch")),
+        key="user_id",
+        left_ts="neg_ts",
+        right_ts="neg_odate",
+        payload_cols=["o_orderkey", "o_totalprice", "odate_epoch"],
+        tiebreak="o_orderkey",
+        how="left",
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("asof_o_orderkey").alias("f_key"),
+        F.col("asof_o_totalprice").alias("f_price"),
+        F.col("asof_odate_epoch").alias("f_t"),
+    )
+    j = back.join(fwd, back["event_id"] == fwd["f_event_id"])
+    d_b = F.col("ts_epoch") - F.col("b_t")
+    d_f = F.col("f_t") - F.col("ts_epoch")
+    take_back = F.col("b_t").isNotNull() & (
+        F.col("f_t").isNull() | (d_b <= d_f)
+    )
+    return (
+        j.filter(F.col("b_t").isNotNull() | F.col("f_t").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts_epoch",
+            F.when(take_back, F.col("b_key")).otherwise(F.col("f_key")).alias(
+                "o_orderkey"
+            ),
+            F.when(take_back, F.col("b_price"))
+            .otherwise(F.col("f_price"))
+            .alias("o_totalprice"),
+            take_back.cast("long").alias("went_back"),
+        )
+    )

@@ -151,6 +151,8 @@ DRIVER_PRIORITY: list[str] = [
     "stream_drift_psi",
     "bpe_merge_pairs",
     "bpr_epoch_item_update",
+    "join_asof_forward",
+    "join_asof_nearest",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
