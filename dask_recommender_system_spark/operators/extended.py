@@ -791,3 +791,75 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             take_back.cast("long").alias("went_back"),
         )
     )
+
+
+# --- last-touch attribution (X95) -----------------------------------------
+ATTR_CONVERSION = "purchase"
+ATTR_TOUCH = "click"
+
+ATTR_SQL = f"""
+    SELECT conv_event_id, user_id, conv_ts_s, touch_event_id, touch_ts_s,
+           conv_ts_s - touch_ts_s AS latency_s
+    FROM (
+        SELECT c.event_id AS conv_event_id, c.user_id,
+               {ORACLE_EPOCH.format(col="c.ts")} AS conv_ts_s,
+               t.event_id AS touch_event_id,
+               {ORACLE_EPOCH.format(col="t.ts")} AS touch_ts_s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY t.ts DESC, t.event_id DESC
+               ) AS rn
+        FROM events c
+        JOIN events t
+          ON t.user_id = c.user_id AND t.ts <= c.ts
+         AND t.event_type = '{ATTR_TOUCH}'
+        WHERE c.event_type = '{ATTR_CONVERSION}'
+    )
+    WHERE rn = 1
+"""
+
+
+@query("attribution_last_touch", oracle=ATTR_SQL)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95: last-touch attribution — every conversion ('purchase') event
+    credited to the user's most recent 'touch' ('click') event
+    at-or-before it, with the conversion latency. The marketing-analytics
+    staple, and the as-of machinery's third configuration: same-domain,
+    second-granularity, type-filtered sides (join_asof: cross-table
+    backward; join_asof_forward: self next-row). Both sides prefilter
+    BEFORE the union — the window walks |touches|+|conversions| rows per
+    user, not the whole event stream — and the single keyed shuffle +
+    running-last window stays linear where the oracle's inequality join
+    is Σ_user |touch_u|·|conv_u|. Ties (same second) break to max
+    event_id."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    conv = ev.filter(F.col("event_type") == ATTR_CONVERSION).select(
+        F.col("event_id").alias("conv_event_id"),
+        "user_id",
+        F.col("ts_s").alias("conv_ts_s"),
+    )
+    touch = ev.filter(F.col("event_type") == ATTR_TOUCH).select(
+        "user_id",
+        F.col("event_id").alias("touch_event_id"),
+        F.col("ts_s").alias("touch_ts_s"),
+    )
+    out = asof_join(
+        conv,
+        touch,
+        key="user_id",
+        left_ts="conv_ts_s",
+        right_ts="touch_ts_s",
+        payload_cols=["touch_event_id", "touch_ts_s"],
+        tiebreak="touch_event_id",
+    )
+    return out.select(
+        "conv_event_id",
+        "user_id",
+        "conv_ts_s",
+        F.col("asof_touch_event_id").alias("touch_event_id"),
+        F.col("asof_touch_ts_s").alias("touch_ts_s"),
+        (F.col("conv_ts_s") - F.col("asof_touch_ts_s")).alias("latency_s"),
+    )

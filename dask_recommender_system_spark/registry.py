@@ -153,6 +153,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpr_epoch_item_update",
     "join_asof_forward",
     "join_asof_nearest",
+    "attribution_last_touch",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
