@@ -625,3 +625,87 @@ def bpr_epoch_item_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q[0] + SGD_LR * (F.col("g_0") - SGD_REG * q[0]), 6).alias("q0_new"),
         F.round(q[1] + SGD_LR * (F.col("g_1") - SGD_REG * q[1]), 6).alias("q1_new"),
     )
+
+
+# --- decile lift table (X96) ----------------------------------------------
+# Model-evaluation lift analysis over the hash-init predictions (the same
+# deterministic k=2 model every epoch operator uses): rows ranked into
+# score deciles by BROADCAST percentile cuts (the rfm_segmentation
+# pattern — never a global NTILE sort), then per-decile actual-rating
+# mean and lift vs the global mean. Cuts are ROUNDED so both engines
+# bucket against bit-identical boundaries.
+LIFT_QS = tuple(i / 10 for i in range(1, 10))
+
+
+def _lift_oracle() -> str:
+    mu = "(SELECT AVG(rating) FROM scored)"
+    pred = (
+        f"({_init_sql('u_idx', 99, 1, 0.01)}) + ({_init_sql('i_idx', 99, 2, 0.01)})"
+        f" + ({_init_sql('u_idx', 0, 1, 0.1)}) * ({_init_sql('i_idx', 0, 2, 0.1)})"
+        f" + ({_init_sql('u_idx', 1, 1, 0.1)}) * ({_init_sql('i_idx', 1, 2, 0.1)})"
+    )
+    cuts = ", ".join(
+        f"ROUND(quantile_cont(pred, {q}), 6) AS c{int(q * 10)}"
+        for q in LIFT_QS
+    )
+    bucket = " + ".join(f"(pred > q.c{int(p * 10)})::INT" for p in LIFT_QS)
+    return f"""
+WITH e AS ({ENCODED_SQL}),
+scored AS (SELECT rating, {pred} AS pred FROM e),
+q AS (SELECT {cuts} FROM scored),
+b AS (SELECT s.rating, CAST(1 + {bucket} AS BIGINT) AS decile
+      FROM scored s CROSS JOIN q)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(rating), 6) AS avg_rating,
+       ROUND(AVG(rating) / {mu}, 6) AS lift
+FROM b GROUP BY decile
+"""
+
+
+@query("decile_lift_table", oracle=_lift_oracle())
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: decile lift table — the standard model-evaluation report:
+    rank predictions into score deciles, compare each decile's mean
+    actual rating to the global mean. Completes the eval family
+    (eval_metrics = pointwise RMSE/MAE; this = ranking usefulness).
+    Predictions are the deterministic hash-init k=2 model the epoch
+    operators share, so the whole report is value-checkable. Deciles via
+    the broadcast exact-percentile cut row + comparison chain — the
+    rfm_segmentation shape, never a global NTILE sort; the only
+    data-sized shuffle is the final decile agg."""
+    from ..models.common import hash_uniform
+
+    e = encoded_ratings(spark, sf_dir)
+    pred = (
+        hash_uniform(F.col("u_idx"), 99, 0.01, 1)
+        + hash_uniform(F.col("i_idx"), 99, 0.01, 2)
+        + hash_uniform(F.col("u_idx"), 0, 0.1, 1)
+        * hash_uniform(F.col("i_idx"), 0, 0.1, 2)
+        + hash_uniform(F.col("u_idx"), 1, 0.1, 1)
+        * hash_uniform(F.col("i_idx"), 1, 0.1, 2)
+    )
+    scored = e.select("rating", pred.alias("pred"))
+    cuts = scored.agg(
+        *[
+            F.round(F.expr(f"percentile(pred, {q})"), 6).alias(f"c{int(q * 10)}")
+            for q in LIFT_QS
+        ]
+    )
+    decile = F.lit(1)
+    for q in LIFT_QS:
+        decile = decile + (F.col("pred") > F.col(f"c{int(q * 10)}")).cast("int")
+    mu = scored.agg(F.avg("rating").alias("mu"))
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("rating", decile.cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.avg("rating").alias("avg"))
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "decile",
+            "n",
+            F.round("avg", 6).alias("avg_rating"),
+            F.round(F.col("avg") / F.col("mu"), 6).alias("lift"),
+        )
+    )

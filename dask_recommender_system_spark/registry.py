@@ -154,6 +154,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_asof_forward",
     "join_asof_nearest",
     "attribution_last_touch",
+    "decile_lift_table",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

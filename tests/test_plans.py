@@ -274,6 +274,7 @@ _NON_EQUI_OK = {
     "sink_parquet_zorder",  # 1-row dim-min/max broadcast for normalization
     "bpr_epoch_user_update",  # inherits negative_sampling's 1-row max
     "bpr_epoch_item_update",  # same — two sampler branches, two 1-row maxes
+    "decile_lift_table",  # 1-row decile-cuts + global-mean broadcasts
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
