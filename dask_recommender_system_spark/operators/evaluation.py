@@ -1,0 +1,556 @@
+"""Model-evaluation and statistical-testing operators (SURVEY.md §2.9
+round-3 additions X97-X102): ranking metrics (HitRate/Precision/Recall/
+MRR/NDCG@k), rank-sum ROC AUC, calibration (reliability) bins, Welch's
+t-test, two-sample Kolmogorov-Smirnov drift, and Mann-Whitney U.
+
+The reference pipeline evaluates its recommender with pointwise RMSE/MAE
+(reference/models/als.py:216-231); these are the ranking-quality and
+experiment-analysis reports a team running that pipeline computes next,
+over the same ratings/events data. Everything is expressed in the shapes
+that survive 100 TB:
+
+- per-user ranking windows are keyed on ``u_idx`` (never a global sort);
+- global cumulative distributions (AUC, KS) use a two-level cumsum — a
+  keyed within-bucket running sum plus a bucket-offset window over the
+  bounded bucket table — the windowed twin of the block-offset encoder
+  (``models/common.py:21``), so no unpartitioned data-sized window ever
+  appears in a plan;
+- the hypothesis tests (Welch, Mann-Whitney) are pure moment/rank-count
+  aggregates: one keyed shuffle to a tiny stats table, scalar math after.
+
+Predictions reuse the deterministic hash-init k=2 model every epoch
+operator shares (``models/common.py:105``), so the whole eval family is
+value-checkable against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..models.common import hash_uniform
+from ..registry import query
+from .linalg import ENCODED_SQL, _init_sql, encoded_ratings
+
+RANK_K = 10  # @k cutoff for the ranking-metrics report
+REL_THRESHOLD = 4.0  # rating >= 4 counts as relevant / positive
+
+# Cumulative ideal DCG for m = 1..RANK_K relevant items: Σ_{i<=m} 1/log2(i+1).
+# Embedded as decimal literals in BOTH engines — each parses to the same
+# nearest double, so NDCG denominators are bit-identical.
+IDCG = []
+_acc = 0.0
+for _i in range(1, RANK_K + 1):
+    _acc += 1.0 / math.log2(_i + 1)
+    IDCG.append(_acc)
+
+
+def _pred_expr() -> F.Column:
+    """The shared deterministic k=2 hash-init model (same formula as
+    decile_lift_table): bu + bi + p·q over two factors."""
+    return (
+        hash_uniform(F.col("u_idx"), 99, 0.01, 1)
+        + hash_uniform(F.col("i_idx"), 99, 0.01, 2)
+        + hash_uniform(F.col("u_idx"), 0, 0.1, 1)
+        * hash_uniform(F.col("i_idx"), 0, 0.1, 2)
+        + hash_uniform(F.col("u_idx"), 1, 0.1, 1)
+        * hash_uniform(F.col("i_idx"), 1, 0.1, 2)
+    )
+
+
+_PRED_SQL = (
+    f"({_init_sql('u_idx', 99, 1, 0.01)}) + ({_init_sql('i_idx', 99, 2, 0.01)})"
+    f" + ({_init_sql('u_idx', 0, 1, 0.1)}) * ({_init_sql('i_idx', 0, 2, 0.1)})"
+    f" + ({_init_sql('u_idx', 1, 1, 0.1)}) * ({_init_sql('i_idx', 1, 2, 0.1)})"
+)
+
+
+def _cum_below(
+    g: DataFrame, bucket: str, order_col: str, vals: list[str]
+) -> DataFrame:
+    """Exclusive running sum of ``vals`` in global ``order_col`` order,
+    WITHOUT an unpartitioned data-sized window — the two-level scheme:
+
+    1. within-bucket exclusive running sum, window PARTITIONED by the
+       bucket key (each task scans only its bucket);
+    2. per-bucket totals (one keyed agg to |buckets| rows) cumulated by a
+       window over the bounded bucket table (pmod-constant partition, the
+       session_path_topk idiom), broadcast-joined back.
+
+    ``below_<v>`` = bucket offset + within-bucket running sum — identical
+    to ``SUM(v) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` (the oracle form) because bucket order refines value
+    order. The largest single window partition holds one bucket, not the
+    whole table."""
+    w_in = (
+        W.partitionBy(bucket)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    gb = g.groupBy(bucket).agg(
+        *[F.sum(v).alias(f"_tot_{v}") for v in vals]
+    )
+    w_off = (
+        W.partitionBy(F.pmod(F.col(bucket), F.lit(1)))
+        .orderBy(bucket)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = gb.select(
+        bucket,
+        *[
+            F.coalesce(F.sum(f"_tot_{v}").over(w_off), F.lit(0)).alias(f"_off_{v}")
+            for v in vals
+        ],
+    )
+    out = g.join(F.broadcast(off), bucket)
+    for v in vals:
+        out = out.withColumn(
+            f"below_{v}",
+            F.col(f"_off_{v}")
+            + F.coalesce(F.sum(v).over(w_in), F.lit(0)),
+        )
+    return out.drop(*[f"_off_{v}" for v in vals])
+
+
+# --- ranking metrics @k (X97) ---------------------------------------------
+
+_IDCG_SQL = "[" + ", ".join(repr(v) for v in IDCG) + "]"
+
+
+@query(
+    "ranking_metrics_at_k",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    s AS (SELECT u_idx, i_idx, rating, {_PRED_SQL} AS pred FROM e),
+    r AS (SELECT u_idx,
+                 (rating >= {REL_THRESHOLD})::INT AS rel,
+                 ROW_NUMBER() OVER (PARTITION BY u_idx
+                                    ORDER BY pred DESC, i_idx) AS rn
+          FROM s),
+    u AS (SELECT u_idx,
+                 SUM(rel) AS n_rel,
+                 SUM(CASE WHEN rn <= {RANK_K} THEN rel ELSE 0 END) AS hits,
+                 MIN(CASE WHEN rel = 1 AND rn <= {RANK_K} THEN rn END) AS first_hit,
+                 SUM(CASE WHEN rel = 1 AND rn <= {RANK_K}
+                          THEN 1.0 / log2(rn + 1) ELSE 0.0 END) AS dcg
+          FROM r GROUP BY u_idx),
+    m AS (SELECT hits, first_hit,
+                 dcg / ({_IDCG_SQL}[CAST(LEAST(n_rel, {RANK_K}) AS INT)]) AS ndcg,
+                 CAST(hits AS DOUBLE) / n_rel AS recall
+          FROM u WHERE n_rel >= 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG((hits > 0)::INT), 6) AS hit_rate,
+           ROUND(AVG(hits / {RANK_K}.0), 6) AS precision_at_k,
+           ROUND(AVG(recall), 6) AS recall_at_k,
+           ROUND(AVG(COALESCE(1.0 / first_hit, 0.0)), 6) AS mrr,
+           ROUND(AVG(ndcg), 6) AS ndcg_at_k
+    FROM m
+    """,
+)
+def ranking_metrics_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97: top-k ranking metrics — HitRate@10, Precision@10, Recall@10,
+    MRR@10, NDCG@10 of the deterministic hash-init model over each user's
+    rated items (relevant = rating >= 4), averaged over users with at
+    least one relevant item. The ranking-quality report the reference's
+    pointwise RMSE (reference/models/als.py:216-231) stops short of.
+    Scale shape: ONE u_idx-keyed ranking window (per-user item lists are
+    catalog-bounded), one u_idx-keyed agg, one global 6-column reduce —
+    no global sort anywhere; IDCG denominators come from a k-entry
+    literal array, not a join."""
+    e = encoded_ratings(spark, sf_dir)
+    s = e.select("u_idx", "i_idx", "rating", _pred_expr().alias("pred"))
+    w = W.partitionBy("u_idx").orderBy(F.col("pred").desc(), "i_idx")
+    r = s.select(
+        "u_idx",
+        (F.col("rating") >= REL_THRESHOLD).cast("int").alias("rel"),
+        F.row_number().over(w).alias("rn"),
+    )
+    in_k = F.col("rn") <= RANK_K
+    hit = (F.col("rel") == 1) & in_k
+    u = r.groupBy("u_idx").agg(
+        F.sum("rel").alias("n_rel"),
+        F.sum(F.when(in_k, F.col("rel")).otherwise(0)).alias("hits"),
+        F.min(F.when(hit, F.col("rn"))).alias("first_hit"),
+        F.sum(
+            F.when(hit, 1.0 / F.log2(F.col("rn") + 1)).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in IDCG]),
+        F.least(F.col("n_rel"), F.lit(RANK_K)).cast("int"),
+    )
+    m = u.filter(F.col("n_rel") >= 1).select(
+        "hits",
+        "first_hit",
+        (F.col("dcg") / idcg).alias("ndcg"),
+        (F.col("hits").cast("double") / F.col("n_rel")).alias("recall"),
+    )
+    return m.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg((F.col("hits") > 0).cast("int")), 6).alias("hit_rate"),
+        F.round(F.avg(F.col("hits") / float(RANK_K)), 6).alias("precision_at_k"),
+        F.round(F.avg("recall"), 6).alias("recall_at_k"),
+        F.round(
+            F.avg(F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0))), 6
+        ).alias("mrr"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg_at_k"),
+    )
+
+
+# --- ROC AUC (X98) --------------------------------------------------------
+
+# Scores are rounded to 6 decimals BEFORE ranking — the fixed-resolution
+# binning that (a) makes tie groups identical across engines and (b)
+# bounds the distinct-score table the cumulative window walks.
+AUC_BUCKET_SCALE = 1000  # coarse bucket = floor(pred * 1000) for level 1
+
+
+@query(
+    "auc_roc",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    s AS (SELECT ROUND({_PRED_SQL}, 6) AS pred,
+                 (rating >= {REL_THRESHOLD})::INT AS pos
+          FROM e),
+    g AS (SELECT pred, CAST(SUM(pos) AS BIGINT) AS np,
+                 CAST(SUM(1 - pos) AS BIGINT) AS nn
+          FROM s GROUP BY pred),
+    c AS (SELECT np, nn,
+                 COALESCE(SUM(nn) OVER (ORDER BY pred
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS below
+          FROM g)
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           ROUND(SUM(np * (below + nn / 2.0))
+                 / (SUM(np) * SUM(nn)), 6) AS auc
+    FROM c
+    """,
+)
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: ROC AUC via the rank-sum (Mann-Whitney) identity — AUC =
+    P(score_pos > score_neg) + ½·P(tie), computed from per-distinct-score
+    positive/negative counts with ties averaged. Scale shape: scores
+    quantized to 1e-6 (bounding the distinct-score table), one keyed agg
+    to that table, then the two-level exclusive cumsum (`_cum_below`) —
+    within-bucket keyed window + bounded bucket-offset window — so the
+    exact global rank statistic is computed with NO unpartitioned
+    data-sized window and NO global sort. The final reduce is one row."""
+    e = encoded_ratings(spark, sf_dir)
+    s = e.select(
+        F.round(_pred_expr(), 6).alias("pred"),
+        (F.col("rating") >= REL_THRESHOLD).cast("int").alias("pos"),
+    )
+    g = s.groupBy("pred").agg(
+        F.sum("pos").alias("np"), F.sum(1 - F.col("pos")).alias("nn")
+    )
+    g = g.withColumn(
+        "b", F.floor(F.col("pred") * AUC_BUCKET_SCALE).cast("long")
+    )
+    c = _cum_below(g, "b", "pred", ["nn"])
+    return c.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np") * (F.col("below_nn") + F.col("nn") / 2.0))
+            / (F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --- calibration / reliability bins (X99) ---------------------------------
+
+CAL_BIN_SCALE = 1000  # fixed-width score bins of 1e-3
+
+
+@query(
+    "calibration_bins",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    s AS (SELECT {_PRED_SQL} AS pred,
+                 (rating >= {REL_THRESHOLD})::INT AS pos
+          FROM e)
+    SELECT CAST(FLOOR(pred * {CAL_BIN_SCALE}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(pred), 6) AS avg_pred,
+           ROUND(AVG(pos), 6) AS pos_rate
+    FROM s GROUP BY 1
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: calibration (reliability) table — fixed-width score bins with
+    per-bin mean predicted score and observed positive rate; the
+    model-trust report read next to the lift table. Fixed-width binning
+    (not quantile) is deliberate: a pure keyed agg with map-side partials
+    and |bins| output rows — zero extra passes, no percentile scan, the
+    cheapest possible shape at 100 TB."""
+    e = encoded_ratings(spark, sf_dir)
+    s = e.select(
+        _pred_expr().alias("pred"),
+        (F.col("rating") >= REL_THRESHOLD).cast("int").alias("pos"),
+    )
+    return (
+        s.groupBy(
+            F.floor(F.col("pred") * CAL_BIN_SCALE).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("pred"), 6).alias("avg_pred"),
+            F.round(F.avg("pos"), 6).alias("pos_rate"),
+        )
+    )
+
+
+# --- Welch's t-test (X100) ------------------------------------------------
+
+TTEST_GROUP_A = "purchase"
+TTEST_GROUP_B = "view"
+
+
+@query(
+    "welch_ttest",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS m,
+               VAR_SAMP(value) AS v
+        FROM events
+        WHERE event_type IN ('{TTEST_GROUP_A}', '{TTEST_GROUP_B}')
+        GROUP BY event_type),
+    w AS (SELECT
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN n END) AS n1,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN m END) AS m1,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN v END) AS v1,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_B}' THEN n END) AS n2,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_B}' THEN m END) AS m2,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_B}' THEN v END) AS v2
+          FROM g)
+    SELECT n1, n2,
+           ROUND(m1, 6) AS mean_a, ROUND(m2, 6) AS mean_b,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(POW(v1 / n1 + v2 / n2, 2)
+                 / (POW(v1 / n1, 2) / (n1 - 1)
+                    + POW(v2 / n2, 2) / (n2 - 1)), 6) AS welch_df
+    FROM w
+    """,
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100: Welch's unequal-variance t-test between two event groups
+    (purchase vs view on `value`) — the A/B-experiment readout. Pure
+    moment aggregates (COUNT/AVG/VAR_SAMP): one filtered scan, one keyed
+    agg to two rows, scalar math in a final 1-row pivot. Nothing about
+    this plan changes at 100 TB — variance is a map-side-combinable
+    moment, so the shuffle carries six numbers."""
+    from ..data import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TTEST_GROUP_A, TTEST_GROUP_B)
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = F.col("event_type") == TTEST_GROUP_A
+    w = g.agg(
+        F.max(F.when(a, F.col("n"))).alias("n1"),
+        F.max(F.when(a, F.col("m"))).alias("m1"),
+        F.max(F.when(a, F.col("v"))).alias("v1"),
+        F.max(F.when(~a, F.col("n"))).alias("n2"),
+        F.max(F.when(~a, F.col("m"))).alias("m2"),
+        F.max(F.when(~a, F.col("v"))).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_num = F.pow(se2, 2)
+    df_den = F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1) + F.pow(
+        F.col("v2") / F.col("n2"), 2
+    ) / (F.col("n2") - 1)
+    return w.select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("mean_a"),
+        F.round("m2", 6).alias("mean_b"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df_num / df_den, 6).alias("welch_df"),
+    )
+
+
+# --- two-sample Kolmogorov-Smirnov drift (X101) ---------------------------
+
+KS_BUCKET_WIDTH = 10000.0  # o_totalprice coarse bucket for the 2-level cumsum
+
+
+@query(
+    "ks_test_drift",
+    oracle=f"""
+    WITH s AS (SELECT o_totalprice AS val,
+                      (o_orderkey % 2 = 0)::INT AS in_a
+               FROM orders),
+    g AS (SELECT val,
+                 CAST(SUM(in_a) AS BIGINT) AS a,
+                 CAST(SUM(1 - in_a) AS BIGINT) AS b
+          FROM s GROUP BY val),
+    t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM g),
+    c AS (SELECT SUM(a) OVER (ORDER BY val) AS ca,
+                 SUM(b) OVER (ORDER BY val) AS cb
+          FROM g)
+    SELECT CAST(t.na AS BIGINT) AS n_a,
+           CAST(t.nb AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(CAST(c.ca AS DOUBLE) / t.na
+                         - CAST(c.cb AS DOUBLE) / t.nb)), 6) AS ks_d,
+           ROUND(MAX(ABS(CAST(c.ca AS DOUBLE) / t.na
+                         - CAST(c.cb AS DOUBLE) / t.nb))
+                 * SQRT(CAST(t.na AS DOUBLE) * t.nb / (t.na + t.nb)),
+                 6) AS ks_z
+    FROM c, t
+    GROUP BY t.na, t.nb
+    """,
+)
+def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101: two-sample Kolmogorov-Smirnov statistic between the order-
+    value distributions of two order cohorts (keyed by o_orderkey parity)
+    — the distribution-level drift test next to data_drift_psi's binned
+    PSI: KS needs no binning choice, PSI gives per-bin attribution; a
+    drift dashboard wants both. D = max |F_a(x) - F_b(x)| evaluated at
+    every distinct value via per-value counts + the two-level exclusive
+    cumsum (`_cum_below`, inclusive after adding the current row) — exact
+    empirical CDFs with no unpartitioned data-sized window, then a 1-row
+    max reduce. ks_z is the sample-size-scaled statistic compared against
+    Kolmogorov critical values."""
+    from ..data import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("val"),
+        (F.col("o_orderkey") % 2 == 0).cast("int").alias("in_a"),
+    )
+    g = s.groupBy("val").agg(
+        F.sum("in_a").alias("a"), F.sum(1 - F.col("in_a")).alias("b")
+    )
+    g = g.withColumn("bk", F.floor(F.col("val") / KS_BUCKET_WIDTH).cast("long"))
+    c = _cum_below(g, "bk", "val", ["a", "b"])
+    c = c.select(
+        "a",
+        "b",
+        (F.col("below_a") + F.col("a")).alias("ca"),
+        (F.col("below_b") + F.col("b")).alias("cb"),
+    )
+    return _ks_finish(c)
+
+
+def _ks_finish(c: DataFrame) -> DataFrame:
+    """Totals as a 1-row broadcast onto the per-value CDF table, then one
+    max reduce — two tiny stages, both keyed or single-row."""
+    t = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    d = c.crossJoin(F.broadcast(t)).select(
+        "na",
+        "nb",
+        F.abs(
+            F.col("ca").cast("double") / F.col("na")
+            - F.col("cb").cast("double") / F.col("nb")
+        ).alias("diff"),
+    )
+    return d.groupBy("na", "nb").agg(
+        F.round(F.max("diff"), 6).alias("ks_d"),
+        F.round(
+            F.max("diff")
+            * F.sqrt(
+                F.col("na").cast("double")
+                * F.col("nb")
+                / (F.col("na") + F.col("nb"))
+            ),
+            6,
+        ).alias("ks_z"),
+    ).select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_d", "ks_z"
+    )
+
+
+# --- Mann-Whitney U (X102) ------------------------------------------------
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    s AS (SELECT rating AS val, (i_idx % 2 = 0)::INT AS in_a FROM e),
+    g AS (SELECT val,
+                 CAST(SUM(in_a) AS BIGINT) AS a,
+                 CAST(SUM(1 - in_a) AS BIGINT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS t
+          FROM s GROUP BY val),
+    c AS (SELECT a, b, t,
+                 COALESCE(SUM(t) OVER (ORDER BY val
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS below
+          FROM g),
+    w AS (SELECT SUM(a) AS n1, SUM(b) AS n2, SUM(t) AS n,
+                 SUM(a * (below + (t + 1) / 2.0)) AS r1,
+                 SUM(CAST(t AS DOUBLE) * t * t - t) AS ties
+          FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / SQRT(n1 * n2 / 12.0
+                        * ((n + 1) - ties / (n * (n - 1.0)))), 6) AS z_score
+    FROM w
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102: Mann-Whitney U (Wilcoxon rank-sum) with tie correction —
+    compares the rating distributions of two item cohorts (i_idx parity)
+    without Welch's normality assumption; the non-parametric member of
+    the experiment-analysis family. Ranks never materialize per row:
+    ratings take 5 distinct values, so midranks come from the per-value
+    count table (tie group at value v occupies ranks below+1..below+t;
+    its midrank is below+(t+1)/2) — one keyed agg to 5 rows, a bounded
+    pmod-partitioned cumsum, one 1-row reduce. The tie term Σ(t³-t)
+    feeds the standard variance correction."""
+    e = encoded_ratings(spark, sf_dir)
+    s = e.select(
+        F.col("rating").alias("val"),
+        (F.col("i_idx") % 2 == 0).cast("int").alias("in_a"),
+    )
+    g = s.groupBy("val").agg(
+        F.sum("in_a").alias("a"),
+        F.sum(1 - F.col("in_a")).alias("b"),
+        F.count("*").alias("t"),
+    )
+    w_cum = (
+        W.partitionBy(F.pmod(F.col("val"), F.lit(1)))
+        .orderBy("val")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = g.withColumn("below", F.coalesce(F.sum("t").over(w_cum), F.lit(0)))
+    w = c.agg(
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n2"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("a") * (F.col("below") + (F.col("t") + 1) / 2.0)).alias("r1"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("ties") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u1, 6).alias("u_stat"),
+        F.round(
+            (u1 - F.col("n1") * F.col("n2") / 2.0) / sigma, 6
+        ).alias("z_score"),
+    )

@@ -55,6 +55,7 @@ def load_all_operators() -> None:
     from .operators import (  # noqa: F401
         analytics,
         dedup,
+        evaluation,
         extended,
         graph,
         grouped,
@@ -155,6 +156,12 @@ DRIVER_PRIORITY: list[str] = [
     "join_asof_nearest",
     "attribution_last_touch",
     "decile_lift_table",
+    "ranking_metrics_at_k",
+    "auc_roc",
+    "calibration_bins",
+    "welch_ttest",
+    "ks_test_drift",
+    "mann_whitney_u",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -275,6 +275,7 @@ _NON_EQUI_OK = {
     "bpr_epoch_user_update",  # inherits negative_sampling's 1-row max
     "bpr_epoch_item_update",  # same — two sampler branches, two 1-row maxes
     "decile_lift_table",  # 1-row decile-cuts + global-mean broadcasts
+    "ks_test_drift",  # 1-row (n_a, n_b) totals broadcast onto the CDF table
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
