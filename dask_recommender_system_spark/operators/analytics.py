@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import RATINGS_SQL, load_table
 from ..registry import REGISTRY, query
 from .relational import ORACLE_EPOCH, _utc
 
@@ -797,4 +797,157 @@ def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv.groupBy("user_id").agg(
         F.count("*").alias("n_intervals"),
         F.sum(contrib).cast("long").alias("covered_s"),
+    )
+
+
+# --- Kaplan-Meier retention curve (X103) ----------------------------------
+
+KM_UNIT_S = 86400  # lifetimes measured in whole days
+KM_CENSOR_WINDOW_S = 86400  # last-seen inside the final day => censored
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      MIN({EPOCH_TS}) AS first_s,
+                      MAX({EPOCH_TS}) AS last_s
+               FROM events GROUP BY user_id),
+    m AS (SELECT MAX(last_s) AS max_s FROM u),
+    d AS (SELECT CAST(FLOOR((last_s - first_s) / {KM_UNIT_S}) AS BIGINT) AS t_day,
+                 (last_s >= m.max_s - {KM_CENSOR_WINDOW_S})::INT AS censored
+          FROM u CROSS JOIN m),
+    g AS (SELECT t_day,
+                 CAST(SUM(1 - censored) AS BIGINT) AS d_events,
+                 CAST(SUM(censored) AS BIGINT) AS c_censored
+          FROM d GROUP BY t_day),
+    c AS (SELECT t_day, d_events, c_censored,
+                 (SELECT SUM(d_events + c_censored) FROM g)
+                 - COALESCE(SUM(d_events + c_censored) OVER (ORDER BY t_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_at_risk
+          FROM g)
+    SELECT t_day,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           d_events, c_censored,
+           ROUND(EXP(SUM(CASE WHEN d_events = n_at_risk THEN -1e30
+                              ELSE LN(1 - CAST(d_events AS DOUBLE) / n_at_risk)
+                         END) OVER (ORDER BY t_day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)), 6) AS survival
+    FROM c
+    WHERE d_events > 0
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103: Kaplan-Meier survival curve over user lifetimes — lifetime =
+    whole DAYS between a user's first and last event; users last seen
+    inside the final day of the dataset are right-censored (still alive
+    when observation ended), everyone else "churned" at their last day.
+    S(t) = prod_{{s<=t}} (1 - d_s/n_s) with the deaths-before-censoring
+    risk-set convention. Scale shape: one user-keyed agg to (first,
+    last), one keyed agg to the |days|-bounded lifetime table, then
+    every window is pmod-partitioned over that bounded table; the only
+    broadcast is the 1-row observation-end scalar. The d == n final day
+    maps to a -1e30 log-term so both engines underflow survival to
+    exactly 0.0 instead of diverging on ln(0)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("first_s"),
+        F.max(F.unix_timestamp("ts")).alias("last_s"),
+    )
+    m = u.agg(F.max("last_s").alias("max_s"))
+    d = u.crossJoin(F.broadcast(m)).select(
+        F.floor((F.col("last_s") - F.col("first_s")) / KM_UNIT_S)
+        .cast("long")
+        .alias("t_day"),
+        (F.col("last_s") >= F.col("max_s") - KM_CENSOR_WINDOW_S)
+        .cast("int")
+        .alias("censored"),
+    )
+    g = d.groupBy("t_day").agg(
+        F.sum(1 - F.col("censored")).alias("d_events"),
+        F.sum("censored").alias("c_censored"),
+    )
+    one = F.pmod(F.col("t_day"), F.lit(1))
+    w_all = W.partitionBy(one)
+    w_prev = (
+        W.partitionBy(one).orderBy("t_day").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_cum = (
+        W.partitionBy(one).orderBy("t_day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot = F.col("d_events") + F.col("c_censored")
+    c = g.withColumn(
+        "n_at_risk",
+        F.sum(tot).over(w_all) - F.coalesce(F.sum(tot).over(w_prev), F.lit(0)),
+    )
+    term = F.when(F.col("d_events") == F.col("n_at_risk"), F.lit(-1e30)).otherwise(
+        F.log(1 - F.col("d_events").cast("double") / F.col("n_at_risk"))
+    )
+    return (
+        c.withColumn("survival", F.round(F.exp(F.sum(term).over(w_cum)), 6))
+        .filter(F.col("d_events") > 0)
+        .select("t_day", "n_at_risk", "d_events", "c_censored", "survival")
+    )
+
+
+# --- Gini popularity concentration (X104) ---------------------------------
+
+
+@query(
+    "gini_popularity",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    cnts AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM r GROUP BY item_id),
+    g AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_v
+          FROM cnts GROUP BY cnt),
+    c AS (SELECT cnt, n_v,
+                 COALESCE(SUM(n_v) OVER (ORDER BY cnt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS below
+          FROM g)
+    SELECT CAST(SUM(n_v) AS BIGINT) AS n_items,
+           CAST(SUM(cnt * n_v) AS BIGINT) AS total_interactions,
+           ROUND(2.0 * SUM(cnt * (n_v * below + n_v * (n_v + 1) / 2.0))
+                 / (SUM(n_v) * SUM(cnt * n_v))
+                 - (SUM(n_v) + 1.0) / SUM(n_v), 6) AS gini
+    FROM c
+    """,
+)
+def gini_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104: Gini coefficient of item-popularity concentration — the
+    long-tail inequality statistic a recommender team tracks to see how
+    much exposure the catalog head absorbs (0 = uniform, ->1 = all
+    interactions on one item). Exact, but WITHOUT sorting items: ties at
+    popularity v occupy a contiguous rank block, so sum_i i*x_i collapses
+    onto the per-distinct-count table (v, n_v) - rank-block sum =
+    v*(n_v*below + n_v(n_v+1)/2). One item-keyed agg, one agg to the
+    bounded distinct-count table, a pmod-partitioned cumsum, a 1-row
+    reduce. No global sort of the catalog at any point."""
+    from ..data import load_table as _lt, ratings_from_df
+
+    r = ratings_from_df(
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "orders")
+    )
+    cnts = r.groupBy("item_id").agg(F.count("*").alias("cnt"))
+    g = cnts.groupBy("cnt").agg(F.count("*").alias("n_v"))
+    w_prev = (
+        W.partitionBy(F.pmod(F.col("cnt"), F.lit(1)))
+        .orderBy("cnt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = g.withColumn("below", F.coalesce(F.sum("n_v").over(w_prev), F.lit(0)))
+    n = F.sum("n_v")
+    s = F.sum(F.col("cnt") * F.col("n_v"))
+    rank_weighted = F.sum(
+        F.col("cnt")
+        * (F.col("n_v") * F.col("below") + F.col("n_v") * (F.col("n_v") + 1) / 2.0)
+    )
+    return c.agg(
+        n.alias("n_items"),
+        s.alias("total_interactions"),
+        F.round(2.0 * rank_weighted / (n * s) - (n + 1.0) / n, 6).alias("gini"),
     )

@@ -1,0 +1,177 @@
+"""Feature-engineering operators (SURVEY.md §2.9 round-3 additions
+X106-X108): smoothed target encoding, hashing-trick feature
+vectorization, and the leave-one-out next-item split.
+
+These are the standard preprocessing steps between the reference's raw
+ratings tables and a trainable feature matrix — the pipeline stage the
+reference jumps over by training directly on the user x item matrix
+(reference/models/als.py:48-66). Shapes chosen for 100 TB:
+
+- target encoding is one keyed agg + a 1-row global-mean broadcast —
+  the encoding table is |categories|, never row-sized;
+- feature hashing is a narrow in-row projection (md5 -> bucket/sign,
+  all JVM expression chains), then one keyed agg over (entity, bucket);
+  the hash space is fixed at FH_BUCKETS, so downstream width is bounded
+  no matter how many distinct raw categories 100 TB brings;
+- the next-item split is one user-keyed ranking window — the same
+  dedup_keep_last machinery pointed at evaluation instead of cleaning.
+
+Hashing portability: bucket and sign derive from md5 hex prefixes —
+md5 is bit-identical in Spark (`F.md5`) and DuckDB (`md5()`), so the
+DuckDB oracles reproduce the exact bucket assignment (`F.conv(hex, 16,
+10)` <-> `CAST('0x' || hex AS BIGINT)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..registry import query
+
+TE_SMOOTHING = 10  # pseudo-count m in (sum + m*mu) / (n + m)
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "target_encoding",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    mu AS (SELECT AVG(rating) AS mu FROM r)
+    SELECT item_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((SUM(rating) + {TE_SMOOTHING} * ANY_VALUE(mu.mu))
+                 / (COUNT(*) + {TE_SMOOTHING}), 6) AS te
+    FROM r CROSS JOIN mu
+    GROUP BY item_id
+    """,
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106: smoothed mean target encoding — each item's rating mean
+    shrunk toward the global mean with TE_SMOOTHING pseudo-counts,
+    te = (sum_r + m*mu) / (n + m); the classic high-cardinality
+    categorical encoder (the empirical-Bayes shrinkage also used by
+    CatBoost-style encoders, computed globally here). One item-keyed agg
+    + a 1-row global-mean broadcast: the output is the |items| encoding
+    table a feature join consumes — rare items sit near mu, popular
+    items near their own mean, and no category ever produces a NaN."""
+    r = _ratings(spark, sf_dir)
+    mu = r.agg(F.avg("rating").alias("mu"))
+    return (
+        r.crossJoin(F.broadcast(mu))
+        .groupBy("item_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                (F.sum("rating") + TE_SMOOTHING * F.any_value("mu"))
+                / (F.count("*") + TE_SMOOTHING),
+                6,
+            ).alias("te"),
+        )
+    )
+
+
+FH_BUCKETS = 256  # fixed hash-feature space width
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+    WITH feats AS (
+        SELECT p_partkey, UNNEST([
+            'brand=' || p_brand,
+            'type=' || p_type,
+            'size=' || CAST(p_size AS VARCHAR)
+        ]) AS feat
+        FROM part),
+    h AS (SELECT p_partkey,
+                 CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+                     % {FH_BUCKETS} AS bucket,
+                 CASE WHEN CAST('0x' || substr(md5(feat), 9, 1) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM feats)
+    SELECT p_partkey, bucket, CAST(SUM(sign) AS BIGINT) AS val
+    FROM h GROUP BY p_partkey, bucket
+    """,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107: hashing-trick feature vectorization (Weinberger et al. 2009)
+    of the part dimension's categorical attributes into a fixed
+    FH_BUCKETS-wide signed sparse space: bucket = md5(feat)[0:8] mod B,
+    sign = parity of the next hex nibble (the collision-debiasing signed
+    variant). Output is sparse COO triples (entity, bucket, val) — the
+    join-ready shape, never a dense vector column. Entirely narrow
+    in-row JVM expression work (md5/substr/conv) plus ONE keyed agg;
+    the feature space stays FH_BUCKETS-wide at any input cardinality,
+    which is the whole point of the trick at 100 TB: no vocabulary
+    build, no OOV, no second pass."""
+    p = load_table(spark, sf_dir, "part")
+    feats = p.select(
+        "p_partkey",
+        F.explode(
+            F.array(
+                F.concat(F.lit("brand="), F.col("p_brand")),
+                F.concat(F.lit("type="), F.col("p_type")),
+                F.concat(F.lit("size="), F.col("p_size").cast("string")),
+            )
+        ).alias("feat"),
+    )
+    h_hex = F.md5(F.col("feat"))
+    bucket = F.conv(F.substring(h_hex, 1, 8), 16, 10).cast("long") % FH_BUCKETS
+    sign = F.when(
+        F.conv(F.substring(h_hex, 9, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        feats.select("p_partkey", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("p_partkey", "bucket")
+        .agg(F.sum("sign").alias("val"))
+    )
+
+
+@query(
+    "split_next_item",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    w AS (SELECT user_id, item_id, interaction_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, interaction_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS cnt
+          FROM r)
+    SELECT user_id, item_id AS test_item, interaction_id,
+           CAST(cnt - 1 AS BIGINT) AS n_train
+    FROM w WHERE rn = 1 AND cnt >= 2
+    """,
+)
+def split_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108: leave-one-out next-item split — each user's single most
+    recent interaction becomes the test target, everything earlier is
+    training history (the standard next-item evaluation protocol for
+    sequential recommenders; users with one interaction are dropped
+    because they have no history to predict from). One user-keyed
+    ranking window carrying the per-user count — same machinery as
+    dedup_keep_last (D2), repointed from cleaning to evaluation, so the
+    cost is one keyed shuffle regardless of scale. Deterministic
+    tiebreak on interaction_id keeps the split stable across runs and
+    engines."""
+    r = _ratings(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("interaction_id").desc()
+    )
+    wc = W.partitionBy("user_id")
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wc))
+        .filter((F.col("rn") == 1) & (F.col("cnt") >= 2))
+        .select(
+            "user_id",
+            F.col("item_id").alias("test_item"),
+            "interaction_id",
+            (F.col("cnt") - 1).cast("long").alias("n_train"),
+        )
+    )

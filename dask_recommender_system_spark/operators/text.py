@@ -9,7 +9,7 @@ with the DuckDB oracles: split trimmed text on `\\s+`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..data import load_table
@@ -1015,4 +1015,68 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("left_tok"),
         F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("right_tok"),
         "n",
+    )
+
+
+# --- Zipf law fit (X105) --------------------------------------------------
+
+ZIPF_TOP_N = 200  # fit over the top-N ranks (the standard Zipf regime)
+
+
+@query(
+    "zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST({ORACLE_TOKENS}) AS term
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+    top AS (SELECT term, freq FROM f ORDER BY freq DESC, term LIMIT {ZIPF_TOP_N}),
+    r AS (SELECT freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+          FROM top)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(REGR_SLOPE(LN(CAST(freq AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 6)
+               AS slope,
+           ROUND(REGR_INTERCEPT(LN(CAST(freq AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 6)
+               AS intercept,
+           ROUND(REGR_R2(LN(CAST(freq AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 6)
+               AS r2
+    FROM r
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105: Zipf's-law fit of the corpus frequency distribution —
+    log-log OLS of token frequency on rank over the top-200 ranks (the
+    regime Zipf holds in; the tail is deliberately excluded, as in
+    corpus-statistics practice). slope ~ -1 says natural language;
+    big deviations flag boilerplate/spam corpora — the corpus-level twin
+    of the per-document quality scorers. Scale shape: corpus scan
+    collapses to the keyed |vocab| frequency agg, global top-200 via
+    TakeOrderedAndProject (no full sort), rank over the 200-row table
+    under an explicit pmod-constant partition, one regression aggregate.
+    """
+    from ..data import spread
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    f = (
+        spread(d)
+        .select(F.explode(TOKENS()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = f.orderBy(F.col("freq").desc(), "term").limit(ZIPF_TOP_N)
+    w = W.partitionBy(F.pmod(F.col("freq"), F.lit(1))).orderBy(
+        F.col("freq").desc(), "term"
+    )
+    r = top.select("freq", F.row_number().over(w).alias("rnk"))
+    y = F.log(F.col("freq").cast("double"))
+    x = F.log(F.col("rnk").cast("double"))
+    return r.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
     )

@@ -57,6 +57,7 @@ def load_all_operators() -> None:
         dedup,
         evaluation,
         extended,
+        features,
         graph,
         grouped,
         linalg,
@@ -162,6 +163,12 @@ DRIVER_PRIORITY: list[str] = [
     "welch_ttest",
     "ks_test_drift",
     "mann_whitney_u",
+    "kaplan_meier_retention",
+    "gini_popularity",
+    "zipf_fit",
+    "target_encoding",
+    "feature_hashing",
+    "split_next_item",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

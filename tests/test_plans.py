@@ -276,6 +276,8 @@ _NON_EQUI_OK = {
     "bpr_epoch_item_update",  # same — two sampler branches, two 1-row maxes
     "decile_lift_table",  # 1-row decile-cuts + global-mean broadcasts
     "ks_test_drift",  # 1-row (n_a, n_b) totals broadcast onto the CDF table
+    "kaplan_meier_retention",  # 1-row observation-end scalar broadcast
+    "target_encoding",  # 1-row global-mean broadcast onto per-item stats
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
