@@ -67,6 +67,15 @@ BENCH_QUERIES = [
     "sink_compacted",
     "bpe_merge_pairs",
     "bpr_epoch_item_update",
+    # round-3 batch 3 (evaluation + features families) — appended, same
+    # order-stability rule
+    "ranking_metrics_at_k",
+    "auc_roc",
+    "ks_test_drift",
+    "kaplan_meier_retention",
+    "gini_popularity",
+    "zipf_fit",
+    "feature_hashing",
 ]
 
 FUNK_EPOCHS = 5

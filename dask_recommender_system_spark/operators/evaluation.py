@@ -554,3 +554,87 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u1 - F.col("n1") * F.col("n2") / 2.0) / sigma, 6
         ).alias("z_score"),
     )
+
+
+# --- deterministic bootstrap confidence interval (X111) -------------------
+
+BOOT_B = 32  # number of bootstrap resamples
+# Poisson(1) CDF steps for the multinomial-approximating Poisson bootstrap
+# (each row's resample weight ~ Poisson(1), drawn from the deterministic
+# hash-uniform grid). Literals shared by both engines.
+POISSON_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _poisson_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(POISSON_CDF)
+    )
+    return f"CASE {branches} ELSE {len(POISSON_CDF)} END"
+
+
+@query(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    x AS (SELECT e.rating, b.b,
+                 {_init_sql("((e.interaction_id * 37 + b.b) % 1000003)", 7, 11, 1.0)} AS u
+          FROM e CROSS JOIN (SELECT UNNEST(range(0, {BOOT_B})) AS b) b),
+    w AS (SELECT b, rating, {_poisson_weight_sql("u")} AS wt FROM x),
+    m AS (SELECT b, SUM(wt * rating) / SUM(wt) AS mean_b
+          FROM w GROUP BY b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           ROUND(AVG(mean_b), 6) AS boot_mean,
+           ROUND(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+    FROM m
+    """,
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111: bootstrap confidence interval for the mean rating via the
+    POISSON bootstrap (Chamandy et al./Google's large-scale variant:
+    each row enters resample b with weight ~ Poisson(1), independence
+    per row x resample) — the estimator uncertainty report classic
+    resampling can't do at 100 TB because multinomial resampling needs
+    the global row count per sample. Weights come from the deterministic
+    hash-uniform grid keyed on (interaction_id, b) pushed through the
+    Poisson(1) inverse CDF, so both engines draw the SAME resamples and
+    the whole interval is value-checked. Plan: one narrow x{BOOT_B}
+    explode, one keyed agg to {BOOT_B} resample means, one exact
+    percentile over the {BOOT_B}-row table — cost is B linear scans'
+    worth of agg work fused into one shuffle, no per-row state."""
+    e = encoded_ratings(spark, sf_dir)
+    x = e.select(
+        "rating",
+        "interaction_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    from ..models.common import hash_uniform
+
+    # pre-reduce mod a prime so the hash multiply stays inside int64 at any
+    # interaction_id scale (Spark would wrap silently, DuckDB would error)
+    u = hash_uniform(
+        (F.col("interaction_id") * 37 + F.col("b")) % 1000003, 7, 1.0, 11
+    )
+    wt = F.lit(len(POISSON_CDF))
+    for k in range(len(POISSON_CDF) - 1, -1, -1):
+        wt = F.when(u < POISSON_CDF[k], F.lit(k)).otherwise(wt)
+    m = (
+        x.withColumn("wt", wt)
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("wt") * F.col("rating")) / F.sum("wt")).alias("mean_b")
+        )
+    )
+    return m.agg(
+        F.count("*").alias("n_resamples"),
+        F.round(F.avg("mean_b"), 6).alias("boot_mean"),
+        F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
+    )

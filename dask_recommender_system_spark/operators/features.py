@@ -140,7 +140,8 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS ({RATINGS_SQL}),
     w AS (SELECT user_id, item_id, interaction_id,
                  ROW_NUMBER() OVER (PARTITION BY user_id
-                                    ORDER BY ts DESC, interaction_id DESC) AS rn,
+                                    ORDER BY ts DESC, interaction_id DESC,
+                                             item_id DESC) AS rn,
                  COUNT(*) OVER (PARTITION BY user_id) AS cnt
           FROM r)
     SELECT user_id, item_id AS test_item, interaction_id,
@@ -160,8 +161,11 @@ def split_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak on interaction_id keeps the split stable across runs and
     engines."""
     r = _ratings(spark, sf_dir)
+    # item_id closes the order: planted duplicate interaction_ids can
+    # share ts with a different item, which would make rn=1 ambiguous
     w = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("interaction_id").desc()
+        F.col("ts").desc(), F.col("interaction_id").desc(),
+        F.col("item_id").desc()
     )
     wc = W.partitionBy("user_id")
     return (

@@ -709,3 +709,112 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("avg") / F.col("mu"), 6).alias("lift"),
         )
     )
+
+
+# --- implicit-feedback ALS user solve (X109) ------------------------------
+# Hu, Koren & Volinsky 2008 ("Collaborative Filtering for Implicit Feedback
+# Datasets"): confidence c_ui = 1 + IALS_ALPHA*r_ui, preference p_ui = 1,
+# x_u = (YtY + Yt(Cu-I)Y + lambda*I)^-1 * Yt*Cu*p(u). At k=2 the solve is a
+# closed-form 2x2 inverse, so the WHOLE epoch is relational and
+# value-checkable — the explicit-feedback reference's natural extension
+# (reference/models/als.py solves the explicit objective; implicit is what
+# production interaction logs actually give you).
+IALS_ALPHA = 40.0
+IALS_REG = 0.1
+IALS_SALT = 5  # item-factor salt, distinct from the SGD/BPR factor families
+
+
+def _ials_y(j: int, idc: str = "i_idx") -> str:
+    return _init_sql(idc, j, IALS_SALT, 0.1)
+
+
+@query(
+    "als_implicit_epoch",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    y AS (SELECT DISTINCT i_idx,
+                 {_ials_y(0)} AS y0,
+                 {_ials_y(1)} AS y1
+          FROM e),
+    gram AS (SELECT ROUND(SUM(y0 * y0), 6) AS g00,
+                    ROUND(SUM(y0 * y1), 6) AS g01,
+                    ROUND(SUM(y1 * y1), 6) AS g11
+             FROM y),
+    obs AS (SELECT e.u_idx, y.y0, y.y1,
+                   1.0 + {IALS_ALPHA} * e.rating AS c
+            FROM e JOIN y ON e.i_idx = y.i_idx),
+    a AS (SELECT u_idx,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 SUM((c - 1.0) * y0 * y0) AS s00,
+                 SUM((c - 1.0) * y0 * y1) AS s01,
+                 SUM((c - 1.0) * y1 * y1) AS s11,
+                 SUM(c * y0) AS b0,
+                 SUM(c * y1) AS b1
+          FROM obs GROUP BY u_idx),
+    m AS (SELECT u_idx, n_obs,
+                 gram.g00 + s00 + {IALS_REG} AS a00,
+                 gram.g01 + s01 AS a01,
+                 gram.g11 + s11 + {IALS_REG} AS a11,
+                 b0, b1
+          FROM a CROSS JOIN gram)
+    SELECT u_idx, n_obs,
+           ROUND((a11 * b0 - a01 * b1) / (a00 * a11 - a01 * a01), 6) AS x0,
+           ROUND((a00 * b1 - a01 * b0) / (a00 * a11 - a01 * a01), 6) AS x1
+    FROM m
+    """,
+)
+def als_implicit_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109: one implicit-feedback ALS user-side solve (Hu-Koren 2008) at
+    k=2 — confidence-weighted normal equations x_u = (YtY + Yt(Cu-I)Y +
+    lambda*I)^-1 YtCup(u) with the 2x2 inverse in closed form, so the epoch is
+    pure relational algebra and value-checked end-to-end. The Hu-Koren
+    trick IS the scale design: YtY is precomputed ONCE over the item set
+    (a 3-number global agg, 1-row broadcast) and each user only
+    aggregates its OBSERVED items ((c-1) weighting) — per-user cost is
+    |obs(u)|, never |catalog|. One item-keyed factor join, one
+    user-keyed agg, closed-form scalar math; k>2 generalizes by carrying
+    k(k+1)/2 gram sums + a Newton/Cholesky pandas_udf solve, same plan
+    shape. Gram entries are ROUNDED before the per-user solve so both
+    engines invert bit-identical matrices."""
+    from ..models.common import hash_uniform
+
+    e = encoded_ratings(spark, sf_dir)
+    y = e.select("i_idx").distinct().select(
+        "i_idx",
+        hash_uniform(F.col("i_idx"), 0, 0.1, IALS_SALT).alias("y0"),
+        hash_uniform(F.col("i_idx"), 1, 0.1, IALS_SALT).alias("y1"),
+    )
+    gram = y.agg(
+        F.round(F.sum(F.col("y0") * F.col("y0")), 6).alias("g00"),
+        F.round(F.sum(F.col("y0") * F.col("y1")), 6).alias("g01"),
+        F.round(F.sum(F.col("y1") * F.col("y1")), 6).alias("g11"),
+    )
+    obs = e.join(y, "i_idx").select(
+        "u_idx", "y0", "y1", (1.0 + IALS_ALPHA * F.col("rating")).alias("c")
+    )
+    a = obs.groupBy("u_idx").agg(
+        F.count("*").alias("n_obs"),
+        F.sum((F.col("c") - 1.0) * F.col("y0") * F.col("y0")).alias("s00"),
+        F.sum((F.col("c") - 1.0) * F.col("y0") * F.col("y1")).alias("s01"),
+        F.sum((F.col("c") - 1.0) * F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("c") * F.col("y0")).alias("b0"),
+        F.sum(F.col("c") * F.col("y1")).alias("b1"),
+    )
+    m = a.crossJoin(F.broadcast(gram)).select(
+        "u_idx",
+        "n_obs",
+        (F.col("g00") + F.col("s00") + IALS_REG).alias("a00"),
+        (F.col("g01") + F.col("s01")).alias("a01"),
+        (F.col("g11") + F.col("s11") + IALS_REG).alias("a11"),
+        "b0",
+        "b1",
+    )
+    det = F.col("a00") * F.col("a11") - F.col("a01") * F.col("a01")
+    return m.select(
+        "u_idx",
+        "n_obs",
+        F.round((F.col("a11") * F.col("b0") - F.col("a01") * F.col("b1")) / det, 6)
+        .alias("x0"),
+        F.round((F.col("a00") * F.col("b1") - F.col("a01") * F.col("b0")) / det, 6)
+        .alias("x1"),
+    )

@@ -751,3 +751,75 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
     )
+
+
+# --- Markov next-item recommender (X110) ----------------------------------
+
+MARKOV_TOP_NEXT = 3  # next-item candidates kept per current item
+
+
+@query(
+    "markov_next_item",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    seq AS (SELECT user_id, item_id, ts, interaction_id,
+                   LAG(item_id) OVER (PARTITION BY user_id
+                                      ORDER BY ts, interaction_id, item_id)
+                       AS prev_item
+            FROM r),
+    big AS (SELECT prev_item AS cur_item, item_id AS next_item,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM seq WHERE prev_item IS NOT NULL
+            GROUP BY 1, 2),
+    tot AS (SELECT cur_item, SUM(cnt) AS total FROM big GROUP BY cur_item),
+    rk AS (SELECT b.cur_item, b.next_item, b.cnt,
+                  ROUND(CAST(b.cnt AS DOUBLE) / t.total, 6) AS prob,
+                  ROW_NUMBER() OVER (PARTITION BY b.cur_item
+                                     ORDER BY b.cnt DESC, b.next_item) AS rnk
+           FROM big b JOIN tot t ON b.cur_item = t.cur_item)
+    SELECT cur_item, next_item, cnt, prob, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= {MARKOV_TOP_NEXT}
+    """,
+)
+def markov_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110: first-order Markov next-item recommender — the sequential
+    baseline every session-based recommender is benchmarked against:
+    per-user time-ordered item bigrams, transition counts, conditional
+    probability P(next|cur), top-MARKOV_TOP_NEXT candidates per current
+    item. The item-level sibling of event_transition_counts (X53, event
+    TYPES): one user-keyed lag window (deterministic interaction_id
+    tiebreak), one keyed bigram agg to |item-pairs-observed| rows —
+    bounded by interactions, not catalog² — then a cur_item-keyed total
+    + top-k ranking window. Nothing global; the bigram table is the
+    model, ready for a broadcast-join serving lookup."""
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    # item_id closes the order: the generator plants duplicate
+    # interaction_ids (dedup fixtures), and 8 of them share ts with a
+    # different item — without the third key the lag order is ambiguous
+    w = W.partitionBy("user_id").orderBy("ts", "interaction_id", "item_id")
+    seq = r.withColumn("prev_item", F.lag("item_id").over(w)).filter(
+        F.col("prev_item").isNotNull()
+    )
+    big = (
+        seq.select(
+            F.col("prev_item").alias("cur_item"),
+            F.col("item_id").alias("next_item"),
+        )
+        .groupBy("cur_item", "next_item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_tot = W.partitionBy("cur_item")
+    w_rank = W.partitionBy("cur_item").orderBy(
+        F.col("cnt").desc(), "next_item"
+    )
+    return (
+        big.withColumn(
+            "prob",
+            F.round(F.col("cnt").cast("double") / F.sum("cnt").over(w_tot), 6),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= MARKOV_TOP_NEXT)
+        .select("cur_item", "next_item", "cnt", "prob", "rnk")
+    )

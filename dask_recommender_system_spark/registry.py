@@ -169,6 +169,9 @@ DRIVER_PRIORITY: list[str] = [
     "target_encoding",
     "feature_hashing",
     "split_next_item",
+    "als_implicit_epoch",
+    "markov_next_item",
+    "bootstrap_ci",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

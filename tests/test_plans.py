@@ -278,6 +278,7 @@ _NON_EQUI_OK = {
     "ks_test_drift",  # 1-row (n_a, n_b) totals broadcast onto the CDF table
     "kaplan_meier_retention",  # 1-row observation-end scalar broadcast
     "target_encoding",  # 1-row global-mean broadcast onto per-item stats
+    "als_implicit_epoch",  # 1-row YtY gram broadcast (the Hu-Koren trick)
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
