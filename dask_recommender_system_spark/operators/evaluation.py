@@ -638,3 +638,87 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
         F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
     )
+
+
+# --- confusion-matrix threshold sweep (X112) ------------------------------
+
+# Fixed decision thresholds spanning the hash-init score range — literal
+# constants shared by both engines (quantile-free: the sweep is a pure
+# keyed agg, no percentile pass).
+SWEEP_THRESHOLDS = (0.022, 0.026, 0.030, 0.034, 0.038)
+
+
+@query(
+    "confusion_threshold_sweep",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    s AS (SELECT {_PRED_SQL} AS pred,
+                 (rating >= {REL_THRESHOLD})::INT AS pos
+          FROM e),
+    x AS (SELECT t.t, s.pred, s.pos
+          FROM s CROSS JOIN (SELECT UNNEST([{", ".join(map(str, SWEEP_THRESHOLDS))}]) AS t) t),
+    c AS (SELECT t,
+                 SUM(CASE WHEN pred >= t AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+                 SUM(CASE WHEN pred >= t AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+                 SUM(CASE WHEN pred <  t AND pos = 1 THEN 1 ELSE 0 END) AS fn,
+                 SUM(CASE WHEN pred <  t AND pos = 0 THEN 1 ELSE 0 END) AS tn
+          FROM x GROUP BY t)
+    SELECT t AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision_,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall_,
+           ROUND(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1,
+           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM c
+    """,
+)
+def confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112: confusion-matrix sweep over fixed decision thresholds —
+    TP/FP/FN/TN with precision, recall, F1, accuracy per threshold; the
+    operating-point report read next to auc_roc (AUC summarizes the
+    whole curve, this shows the deployable points). One narrow
+    x|thresholds| explode and ONE keyed agg — counting all four cells
+    for all thresholds in a single pass over the scores; output is
+    |thresholds| rows at any input size. F1 uses the 2tp/(2tp+fp+fn)
+    form so zero-division collapses to NULL identically in both
+    engines."""
+    e = encoded_ratings(spark, sf_dir)
+    s = e.select(
+        _pred_expr().alias("pred"),
+        (F.col("rating") >= REL_THRESHOLD).cast("int").alias("pos"),
+    )
+    x = s.select(
+        "pred",
+        "pos",
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("t"),
+    )
+    pp = F.col("pred") >= F.col("t")
+    c = x.groupBy("t").agg(
+        F.sum(F.when(pp & (F.col("pos") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pp & (F.col("pos") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pp & (F.col("pos") == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pp & (F.col("pos") == 0), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c_) for c_ in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        F.col("t").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6).alias(
+            "precision_"
+        ),
+        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6
+        ).alias("f1"),
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias(
+            "accuracy"
+        ),
+    )

@@ -172,6 +172,9 @@ DRIVER_PRIORITY: list[str] = [
     "als_implicit_epoch",
     "markov_next_item",
     "bootstrap_ci",
+    "confusion_threshold_sweep",
+    "graph_triangle_stats",
+    "stream_topk_items",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -554,4 +554,62 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p_cur - p_ref, 6).alias("share_delta"),
             F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
         )
+    )
+
+
+# --- streaming top-k items (X114) -----------------------------------------
+
+STREAM_TOPK = 5  # leaderboard size per window
+
+
+@query(
+    "stream_topk_items",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS window_start,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_k
+      FROM events
+    ),
+    c AS (SELECT window_start, item_k, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2),
+    r AS (SELECT window_start, item_k, n,
+                 ROW_NUMBER() OVER (PARTITION BY window_start
+                                    ORDER BY n DESC, item_k) AS rnk
+          FROM c)
+    SELECT window_start, item_k, n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {STREAM_TOPK}
+    """,
+)
+def stream_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114: streaming per-window item leaderboard — daily tumbling
+    windows over the event stream, counts per JSON-extracted item key
+    kept in STREAMING state, top-STREAM_TOPK ranked in a batch
+    post-pass over the drained cells (ranking inside the stream would
+    force complete-mode output; counts-then-rank keeps the stream in
+    append-friendly bounded state: |windows in watermark| x |item keys|
+    rows regardless of event volume — the same split as
+    stream_drift_psi). Checked against a full batch DuckDB oracle, so
+    the leaderboard has one correctness definition across modes. At
+    100 TB the cells table is what you persist; re-ranking with a
+    different k is cell arithmetic, never an event replay."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, sf_dir)
+    cells = (
+        ev.withColumn("p", F.from_json("props", "k BIGINT"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("p.k").alias("item_k"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "item_k", "n")
+    )
+    run_stream_to_memory(cells, name)
+    drained = spark.table(name)
+    rk = W.partitionBy("window_start").orderBy(F.col("n").desc(), "item_k")
+    return (
+        drained.withColumn("rnk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rnk") <= STREAM_TOPK)
+        .select("window_start", "item_k", "n", "rnk")
     )

@@ -279,6 +279,7 @@ _NON_EQUI_OK = {
     "kaplan_meier_retention",  # 1-row observation-end scalar broadcast
     "target_encoding",  # 1-row global-mean broadcast onto per-item stats
     "als_implicit_epoch",  # 1-row YtY gram broadcast (the Hu-Koren trick)
+    "graph_triangle_stats",  # three 1-row stat tables crossJoined at the end
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
