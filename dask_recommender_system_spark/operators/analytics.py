@@ -951,3 +951,184 @@ def gini_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("total_interactions"),
         F.round(2.0 * rank_weighted / (n * s) - (n + 1.0) / n, 6).alias("gini"),
     )
+
+
+# --- day-of-week seasonality profile (X115) -------------------------------
+
+# Portable day-of-week: epoch day 0 (1970-01-01) was a Thursday, so
+# (epoch_day + 4) % 7 gives 0=Sunday..6=Saturday identically in both
+# engines — no reliance on either engine's dow() convention (Spark
+# dayofweek is 1-based Sunday, DuckDB dayofweek is 0-based Sunday,
+# isodow is Monday-based: three conventions, one arithmetic).
+DOW_SQL = f"CAST((FLOOR({{c}} / 86400) + 4) % 7 AS BIGINT)"
+
+
+@query(
+    "seasonal_dow_profile",
+    oracle=f"""
+    WITH d AS (SELECT {DOW_SQL.format(c=EPOCH_TS)} AS dow, value FROM events),
+    mu AS (SELECT AVG(value) AS mu FROM d)
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6) AS avg_value,
+           ROUND(AVG(value) / ANY_VALUE(mu.mu), 6) AS seasonal_index
+    FROM d CROSS JOIN mu
+    GROUP BY dow
+    """,
+)
+def seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115: day-of-week seasonality profile — per-weekday event volume,
+    mean value, and multiplicative seasonal index (weekday mean / global
+    mean), the first seasonal-decomposition step before any forecasting
+    of the event stream. Weekday comes from pure epoch arithmetic
+    ((epoch_day + 4) % 7), sidestepping the three incompatible dow()
+    conventions across engines. One keyed agg to 7 rows + a 1-row
+    global-mean broadcast — nothing here changes at 100 TB."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        ((F.floor(F.unix_timestamp("ts") / 86400) + 4) % 7)
+        .cast("long")
+        .alias("dow"),
+        "value",
+    )
+    mu = d.agg(F.avg("value").alias("mu"))
+    return (
+        d.crossJoin(F.broadcast(mu))
+        .groupBy("dow")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.avg("value") / F.any_value("mu"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+    )
+
+
+# --- cohort lifetime value (X116) -----------------------------------------
+
+
+@query(
+    "cohort_ltv",
+    oracle=f"""
+    WITH f AS (SELECT o_custkey,
+                      MIN(date_trunc('week', o_orderdate)) AS cw
+               FROM orders GROUP BY o_custkey),
+    sz AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_users
+           FROM f GROUP BY cw),
+    rev AS (SELECT f.cw,
+                   CAST(FLOOR((epoch(date_trunc('week', o.o_orderdate))
+                        - epoch(f.cw)) / {WEEK_S}) AS BIGINT) AS week_offset,
+                   SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                       AS rev_cents
+            FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2)
+    SELECT CAST(FLOOR(epoch(rev.cw)) AS BIGINT) AS cohort_week,
+           rev.week_offset,
+           sz.cohort_users,
+           ROUND(rev.rev_cents / 100.0, 6) AS revenue,
+           CAST(FLOOR(SUM(rev.rev_cents) OVER (PARTITION BY rev.cw
+                     ORDER BY rev.week_offset) / sz.cohort_users) AS BIGINT)
+               AS cum_ltv_cents_per_user
+    FROM rev JOIN sz ON rev.cw = sz.cw
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116: cohort lifetime-value matrix — customers cohorted by
+    first-order week, revenue per (cohort, week offset), and the running
+    LTV per user (whole cents, floored — an all-integer statistic so the
+    windowed cumulation is bit-identical across engines) each cohort has
+    accumulated by that offset; the revenue
+    twin of retention_cohorts (X52: does the cohort come back; this:
+    what is it worth). Two o_custkey-keyed aggs sharing one exchange, a
+    cohort-keyed join, and the cumulative sum runs PARTITIONED BY cohort
+    over the |offsets|-bounded per-cohort series — output is
+    |cohorts| x |offsets| rows regardless of order volume."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("week", "o_orderdate")).alias("cw")
+    )
+    sz = f.groupBy("cw").agg(F.count("*").alias("cohort_users"))
+    rev = (
+        o.join(f, "o_custkey")
+        .groupBy(
+            "cw",
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", "o_orderdate"))
+                    - F.unix_timestamp("cw")
+                )
+                / WEEK_S
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w_cum = (
+        W.partitionBy("cw")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # all-integer cumulation: prices are 2-decimal, so cents are exact
+    # BIGINTs and the running sum is bit-identical in both engines no
+    # matter how each one associates its windowed summation (DuckDB uses
+    # a segment tree, Spark a running frame — float order would differ)
+    return (
+        rev.join(sz, "cw")
+        .select(
+            F.unix_timestamp("cw").alias("cohort_week"),
+            "week_offset",
+            "cohort_users",
+            F.round(F.col("rev_cents") / 100.0, 6).alias("revenue"),
+            F.floor(
+                F.sum("rev_cents").over(w_cum) / F.col("cohort_users")
+            ).cast("long").alias("cum_ltv_cents_per_user"),
+        )
+    )
+
+
+# --- price elasticity by brand (X117) -------------------------------------
+
+
+@query(
+    "price_elasticity",
+    oracle="""
+    WITH d AS (SELECT p.p_brand,
+                      LN(l.l_quantity) AS lq,
+                      LN(l.l_extendedprice / l.l_quantity) AS lp
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(REGR_SLOPE(lq, lp), 6) AS elasticity,
+           ROUND(REGR_R2(lq, lp), 6) AS r2
+    FROM d GROUP BY p_brand
+    """,
+)
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117: log-log price elasticity of demand per brand — slope of
+    ln(quantity) on ln(unit price) within each brand (unit price =
+    extendedprice / quantity, the TPC-H convention); the standard demand
+    model a pricing team fits on the same order lines the recommender
+    trains on. One p_partkey-keyed dim join (broadcastable dim, AQE
+    decides) + ONE brand-keyed regression aggregate — REGR_* are
+    map-side-combinable moments, so the shuffle carries five numbers per
+    brand at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = l.join(p, l.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.log(F.col("l_quantity")).alias("lq"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
+    )
+    return d.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("lq", "lp"), 6).alias("elasticity"),
+        F.round(F.regr_r2("lq", "lp"), 6).alias("r2"),
+    )

@@ -663,7 +663,7 @@ SWEEP_THRESHOLDS = (0.022, 0.026, 0.030, 0.034, 0.038)
                  SUM(CASE WHEN pred <  t AND pos = 1 THEN 1 ELSE 0 END) AS fn,
                  SUM(CASE WHEN pred <  t AND pos = 0 THEN 1 ELSE 0 END) AS tn
           FROM x GROUP BY t)
-    SELECT t AS threshold,
+    SELECT CAST(t AS DOUBLE) AS threshold,
            CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
            ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision_,
@@ -721,4 +721,77 @@ def confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias(
             "accuracy"
         ),
+    )
+
+
+# --- experiment power / minimal detectable effect (X120) ------------------
+
+# Standard normal quantiles for alpha = 0.05 two-sided and power = 0.80 —
+# the conventional experiment-design operating point. Shared literals.
+Z_ALPHA_2 = 1.959963984540054  # Phi^-1(0.975)
+Z_BETA = 0.8416212335729143  # Phi^-1(0.80)
+
+
+@query(
+    "ab_power_mde",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS m,
+               VAR_SAMP(value) AS v
+        FROM events
+        WHERE event_type IN ('{TTEST_GROUP_A}', '{TTEST_GROUP_B}')
+        GROUP BY event_type),
+    w AS (SELECT
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN n END) AS n1,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN m END) AS m1,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_A}' THEN v END) AS v1,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_B}' THEN n END) AS n2,
+            MAX(CASE WHEN event_type = '{TTEST_GROUP_B}' THEN v END) AS v2
+          FROM g)
+    SELECT n1, n2,
+           ROUND(SQRT(v1 / n1 + v2 / n2), 6) AS se,
+           ROUND(({Z_ALPHA_2} + {Z_BETA}) * SQRT(v1 / n1 + v2 / n2), 6)
+               AS mde_abs,
+           ROUND(({Z_ALPHA_2} + {Z_BETA}) * SQRT(v1 / n1 + v2 / n2) / m1, 6)
+               AS mde_rel
+    FROM w
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120: minimal detectable effect at the conventional alpha = 0.05 /
+    power = 0.80 operating point for the welch_ttest cohorts — MDE =
+    (z_alpha/2 + z_beta) * SE, absolute and relative to the control mean;
+    the experiment-DESIGN readout next to welch_ttest's after-the-fact
+    verdict (is this test even capable of seeing the effect size we
+    care about?). Same moment-only plan as the t-test: one filtered
+    scan, a two-row keyed agg, scalar math on one row — six numbers
+    cross the shuffle at any scale."""
+    from ..data import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TTEST_GROUP_A, TTEST_GROUP_B)
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = F.col("event_type") == TTEST_GROUP_A
+    w = g.agg(
+        F.max(F.when(a, F.col("n"))).alias("n1"),
+        F.max(F.when(a, F.col("m"))).alias("m1"),
+        F.max(F.when(a, F.col("v"))).alias("v1"),
+        F.max(F.when(~a, F.col("n"))).alias("n2"),
+        F.max(F.when(~a, F.col("v"))).alias("v2"),
+    )
+    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    z = Z_ALPHA_2 + Z_BETA
+    return w.select(
+        "n1",
+        "n2",
+        F.round(se, 6).alias("se"),
+        F.round(z * se, 6).alias("mde_abs"),
+        F.round(z * se / F.col("m1"), 6).alias("mde_rel"),
     )

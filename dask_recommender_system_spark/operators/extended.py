@@ -863,3 +863,143 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_touch_ts_s").alias("touch_ts_s"),
         (F.col("conv_ts_s") - F.col("asof_touch_ts_s")).alias("latency_s"),
     )
+
+
+# --- PCA first principal component via power iteration (X118) -------------
+# Fixed-iteration power method on the (rounded) covariance of the leading
+# PCA_D embedding dims: C is tiny (D x D scalars in ONE row), so the whole
+# eigen-solve is scalar column math after a single moment aggregate — the
+# eigendecomposition step embedding_covariance (X89) stops short of.
+PCA_D = 4
+PCA_ITERS = 8
+
+
+def _pca_oracle() -> str:
+    dims = range(PCA_D)
+    pairs = [(i, j) for i in dims for j in dims if i <= j]
+    mom = ", ".join(
+        [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+        + [f"AVG(embedding[{i + 1}]) AS m_{i}" for i in dims]
+        + [
+            f"SUM(embedding[{i + 1}] * embedding[{j + 1}]) AS s_{i}_{j}"
+            for i, j in pairs
+        ]
+    )
+    cov = ", ".join(
+        ["n"]
+        + [
+            f"ROUND(s_{i}_{j} / n - m_{i} * m_{j}, 9) AS c_{i}_{j}"
+            for i, j in pairs
+        ]
+    )
+
+    def c(i, j):
+        a, b = min(i, j), max(i, j)
+        return f"c_{a}_{b}"
+
+    ctes = [f"m AS (SELECT {mom} FROM embeddings)",
+            f"cv AS (SELECT {cov} FROM m)"]
+    prev = {i: "0.5" for i in dims}
+    src = "cv"
+    carry = "n, " + ", ".join(f"c_{i}_{j}" for i, j in pairs)
+    for t in range(1, PCA_ITERS + 1):
+        w = ", ".join(
+            "("
+            + " + ".join(f"{c(i, j)} * ({prev[j]})" for j in dims)
+            + f") AS w_{i}"
+            for i in dims
+        )
+        ctes.append(f"i{t} AS (SELECT {carry}, {w} FROM {src})")
+        nrm = " + ".join(f"w_{i} * w_{i}" for i in dims)
+        ctes.append(
+            f"v{t} AS (SELECT {carry}, "
+            + ", ".join(f"w_{i} / SQRT({nrm}) AS v_{i}" for i in dims)
+            + f" FROM i{t})"
+        )
+        prev = {i: f"v_{i}" for i in dims}
+        src = f"v{t}"
+    lam = " + ".join(f"v_{i} * {c(i, j)} * v_{j}" for i in dims for j in dims)
+    trace = " + ".join(f"c_{i}_{i}" for i in dims)
+    sgn = "CASE WHEN v_0 < 0 THEN -1.0 ELSE 1.0 END"
+    out = ", ".join(
+        [f"CAST(n AS BIGINT) AS n_vectors"]
+        + [f"ROUND({sgn} * v_{i}, 6) AS pc1_{i}" for i in dims]
+        + [
+            f"ROUND({lam}, 6) AS eigenvalue",
+            f"ROUND(({lam}) / ({trace}), 6) AS explained_var",
+        ]
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT {out} FROM {src}"
+
+
+@query("pca_power_iteration", oracle=_pca_oracle())
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118: first principal component of the leading PCA_D embedding
+    dimensions via PCA_ITERS fixed power-method iterations — the
+    eigen-solve on top of embedding_covariance's moment set (X89),
+    emitted as the sign-normalized direction, its eigenvalue (Rayleigh
+    quotient), and the explained-variance ratio. Scale split: the ONLY
+    data-sized work is the single moment aggregate (map-side
+    combinable); the covariance is then D x D scalars in one row and every
+    power step is closed-form column arithmetic on that row — no loop
+    ever touches the data again, no driver collect. Covariance entries
+    are ROUNDED before iterating so both engines run bit-identical
+    recurrences; the iteration count is fixed (not convergence-tested)
+    to keep the operator deterministic and oracle-checkable. At D ~ 100
+    the same split holds with the gram carried as an array column and
+    the solve in a 1-row pandas_udf Cholesky/eigh."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = range(PCA_D)
+    pairs = [(i, j) for i in dims for j in dims if i <= j]
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [F.avg(F.col("embedding").getItem(i)).alias(f"m_{i}") for i in dims]
+    aggs += [
+        F.sum(F.col("embedding").getItem(i) * F.col("embedding").getItem(j)).alias(
+            f"s_{i}_{j}"
+        )
+        for i, j in pairs
+    ]
+    m = e.agg(*aggs)
+    cv = m.select(
+        "n",
+        *[
+            F.round(
+                F.col(f"s_{i}_{j}") / F.col("n") - F.col(f"m_{i}") * F.col(f"m_{j}"),
+                9,
+            ).alias(f"c_{i}_{j}")
+            for i, j in pairs
+        ],
+    )
+
+    def c(i, j):
+        a, b = min(i, j), max(i, j)
+        return F.col(f"c_{a}_{b}")
+
+    carry = ["n"] + [f"c_{i}_{j}" for i, j in pairs]
+    cur = cv
+    prev = {i: F.lit(0.5) for i in dims}
+    for _t in range(PCA_ITERS):
+        cur = cur.select(
+            *carry,
+            *[
+                sum((c(i, j) * prev[j] for j in dims), F.lit(0.0)).alias(f"w_{i}")
+                for i in dims
+            ],
+        )
+        nrm = F.sqrt(sum((F.col(f"w_{i}") * F.col(f"w_{i}") for i in dims), F.lit(0.0)))
+        cur = cur.select(
+            *carry, *[(F.col(f"w_{i}") / nrm).alias(f"v_{i}") for i in dims]
+        )
+        prev = {i: F.col(f"v_{i}") for i in dims}
+    lam = sum(
+        (F.col(f"v_{i}") * c(i, j) * F.col(f"v_{j}") for i in dims for j in dims),
+        F.lit(0.0),
+    )
+    trace = sum((c(i, i) for i in dims), F.lit(0.0))
+    sgn = F.when(F.col("v_0") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return cur.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        *[F.round(sgn * F.col(f"v_{i}"), 6).alias(f"pc1_{i}") for i in dims],
+        F.round(lam, 6).alias("eigenvalue"),
+        F.round(lam / trace, 6).alias("explained_var"),
+    )

@@ -823,3 +823,82 @@ def markov_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= MARKOV_TOP_NEXT)
         .select("cur_item", "next_item", "cnt", "prob", "rnk")
     )
+
+
+# --- recommendation coverage / popularity-bias report (X119) --------------
+
+HEAD_PCTL = 0.9  # items at or above this popularity percentile = "head"
+
+
+def _coverage_oracle() -> str:
+    from ..registry import REGISTRY as _REG
+
+    recs = _REG["recommend_top_k"].oracle
+    return f"""
+    WITH recs AS ({recs}),
+    r2 AS ({RATINGS_SQL}),
+    pop AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM r2 GROUP BY item_id),
+    cut AS (SELECT ROUND(quantile_cont(cnt, {HEAD_PCTL}), 6) AS head_cut,
+                   CAST(COUNT(*) AS BIGINT) AS n_catalog,
+                   CAST(SUM(cnt) AS BIGINT) AS total_inter
+            FROM pop)
+    SELECT CAST(COUNT(DISTINCT recs.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT recs.item_id) AS BIGINT) AS n_rec_items,
+           ANY_VALUE(cut.n_catalog) AS n_catalog,
+           ROUND(CAST(COUNT(DISTINCT recs.item_id) AS DOUBLE)
+                 / ANY_VALUE(cut.n_catalog), 6) AS catalog_coverage,
+           ROUND(AVG(CAST(pop.cnt AS DOUBLE) / cut.total_inter),
+                 6) AS avg_pop_share,
+           ROUND(AVG((pop.cnt >= cut.head_cut)::INT), 6)
+               AS head_rate
+    FROM recs
+    JOIN pop ON recs.item_id = pop.item_id
+    CROSS JOIN cut
+    """
+
+
+@query("recommendation_coverage", oracle=_coverage_oracle())
+def recommendation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119: coverage / popularity-bias report over the recommend_top_k
+    lists (X5) — catalog coverage (distinct recommended / catalog), mean
+    popularity share of recommended items, and the head rate (fraction
+    of recommendation slots filled by items at or above the HEAD_PCTL
+    popularity percentile). THE standard recommender-audit companion to
+    accuracy metrics: a model can win on NDCG while recommending the
+    same popular head to everyone — this report is where that shows.
+    Reuses the X5 query (and composes its ORACLE verbatim, so both
+    engines audit the same lists); adds one item-keyed popularity agg, a
+    1-row percentile-cut broadcast, and a single reduce."""
+    from ..registry import REGISTRY as _REG
+
+    recs = _REG["recommend_top_k"].fn(spark, sf_dir)
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    pop = r.groupBy("item_id").agg(F.count("*").alias("cnt"))
+    cut = pop.agg(
+        F.round(F.expr(f"percentile(cnt, {HEAD_PCTL})"), 6).alias("head_cut"),
+        F.count("*").alias("n_catalog"),
+        F.sum("cnt").alias("total_inter"),
+    )
+    return (
+        recs.join(pop, "item_id")
+        .crossJoin(F.broadcast(cut))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("item_id").alias("n_rec_items"),
+            F.any_value("n_catalog").alias("n_catalog"),
+            F.round(
+                F.countDistinct("item_id").cast("double")
+                / F.any_value("n_catalog"),
+                6,
+            ).alias("catalog_coverage"),
+            F.round(
+                F.avg(F.col("cnt").cast("double") / F.col("total_inter")), 6
+            ).alias("avg_pop_share"),
+            F.round(
+                F.avg((F.col("cnt") >= F.col("head_cut")).cast("int")), 6
+            ).alias("head_rate"),
+        )
+    )

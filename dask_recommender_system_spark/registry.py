@@ -175,6 +175,12 @@ DRIVER_PRIORITY: list[str] = [
     "confusion_threshold_sweep",
     "graph_triangle_stats",
     "stream_topk_items",
+    "seasonal_dow_profile",
+    "cohort_ltv",
+    "price_elasticity",
+    "pca_power_iteration",
+    "recommendation_coverage",
+    "ab_power_mde",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -280,6 +280,8 @@ _NON_EQUI_OK = {
     "target_encoding",  # 1-row global-mean broadcast onto per-item stats
     "als_implicit_epoch",  # 1-row YtY gram broadcast (the Hu-Koren trick)
     "graph_triangle_stats",  # three 1-row stat tables crossJoined at the end
+    "seasonal_dow_profile",  # 1-row global-mean broadcast onto weekday rows
+    "recommendation_coverage",  # X5's broadcasts + 1-row percentile-cut row
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
