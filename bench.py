@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "gini_popularity",
     "zipf_fit",
     "feature_hashing",
+    # round-3 batch 4 (recommender/graph/statistics heavyweights) —
+    # appended, same order-stability rule
+    "als_implicit_epoch",
+    "markov_next_item",
+    "bootstrap_ci",
+    "graph_triangle_stats",
+    "cohort_ltv",
+    "pca_power_iteration",
 ]
 
 FUNK_EPOCHS = 5

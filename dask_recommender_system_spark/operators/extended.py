@@ -866,24 +866,33 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- PCA first principal component via power iteration (X118) -------------
-# Fixed-iteration power method on the (rounded) covariance of the leading
-# PCA_D embedding dims: C is tiny (D x D scalars in ONE row), so the whole
+# Fixed-iteration power method on the (rounded) covariance of PCA_D scaled
+# order-line measures: C is tiny (D x D scalars in ONE row), so the whole
 # eigen-solve is scalar column math after a single moment aggregate — the
 # eigendecomposition step embedding_covariance (X89) stops short of.
+# Feature scaling to O(1) is what makes the moment sums small enough that
+# ROUND(C, 9) pins bit-identical matrices across engines; the net-price
+# feature f_2 = (1-disc)*price is correlated with f_1 BY CONSTRUCTION, so
+# the spectrum has a genuine leading direction (eigengap ratio ~0.48 at
+# sf0.01 — PCA_ITERS=12 leaves a residual ~0.48^12 ~ 1e-4).
 PCA_D = 4
-PCA_ITERS = 8
+PCA_ITERS = 12
+PCA_FEATS_SQL = [
+    "l_quantity / 50",
+    "l_extendedprice / 100000",
+    "(1 - l_discount) * l_extendedprice / 100000",
+    "l_tax / 0.1",
+]
 
 
 def _pca_oracle() -> str:
     dims = range(PCA_D)
     pairs = [(i, j) for i in dims for j in dims if i <= j]
+    feats = ", ".join(f"{e} AS f_{i}" for i, e in enumerate(PCA_FEATS_SQL))
     mom = ", ".join(
-        [f"CAST(COUNT(*) AS DOUBLE) AS n"]
-        + [f"AVG(embedding[{i + 1}]) AS m_{i}" for i in dims]
-        + [
-            f"SUM(embedding[{i + 1}] * embedding[{j + 1}]) AS s_{i}_{j}"
-            for i, j in pairs
-        ]
+        ["CAST(COUNT(*) AS DOUBLE) AS n"]
+        + [f"AVG(f_{i}) AS m_{i}" for i in dims]
+        + [f"SUM(f_{i} * f_{j}) AS s_{i}_{j}" for i, j in pairs]
     )
     cov = ", ".join(
         ["n"]
@@ -897,8 +906,11 @@ def _pca_oracle() -> str:
         a, b = min(i, j), max(i, j)
         return f"c_{a}_{b}"
 
-    ctes = [f"m AS (SELECT {mom} FROM embeddings)",
-            f"cv AS (SELECT {cov} FROM m)"]
+    ctes = [
+        f"feats AS (SELECT {feats} FROM lineitem)",
+        f"m AS (SELECT {mom} FROM feats)",
+        f"cv AS (SELECT {cov} FROM m)",
+    ]
     prev = {i: "0.5" for i in dims}
     src = "cv"
     carry = "n, " + ", ".join(f"c_{i}_{j}" for i, j in pairs)
@@ -922,7 +934,7 @@ def _pca_oracle() -> str:
     trace = " + ".join(f"c_{i}_{i}" for i in dims)
     sgn = "CASE WHEN v_0 < 0 THEN -1.0 ELSE 1.0 END"
     out = ", ".join(
-        [f"CAST(n AS BIGINT) AS n_vectors"]
+        ["CAST(n AS BIGINT) AS n_rows"]
         + [f"ROUND({sgn} * v_{i}, 6) AS pc1_{i}" for i in dims]
         + [
             f"ROUND({lam}, 6) AS eigenvalue",
@@ -934,29 +946,41 @@ def _pca_oracle() -> str:
 
 @query("pca_power_iteration", oracle=_pca_oracle())
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X118: first principal component of the leading PCA_D embedding
-    dimensions via PCA_ITERS fixed power-method iterations — the
-    eigen-solve on top of embedding_covariance's moment set (X89),
+    """X118: first principal component of PCA_D scaled order-line
+    measures via PCA_ITERS fixed power-method iterations — the
+    eigen-solve embedding_covariance's moment set (X89) stops short of,
     emitted as the sign-normalized direction, its eigenvalue (Rayleigh
     quotient), and the explained-variance ratio. Scale split: the ONLY
     data-sized work is the single moment aggregate (map-side
-    combinable); the covariance is then D x D scalars in one row and every
-    power step is closed-form column arithmetic on that row — no loop
-    ever touches the data again, no driver collect. Covariance entries
-    are ROUNDED before iterating so both engines run bit-identical
-    recurrences; the iteration count is fixed (not convergence-tested)
-    to keep the operator deterministic and oracle-checkable. At D ~ 100
-    the same split holds with the gram carried as an array column and
-    the solve in a 1-row pandas_udf Cholesky/eigh."""
-    e = load_table(spark, sf_dir, "embeddings")
+    combinable); the covariance is then D x D scalars in one row and
+    every power step is closed-form column arithmetic on that row — no
+    loop ever touches the data again, no driver collect. Unit-scaling
+    the features to O(1) keeps the moment sums small enough that
+    ROUND(C, 9) pins bit-identical matrices across engines; the
+    iteration count is fixed (not convergence-tested) to keep the
+    operator deterministic and oracle-checkable — tests/test_properties
+    checks the result against numpy's eigh of the same matrix. The
+    near-isotropic embeddings table is deliberately NOT the input: with
+    an eigengap ratio ~0.95 a fixed power method cannot separate PC1
+    (use orthogonal/subspace iteration there); these measures have a
+    genuine leading direction. At D ~ 100 the same split holds with the
+    gram carried as an array column and the solve in a 1-row pandas_udf
+    eigh."""
+    li = load_table(spark, sf_dir, "lineitem")
     dims = range(PCA_D)
     pairs = [(i, j) for i in dims for j in dims if i <= j]
+    e = li.select(
+        (F.col("l_quantity") / 50).alias("f_0"),
+        (F.col("l_extendedprice") / 100000).alias("f_1"),
+        ((1 - F.col("l_discount")) * F.col("l_extendedprice") / 100000).alias(
+            "f_2"
+        ),
+        (F.col("l_tax") / 0.1).alias("f_3"),
+    )
     aggs = [F.count("*").cast("double").alias("n")]
-    aggs += [F.avg(F.col("embedding").getItem(i)).alias(f"m_{i}") for i in dims]
+    aggs += [F.avg(F.col(f"f_{i}")).alias(f"m_{i}") for i in dims]
     aggs += [
-        F.sum(F.col("embedding").getItem(i) * F.col("embedding").getItem(j)).alias(
-            f"s_{i}_{j}"
-        )
+        F.sum(F.col(f"f_{i}") * F.col(f"f_{j}")).alias(f"s_{i}_{j}")
         for i, j in pairs
     ]
     m = e.agg(*aggs)
@@ -998,7 +1022,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = sum((c(i, i) for i in dims), F.lit(0.0))
     sgn = F.when(F.col("v_0") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
     return cur.select(
-        F.col("n").cast("long").alias("n_vectors"),
+        F.col("n").cast("long").alias("n_rows"),
         *[F.round(sgn * F.col(f"v_{i}"), 6).alias(f"pc1_{i}") for i in dims],
         F.round(lam, 6).alias("eigenvalue"),
         F.round(lam / trace, 6).alias("explained_var"),

@@ -174,6 +174,14 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
+    return triangle_stats_from_edges(e)
+
+
+def triangle_stats_from_edges(e: DataFrame) -> DataFrame:
+    """Compact-forward triangle statistics over an undirected edge set
+    given as (u, v) rows with u < v, deduplicated. Split out of
+    graph_triangle_stats so planted-graph tests can drive the counting
+    core directly."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

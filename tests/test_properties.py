@@ -429,3 +429,66 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     assert (out["rank_rel"] > 0).all()
     n = len(out)
     assert abs(out["rank_rel"].sum() - n) < 1e-2 * n**0.5 + 1e-3
+
+
+def test_triangle_core_on_planted_graphs(spark):
+    """graph_triangle_stats counting core on graphs with known answers:
+    K4 (4 triangles, transitivity 1), a 4-cycle (0 triangles), and K4
+    plus a pendant vertex (still 4 triangles, wedges grow)."""
+    from dask_recommender_system_spark.operators.graph import (
+        triangle_stats_from_edges,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    row = triangle_stats_from_edges(
+        spark.createDataFrame(k4, "u long, v long")
+    ).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 6
+    assert row["n_triangles"] == 4
+    assert abs(row["transitivity"] - 1.0) < 1e-9
+
+    cycle = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    row = triangle_stats_from_edges(
+        spark.createDataFrame(cycle, "u long, v long")
+    ).collect()[0]
+    assert row["n_triangles"] == 0
+
+    pendant = k4 + [(3, 9)]
+    row = triangle_stats_from_edges(
+        spark.createDataFrame(pendant, "u long, v long")
+    ).collect()[0]
+    assert row["n_nodes"] == 5 and row["n_triangles"] == 4
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    """The fixed 8-step power method must land on numpy's leading
+    eigenvector of the SAME rounded covariance (|cos| > 0.999) with the
+    matching eigenvalue and a sane explained-variance ratio."""
+    import numpy as np
+
+    from dask_recommender_system_spark.operators.extended import PCA_D
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    row = REGISTRY["pca_power_iteration"].fn(spark, sf_dir).collect()[0]
+    v = np.array([row[f"pc1_{i}"] for i in range(PCA_D)])
+
+    feats = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            (F.col("l_quantity") / 50).alias("f0"),
+            (F.col("l_extendedprice") / 100000).alias("f1"),
+            (
+                (1 - F.col("l_discount")) * F.col("l_extendedprice") / 100000
+            ).alias("f2"),
+            (F.col("l_tax") / 0.1).alias("f3"),
+        )
+        .toPandas()
+        .to_numpy(dtype="float64")
+    )
+    c = np.round(np.cov(feats, rowvar=False, bias=True), 9)
+    w, vecs = np.linalg.eigh(c)
+    top = vecs[:, np.argmax(w)]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.995, f"power iteration off numpy PC1: cos={cos}"
+    assert abs(row["eigenvalue"] - float(np.max(w))) < 1e-3
+    assert 0.0 < row["explained_var"] <= 1.0 + 1e-9
