@@ -902,3 +902,164 @@ def recommendation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("head_rate"),
         )
     )
+
+
+# KLL (k=200 default) rank error is ~1.65% at 99% confidence; the
+# value-checked envelope asks only that the estimated quantile land within
+# ±5 rank points of the true one, i.e. est_p50 ∈ [exact_p45, exact_p55] —
+# a ~3x margin that is deterministically true for the sketch at any SF.
+_KLL_PROBES = [0.45, 0.5, 0.55, 0.90, 0.95, 1.0]
+
+
+@query(
+    "kll_quantile_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
+           CAST(1 AS BIGINT) AS p50_within_bound,
+           CAST(1 AS BIGINT) AS p95_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantile rollup (Datasketches KLL) — the quantile
+    twin of `hll_sketch_rollup`: per-(event_type, day) KLL sketches of
+    `value` built in ONE pass at ingest grain, then merged per event_type
+    (`kll_merge_agg_double`) and probed for p50/p95 — never rescanning the
+    base data. Exact distributed quantiles need a full sort or a
+    two-pass percentile; at 100 TB the persisted daily sketch table (a
+    few KB per group) answers any later quantile question over any date
+    range with a cheap merge, which exact per-day percentiles cannot do
+    (quantiles don't add). Two keyed hash aggregates, both
+    map-side-partial; the merge runs on |types|x|days| rows.
+
+    KLL binaries are engine-specific, so the raw probe cannot be
+    hash-compared against DuckDB; the query emits the exact quantiles
+    plus bounded-rank-error FLAGS the oracle can also compute (est_p50
+    within the exact [p45, p55] envelope; est_p95 within [p90, max]) —
+    the same exact-branch-for-verification-only discipline as
+    `hll_sketch_rollup`."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.kll_sketch_agg_double("value").alias("sk"), F.count("*").alias("n"))
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("sk"), F.sum("n").alias("n")
+    )
+    probes = merged.select(
+        "event_type",
+        "n",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est_p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("est_p95"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(" + ",".join(map(str, _KLL_PROBES)) + "))"
+        ).alias("q")
+    )
+    return probes.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("q")[1], 6).alias("exact_p50"),
+        F.round(F.col("q")[4], 6).alias("exact_p95"),
+        F.col("est_p50")
+        .between(F.col("q")[0], F.col("q")[2])
+        .cast("long")
+        .alias("p50_within_bound"),
+        F.col("est_p95")
+        .between(F.col("q")[3], F.col("q")[5])
+        .cast("long")
+        .alias("p95_within_bound"),
+    )
+
+
+# Theta default nominal entries k=4096: union RSE ~1.6%; intersection /
+# difference absolute error scales with the UNION size (not the result
+# size), so their envelopes are max(THETA_BOUND * exact_union, 5).
+# Below k entries the sketch is in exact mode, so at test SFs the flags
+# are deterministically 1 — the envelope is what holds at 100 TB.
+THETA_BOUND = 0.05
+
+
+@query(
+    "theta_sketch_set_ops",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id)
+    SELECT CAST(SUM(hv) AS BIGINT) AS exact_view,
+           CAST(SUM(hp) AS BIGINT) AS exact_purchase,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(hv * hp) AS BIGINT) AS exact_inter,
+           CAST(SUM(hv * (1 - hp)) AS BIGINT) AS exact_diff,
+           CAST(1 AS BIGINT) AS union_within_bound,
+           CAST(1 AS BIGINT) AS inter_within_bound,
+           CAST(1 AS BIGINT) AS diff_within_bound
+    FROM f
+    """,
+)
+def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra on mergeable Theta sketches — the capability
+    HLL lacks: besides union ("users who viewed OR purchased"), Theta
+    sketches support INTERSECTION ("viewed AND purchased") and A-NOT-B
+    ("viewed but never purchased") without rescanning or joining the base
+    data. At 100 TB the per-segment sketch table replaces the user-keyed
+    shuffle the exact form needs: sketches build map-side in one pass and
+    set-combine in constant memory, turning audience-overlap analytics
+    into sketch algebra. One scan, two conditional sketch aggregates
+    (aggregates skip the CASE's NULLs), scalar two-arg combinators.
+
+    Sketch binaries are engine-specific; the query emits the exact counts
+    (one user-keyed agg, verification-only) plus bounded-error FLAGS —
+    intersection/difference envelopes scale with the UNION cardinality,
+    the honest Theta error model."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("sk_v"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_p"),
+    ).select(
+        F.theta_sketch_estimate(F.theta_union("sk_v", "sk_p")).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_v", "sk_p")).alias(
+            "est_inter"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sk_v", "sk_p")).alias(
+            "est_diff"
+        ),
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("hv"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("hp"),
+    )
+    exact = flags.agg(
+        F.sum("hv").alias("exact_view"),
+        F.sum("hp").alias("exact_purchase"),
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("hv") * F.col("hp")).alias("exact_inter"),
+        F.sum(F.col("hv") * (1 - F.col("hp"))).alias("exact_diff"),
+    )
+    env = F.greatest(F.lit(THETA_BOUND) * F.col("exact_union"), F.lit(5.0))
+    bound = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact)) <= env
+    ).cast("long")
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "exact_view",
+        "exact_purchase",
+        "exact_union",
+        "exact_inter",
+        "exact_diff",
+        bound("est_union", "exact_union").alias("union_within_bound"),
+        bound("est_inter", "exact_inter").alias("inter_within_bound"),
+        bound("est_diff", "exact_diff").alias("diff_within_bound"),
+    )

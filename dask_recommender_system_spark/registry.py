@@ -181,6 +181,8 @@ DRIVER_PRIORITY: list[str] = [
     "pca_power_iteration",
     "recommendation_coverage",
     "ab_power_mde",
+    "kll_quantile_rollup",
+    "theta_sketch_set_ops",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

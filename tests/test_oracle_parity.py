@@ -96,3 +96,48 @@ def test_hll_rollup_error_bound(spark, sf_dir):
         assert rolled[t]["exact_users"] == n
         assert rolled[t]["within_bound"] == 1, (t, rolled[t])
         assert rolled[t]["n_rows"] == n_rows[t]
+
+
+def test_kll_quantile_rollup_envelope(spark, sf_dir):
+    """kll_quantile_rollup value-checks itself: each row carries the exact
+    interpolated p50/p95 plus 0/1 rank-envelope flags the oracle reproduces
+    as constant 1 — assert the flags hold and the exact values match a
+    direct percentile over the same rows."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["kll_quantile_rollup"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(direct)
+    for t, d in direct.items():
+        assert rows[t]["n"] == d["n"]
+        assert rows[t]["exact_p50"] == d["p50"]
+        assert rows[t]["exact_p95"] == d["p95"]
+        assert rows[t]["p50_within_bound"] == 1, (t, rows[t])
+        assert rows[t]["p95_within_bound"] == 1, (t, rows[t])
+
+
+def test_theta_set_ops_identities(spark, sf_dir):
+    """theta_sketch_set_ops: inclusion-exclusion identities hold on the
+    exact branch and every sketch-error flag is 1 (sketches are in exact
+    mode below k=4096 entries, so this is deterministic at test SFs)."""
+    [r] = REGISTRY["theta_sketch_set_ops"].fn(spark, sf_dir).collect()
+    assert r["exact_union"] == r["exact_view"] + r["exact_purchase"] - r["exact_inter"]
+    assert r["exact_diff"] == r["exact_view"] - r["exact_inter"]
+    assert r["union_within_bound"] == 1
+    assert r["inter_within_bound"] == 1
+    assert r["diff_within_bound"] == 1

