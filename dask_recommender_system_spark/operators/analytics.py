@@ -1132,3 +1132,59 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("lq", "lp"), 6).alias("elasticity"),
         F.round(F.regr_r2("lq", "lp"), 6).alias("r2"),
     )
+
+
+# Time-decay half-life in days, and the bucket cap. weight = 0.5^k with
+# k = min(floor(age_days/7), 20) is a DYADIC rational: every per-row
+# weight is exactly representable, counts are integers, and with k <= 20
+# a per-item sum spans at most 37 significand bits — so the SUM is EXACT
+# in IEEE double regardless of partitioning/summation order, and the
+# cross-engine hash compare needs no tolerance. (An exp(-lambda*age) form
+# would differ in the last ulp between libm implementations.)
+DECAY_HALFLIFE_D = 7
+DECAY_K_CAP = 20
+
+
+@query(
+    "time_decayed_popularity",
+    oracle=f"""
+    WITH r AS ({{ratings}}),
+    m AS (SELECT MAX(ts) AS tmax FROM r)
+    SELECT item_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(POWER(0.5, LEAST(CAST(FLOOR(
+               date_diff('day', ts, tmax) / {DECAY_HALFLIFE_D}) AS BIGINT),
+               {DECAY_K_CAP}))), 6) AS decayed_score,
+           CAST(MIN(LEAST(CAST(FLOOR(
+               date_diff('day', ts, tmax) / {DECAY_HALFLIFE_D}) AS BIGINT),
+               {DECAY_K_CAP})) AS BIGINT) AS freshest_bucket
+    FROM r CROSS JOIN m GROUP BY item_id
+    """.format(ratings=RATINGS_SQL),
+)
+def time_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed item popularity — the recency-aware popularity
+    baseline every recommender ships next to its factor model: each
+    interaction contributes 0.5^(age_weeks) so last week's click outranks
+    last year's. One 1-row MAX(ts) broadcast anchors age, then ONE
+    item-keyed aggregate — narrow weight arithmetic, map-side partials,
+    no window. Weights are dyadic (0.5^k, k capped) so per-item sums are
+    EXACT doubles, order-independent across any partitioning — the same
+    libm-free discipline as `feature_binning`. At 100 TB the decayed
+    score is incrementally maintainable: yesterday's scores halve every
+    half-life and today's delta adds — see `rollup_incremental_merge` for
+    the merge pattern."""
+    from ..data import ratings_from_df
+
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    tmax = r.agg(F.max("ts").alias("tmax"))
+    k = F.least(
+        F.floor(F.datediff("tmax", "ts") / DECAY_HALFLIFE_D), F.lit(DECAY_K_CAP)
+    ).cast("long")
+    aged = r.crossJoin(F.broadcast(tmax)).withColumn("k", k)
+    return aged.groupBy("item_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.pow(F.lit(0.5), F.col("k"))), 6).alias("decayed_score"),
+        F.min("k").alias("freshest_bucket"),
+    )

@@ -1027,3 +1027,55 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lam, 6).alias("eigenvalue"),
         F.round(lam / trace, 6).alias("explained_var"),
     )
+
+
+@query(
+    "variant_shred",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_id,
+           ROUND(SUM(l_quantity), 6) AS sum_q,
+           ROUND(MAX(l_extendedprice), 6) AS max_p
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT shredding (Spark 4): serialize each row to a
+    nested JSON document, `parse_json` it ONCE into the binary VARIANT
+    encoding, then shred typed fields back out with `variant_get` path
+    expressions ($.id, $.m.q, $.flag — including a nested object) and
+    aggregate. VARIANT is the 100 TB answer to schema-on-read logs: the
+    binary encoding parses once at ingest, stores columnar-shreddable, and
+    path access is JVM-side expression work — unlike `get_json_object`,
+    which re-parses the raw string per call (`json_extract_props` pins the
+    one-parse from_json form; this pins the schema-FLEXIBLE form).
+
+    The oracle computes the same aggregates directly from the base columns,
+    so the value check proves the whole serialize -> VARIANT -> typed-shred
+    round trip is lossless (including double round-tripping via JSON)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.select(
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("id"),
+                F.struct(
+                    F.col("l_quantity").alias("q"),
+                    F.col("l_extendedprice").alias("p"),
+                ).alias("m"),
+                F.col("l_returnflag").alias("flag"),
+            )
+        ).alias("j")
+    )
+    shredded = j.select(F.parse_json("j").alias("v")).select(
+        F.variant_get("v", "$.flag", "string").alias("flag"),
+        F.variant_get("v", "$.id", "bigint").alias("id"),
+        F.variant_get("v", "$.m.q", "double").alias("q"),
+        F.variant_get("v", "$.m.p", "double").alias("p"),
+    )
+    return shredded.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("id").alias("sum_id"),
+        F.round(F.sum("q"), 6).alias("sum_q"),
+        F.round(F.max("p"), 6).alias("max_p"),
+    )

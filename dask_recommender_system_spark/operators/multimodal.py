@@ -195,3 +195,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").alias("frame_bytes"),
         F.base64("thumb_16b").alias("thumb_b64"),
     )
+
+
+@query(
+    "multimodal_payload_dedup",
+    oracle="""
+    SELECT md5(lang || '|' || source) AS payload_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection over an opaque BINARY payload column —
+    the multimodal twin of `dedup_exact`: group directly ON the binary
+    bytes (asset dedup in an image/audio corpus, where identical files
+    recur across crawls). The shuffle key IS the BinaryType column —
+    pinning that binary keys hash-partition, compare and aggregate like
+    any other key at 100 TB; for multi-MB real payloads the production
+    variant groups on a fixed-width digest column instead, which is
+    byte-for-byte this same plan with `md5(payload)` as the key. Payloads
+    are derived deterministically (md5 bytes of lang|source) so duplicate
+    groups exist by construction; hex is only applied to the OUTPUT row
+    (the key never leaves the JVM as a string)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.unhex(F.md5(F.concat_ws("|", "lang", "source"))).alias("payload"),
+    )
+    groups = payloads.groupBy("payload").agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc")
+    )
+    return groups.select(
+        F.lower(F.hex("payload")).alias("payload_md5"), "n_dups", "canonical_doc"
+    )

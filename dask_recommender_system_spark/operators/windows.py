@@ -1063,3 +1063,62 @@ def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound("est_inter", "exact_inter").alias("inter_within_bound"),
         bound("est_diff", "exact_diff").alias("diff_within_bound"),
     )
+
+
+@query(
+    "gaps_islands",
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day
+        FROM events),
+    d AS (
+        SELECT user_id, day,
+               CASE WHEN day - LAG(day) OVER (
+                        PARTITION BY user_id ORDER BY day) = 1
+                    THEN 0 ELSE 1 END AS new_island
+        FROM days),
+    i AS (
+        SELECT user_id, day,
+               CAST(SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY day) AS BIGINT) AS island_id
+        FROM d)
+    SELECT user_id, island_id,
+           MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(day) - MIN(day) + 1 AS span_days
+    FROM i GROUP BY user_id, island_id
+    """,
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active days into maximal
+    consecutive runs (streak detection — the date-grain complement of
+    `sessionize`'s timestamp-gap sessions). Classic three-step form: keyed
+    lag to flag run starts, keyed running sum to number the runs, keyed
+    agg to collapse them. Two keyed exchanges total — the (user_id, day)
+    dedup, then one user_id exchange that BOTH windows and the final agg
+    share — nothing global. Days are tz-free
+    integer day numbers (floor(epoch/86400)) — no calendar functions; the
+    only tz surface is the NTZ-parquet -> timestamp read, which `_utc`
+    pins like every other events query."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    flagged = days.withColumn(
+        "new_island",
+        F.when(F.col("day") - F.lag("day").over(w) == 1, 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").alias("n_days"),
+        (F.max("day") - F.min("day") + 1).alias("span_days"),
+    )

@@ -183,6 +183,10 @@ DRIVER_PRIORITY: list[str] = [
     "ab_power_mde",
     "kll_quantile_rollup",
     "theta_sketch_set_ops",
+    "variant_shred",
+    "gaps_islands",
+    "multimodal_payload_dedup",
+    "time_decayed_popularity",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

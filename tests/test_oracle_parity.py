@@ -141,3 +141,72 @@ def test_theta_set_ops_identities(spark, sf_dir):
     assert r["union_within_bound"] == 1
     assert r["inter_within_bound"] == 1
     assert r["diff_within_bound"] == 1
+
+
+def test_gaps_islands_runs_are_maximal(spark, sf_dir):
+    """gaps_islands: islands are maximal consecutive runs — within an
+    island span == n_days (no holes), and consecutive islands of a user
+    are separated by a gap of at least 2 days."""
+    rows = REGISTRY["gaps_islands"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r["span_days"] == r["n_days"], r
+        assert r["end_day"] - r["start_day"] + 1 == r["n_days"], r
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps_seen = 0
+    for islands in by_user.values():
+        islands.sort(key=lambda r: r["start_day"])
+        for a, b in zip(islands, islands[1:]):
+            assert b["start_day"] - a["end_day"] >= 2, (a, b)
+            gaps_seen += 1
+    assert gaps_seen > 0  # fixture actually exercises multi-island users
+
+
+def test_time_decayed_popularity_exact_dyadic(spark, sf_dir):
+    """time_decayed_popularity: weights are dyadic so the score equals an
+    exact integer-arithmetic recomputation (no float tolerance), and
+    fresher interactions dominate: score <= n and score >= n * 0.5^20."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table, ratings_from_df
+    from dask_recommender_system_spark.operators.analytics import (
+        DECAY_HALFLIFE_D,
+        DECAY_K_CAP,
+    )
+
+    rows = {
+        r["item_id"]: r
+        for r in REGISTRY["time_decayed_popularity"].fn(spark, sf_dir).collect()
+    }
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    tmax = r.agg(F.max("ts")).collect()[0][0]
+    buckets = (
+        r.select(
+            "item_id",
+            F.least(
+                F.floor(F.datediff(F.lit(tmax), F.col("ts")) / DECAY_HALFLIFE_D),
+                F.lit(DECAY_K_CAP),
+            )
+            .cast("long")
+            .alias("k"),
+        )
+        .groupBy("item_id", "k")
+        .count()
+        .collect()
+    )
+    exact: dict[int, Fraction] = {}
+    n_by_item: dict[int, int] = {}
+    for b in buckets:
+        exact[b["item_id"]] = exact.get(b["item_id"], Fraction(0)) + Fraction(
+            b["count"], 2 ** b["k"]
+        )
+        n_by_item[b["item_id"]] = n_by_item.get(b["item_id"], 0) + b["count"]
+    assert set(rows) == set(exact)
+    for item, frac in exact.items():
+        got = rows[item]["decayed_score"]
+        assert got == round(float(frac), 6), (item, got, frac)
+        assert got <= n_by_item[item]

@@ -691,3 +691,33 @@ def test_theta_set_ops_sketches_build_map_side(spark, sf_dir):
     assert_broadcast_join(df)
     # both branches scan events; neither needs more than its own agg pair
     assert count_exchanges(df) <= 5
+
+
+def test_gaps_islands_two_keyed_exchanges(spark, sf_dir):
+    """gaps_islands: the (user_id, day) dedup plus ONE user_id exchange
+    that both windows and the final agg reuse — 2 keyed shuffles, none
+    global."""
+    df = q("gaps_islands", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    assert "SinglePartition" not in physical_plan(df, "formatted")
+
+
+def test_payload_dedup_groups_on_binary(spark, sf_dir):
+    """multimodal_payload_dedup: the aggregate key is the BinaryType
+    payload column itself (hex only decorates the output), and the whole
+    op is one keyed exchange."""
+    df = q("multimodal_payload_dedup", spark, sf_dir)
+    assert dict(df.dtypes)["payload_md5"] == "string"
+    assert count_exchanges(df) == 1
+    inner = df.select("n_dups").schema  # touch plan
+    plan = physical_plan(df, "formatted")
+    assert "payload" in plan
+
+
+def test_variant_shred_single_aggregate_exchange(spark, sf_dir):
+    """variant_shred: serialize -> parse_json -> variant_get shredding is
+    narrow expression work; the only shuffle is the final keyed agg."""
+    df = q("variant_shred", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df, "formatted")
+    assert "variant_get" in plan or "VariantGet" in plan
