@@ -1188,3 +1188,207 @@ def time_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.pow(F.lit(0.5), F.col("k"))), 6).alias("decayed_score"),
         F.min("k").alias("freshest_bucket"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                   THEN {EPOCH_TS} END) AS t_view
+        FROM events GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, MIN({EPOCH_TS}) AS t_conv
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND {EPOCH_TS} > v.t_view
+        GROUP BY e.user_id),
+    d AS (
+        SELECT v.user_id, p.t_conv - v.t_view AS delta_s
+        FROM v LEFT JOIN p ON v.user_id = p.user_id
+        WHERE v.t_view IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_viewed,
+           CAST(COUNT(delta_s) AS BIGINT) AS n_converted,
+           ROUND(AVG(delta_s), 6) AS avg_s,
+           ROUND(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(delta_s, 0.9), 6) AS p90_s
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the latency readout next to
+    `funnel_conversion`'s rate readout: for every user whose first 'view'
+    is later followed by a 'purchase', the seconds between them,
+    summarized as avg/p50/p90. Two user-keyed aggregates and one
+    user-keyed join, all riding the SAME user_id key (one logical
+    shuffle family, AQE coalesces); the final 5-number summary is a
+    scalar gather of one row. Deltas are integer epoch seconds — the
+    only floats are the interpolated percentiles, rounded."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    es = ev.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    v = es.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t_view")
+    ).filter(F.col("t_view").isNotNull())
+    p = (
+        es.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_conv"))
+    )
+    d = v.join(p, "user_id", "left").withColumn(
+        "delta_s", F.col("t_conv") - F.col("t_view")
+    )
+    return d.agg(
+        F.count("*").alias("n_viewed"),
+        F.count("delta_s").alias("n_converted"),
+        F.round(F.avg("delta_s"), 6).alias("avg_s"),
+        F.round(F.expr("percentile(delta_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(delta_s, 0.9)"), 6).alias("p90_s"),
+    )
+
+
+@query(
+    "event_rate_cusum",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, AVG(cnt) AS mean_cnt,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d GROUP BY 1),
+    c AS (
+        SELECT d.event_type, day, n_days,
+               SUM(cnt - mean_cnt) OVER (
+                   PARTITION BY d.event_type ORDER BY day) AS cusum
+        FROM d JOIN m USING (event_type)),
+    r AS (
+        SELECT event_type, day, n_days, cusum,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY ABS(cusum) DESC, day) AS rn
+        FROM c)
+    SELECT event_type, n_days,
+           ROUND(ABS(cusum), 6) AS peak_cusum,
+           day AS changepoint_day
+    FROM r WHERE rn = 1
+    """,
+)
+def event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event_type: cumulative sum of
+    (daily count - overall mean rate), whose peak magnitude locates the
+    most likely rate-shift day — the monitoring primitive behind
+    'did this event's volume change, and when'. Corpus collapses to
+    |types|x|days| rows in ONE keyed agg; the mean joins back via a
+    |types|-row broadcast; the running sum and the argmax ranking ride
+    one event_type exchange. The cusum is an ORDERED sequential sum, so
+    both engines execute bit-identical double additions — no
+    summation-order tolerance needed."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    m = d.groupBy("event_type").agg(
+        F.avg("cnt").alias("mean_cnt"), F.count("*").alias("n_days")
+    )
+    wd = W.partitionBy("event_type").orderBy("day")
+    c = (
+        d.join(F.broadcast(m), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(F.col("cnt") - F.col("mean_cnt")).over(
+                wd.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.abs(F.col("cusum")).desc(), "day"
+                )
+            ),
+        )
+    )
+    return c.filter(F.col("rn") == 1).select(
+        "event_type",
+        "n_days",
+        F.round(F.abs("cusum"), 6).alias("peak_cusum"),
+        F.col("day").alias("changepoint_day"),
+    )
+
+
+# Materialized-path tree over customers: parent(u) = floor(u/10), root 0,
+# depth capped at HIER_DEPTH levels — every ancestor of u is a decimal
+# prefix, so subtree rollup needs NO iteration: explode each user into its
+# ancestor list IN-ROW and aggregate once on the ancestor key.
+HIER_DEPTH = 8
+
+
+@query(
+    "hierarchy_rollup",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey AS u,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sp_cents
+        FROM orders GROUP BY 1),
+    a AS (
+        SELECT u, sp_cents,
+               CAST(FLOOR(u / POWER(10, k)) AS BIGINT) AS node,
+               CASE WHEN k = 0 THEN 1
+                    WHEN CAST(FLOOR(u / POWER(10, k - 1)) AS BIGINT) > 0
+                    THEN 1 ELSE 0 END AS keep
+        FROM spend CROSS JOIN (SELECT UNNEST(range(0, {HIER_DEPTH})) AS k))
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(sp_cents) AS BIGINT) AS subtree_spend_cents
+    FROM a WHERE keep = 1 GROUP BY node
+    """,
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (BOM / org-chart) subtree rollup WITHOUT iteration: the
+    tree is materialized-path encoded (ancestors of u are its decimal
+    prefixes floor(u/10^k)), so each leaf explodes IN-ROW into its <=
+    HIER_DEPTH ancestors and ONE ancestor-keyed aggregate yields every
+    node's subtree total — versus the naive level-by-level loop of D
+    join+agg rounds (compare `pagerank_items`, where iteration is
+    genuinely required because edges aren't prefix-encoded). At 100 TB
+    the explode is a bounded x8 row amplification on an already
+    user-collapsed input, and the rollup is a single keyed shuffle.
+
+    Money is summed as integer CENTS (round(x*100) per row, BIGINT sums)
+    so subtree totals are exact and independent of partitioning /
+    summation order — a rollup over doubles hash-diverged at 6 decimals
+    on this very fixture."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "sp_cents"
+        )
+    )
+    anc = spend.select(
+        "u",
+        "sp_cents",
+        F.explode(
+            F.expr(
+                f"""filter(
+                    transform(sequence(0, {HIER_DEPTH - 1}), k -> struct(
+                        CAST(FLOOR(u / POWER(10, k)) AS BIGINT) AS node,
+                        CASE WHEN k = 0
+                             OR CAST(FLOOR(u / POWER(10, k - 1)) AS BIGINT) > 0
+                             THEN 1 ELSE 0 END AS keep)),
+                    s -> s.keep = 1)"""
+            )
+        ).alias("s"),
+    )
+    return anc.groupBy(F.col("s.node").alias("node")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("sp_cents").alias("subtree_spend_cents"),
+    )

@@ -1433,3 +1433,39 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("event_type").isNull().cast("long").alias("schema_v"),
     )
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 6) AS s_acctbal
+    FROM supplier WHERE s_acctbal > 0
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan round trip — Spark 4 ships the (ex spark-xml) XML
+    source natively, the interchange format B2B/legacy feeds still arrive
+    in. Write side streams rows as <supplier> elements; read side is
+    schema-EXPLICIT (inference would re-scan the files and widen types),
+    and unlike parquet/ORC an XML scan has no footer statistics, so the
+    filter is applied post-parse — the operator exists precisely to pin
+    that an XML hop preserves values, after which you land it in parquet
+    (`etl_jsonl_to_csv` is the same discipline for JSONL→CSV)."""
+    path = f"{IO_DIR}/supplier_xml"
+    (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey", "s_nationkey", F.round("s_acctbal", 6).alias("s_acctbal")
+        )
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE")
+        .load(path)
+        .filter(F.col("s_acctbal") > 0)
+    )

@@ -187,6 +187,10 @@ DRIVER_PRIORITY: list[str] = [
     "gaps_islands",
     "multimodal_payload_dedup",
     "time_decayed_popularity",
+    "scan_xml",
+    "funnel_time_to_convert",
+    "event_rate_cusum",
+    "hierarchy_rollup",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

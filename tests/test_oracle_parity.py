@@ -210,3 +210,51 @@ def test_time_decayed_popularity_exact_dyadic(spark, sf_dir):
         got = rows[item]["decayed_score"]
         assert got == round(float(frac), 6), (item, got, frac)
         assert got <= n_by_item[item]
+
+
+def test_scan_xml_roundtrip_idempotent(spark, sf_dir):
+    """scan_xml: the XML hop preserves values and re-running overwrites
+    its own output (idempotent sink)."""
+    a = REGISTRY["scan_xml"].fn(spark, sf_dir).toPandas()
+    b = REGISTRY["scan_xml"].fn(spark, sf_dir).toPandas()
+    assert len(a) == len(b) > 0
+    key = a.sort_values("s_suppkey").reset_index(drop=True)
+    assert key.equals(b.sort_values("s_suppkey").reset_index(drop=True))
+
+
+def test_hierarchy_rollup_root_is_global_total(spark, sf_dir):
+    """hierarchy_rollup: the root (node 0) subtree must equal the global
+    spend total and member count — the invariant that catches both
+    double-counted and dropped ancestors."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+
+    rows = {
+        r["node"]: r for r in REGISTRY["hierarchy_rollup"].fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    [g] = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c"))
+        .agg(F.sum("c").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert rows[0]["subtree_spend_cents"] == g["total"]
+    assert rows[0]["n_members"] == g["n"]
+    # every non-root node's subtree is a subset of its parent's
+    for node, r in rows.items():
+        if node == 0:
+            continue
+        parent = rows[node // 10]
+        assert r["n_members"] <= parent["n_members"], (node, r)
+        assert r["subtree_spend_cents"] <= parent["subtree_spend_cents"]
+
+
+def test_funnel_time_to_convert_sane(spark, sf_dir):
+    """funnel_time_to_convert: converters are a subset of viewers and the
+    latency distribution is ordered p50 <= p90, all positive."""
+    [r] = REGISTRY["funnel_time_to_convert"].fn(spark, sf_dir).collect()
+    assert 0 < r["n_converted"] <= r["n_viewed"]
+    assert 0 < r["p50_s"] <= r["p90_s"]
+    assert r["avg_s"] > 0

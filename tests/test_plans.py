@@ -721,3 +721,22 @@ def test_variant_shred_single_aggregate_exchange(spark, sf_dir):
     assert count_exchanges(df) == 1
     plan = physical_plan(df, "formatted")
     assert "variant_get" in plan or "VariantGet" in plan
+
+
+def test_hierarchy_rollup_two_keyed_exchanges(spark, sf_dir):
+    """hierarchy_rollup: materialized-path explode keeps the rollup
+    iteration-free — user-spend agg + ancestor-keyed agg, 2 keyed
+    shuffles, no join, nothing global."""
+    df = q("hierarchy_rollup", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    plan = physical_plan(df, "formatted")
+    assert "SinglePartition" not in plan
+    assert "Join" not in physical_plan(df, "simple")
+
+
+def test_event_rate_cusum_windows_are_keyed(spark, sf_dir):
+    """event_rate_cusum: both the running sum and the argmax ranking are
+    event_type-partitioned windows — never a global (unpartitioned)
+    window."""
+    df = q("event_rate_cusum", spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df, "formatted")
