@@ -1468,8 +1468,10 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(d) = log10(1 + 1/d); synthetic or capped data deviates. The first
     digit is taken from the INTEGER cents string (double formatting
     differs between engines; integer-to-string does not). One narrow map
-    + one 9-key aggregate; the over-() marginal runs on 9 rows. At
-    100 TB this is a scan-speed profile with a 9-row result."""
+    + one 9-key aggregate; the marginal is a 1-row broadcast (an
+    unpartitioned window — even over 9 rows — would log the
+    single-partition warning this engine bans). At 100 TB this is a
+    scan-speed profile with a 9-row result."""
     o = load_table(spark, sf_dir, "orders")
     digits = o.select(
         F.substring(
@@ -1481,7 +1483,7 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     agged = digits.groupBy("digit").agg(F.count("*").alias("n"))
-    tot = agged.withColumn("total", F.sum("n").over(W.partitionBy()))
+    tot = agged.crossJoin(F.broadcast(agged.agg(F.sum("n").alias("total"))))
     share = F.col("n").cast("double") / F.col("total")
     benford = F.log10(1 + 1.0 / F.col("digit"))
     return tot.select(

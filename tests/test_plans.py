@@ -282,6 +282,10 @@ _NON_EQUI_OK = {
     "graph_triangle_stats",  # three 1-row stat tables crossJoined at the end
     "seasonal_dow_profile",  # 1-row global-mean broadcast onto weekday rows
     "recommendation_coverage",  # X5's broadcasts + 1-row percentile-cut row
+    "theta_sketch_set_ops",  # 1-row sketch-estimates broadcast onto exact row
+    "mutual_information_screen",  # 1-row grand-total broadcast onto joint cells
+    "time_decayed_popularity",  # 1-row MAX(ts) anchor broadcast onto ratings
+    "benford_deviation",  # 1-row grand-total broadcast onto 9 digit rows
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
