@@ -626,3 +626,65 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c / F.col("nb"), 6).alias("contain_b_in_a"),
         (c / F.least("na", "nb") >= CONTAIN_T).cast("long").alias("is_contained"),
     )
+
+
+# Levenshtein acceptance threshold and the blocking length-band width.
+# The band equals FUZZY_LEV_MAX because edit distance >= |len diff| — a
+# free lower bound, so the prefilter can never drop a true pair.
+FUZZY_LEV_MAX = 3
+FUZZY_LEN_BAND = 3
+
+
+@query(
+    "fuzzy_join_blocked",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(regexp_split_to_array(p_name, ' ')) AS word
+              FROM part)
+        GROUP BY word)
+    SELECT a.word AS w1, b.word AS w2,
+           CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist,
+           a.freq AS freq1, b.freq AS freq2
+    FROM vocab a JOIN vocab b
+      ON SUBSTR(a.word, 1, 1) = SUBSTR(b.word, 1, 1)
+     AND a.word < b.word
+    WHERE ABS(LENGTH(a.word) - LENGTH(b.word)) <= {FUZZY_LEN_BAND}
+      AND levenshtein(a.word, b.word) <= {FUZZY_LEV_MAX}
+    """,
+)
+def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join over a vocabulary — record-linkage's core
+    move: NEVER all-pairs levenshtein (O(|V|²) edit distances), instead
+    equi-join on a cheap BLOCKING key (first character), prefilter by the
+    length band (|len diff| > d implies edit distance > d — a free lower
+    bound), and run the O(len²) verify only on surviving candidates. The
+    corpus first collapses to its |vocab| distinct words in one keyed
+    agg, so the join input is vocabulary-sized, not corpus-sized; blocks
+    are bounded by the first-letter fanout. Recall scope is declared
+    honestly: a typo in position 1 escapes the block (production adds a
+    second blocking pass keyed on last letter — same plan, unioned
+    candidates)."""
+    p = load_table(spark, sf_dir, "part")
+    vocab = (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("blk", F.substring("word", 1, 1))
+    )
+    a = vocab.select(
+        F.col("word").alias("w1"), F.col("freq").alias("freq1"), "blk"
+    )
+    b = vocab.select(
+        F.col("word").alias("w2"), F.col("freq").alias("freq2"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("w1") < F.col("w2"))
+        .filter(
+            F.abs(F.length("w1") - F.length("w2")) <= FUZZY_LEN_BAND
+        )
+        .withColumn("dist", F.levenshtein("w1", "w2").cast("long"))
+        .filter(F.col("dist") <= FUZZY_LEV_MAX)
+        .select("w1", "w2", "dist", "freq1", "freq2")
+    )

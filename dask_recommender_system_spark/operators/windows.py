@@ -1122,3 +1122,61 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         (F.max("day") - F.min("day") + 1).alias("span_days"),
     )
+
+
+# approx_percentile's rank error is <= 1/accuracy; at ACC=1000 that is
+# 0.1% of ranks. The value-checked envelope is the exact [p45, p55] /
+# [p90, max] window — a ~50x margin, deterministically true at any SF.
+APPROX_PCTL_ACC = 1000
+
+
+@query(
+    "approx_percentile_grouped",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
+           CAST(1 AS BIGINT) AS p50_within_bound,
+           CAST(1 AS BIGINT) AS p95_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approximate percentiles (Greenwald-Khanna) — the
+    unbounded-cardinality twin `agg_percentiles` documents: exact
+    `percentile` buffers every value per group, approx_percentile holds a
+    bounded summary, so at 100 TB with millions of groups only the
+    approximation survives memory. Same one-pass promotion discipline as
+    `agg_approx_distinct`/`kll_quantile_rollup`: the engine-specific
+    estimate is emitted as exact values + bounded-RANK-error flags the
+    oracle reproduces as constant 1 (est_p50 within exact [p45, p55],
+    est_p95 within [p90, max]). Where this differs from
+    `kll_quantile_rollup`: GK summaries are per-group one-shot, KLL
+    sketches are MERGEABLE across rollup grains — both shapes exist for
+    a reason."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    agged = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            f"approx_percentile(value, array(0.5, 0.95), {APPROX_PCTL_ACC})"
+        ).alias("est"),
+        F.expr("percentile(value, array(0.45, 0.5, 0.55, 0.90, 0.95, 1.0))").alias(
+            "q"
+        ),
+    )
+    return agged.select(
+        "event_type",
+        "n",
+        F.round(F.col("q")[1], 6).alias("exact_p50"),
+        F.round(F.col("q")[4], 6).alias("exact_p95"),
+        F.col("est")[0]
+        .between(F.col("q")[0], F.col("q")[2])
+        .cast("long")
+        .alias("p50_within_bound"),
+        F.col("est")[1]
+        .between(F.col("q")[3], F.col("q")[5])
+        .cast("long")
+        .alias("p95_within_bound"),
+    )

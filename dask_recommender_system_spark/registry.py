@@ -195,6 +195,9 @@ DRIVER_PRIORITY: list[str] = [
     "benford_deviation",
     "mutual_information_screen",
     "pareto_frontier_2d",
+    "approx_percentile_grouped",
+    "fuzzy_join_blocked",
+    "stream_cdc_upsert",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

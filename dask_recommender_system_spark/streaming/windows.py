@@ -613,3 +613,106 @@ def stream_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= STREAM_TOPK)
         .select("window_start", "item_k", "n", "rnk")
     )
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 100000
+                ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+           END AS BIGINT) AS totalprice_cents
+    FROM orders WHERE o_orderkey % 13 <> 0
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — `merge_upsert_cdc`'s semantics arriving as a
+    STREAM: a snapshot file plus update and delete delta files replay
+    through `maxFilesPerTrigger=1` so the merge genuinely runs across
+    multiple micro-batches, and each `foreachBatch` MERGEs its batch into
+    the parquet state by the same union + seq-ranked-window
+    last-writer-wins plan as the batch operator (ONE merge-key shuffle
+    per batch, no full-outer join). Delete tombstones are KEPT in state —
+    a replayed or late lower-seq row can never resurrect a deleted key —
+    and filtered only at read time. State swaps via write-new-then-rename
+    (a lazy reader can't overwrite its own input path); in production the
+    state table is Delta/Iceberg MERGE, same plan shape, transactional
+    swap. Money is integer cents end-to-end."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from ..data import load_table
+    from ..operators.relational import IO_DIR
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cdc_dir = f"{IO_DIR}/cdc_src"
+    state_dir = f"{IO_DIR}/cdc_state"
+    shutil.rmtree(cdc_dir, ignore_errors=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "totalprice_cents"
+        ),
+    )
+    snap = o.select(
+        "o_orderkey", "totalprice_cents", F.lit("I").alias("op"), F.lit(0).alias("seq")
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("totalprice_cents") + 100000).alias("totalprice_cents"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(0).cast("long").alias("totalprice_cents"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    # one file per delta so maxFilesPerTrigger=1 yields >= 3 micro-batches
+    for i, df in enumerate((snap, upd, dele)):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{cdc_dir}/d{i}")
+        for f in __import__("glob").glob(f"{cdc_dir}/d{i}/part-*.parquet"):
+            shutil.move(f, f"{cdc_dir}/{i:03d}.parquet")
+        shutil.rmtree(f"{cdc_dir}/d{i}")
+
+    schema = "o_orderkey BIGINT, totalprice_cents BIGINT, op STRING, seq INT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_dir)
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        s = batch.sparkSession
+        frames = [batch]
+        if os.path.exists(state_dir):
+            frames.append(s.read.parquet(state_dir))
+        merged = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+        w = W.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = f"{state_dir}_next"
+        latest.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(tmp, state_dir)
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(state_dir)
+        .filter(F.col("op") != "D")
+        .select("o_orderkey", "totalprice_cents")
+    )

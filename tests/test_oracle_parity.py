@@ -300,3 +300,45 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert {r["digit"] for r in rows} <= set(range(1, 10))
     assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_fuzzy_join_blocked_complete_within_blocks(spark, sf_dir):
+    """fuzzy_join_blocked: against a pure-Python edit-distance oracle over
+    the collected vocabulary, the operator finds EVERY same-first-letter
+    pair within the threshold and nothing else."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.dedup import FUZZY_LEV_MAX
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    vocab = sorted(
+        r["w"]
+        for r in load_table(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("w"))
+        .distinct()
+        .collect()
+    )
+    expected = {
+        (a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if a[0] == b[0] and lev(a, b) <= FUZZY_LEV_MAX
+    }
+    got = {
+        (r["w1"], r["w2"]): r["dist"]
+        for r in REGISTRY["fuzzy_join_blocked"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == expected
+    for (a, b), d in got.items():
+        assert d == lev(a, b), (a, b)

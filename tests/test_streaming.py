@@ -129,3 +129,29 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir):
         for r in closed.collect()
     }
     assert got_set == want_set
+
+
+def test_stream_cdc_upsert_keeps_tombstones(spark, sf_dir):
+    """stream_cdc_upsert: delete tombstones must survive in the state
+    table (a replayed lower-seq row can never resurrect the key), and
+    every surviving key carries the highest-seq value."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.operators.relational import IO_DIR
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    out = REGISTRY["stream_cdc_upsert"].fn(spark, sf_dir)
+    res = out.collect()
+    state_dir = f"{IO_DIR}/cdc_state"
+    assert os.path.exists(state_dir)
+    state = spark.read.parquet(state_dir)
+    n_tomb = state.filter(F.col("op") == "D").count()
+    assert n_tomb > 0  # deletes are retained as tombstones, not dropped
+    # no deleted key appears in the result, updates won
+    deleted = {r["o_orderkey"] for r in state.filter(F.col("op") == "D").collect()}
+    for r in res:
+        assert r["o_orderkey"] not in deleted
+    upd = state.filter(F.col("op") == "U").count()
+    assert upd > 0
