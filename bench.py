@@ -84,6 +84,16 @@ BENCH_QUERIES = [
     "graph_triangle_stats",
     "cohort_ltv",
     "pca_power_iteration",
+    # round-3 batch 5 (sketch algebra, hierarchy/skyline, streaming CDC) —
+    # appended, same order-stability rule
+    "kll_quantile_rollup",
+    "theta_sketch_set_ops",
+    "hierarchy_rollup",
+    "pareto_frontier_2d",
+    "time_decayed_popularity",
+    "gaps_islands",
+    "event_rate_cusum",
+    "stream_cdc_upsert",
 ]
 
 FUNK_EPOCHS = 5
