@@ -1079,3 +1079,66 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("q"), 6).alias("sum_q"),
         F.round(F.max("p"), 6).alias("max_p"),
     )
+
+
+# A-ES weighted sampling: K kept rows, 48-bit md5-derived uniforms.
+ARES_K = 100
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH w AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS w_cents,
+               ('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                   ::BIGINT AS v
+        FROM orders),
+    k AS (
+        SELECT o_orderkey, w_cents,
+               LN((v + 0.5) / 281474976710656.0) / w_cents AS ares_key
+        FROM w),
+    top AS (
+        SELECT * FROM k ORDER BY ares_key DESC, o_orderkey LIMIT {ARES_K})
+    SELECT o_orderkey, w_cents,
+           ROUND(ares_key * 1099511627776.0, 6) AS ares_key_e12
+    FROM top
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES),
+    fully deterministic: each row draws u from the first 48 bits of
+    md5(key) — the same engine-stable hash family as
+    `sample_deterministic` — and the K rows with the largest
+    ln(u)/weight survive, which selects each row with probability
+    proportional to its weight. The top-K is a `TakeOrderedAndProject`
+    (per-partition heaps + K-row merge), NEVER a global sort — the
+    revenue-weighted audit-sample shape for a 10^12-row ledger. No RNG
+    state: retries, repartitionings and the oracle all agree on the
+    sample."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("w_cents"),
+        (F.log((v + 0.5) / F.lit(float(1 << 48))) / F.col("w_cents")).alias(
+            "ares_key"
+        ),
+    )
+    # the key is O(1e-12); report it scaled by 2^40 (an EXACT dyadic
+    # rescale) so 6-decimal rounding keeps real precision. The oracle
+    # must rank on the UNROUNDED key in a subquery — ordering on the
+    # rounded output alias would collapse everything into ties.
+    return (
+        w.orderBy(F.col("ares_key").desc(), "o_orderkey")
+        .limit(ARES_K)
+        .select(
+            "o_orderkey",
+            "w_cents",
+            F.round(F.col("ares_key") * F.lit(float(1 << 40)), 6).alias(
+                "ares_key_e12"
+            ),
+        )
+    )

@@ -1180,3 +1180,59 @@ def approx_percentile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_within_bound"),
     )
+
+
+# Rolling-regression day origin (shared with trend_linear_fit's scaling
+# discipline): x = days since 2024-01-01 keeps the regressor domain small
+# so the slope's moment arithmetic never cancels catastrophically.
+ROLL_TREND_WIN_D = 7
+
+
+@query(
+    "rolling_trend_window",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(FLOOR({EPOCH_TS} / 86400) - {TREND_EPOCH0 // 86400}
+                    AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+           ROUND(REGR_SLOPE(cnt, day) OVER w, 6) AS slope
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN {ROLL_TREND_WIN_D - 1} PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def rolling_trend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS slope per event type — `trend_linear_fit`'s
+    moment aggregates moved into a time-RANGE window frame: a continuous
+    'is this metric accelerating' monitor instead of one whole-history
+    fit. The corpus collapses to |types|x|days| daily counts in ONE keyed
+    agg first; the windowed regression then runs on that bounded table,
+    partitioned by type — the frame never sees raw events. x is
+    small-domain day numbers (days since 2024-01-01), the same scaling
+    discipline as `trend_linear_fit`: with x ~ 2x10^4 the slope's
+    Sxx moment would cancel catastrophically and engines would diverge;
+    with x in [0, 60] both compute identical doubles."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) - TREND_EPOCH0 // 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-(ROLL_TREND_WIN_D - 1), 0)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        F.count("*").over(w).alias("n_win"),
+        F.round(F.expr("regr_slope(cnt, day)").over(w), 6).alias("slope"),
+    )

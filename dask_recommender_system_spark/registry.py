@@ -198,6 +198,9 @@ DRIVER_PRIORITY: list[str] = [
     "approx_percentile_grouped",
     "fuzzy_join_blocked",
     "stream_cdc_upsert",
+    "stream_static_enrich",
+    "weighted_sample_topk",
+    "rolling_trend_window",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -716,3 +716,48 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "D")
         .select("o_orderkey", "totalprice_cents")
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           c.c_nationkey AS nation, ROUND(e.value, 6) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the most common production
+    streaming join: an unbounded event stream equi-joined to a BATCH
+    dimension table. Unlike stream-stream joins this needs NO watermark
+    and NO join state: the static side broadcasts (or re-reads per
+    micro-batch, picking up dimension updates), each batch joins
+    stateless, and the output stays append-mode. At 100 TB/day the
+    dimension broadcast is the whole cost model — keep dims compact or
+    pre-bucket both sides. Oracle = the identical batch join."""
+    from ..data import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "segment", "nation", "value"
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -342,3 +342,39 @@ def test_fuzzy_join_blocked_complete_within_blocks(spark, sf_dir):
     assert set(got) == expected
     for (a, b), d in got.items():
         assert d == lev(a, b), (a, b)
+
+
+def test_weighted_sample_matches_python_recompute(spark, sf_dir):
+    """weighted_sample_topk: the selected set equals an independent
+    Python recompute of the A-ES keys (hashlib md5 + math.log), and the
+    sample is weight-biased: its mean weight exceeds the population
+    mean."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.extended import ARES_K
+
+    pop = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("w"),
+        )
+        .collect()
+    )
+    keys = []
+    for r in pop:
+        v = int(hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:12], 16)
+        keys.append(
+            (math.log((v + 0.5) / float(1 << 48)) / r["w"], -r["o_orderkey"], r)
+        )
+    keys.sort(reverse=True)
+    expected = {k[2]["o_orderkey"] for k in keys[:ARES_K]}
+    got = REGISTRY["weighted_sample_topk"].fn(spark, sf_dir).collect()
+    assert {r["o_orderkey"] for r in got} == expected
+    mean_pop = sum(r["w"] for r in pop) / len(pop)
+    mean_sample = sum(r["w_cents"] for r in got) / len(got)
+    assert mean_sample > mean_pop

@@ -763,3 +763,23 @@ def test_grouped_mode_is_keyed(spark, sf_dir):
     df = q("grouped_mode", spark, sf_dir)
     assert "SinglePartition" not in physical_plan(df, "formatted")
     assert count_exchanges(df) == 2
+
+
+def test_weighted_sample_uses_topk_not_global_sort(spark, sf_dir):
+    """weighted_sample_topk: the K-row selection must plan as
+    TakeOrderedAndProject (per-partition heaps), never a full global
+    Sort+Exchange of the corpus."""
+    df = q("weighted_sample_topk", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_rolling_trend_window_is_keyed(spark, sf_dir):
+    """rolling_trend_window: the regression frame runs over the collapsed
+    daily table, partitioned by event_type — no global window, and the
+    corpus-sized shuffle is the single daily agg."""
+    df = q("rolling_trend_window", spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df, "formatted")
+    rows = df.collect()
+    assert all(1 <= r["n_win"] <= 7 for r in rows)
