@@ -1142,3 +1142,44 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+TOPK_DIMS = 8
+
+
+@query(
+    "embedding_topk_dims",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               UNNEST(embedding) AS val
+        FROM embeddings),
+    s AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(val), 6) AS mean_val,
+               ROUND(VAR_SAMP(val), 6) AS var_val
+        FROM d GROUP BY dim)
+    SELECT dim, n, mean_val, var_val
+    FROM s ORDER BY var_val DESC, dim LIMIT {TOPK_DIMS}
+    """,
+)
+def embedding_topk_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimension screening: per-dimension mean/variance, top-K
+    by variance — the cheap first cut of embedding compression (a
+    near-constant dimension carries no information; drop or quantize it
+    harder — see `embedding_quantize_int8`). posexplode is narrow; ONE
+    dim-keyed moments aggregate collapses the corpus to |dims| rows
+    (map-side partials, |dims| is a model constant); the top-K over that
+    bounded table is a TakeOrderedAndProject ranked on the ROUNDED
+    variance (dim tiebreak) so cross-engine last-ulp moment noise cannot
+    reorder the cut."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        F.col("dim").cast("long").alias("dim"), "val"
+    )
+    s = d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("val"), 6).alias("mean_val"),
+        F.round(F.var_samp("val"), 6).alias("var_val"),
+    )
+    return s.orderBy(F.col("var_val").desc(), "dim").limit(TOPK_DIMS)

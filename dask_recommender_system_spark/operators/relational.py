@@ -1469,3 +1469,73 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .filter(F.col("s_acctbal") > 0)
     )
+
+
+@query(
+    "dq_rule_violations",
+    oracle="""
+    SELECT 'quantity_range' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 45)
+                AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.08)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_not_null',
+           CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_fk',
+           CAST(COUNT(*) AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate — the contract check a pipeline runs
+    BEFORE publishing a table: range rules, null rules and a referential
+    (FK) rule, each reported as (rule, violations, checked); thresholds
+    are set so the range rules demonstrably FIRE on this fixture (a gate
+    whose violation counts are constant zero checks nothing). All
+    row-local rules evaluate in ONE conditional aggregate over ONE scan
+    (adding a rule adds an expression, not a pass — the anti-pattern is
+    one COUNT query per rule); the FK rule is the only one that joins,
+    as a LEFT ANTI co-partitioned equi-join. At 100 TB the row-local
+    gate runs at scan speed and the output is |rules| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    viol = lambda c: F.sum(c.cast("long")).alias("n_violations")  # noqa: E731
+    # eager checkpoint: the 1-row rule cell feeds two branches (the stack
+    # and the FK row's n_checked) — without it Spark re-scans the fact
+    # table once per branch (the SCALE.md "checkpointed stats cells" rule)
+    local = li.agg(
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 45)),
+        F.count("*").alias("n_checked"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08)).cast("long")
+        ).alias("v_disc"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("v_null"),
+    ).localCheckpoint(eager=True)
+    rules_local = local.selectExpr(
+        "stack(3, 'quantity_range', n_violations, n_checked,"
+        " 'discount_range', v_disc, n_checked,"
+        " 'shipdate_not_null', v_null, n_checked)"
+        " AS (rule, n_violations, n_checked)"
+    )
+    # reuse the shared aggregate's row count — recounting lineitem for
+    # the FK row would add a third scan of the fact table
+    fk = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(F.broadcast(local.select("n_checked")))
+        .select(F.lit("orderkey_fk").alias("rule"), "n_violations", "n_checked")
+    )
+    return rules_local.unionByName(fk)

@@ -201,6 +201,9 @@ DRIVER_PRIORITY: list[str] = [
     "stream_static_enrich",
     "weighted_sample_topk",
     "rolling_trend_window",
+    "stream_kll_quantile_monitor",
+    "embedding_topk_dims",
+    "dq_rule_violations",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -761,3 +761,78 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_kll_quantile_monitor",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('hour', ts) AS h, value FROM events)
+    SELECT CAST(FLOOR(epoch(h)) AS BIGINT) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           CAST(1 AS BIGINT) AS p50_within_bound
+    FROM w GROUP BY h
+    """,
+)
+def stream_kll_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `kll_quantile_rollup` — live latency/size
+    percentile dashboards: per-hour KLL sketches of `value` built INSIDE
+    the watermarked streaming aggregate (`kll_sketch_agg_double` is a
+    mergeable typed aggregate, so it runs in streaming state like any
+    sum), drained as binary sketch columns, probed for p50 in a batch
+    post-pass and value-checked against the exact per-window DISCRETE
+    quantile envelope [disc-p25, disc-p75] — the same promotion as
+    `stream_hll_rollup`. (Discrete, not interpolated: hourly windows
+    hold a handful of rows, the sketch is in exact mode and returns an
+    ACTUAL data value, and an interpolated [p45, p55] band can fall
+    strictly between two adjacent data values — 88/720 windows failed
+    that way at sf0.01 before this envelope.) The
+    streaming job holds KB of sketch state per window instead of every
+    value; day/week percentile rollups are sketch merges downstream,
+    never a stream replay (the capability ordinary streaming percentiles
+    simply don't have)."""
+    from ..data import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "sk")
+    )
+    run_stream_to_memory(agg, name)
+    sketches = spark.table(name).select(
+        "window_start",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est_p50"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_start")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias(
+                "lo"
+            ),
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias(
+                "hi"
+            ),
+        )
+    )
+    return (
+        sketches.join(exact, "window_start")
+        .select(
+            "window_start",
+            "n",
+            F.round(F.col("p50"), 6).alias("exact_p50"),
+            F.col("est_p50")
+            .between(F.col("lo"), F.col("hi"))
+            .cast("long")
+            .alias("p50_within_bound"),
+        )
+    )

@@ -378,3 +378,19 @@ def test_weighted_sample_matches_python_recompute(spark, sf_dir):
     mean_pop = sum(r["w"] for r in pop) / len(pop)
     mean_sample = sum(r["w_cents"] for r in got) / len(got)
     assert mean_sample > mean_pop
+
+
+def test_dq_rules_fire_on_fixture(spark, sf_dir):
+    """dq_rule_violations: the range rules demonstrably fire (a gate
+    reporting constant zero checks nothing), the null/FK rules hold, and
+    every rule checked the full table."""
+    rows = {r["rule"]: r for r in REGISTRY["dq_rule_violations"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "quantity_range", "discount_range", "shipdate_not_null", "orderkey_fk"
+    }
+    assert rows["quantity_range"]["n_violations"] > 0
+    assert rows["discount_range"]["n_violations"] > 0
+    assert rows["shipdate_not_null"]["n_violations"] == 0
+    assert rows["orderkey_fk"]["n_violations"] == 0
+    n = {r["n_checked"] for r in rows.values()}
+    assert len(n) == 1 and n.pop() > 0

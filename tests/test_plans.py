@@ -783,3 +783,23 @@ def test_rolling_trend_window_is_keyed(spark, sf_dir):
     assert "SinglePartition" not in physical_plan(df, "formatted")
     rows = df.collect()
     assert all(1 <= r["n_win"] <= 7 for r in rows)
+
+
+def test_embedding_topk_dims_is_topk(spark, sf_dir):
+    """embedding_topk_dims: the K-dim cut is a TakeOrderedAndProject over
+    the |dims|-row moments table — no global sort, one keyed agg."""
+    df = q("embedding_topk_dims", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in physical_plan(df, "formatted")
+
+
+def test_dq_rules_one_scan_for_row_local_rules(spark, sf_dir):
+    """dq_rule_violations: the three row-local rules must share ONE
+    conditional aggregate (adding a rule adds an expression, not a
+    pass), and that 1-row cell is checkpointed so its two consumers
+    don't each re-scan the fact table — lineitem appears in the plan
+    exactly once, for the FK anti-join probe."""
+    df = q("dq_rule_violations", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")

@@ -155,3 +155,23 @@ def test_stream_cdc_upsert_keeps_tombstones(spark, sf_dir):
         assert r["o_orderkey"] not in deleted
     upd = state.filter(F.col("op") == "U").count()
     assert upd > 0
+
+
+def test_stream_kll_monitor_flags_hold(spark, sf_dir):
+    """stream_kll_quantile_monitor: every window's sketch probe lands in
+    the exact discrete-quantile envelope, and the streaming windows cover
+    the same hours as a batch hourly agg."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    rows = REGISTRY["stream_kll_quantile_monitor"].fn(spark, sf_dir).collect()
+    assert rows and all(r["p50_within_bound"] == 1 for r in rows)
+    batch_hours = (
+        load_table(spark, sf_dir, "events")
+        .select(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == batch_hours
