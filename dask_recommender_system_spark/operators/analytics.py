@@ -1623,3 +1623,127 @@ def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(thr.isNull() | (F.col("y") >= thr))
         .select("item_id", "x", "y")
     )
+
+
+@query(
+    "period_over_period",
+    oracle=f"""
+    WITH wk AS (
+        SELECT event_type,
+               CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT) AS week,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, week, cnt,
+           LAG(cnt) OVER (PARTITION BY event_type ORDER BY week) AS prev_cnt,
+           ROUND((cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY week))
+                 / CAST(LAG(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                        AS DOUBLE), 6) AS wow_change
+    FROM wk
+    """,
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the BI staple behind every
+    'metric is up X%' readout: weekly counts (one keyed agg collapses
+    the corpus to |types|x|weeks| rows), keyed lag, percentage delta
+    (NULL for each type's first week — no fabricated 0%). Week numbers
+    are tz-free epoch/604800 integers; the only float is the final
+    division of two exact integers, identical on both engines. The lag
+    window rides the same event_type key as the agg."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cnt").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "cnt",
+        prev.alias("prev_cnt"),
+        F.round((F.col("cnt") - prev) / prev.cast("double"), 6).alias(
+            "wow_change"
+        ),
+    )
+
+
+BASKET_MIN_PAIR = 3
+
+
+@query(
+    "basket_lift",
+    oracle=f"""
+    WITH pc AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS pair_n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    ic AS (SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem)
+    SELECT item_a, item_b, pair_n,
+           ROUND(CAST(pair_n AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(pair_n AS DOUBLE) / ia.n, 6) AS confidence,
+           ROUND(CAST(pair_n AS DOUBLE) * n_orders
+                 / (CAST(ia.n AS DOUBLE) * ib.n), 6) AS lift
+    FROM pc
+    JOIN ic ia ON item_a = ia.l_partkey
+    JOIN ic ib ON item_b = ib.l_partkey
+    CROSS JOIN t
+    WHERE pair_n >= {BASKET_MIN_PAIR}
+    """,
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support / confidence / lift for
+    item pairs co-occurring in an order — the classic 'bought together'
+    mining. The engine NEVER self-joins the fact table on orderkey (the
+    oracle's form — quadratic in basket size times join overhead):
+    baskets collapse to per-order sorted distinct item ARRAYS first,
+    pairs explode IN-ROW (Σ basket² bounded by the order line cap — the
+    `item_cf_similarity` / `pagerank_items` discipline), then one
+    pair-keyed count, two item-keyed degree joins, a 1-row order-count
+    broadcast. Min-support floor keeps the output rule-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(items, (x, i) ->
+                       transform(slice(items, i + 2, size(items)), y ->
+                           struct(x AS item_a, y AS item_b))))"""
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    pc = pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("pair_n"))
+    ic = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    t = baskets.agg(F.count("*").alias("n_orders"))
+    return (
+        pc.filter(F.col("pair_n") >= BASKET_MIN_PAIR)
+        .join(ic.select(F.col("l_partkey").alias("item_a"), F.col("n").alias("na")), "item_a")
+        .join(ic.select(F.col("l_partkey").alias("item_b"), F.col("n").alias("nb")), "item_b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            F.round(F.col("pair_n").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_n").cast("double") / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

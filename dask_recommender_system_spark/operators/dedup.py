@@ -688,3 +688,73 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= FUZZY_LEV_MAX)
         .select("w1", "w2", "dist", "freq1", "freq2")
     )
+
+
+FUZZY_CLUSTERS_SQL = f"""
+    WITH RECURSIVE vocab AS (
+        SELECT word FROM (
+            SELECT DISTINCT UNNEST(regexp_split_to_array(p_name, ' ')) AS word
+            FROM part)),
+    pairs AS (
+        SELECT a.word AS w1, b.word AS w2
+        FROM vocab a JOIN vocab b
+          ON SUBSTR(a.word, 1, 1) = SUBSTR(b.word, 1, 1)
+         AND a.word < b.word
+        WHERE ABS(LENGTH(a.word) - LENGTH(b.word)) <= {FUZZY_LEN_BAND}
+          AND levenshtein(a.word, b.word) <= {FUZZY_LEV_MAX}),
+    edges AS (SELECT w1 AS src, w2 AS dst FROM pairs
+              UNION ALL SELECT w2, w1 FROM pairs),
+    reach(node, lbl) AS (
+        SELECT word, word FROM vocab
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
+    SELECT node AS word, MIN(lbl) AS cluster_word,
+           (node = MIN(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+"""
+
+
+@query("dedup_fuzzy_clusters", oracle=FUZZY_CLUSTERS_SQL)
+def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match resolution end-to-end: `fuzzy_join_blocked`'s candidate
+    pairs fed through the SAME `min_label_components` machinery as the
+    shingle dedup ladder — blocked candidate generation and iterative
+    connected components compose unchanged whatever produced the edges
+    (MinHash bands there, levenshtein blocks here). Each vocabulary word
+    maps to its cluster's lexicographic-min canonical form — the variant
+    consolidation step of entity resolution. The propagation machinery
+    needs NUMERIC labels (its fixpoint check sums them), so words are
+    first dictionary-encoded with `encode_column`'s sorted-rank ids —
+    min id IS the lexicographic-min word, so decoding the final label
+    reproduces the oracle's MIN(word) canonical exactly."""
+    from ..models.common import encode_column
+    from ..registry import REGISTRY as _REG
+
+    vocab = (
+        load_table(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .distinct()
+    )
+    enc = encode_column(vocab, "word", "wid").withColumnRenamed("value", "word")
+    pairs = (
+        _REG["fuzzy_join_blocked"].fn(spark, sf_dir)
+        .select("w1", "w2")
+        .join(enc.select(F.col("word").alias("w1"), F.col("wid").alias("ida")), "w1")
+        .join(enc.select(F.col("word").alias("w2"), F.col("wid").alias("idb")), "w2")
+        .select("ida", "idb")
+    )
+    comp = min_label_components(pairs, enc.select(F.col("wid").alias("node")))
+    return (
+        comp.join(enc.select(F.col("wid").alias("node"), "word"), "node")
+        .join(
+            enc.select(
+                F.col("wid").alias("lbl"), F.col("word").alias("cluster_word")
+            ),
+            "lbl",
+        )
+        .select(
+            "word",
+            "cluster_word",
+            (F.col("word") == F.col("cluster_word")).alias("is_canonical"),
+        )
+    )

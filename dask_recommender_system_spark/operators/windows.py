@@ -1236,3 +1236,49 @@ def rolling_trend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_win"),
         F.round(F.expr("regr_slope(cnt, day)").over(w), 6).alias("slope"),
     )
+
+
+@query(
+    "set_ops_bag",
+    oracle="""
+    WITH ea AS (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'click'),
+    ia AS (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'click')
+    SELECT 'except_all' AS op, user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ea GROUP BY user_id
+    UNION ALL
+    SELECT 'intersect_all', user_id, CAST(COUNT(*) AS BIGINT)
+    FROM ia GROUP BY user_id
+    """,
+)
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG (multiset) set operations — `set_ops` pins the DISTINCT forms;
+    EXCEPT ALL / INTERSECT ALL are the multiplicity-preserving ones SQL
+    pipelines actually reconcile row deltas with (occurrence counts matter:
+    'views minus clicks PER USER', not 'users who viewed and never
+    clicked'). Spark's exceptAll/intersectAll compile to the
+    count-and-replicate plan (two keyed counts + a generate), which is
+    also the only shape that scales — a sort-based bag difference would
+    need a global order. Output is the per-user multiplicity table of
+    each result."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    ea = (
+        a.exceptAll(b)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "user_id", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "n")
+    )
+    return ea.unionByName(ia)

@@ -204,6 +204,10 @@ DRIVER_PRIORITY: list[str] = [
     "stream_kll_quantile_monitor",
     "embedding_topk_dims",
     "dq_rule_violations",
+    "dedup_fuzzy_clusters",
+    "period_over_period",
+    "basket_lift",
+    "set_ops_bag",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

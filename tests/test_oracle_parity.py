@@ -394,3 +394,54 @@ def test_dq_rules_fire_on_fixture(spark, sf_dir):
     assert rows["orderkey_fk"]["n_violations"] == 0
     n = {r["n_checked"] for r in rows.values()}
     assert len(n) == 1 and n.pop() > 0
+
+
+def test_fuzzy_clusters_partition_properties(spark, sf_dir):
+    """dedup_fuzzy_clusters: every cluster label is itself a member and
+    the lexicographic min of its cluster; singletons are canonical."""
+    rows = REGISTRY["dedup_fuzzy_clusters"].fn(spark, sf_dir).collect()
+    by_cluster: dict[str, list[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_word"], []).append(r["word"])
+    assert sum(len(v) for v in by_cluster.values()) == len(rows)
+    for label, members in by_cluster.items():
+        assert label in members
+        assert label == min(members)
+    assert any(len(v) > 1 for v in by_cluster.values())  # real merges happened
+
+
+def test_set_ops_bag_multiplicity_identity(spark, sf_dir):
+    """set_ops_bag: per user, except_all(n) + intersect_all(n) must equal
+    the user's raw 'view' multiplicity, and intersect_all(n) =
+    min(views, clicks) — the defining bag identities."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+
+    rows = REGISTRY["set_ops_bag"].fn(spark, sf_dir).collect()
+    got: dict[tuple, int] = {(r["op"], r["user_id"]): r["n"] for r in rows}
+    ev = load_table(spark, sf_dir, "events")
+    counts = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    users = {u for (_, u) in counts}
+    for u in users:
+        nv = counts.get(("view", u), 0)
+        nc = counts.get(("click", u), 0)
+        assert got.get(("intersect_all", u), 0) == min(nv, nc), u
+        assert got.get(("except_all", u), 0) == nv - min(nv, nc), u
+
+
+def test_basket_lift_rule_invariants(spark, sf_dir):
+    """basket_lift: confidence and support are probabilities, support <=
+    confidence, and lift = confidence / P(item_b)."""
+    rows = REGISTRY["basket_lift"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["support"] <= r["confidence"] <= 1, r
+        assert r["lift"] > 0
+        assert r["item_a"] < r["item_b"]

@@ -803,3 +803,14 @@ def test_dq_rules_one_scan_for_row_local_rules(spark, sf_dir):
     df = q("dq_rule_violations", spark, sf_dir)
     plan = physical_plan(df, "simple")
     assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_basket_lift_no_fact_self_join(spark, sf_dir):
+    """basket_lift: pair generation must be the in-row array explode —
+    the plan may never self-join lineitem on l_orderkey (the oracle's
+    quadratic form)."""
+    df = q("basket_lift", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    for line in plan.splitlines():
+        if re.search(r"Join [^\[]*\[l_orderkey", line):
+            raise AssertionError(f"orderkey self-join crept back: {line}")
