@@ -1183,3 +1183,132 @@ def embedding_topk_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("val"), 6).alias("var_val"),
     )
     return s.orderBy(F.col("var_val").desc(), "dim").limit(TOPK_DIMS)
+
+
+@query(
+    "array_functions_suite",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS n_dims,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * 2)), 6) AS sum_doubled,
+           CAST(LEN(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           ROUND(list_max(embedding), 6) AS max_val,
+           CAST(list_sum(list_transform(list_zip(embedding,
+                    list_reverse(embedding)),
+                 p -> CASE WHEN p[1] > p[2] THEN 1 ELSE 0 END)) AS BIGINT)
+               AS n_gt_reversed
+    FROM embeddings
+    """,
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface (transform / filter /
+    aggregate / zip_with / reverse / size) pinned as a value-checked
+    suite — the `string_date_suite` discipline applied to the HOF family
+    every embedding/text operator leans on. Everything stays IN-ROW (no
+    explode, no shuffle, whole-stage codegen): at 100 TB this family is
+    what keeps vector arithmetic a scan-speed narrow stage instead of a
+    posexplode row blowup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: x.cast("double") * 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sum_doubled"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(emb), 6).alias("max_val"),
+        F.aggregate(
+            F.zip_with(
+                emb, F.reverse(emb), lambda a, b: F.when(a > b, 1).otherwise(0)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_gt_reversed"),
+    )
+
+
+@query(
+    "null_semantics_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice END IS NULL AS v_is_null,
+           (CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END
+            IS NOT DISTINCT FROM
+            CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_totalprice END)
+               AS null_safe_eq,
+           ROUND(COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                 ELSE o_totalprice END, -1.0), 6) AS coalesced,
+           CAST((CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                 ELSE o_totalprice END > 1000) AS VARCHAR) AS cmp_3vl
+    FROM orders
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface pinned as a value-checked suite: IS
+    NULL, null-safe equality (<=> / IS NOT DISTINCT FROM), COALESCE, and
+    a comparison whose result is genuinely NULL (not false) — the
+    semantics most likely to silently differ when a pipeline migrates
+    engines. The NULL-producing expressions are derived (orderkey % 3)
+    so the fixture exercises all branches deterministically. Narrow,
+    zero-shuffle, codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    v3 = F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(
+        F.col("o_totalprice")
+    )
+    v2 = F.when(F.col("o_orderkey") % 2 == 0, None).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        v3.isNull().alias("v_is_null"),
+        v3.eqNullSafe(v2).alias("null_safe_eq"),
+        F.round(F.coalesce(v3, F.lit(-1.0)), 6).alias("coalesced"),
+        (v3 > 1000).cast("string").alias("cmp_3vl"),
+    )
+
+
+@query(
+    "date_functions_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(epoch(o_orderdate + INTERVAL 3 MONTH)) AS BIGINT)
+               AS plus_3mo_epoch,
+           CAST(FLOOR(epoch(last_day(o_orderdate))) AS BIGINT)
+               AS month_end_epoch,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(FLOOR(epoch(date_trunc('week', o_orderdate))) AS BIGINT)
+               AS week_start_epoch,
+           CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS BIGINT)
+               AS days_since_2024
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface pinned as a value-checked suite:
+    add_months, last_day, quarter, ISO day-of-week, week truncation and
+    day diffs — the calendar edge cases (month-length clamping, ISO vs
+    US week starts) that bite exactly once, in production. All outputs
+    leave as epoch/integer so the comparison is session-tz-proof; Spark's
+    Sunday-based dayofweek is converted to ISO (Monday=1) to match the
+    ISO standard DuckDB follows. Narrow, zero-shuffle, codegen."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp(F.add_months(d, 3)).alias("plus_3mo_epoch"),
+        F.unix_timestamp(F.last_day(d)).alias("month_end_epoch"),
+        F.quarter(d).alias("qtr"),
+        (((F.dayofweek(d) + 5) % 7) + 1).alias("iso_dow"),
+        F.unix_timestamp(F.date_trunc("week", d)).alias("week_start_epoch"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
+    )

@@ -227,3 +227,74 @@ def triangle_stats_from_edges(e: DataFrame) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+BFS_MAX_DEPTH = 4
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE lines AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p),
+    seed AS (SELECT MIN(p) AS s FROM lines),
+    reach(node, lvl) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT e.v, r.lvl + 1
+        FROM edges e JOIN reach r ON e.u = r.node
+        WHERE r.lvl < {BFS_MAX_DEPTH})
+    SELECT node, CAST(MIN(lvl) AS BIGINT) AS level
+    FROM reach GROUP BY node
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search levels (shortest hop distance, depth <=
+    {BFS_MAX_DEPTH}) from the min-id seed item over the co-purchase
+    graph — the reachability/blast-radius primitive next to
+    `pagerank_items` (fixed-point scoring) and `min_label_components`
+    (full closure). Frontier iteration in its scalable form: each round
+    is ONE u-keyed join of the CURRENT frontier (not all visited nodes)
+    against the pre-partitioned checkpointed edge table, a LEFT ANTI
+    against the visited set so a node's level is its FIRST visit (=
+    min distance), and an eager localCheckpoint pinning lineage at O(1)
+    per round — with early exit when a frontier drains. The oracle's
+    recursive CTE must UNION (not UNION ALL): path-counting through a
+    dense co-purchase graph is combinatorial; distinct (node, lvl)
+    states are |V| x depth."""
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    grp = lines.groupBy("o").agg(F.collect_set("p").alias("ps"))
+    e = (
+        grp.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    p = spark.sparkContext.defaultParallelism
+    edges = e.repartition(p, "u").localCheckpoint(eager=True)
+    seed = lines.agg(F.min("p").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("level")
+    )
+    levels = seed.localCheckpoint(eager=True)
+    frontier = levels.select("node")
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            edges.join(frontier, edges["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(levels.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return levels

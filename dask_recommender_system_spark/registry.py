@@ -208,6 +208,10 @@ DRIVER_PRIORITY: list[str] = [
     "period_over_period",
     "basket_lift",
     "set_ops_bag",
+    "array_functions_suite",
+    "null_semantics_suite",
+    "date_functions_suite",
+    "graph_bfs_levels",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

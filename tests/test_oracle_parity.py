@@ -445,3 +445,39 @@ def test_basket_lift_rule_invariants(spark, sf_dir):
         assert 0 < r["support"] <= r["confidence"] <= 1, r
         assert r["lift"] > 0
         assert r["item_a"] < r["item_b"]
+
+
+def test_bfs_levels_are_shortest_distances(spark, sf_dir):
+    """graph_bfs_levels: level 0 is exactly the seed; every level-k node
+    (k>0) has at least one neighbor at level k-1 and none at < k-1
+    (the defining shortest-path property), checked on the collected
+    level map against independently derived edges."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+
+    lvl = {
+        r["node"]: r["level"]
+        for r in REGISTRY["graph_bfs_levels"].fn(spark, sf_dir).collect()
+    }
+    assert list(lvl.values()).count(0) == 1
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        lines.alias("a")
+        .join(lines.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .collect()
+    )
+    nbrs: dict[int, set] = {}
+    for e in edges:
+        nbrs.setdefault(e["u"], set()).add(e["v"])
+    for node, k in lvl.items():
+        if k == 0:
+            continue
+        neighbor_levels = {lvl[m] for m in nbrs.get(node, set()) if m in lvl}
+        assert min(neighbor_levels) == k - 1, (node, k, sorted(neighbor_levels))

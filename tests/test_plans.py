@@ -814,3 +814,16 @@ def test_basket_lift_no_fact_self_join(spark, sf_dir):
     for line in plan.splitlines():
         if re.search(r"Join [^\[]*\[l_orderkey", line):
             raise AssertionError(f"orderkey self-join crept back: {line}")
+
+
+def test_capability_suites_are_narrow(spark, sf_dir):
+    """array/null/date suites: pure scalar-expression surfaces — zero
+    shuffles, whole-stage codegen, scan-speed."""
+    for name in (
+        "array_functions_suite",
+        "null_semantics_suite",
+        "date_functions_suite",
+    ):
+        df = q(name, spark, sf_dir)
+        assert count_exchanges(df) == 0, name
+        assert has_wholestage_codegen(df), name
