@@ -1747,3 +1747,53 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "weighted_median_grouped",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag,
+               ROUND(l_extendedprice, 6) AS price,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS wt
+        FROM lineitem),
+    c AS (
+        SELECT flag, price, wt,
+               CAST(SUM(wt) OVER (PARTITION BY flag ORDER BY price
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_wt,
+               CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot_wt
+        FROM w),
+    m AS (
+        SELECT flag, price, tot_wt,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY price) AS rn
+        FROM c WHERE cum_wt * 2 >= tot_wt)
+    SELECT flag, ROUND(price, 6) AS weighted_median, tot_wt
+    FROM m WHERE rn = 1
+    """,
+)
+def weighted_median_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group — the robust center when observations
+    carry unequal mass (price weighted by units sold): the smallest
+    value whose CUMULATIVE weight reaches half the group's total.
+    Integer weights make the cumulative comparison exact (cum*2 >=
+    total avoids division entirely); both the running sum and the
+    pick-first ranking ride ONE group-keyed exchange. No SQL aggregate
+    computes this directly — it is the canonical ordered-keyed-window
+    composition, and at 100 TB the group key partitions it perfectly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_extendedprice", 6).alias("price"),
+        F.floor("l_quantity").cast("long").alias("wt"),
+    )
+    wf = W.partitionBy("flag").orderBy("price")
+    c = w.withColumn(
+        "cum_wt", F.sum("wt").over(wf.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("tot_wt", F.sum("wt").over(W.partitionBy("flag")))
+    m = c.filter(F.col("cum_wt") * 2 >= F.col("tot_wt")).withColumn(
+        "rn", F.row_number().over(wf)
+    )
+    return m.filter(F.col("rn") == 1).select(
+        "flag", F.round("price", 6).alias("weighted_median"), "tot_wt"
+    )

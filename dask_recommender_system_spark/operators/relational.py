@@ -1539,3 +1539,36 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orderkey_fk").alias("rule"), "n_violations", "n_checked")
     )
     return rules_local.unionByName(fk)
+
+
+TPCH_Q1 = """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2024-11-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql_interface_q1",
+    oracle=TPCH_Q1.replace("COUNT(*)", "CAST(COUNT(*) AS BIGINT)"),
+)
+def sql_interface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL API surface, pinned with TPC-H Q1 (pricing summary):
+    the same ANSI text runs verbatim through `spark.sql` AND the DuckDB
+    oracle — proving a SQL-first user can paste their queries at this
+    engine unchanged, and that Catalyst's plan for the canonical
+    scan-filter-aggregate benchmark shape is the expected one (pushed
+    date filter, single hash aggregate; asserted in tests). DataFrame
+    and SQL compile to the same plans — the DataFrame operators
+    elsewhere in the registry are a choice, not a constraint."""
+    _utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TPCH_Q1)

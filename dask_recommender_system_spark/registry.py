@@ -212,6 +212,8 @@ DRIVER_PRIORITY: list[str] = [
     "null_semantics_suite",
     "date_functions_suite",
     "graph_bfs_levels",
+    "sql_interface_q1",
+    "weighted_median_grouped",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

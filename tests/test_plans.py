@@ -827,3 +827,23 @@ def test_capability_suites_are_narrow(spark, sf_dir):
         df = q(name, spark, sf_dir)
         assert count_exchanges(df) == 0, name
         assert has_wholestage_codegen(df), name
+
+
+def test_sql_interface_q1_plan(spark, sf_dir):
+    """sql_interface_q1: raw SQL must compile to the same physical shape
+    as the DataFrame API — pushed date filter on the scan, one hash
+    aggregate exchange."""
+    df = q("sql_interface_q1", spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert count_exchanges(df) == 1
+    # (codegen markers are hidden inside AdaptiveSparkPlan until the
+    # final plan, so no has_wholestage_codegen assert on AQE plans)
+
+
+def test_weighted_median_single_group_exchange(spark, sf_dir):
+    """weighted_median_grouped: cumulative weight, total weight, and the
+    pick-first ranking all ride one flag-keyed exchange; nothing
+    global."""
+    df = q("weighted_median_grouped", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "SinglePartition" not in physical_plan(df, "formatted")
