@@ -1797,3 +1797,50 @@ def weighted_median_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.filter(F.col("rn") == 1).select(
         "flag", F.round("price", 6).alias("weighted_median"), "tot_wt"
     )
+
+
+@query(
+    "cumulative_unique_users",
+    oracle=f"""
+    WITH fs AS (
+        SELECT user_id,
+               CAST(MIN(FLOOR({EPOCH_TS} / 86400)) AS BIGINT) AS first_day
+        FROM events GROUP BY user_id),
+    d AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM fs GROUP BY first_day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the growth-curve readout a
+    naive per-day COUNT(DISTINCT) over expanding windows gets quadratically
+    wrong: distinct-to-date = (each user counted on their FIRST day) +
+    a running sum. Two keyed aggs collapse the corpus to |users| then
+    |days| rows; the only ordered pass is the running sum over the
+    COLLAPSED calendar table (|days| rows — calendar-bounded at any data
+    scale, the `key_skew_profile` bounded-single-partition exception,
+    documented because the input is provably tiny, not accidentally
+    so). Day numbers are tz-free integers."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.floor(F.unix_timestamp("ts") / 86400)).cast("long").alias(
+            "first_day"
+        )
+    )
+    d = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    # pmod-constant partition: one explicit group over the bounded day
+    # table — avoids the unpartitioned-WindowExec warning (the
+    # key_skew_profile idiom)
+    w = (
+        W.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return d.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

@@ -214,6 +214,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_bfs_levels",
     "sql_interface_q1",
     "weighted_median_grouped",
+    "cumulative_unique_users",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
