@@ -1844,3 +1844,156 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@query(
+    "timeseries_interpolate_linear",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id,
+               CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day,
+               ROUND(SUM(value), 6) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
+    grid AS (
+        SELECT s.user_id, d0 + g.k AS day
+        FROM span s CROSS JOIN (SELECT UNNEST(range(0, 400)) AS k) g
+        WHERE d0 + g.k <= d1),
+    j AS (
+        SELECT g.user_id, g.day, d.v FROM grid g
+        LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day),
+    f AS (
+        SELECT user_id, day, v,
+               MAX(CASE WHEN v IS NOT NULL THEN day END) OVER
+                   (PARTITION BY user_id ORDER BY day) AS prev_day,
+               MIN(CASE WHEN v IS NOT NULL THEN day END) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_day
+        FROM j),
+    vals AS (
+        SELECT f.user_id, f.day, f.v, f.prev_day, f.next_day,
+               pv.v AS prev_v, nv.v AS next_v
+        FROM f
+        LEFT JOIN d pv ON pv.user_id = f.user_id AND pv.day = f.prev_day
+        LEFT JOIN d nv ON nv.user_id = f.user_id AND nv.day = f.next_day)
+    SELECT user_id, day,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               ELSE prev_v + (next_v - prev_v) * (day - prev_day)
+                    / CAST(next_day - prev_day AS DOUBLE)
+           END, 6) AS v_interp,
+           (v IS NULL) AS was_gap
+    FROM vals
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over per-user daily series — the
+    model-input counterpart of `timeseries_resample`'s forward fill:
+    interior gaps get the straight line between the bracketing known
+    points (no flat steps, no leakage past series ends since the grid
+    spans exactly [first, last] day). All passes ride ONE user_id key:
+    the daily collapse, the in-row `sequence()` grid, the bracketing
+    prev/next windows, and the two value lookups. The interpolation
+    weight is one division of exact integer day distances; daily sums
+    are rounded BEFORE interpolating so both engines interpolate
+    identical endpoints (the `timeseries_resample` lesson)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d = ev.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    span = d.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = grid.join(d, ["user_id", "day"], "left")
+    wb = W.partitionBy("user_id").orderBy("day")
+    wf = wb.rowsBetween(W.currentRow, W.unboundedFollowing)
+    f = j.withColumn(
+        "prev_day",
+        F.max(F.when(F.col("v").isNotNull(), F.col("day"))).over(
+            wb.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "next_day",
+        F.min(F.when(F.col("v").isNotNull(), F.col("day"))).over(wf),
+    )
+    pv = d.select("user_id", F.col("day").alias("prev_day"), F.col("v").alias("prev_v"))
+    nv = d.select("user_id", F.col("day").alias("next_day"), F.col("v").alias("next_v"))
+    vals = f.join(pv, ["user_id", "prev_day"], "left").join(
+        nv, ["user_id", "next_day"], "left"
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.col("day") - F.col("prev_day")
+    ) / (F.col("next_day") - F.col("prev_day")).cast("double")
+    return vals.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6
+        ).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@query(
+    "grouped_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, ROUND(AVG(value), 6) AS mu
+        FROM events GROUP BY event_type),
+    c AS (
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(POWER(value - mu, 2)) AS m2,
+               SUM(POWER(value - mu, 3)) AS m3,
+               SUM(POWER(value - mu, 4)) AS m4
+        FROM events e JOIN m ON e.event_type = m.event_type
+        GROUP BY e.event_type)
+    SELECT event_type, n,
+           ROUND((m3 / n) / POWER(m2 / n, 1.5), 6) AS skewness,
+           ROUND(n * m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM c
+    """,
+)
+def grouped_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution moments (skewness, excess kurtosis) per group
+    from EXPLICIT central power sums — deliberately not the built-in
+    `skewness()`/`kurtosis()` aggregates, whose sample-vs-population
+    adjustment conventions differ between engines and would hash-diverge
+    by definition, not by bug. Two passes sharing the group key: a tiny
+    mean table (rounded to 6 so both engines center on the IDENTICAL
+    constant) broadcast back, then one moments aggregate — the same
+    shape as `anomaly_zscore`'s two-pass z-score. Centering before the
+    power sums is also the numerics: raw Σx⁴ at 100 TB overflows double
+    precision long before the centered sums do."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mu"))
+    dev = F.col("value") - F.col("mu")
+    c = (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.pow(dev, 2)).alias("m2"),
+            F.sum(F.pow(dev, 3)).alias("m3"),
+            F.sum(F.pow(dev, 4)).alias("m4"),
+        )
+    )
+    return c.select(
+        "event_type",
+        "n",
+        F.round((F.col("m3") / F.col("n")) / F.pow(F.col("m2") / F.col("n"), 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            F.col("n") * F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6
+        ).alias("excess_kurtosis"),
+    )

@@ -1312,3 +1312,48 @@ def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("week", d)).alias("week_start_epoch"),
         F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
     )
+
+
+@query(
+    "map_functions_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 6) AS price_at_key,
+           3 AS map_size,
+           'disc,price,qty' AS sorted_keys,
+           TRUE AS has_qty,
+           ROUND(l_quantity + l_extendedprice + l_discount, 6) AS values_sum
+    FROM lineitem WHERE l_orderkey % 17 = 0
+    """,
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface pinned as a value-checked suite: build a map from
+    arrays, probe it (element_at / contains), enumerate it (map_keys
+    sorted / size), and reduce its values — the round-trip discipline of
+    `variant_shred`: the oracle computes every output directly from the
+    base columns, so the check proves the map construction and access
+    path loses nothing. Maps are how sparse per-row feature bags ship at
+    100 TB without a column per feature; everything here is in-row,
+    zero-shuffle codegen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 17 == 0
+    )
+    mp = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price"), F.lit("disc")),
+        F.array("l_quantity", "l_extendedprice", "l_discount"),
+    )
+    w = li.withColumn("m", mp)
+    return w.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at("m", "price"), 6).alias("price_at_key"),
+        F.size("m").alias("map_size"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("sorted_keys"),
+        F.map_contains_key("m", "qty").alias("has_qty"),
+        F.round(
+            F.aggregate(
+                F.map_values("m"), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("values_sum"),
+    )

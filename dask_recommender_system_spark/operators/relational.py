@@ -1572,3 +1572,49 @@ def sql_interface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(TPCH_Q1)
+
+
+@query(
+    "join_partition_pruned",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o.o_totalprice), 6) AS sum_price
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d
+      ON o.o_orderpriority = d.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is laid out
+    partitioned-by-key; joining it to a FILTERED dimension makes Catalyst
+    inject the dim's key set into the fact scan as a runtime partition
+    filter — the fact side reads ONLY the matching directories, before
+    any row is touched. At 100 TB this is THE star-schema accelerant
+    (date-dim filters pruning a date-partitioned fact); the plan-asserted
+    `dynamicpruning` subquery is the feature, the aggregate just makes
+    the result checkable. Static pruning (`sink_parquet_partitioned`)
+    needs the literal in the query; DPP derives it from the join at
+    RUNTIME."""
+    # always rewrite: a layout left over from a previous testdata
+    # generation would silently serve stale rows
+    path = f"{IO_DIR}/orders_dpp_parquet"
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+    )

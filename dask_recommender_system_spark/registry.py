@@ -215,6 +215,10 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q1",
     "weighted_median_grouped",
     "cumulative_unique_users",
+    "join_partition_pruned",
+    "timeseries_interpolate_linear",
+    "grouped_skew_kurtosis",
+    "map_functions_suite",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -481,3 +481,40 @@ def test_bfs_levels_are_shortest_distances(spark, sf_dir):
             continue
         neighbor_levels = {lvl[m] for m in nbrs.get(node, set()) if m in lvl}
         assert min(neighbor_levels) == k - 1, (node, k, sorted(neighbor_levels))
+
+
+def test_interpolation_brackets_and_endpoints(spark, sf_dir):
+    """timeseries_interpolate_linear: known days pass through unchanged,
+    gap values lie strictly between their bracketing knowns (linear), and
+    no row exists outside a user's [first, last] span."""
+    rows = REGISTRY["timeseries_interpolate_linear"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps_seen = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r["day"])
+        days = [r["day"] for r in series]
+        assert days == list(range(days[0], days[-1] + 1))  # dense grid
+        assert not series[0]["was_gap"] and not series[-1]["was_gap"]
+        known = [(r["day"], r["v_interp"]) for r in series if not r["was_gap"]]
+        for r in series:
+            if not r["was_gap"]:
+                continue
+            gaps_seen += 1
+            prev = max((d, v) for d, v in known if d < r["day"])
+            nxt = min((d, v) for d, v in known if d > r["day"])
+            lo, hi = sorted((prev[1], nxt[1]))
+            assert lo - 1e-6 <= r["v_interp"] <= hi + 1e-6, (r, prev, nxt)
+    assert gaps_seen > 0
+
+
+def test_skew_kurtosis_sane(spark, sf_dir):
+    """grouped_skew_kurtosis: the value distribution is right-skewed
+    (exponential-ish) in every type, and excess kurtosis is > -2 (its
+    mathematical floor)."""
+    rows = REGISTRY["grouped_skew_kurtosis"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["skewness"] > 0, r
+        assert r["excess_kurtosis"] > -2, r

@@ -847,3 +847,18 @@ def test_weighted_median_single_group_exchange(spark, sf_dir):
     df = q("weighted_median_grouped", spark, sf_dir)
     assert count_exchanges(df) == 1
     assert "SinglePartition" not in physical_plan(df, "formatted")
+
+
+def test_join_partition_pruned_has_dpp(spark, sf_dir):
+    """join_partition_pruned: the fact scan must carry a dynamicpruning
+    subquery — the dim's filtered key set prunes fact DIRECTORIES at
+    runtime, not rows after read."""
+    df = q("join_partition_pruned", spark, sf_dir)
+    assert "dynamicpruning" in physical_plan(df, "formatted").lower()
+
+
+def test_map_suite_is_narrow(spark, sf_dir):
+    """map_functions_suite: in-row map construction and access — zero
+    shuffles, codegen."""
+    df = q("map_functions_suite", spark, sf_dir)
+    assert count_exchanges(df) == 0
