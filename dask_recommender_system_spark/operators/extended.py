@@ -1357,3 +1357,139 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("values_sum"),
     )
+
+
+RANGE_BUCKET_W = 500.0  # equi-bucket width for the bucketized interval join
+
+
+@query(
+    "join_range_bucketized",
+    oracle="""
+    WITH iv AS (
+        SELECT s_suppkey AS iv_id,
+               ROUND(s_acctbal * 2, 6) AS lo,
+               ROUND(s_acctbal * 2 + 900, 6) AS hi
+        FROM supplier WHERE s_acctbal > 0)
+    SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 6) AS sum_price
+    FROM iv JOIN orders
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY iv_id
+    """,
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join against a LARGE interval dim — the equi-bucketize
+    scale twin `join_range_band` promises: a broadcast NLJ is fine for 3
+    literal bands but quadratic against 10⁶ intervals. Each interval
+    explodes IN-ROW to the fixed-width buckets it covers (×(len/W)
+    bounded amplification), each fact row computes its bucket, the join
+    becomes a plain EQUI-join on the bucket key (shuffle- or
+    broadcast-hash, never nested-loop — plan-asserted), and an exact
+    containment filter after removes the bucket-edge false candidates —
+    the same candidates-then-verify shape as the dedup ladder. Interval
+    bounds are rounded to a shared 6-decimal constant BEFORE bucketing
+    so both engines place edges identically."""
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    iv = sup.select(
+        F.col("s_suppkey").alias("iv_id"),
+        F.round(F.col("s_acctbal") * 2, 6).alias("lo"),
+        F.round(F.col("s_acctbal") * 2 + 900, 6).alias("hi"),
+    )
+    ivb = iv.select(
+        "iv_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / RANGE_BUCKET_W).cast("long"),
+                F.floor(F.col("hi") / RANGE_BUCKET_W).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / RANGE_BUCKET_W).cast("long").alias(
+            "bucket"
+        ),
+    )
+    return (
+        o.join(ivb, "bucket")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("iv_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+    )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "consistent_hash_assignment",
+    oracle=f"""
+    WITH k AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    s AS (
+        SELECT key,
+               list_transform(range(0, {N_SHARDS}), s ->
+                   ('0x' || SUBSTR(md5(CAST(key AS VARCHAR) || ':' ||
+                        CAST(s AS VARCHAR)), 1, 8))::BIGINT) AS scores
+        FROM k),
+    a AS (
+        SELECT key,
+               CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT)
+                   AS shard
+        FROM s),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM a)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / total, 6) AS share
+    FROM a CROSS JOIN t GROUP BY shard, total
+    """,
+)
+def consistent_hash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — the shard-assignment
+    scheme whose defining property is MINIMAL movement: adding a shard
+    reassigns only ~1/(N+1) of keys (mod-N reshuffles nearly all — the
+    operational difference between draining one node and re-shuffling a
+    100 TB keyspace). Each key scores every shard with the
+    `sample_deterministic` md5 family and takes the argmax — pure IN-ROW
+    array work, no shuffle until the |shards|-row balance summary. The
+    balance profile (share per shard) is the output a capacity planner
+    reads."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_custkey").alias("key")).distinct()
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(N_SHARDS - 1)),
+        lambda s: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("key").cast("string"), s.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    a = keys.withColumn("scores", scores).select(
+        "key",
+        (F.array_position(F.col("scores"), F.array_max("scores")) - 1)
+        .cast("long")
+        .alias("shard"),
+    )
+    t = a.agg(F.count("*").alias("total"))
+    return (
+        a.groupBy("shard")
+        .agg(F.count("*").alias("n_keys"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "shard",
+            "n_keys",
+            F.round(F.col("n_keys").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )

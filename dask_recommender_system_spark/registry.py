@@ -219,6 +219,8 @@ DRIVER_PRIORITY: list[str] = [
     "timeseries_interpolate_linear",
     "grouped_skew_kurtosis",
     "map_functions_suite",
+    "join_range_bucketized",
+    "consistent_hash_assignment",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -518,3 +518,38 @@ def test_skew_kurtosis_sane(spark, sf_dir):
     for r in rows:
         assert r["skewness"] > 0, r
         assert r["excess_kurtosis"] > -2, r
+
+
+def test_rendezvous_hash_minimal_movement(spark, sf_dir):
+    """consistent_hash_assignment: adding a shard must move only ~1/(N+1)
+    of keys (the property rendezvous hashing exists for; mod-N would move
+    ~N/(N+1)), and shards are roughly balanced."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.extended import N_SHARDS
+
+    rows = REGISTRY["consistent_hash_assignment"].fn(spark, sf_dir).collect()
+    shares = {r["shard"]: r["share"] for r in rows}
+    assert set(shares) <= set(range(N_SHARDS))
+    assert all(s < 3.0 / N_SHARDS for s in shares.values())
+
+    def assign(key: int, n: int) -> int:
+        scores = [
+            int(hashlib.md5(f"{key}:{s}".encode()).hexdigest()[:8], 16)
+            for s in range(n)
+        ]
+        return scores.index(max(scores))
+
+    keys = [
+        r["key"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .collect()
+    ]
+    moved = sum(assign(k, N_SHARDS) != assign(k, N_SHARDS + 1) for k in keys)
+    frac = moved / len(keys)
+    assert 0 < frac < 2.5 / (N_SHARDS + 1), frac

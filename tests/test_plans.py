@@ -862,3 +862,12 @@ def test_map_suite_is_narrow(spark, sf_dir):
     shuffles, codegen."""
     df = q("map_functions_suite", spark, sf_dir)
     assert count_exchanges(df) == 0
+
+
+def test_range_bucketized_is_equi_join(spark, sf_dir):
+    """join_range_bucketized: the interval join must plan as an EQUI join
+    on the bucket key — never the nested-loop the naive non-equi
+    predicate produces."""
+    plan = physical_plan(q("join_range_bucketized", spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
