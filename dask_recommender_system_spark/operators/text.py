@@ -1080,3 +1080,85 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+DOC_SIM_MIN_COS = 0.5
+
+
+@query(
+    "doc_similarity_sparse",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, UNNEST({ORACLE_TOKENS}) AS term
+                 FROM documents WHERE LENGTH(trim(text)) > 0),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+          WHERE LENGTH(trim(text)) > 0),
+    s AS (SELECT tf.doc_id, tf.term,
+                 ROUND(tf.tf * LN(n.n_docs / dfq.df), 6) AS score
+          FROM tf JOIN dfq ON tf.term = dfq.term, n),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rnk FROM s),
+    topk AS (SELECT doc_id, term, score FROM r WHERE rnk <= {TFIDF_TOP_N}),
+    nrm AS (SELECT doc_id, ROUND(SQRT(SUM(score * score)), 6) AS nn
+            FROM topk GROUP BY doc_id),
+    wn AS (SELECT t.doc_id, t.term, t.score / nn AS w
+           FROM topk t JOIN nrm ON t.doc_id = nrm.doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 ROUND(SUM(a.w * b.w), 6) AS cos_sim
+          FROM wn a JOIN wn b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, cos_sim FROM p WHERE cos_sim >= {DOC_SIM_MIN_COS}
+    """,
+)
+def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE document similarity — the term-partitioned dot-product
+    shape that complements the dense-embedding family
+    (`similarity_topk` et al.): cosine over tf-idf keyword vectors
+    computed as partial products on a TERM-keyed self-join, summed per
+    pair. Vectors never materialize; each term contributes its posting
+    list's pairs, so the cost is Σ df² — which is why production caps
+    posting lists (stop-term pruning) exactly like `item_cf_similarity`
+    caps user histories; here the top-{TFIDF_TOP_N} truncation IS the
+    cap. Scores and norms are rounded to shared 6-decimal constants
+    before the join so both engines multiply identical weights."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = d.select("doc_id", F.explode(TOKENS()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    s = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    topk = (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "score")
+    )
+    nrm = topk.groupBy("doc_id").agg(
+        F.round(F.sqrt(F.sum(F.col("score") * F.col("score"))), 6).alias("nn")
+    )
+    wn = topk.join(nrm, "doc_id").select(
+        "doc_id", "term", (F.col("score") / F.col("nn")).alias("w")
+    )
+    a = wn.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = wn.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= DOC_SIM_MIN_COS)
+    )

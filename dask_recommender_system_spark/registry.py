@@ -221,6 +221,7 @@ DRIVER_PRIORITY: list[str] = [
     "map_functions_suite",
     "join_range_bucketized",
     "consistent_hash_assignment",
+    "doc_similarity_sparse",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -286,6 +286,10 @@ _NON_EQUI_OK = {
     "mutual_information_screen",  # 1-row grand-total broadcast onto joint cells
     "time_decayed_popularity",  # 1-row MAX(ts) anchor broadcast onto ratings
     "benford_deviation",  # 1-row grand-total broadcast onto 9 digit rows
+    "basket_lift",  # 1-row order-count broadcast onto the rule table
+    "consistent_hash_assignment",  # 1-row key-total broadcast onto 8 shards
+    "doc_similarity_sparse",  # 1-row corpus-size broadcast onto the tf table
+    "dq_rule_violations",  # 1-row checkpointed rule cell feeding the FK row
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -871,3 +875,13 @@ def test_range_bucketized_is_equi_join(spark, sf_dir):
     plan = physical_plan(q("join_range_bucketized", spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_similarity_sparse_joins_on_term(spark, sf_dir):
+    """doc_similarity_sparse: partial dot products come from a TERM-keyed
+    equi self-join of the truncated weight table — never a doc-pair
+    nested loop over materialized vectors. (The only NLJ allowed is the
+    1-row corpus-size broadcast.)"""
+    plan = physical_plan(q("doc_similarity_sparse", spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Join [^\[]*\[term", plan), "term-keyed join missing"
