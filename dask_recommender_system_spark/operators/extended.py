@@ -1493,3 +1493,74 @@ def consistent_hash_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Tolerance: max staleness for a valid match. The fixture's clocks are
+# decades apart (events in 2024, TPC-H order dates in the 1990s), so a
+# realistic 30-day SLA would never fire; 8400 days splits the fixture's
+# staleness distribution near its median so BOTH branches (fresh match /
+# nulled stale match) are exercised by the value check.
+ASOF_TOL_S = 8400 * 86400
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH m AS (
+        SELECT e.event_id, e.user_id,
+               {ORACLE_EPOCH.format(col="e.ts")} AS ts_epoch,
+               o.o_orderkey,
+               {ORACLE_EPOCH.format(col="o.o_orderdate")} AS odate_epoch,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, ts_epoch,
+           CASE WHEN ts_epoch - odate_epoch <= {ASOF_TOL_S}
+                THEN o_orderkey END AS o_orderkey,
+           CASE WHEN ts_epoch - odate_epoch <= {ASOF_TOL_S}
+                THEN CAST(ts_epoch - odate_epoch AS BIGINT) END AS staleness_s,
+           CAST((ts_epoch - odate_epoch <= {ASOF_TOL_S}) AS BIGINT) AS fresh
+    FROM m WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness TOLERANCE (pandas merge_asof's
+    `tolerance=`): each event takes the latest order at-or-before it
+    ONLY if that order is within the staleness SLA — older context is worse
+    than none (feature-store reads, price lookups, consent checks all
+    carry freshness SLAs). Mechanically the tolerance is a POST-window
+    filter on the matched timestamp — the union-window single-shuffle
+    plan of `join_asof` is untouched, the match is nulled (not dropped)
+    past tolerance, and a 0/1 freshness flag ships for monitoring. The
+    inner-match row set equals join_asof's; only staleness gates the
+    payload."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("odate_epoch"),
+        "o_orderkey",
+    )
+    m = asof_join(
+        ev,
+        od,
+        key="user_id",
+        left_ts="ts_epoch",
+        right_ts="odate_epoch",
+        payload_cols=["o_orderkey", "odate_epoch"],
+        tiebreak="o_orderkey",
+    )
+    stale = F.col("ts_epoch") - F.col("asof_odate_epoch")
+    fresh = stale <= ASOF_TOL_S
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.when(fresh, F.col("asof_o_orderkey")).alias("o_orderkey"),
+        F.when(fresh, stale).cast("long").alias("staleness_s"),
+        fresh.cast("long").alias("fresh"),
+    )

@@ -1618,3 +1618,41 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
         )
     )
+
+
+@query(
+    "scan_struct_pushdown",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE lang = 'en' AND n_chars > 200
+    """,
+)
+def scan_struct_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column predicate pushdown: documents re-laid-out with their
+    metadata as a parquet STRUCT column, read back filtered on struct
+    FIELDS — the filters must reach the scan as `meta.lang` /
+    `meta.n_chars` pushed filters (asserted in tests) and the scan must
+    read only the selected leaves. At 100 TB metadata-rich corpora live
+    exactly like this (typed metadata struct next to payload — see
+    `multimodal_project`), and whether nested predicates prune row
+    groups or decode every struct is a 100x I/O difference."""
+    path = f"{IO_DIR}/documents_struct_parquet"
+    d = load_table(spark, sf_dir, "documents")
+    nested = d.select(
+        "doc_id",
+        "text",
+        F.struct(
+            F.col("lang"), F.col("source"), F.col("n_chars")
+        ).alias("meta"),
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("meta.lang") == "en") & (F.col("meta.n_chars") > 200)
+    ).select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_chars").alias("n_chars"),
+    )

@@ -1282,3 +1282,58 @@ def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "user_id", "n")
     )
     return ea.unionByName(ia)
+
+
+@query(
+    "sketch_persist_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch story made REAL end-to-end: the per-(type,
+    day) HLL sketch table is WRITTEN TO PARQUET (binary sketch column),
+    read back cold, and only then union-merged per type — proving the
+    persisted daily sketch table, not the raw events, answers later
+    distinct questions. This is the half `hll_sketch_rollup` asserts but
+    doesn't exercise: sketches must survive serialization to storage and
+    re-merge bit-correctly, or the whole persist-the-sketch-table
+    pattern at 100 TB is fiction. Same exact-count + bounded-error-flag
+    promotion; the exact branch reads the raw events ONLY for
+    verification."""
+    import os
+
+    from .relational import IO_DIR
+
+    _utc(spark)
+    path = f"{IO_DIR}/hll_daily_sketches"
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    rolled = stored.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return rolled.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(
+                F.lit(HLL_ROLLUP_BOUND) * F.col("exact_users"), F.lit(3.0)
+            )
+        )
+        .cast("long")
+        .alias("within_bound"),
+    )

@@ -222,6 +222,9 @@ DRIVER_PRIORITY: list[str] = [
     "join_range_bucketized",
     "consistent_hash_assignment",
     "doc_similarity_sparse",
+    "join_asof_tolerance",
+    "sketch_persist_roundtrip",
+    "scan_struct_pushdown",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -553,3 +553,33 @@ def test_rendezvous_hash_minimal_movement(spark, sf_dir):
     moved = sum(assign(k, N_SHARDS) != assign(k, N_SHARDS + 1) for k in keys)
     frac = moved / len(keys)
     assert 0 < frac < 2.5 / (N_SHARDS + 1), frac
+
+
+def test_asof_tolerance_branches_both_fire(spark, sf_dir):
+    """join_asof_tolerance: the fixture-calibrated SLA must exercise BOTH
+    branches — some matches fresh, some nulled stale — and stale rows
+    null the payload, never drop the row."""
+    rows = REGISTRY["join_asof_tolerance"].fn(spark, sf_dir).collect()
+    fresh = [r for r in rows if r["fresh"] == 1]
+    stale = [r for r in rows if r["fresh"] == 0]
+    assert fresh and stale
+    for r in fresh:
+        assert r["o_orderkey"] is not None and r["staleness_s"] is not None
+    for r in stale:
+        assert r["o_orderkey"] is None and r["staleness_s"] is None
+
+
+def test_sketch_roundtrip_survives_storage(spark, sf_dir):
+    """sketch_persist_roundtrip: the parquet-stored daily sketch table,
+    read back cold, merges to within the error envelope for every type —
+    and the stored table really is sketch-granular (|types|x|days| rows
+    with a binary column)."""
+    import os
+
+    from dask_recommender_system_spark.operators.relational import IO_DIR
+
+    rows = REGISTRY["sketch_persist_roundtrip"].fn(spark, sf_dir).collect()
+    assert rows and all(r["within_bound"] == 1 for r in rows)
+    stored = spark.read.parquet(f"{IO_DIR}/hll_daily_sketches")
+    assert dict(stored.dtypes)["sk"] == "binary"
+    assert stored.count() > len(rows)  # daily grain, not pre-merged

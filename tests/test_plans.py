@@ -885,3 +885,15 @@ def test_doc_similarity_sparse_joins_on_term(spark, sf_dir):
     plan = physical_plan(q("doc_similarity_sparse", spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
     assert re.search(r"Join [^\[]*\[term", plan), "term-keyed join missing"
+
+
+def test_struct_pushdown_reaches_scan(spark, sf_dir):
+    """scan_struct_pushdown: both struct-field predicates must appear as
+    pushed filters on the parquet scan, and the payload leaf (text) must
+    not be read."""
+    df = q("scan_struct_pushdown", spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "meta.lang" in pushed and "meta.n_chars" in pushed
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in rs
