@@ -758,3 +758,101 @@ def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("word") == F.col("cluster_word")).alias("is_canonical"),
         )
     )
+
+
+SNM_WINDOW = 5  # sorted-neighborhood width: candidates within w sort ranks
+SNM_KEY_LEN = 24
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH {ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY LOWER(SUBSTR(trim(text), 1, {SNM_KEY_LEN})),
+                            doc_id) - 1 AS rn
+        FROM documents),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+        FROM ranked a JOIN ranked b
+          ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW}),
+    common AS (
+        SELECT c.doc_a, c.doc_b, c.rank_dist,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        GROUP BY 1, 2, 3)
+    SELECT doc_a, doc_b, rank_dist,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (SNM) — the OTHER classic candidate
+    generator next to hash blocking (`fuzzy_join_blocked`) and LSH
+    banding (`dedup_minhash`): sort the corpus on a cheap domain key (a
+    normalized text prefix), and candidates are pairs within
+    {SNM_WINDOW} sort RANKS — O(n·w) candidates regardless of how skewed
+    any blocking key would be, SNM's defining advantage. The global rank
+    comes from the `encode_sorted_rank` two-pass block scheme (no
+    single-partition window); rank adjacency becomes an EQUI join on
+    rank buckets (each row lands in 2 buckets, pairs dedup'd) and
+    survivors go through the SAME `exact_jaccard_on_pairs` verify as the
+    LSH ladder. Recall on this fixture is total (every true pair is
+    within rank distance 2 — measured); the honest caveat is that SNM
+    recall depends on the sort key clustering true pairs, which is why
+    production runs multi-pass SNM with different keys."""
+    from ..models.common import encode_sorted_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            F.lower(F.substring(F.trim(F.col("text")), 1, SNM_KEY_LEN)),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("sortval"),
+    )
+    ranked = encode_sorted_rank(
+        keyed.select(F.col("sortval").alias("value")), "value", "rn"
+    )
+    rk = keyed.join(ranked, keyed.sortval == ranked.value).select("doc_id", "rn")
+    b = rk.select(
+        "doc_id",
+        "rn",
+        F.explode(
+            F.array(
+                F.floor(F.col("rn") / SNM_WINDOW),
+                F.floor(F.col("rn") / SNM_WINDOW) + 1,
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(
+            (F.col("b.rn") - F.col("a.rn") >= 1)
+            & (F.col("b.rn") - F.col("a.rn") <= SNM_WINDOW)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("b.rn") - F.col("a.rn")).cast("long").alias("rank_dist"),
+        )
+        .distinct()
+    )
+    verified = exact_jaccard_on_pairs(d, cand.select("doc_a", "doc_b"))
+    return (
+        cand.join(verified, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "rank_dist", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1564,3 +1564,72 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, stale).cast("long").alias("staleness_s"),
         fresh.cast("long").alias("fresh"),
     )
+
+
+@query(
+    "grouping_id_semantics",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_id_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() marker semantics on ROLLUP — the disambiguation the
+    NULL-filled subtotal rows need: a NULL key in a rollup row can mean
+    'this level is totalled away' OR 'the data value was NULL', and only
+    the GROUPING() flag tells them apart. Every BI tool on top of a
+    rollup depends on this; pinning it cross-engine closes the classic
+    migration trap. Same single Expand + one keyed aggregate plan as
+    `agg_rollup` — the flags are free metadata columns, not extra
+    passes."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n"
+    )
+
+
+@query(
+    "explode_outer_semantics",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+')[:3]
+               END AS toks
+        FROM documents)
+    SELECT doc_id,
+           CAST(NULL AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS tok
+    FROM d WHERE len(toks) = 0
+    UNION ALL
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+           UNNEST(toks) AS tok
+    FROM d WHERE len(toks) > 0
+    """,
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode semantics pinned: `posexplode_outer` keeps the
+    parent row (with NULL pos/element) when the array is EMPTY, where
+    plain `posexplode` silently DROPS it — the difference between 'this
+    document produced no chunks' being visible downstream or the
+    document vanishing from the pipeline (a silent data-loss class in
+    ETL). Empty arrays are derived (doc_id % 5) so the fixture
+    exercises both branches; the oracle models the outer branch with an
+    explicit UNION since UNNEST drops empties too."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>"))
+        .otherwise(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3))
+        .alias("toks"),
+    )
+    return d.select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")

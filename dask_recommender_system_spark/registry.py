@@ -225,6 +225,9 @@ DRIVER_PRIORITY: list[str] = [
     "join_asof_tolerance",
     "sketch_persist_roundtrip",
     "scan_struct_pushdown",
+    "dedup_sorted_neighborhood",
+    "grouping_id_semantics",
+    "explode_outer_semantics",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -583,3 +583,66 @@ def test_sketch_roundtrip_survives_storage(spark, sf_dir):
     stored = spark.read.parquet(f"{IO_DIR}/hll_daily_sketches")
     assert dict(stored.dtypes)["sk"] == "binary"
     assert stored.count() > len(rows)  # daily grain, not pre-merged
+
+
+def test_snm_recall_equals_full_exact_pairs(spark, sf_dir):
+    """dedup_sorted_neighborhood: on this fixture the window-{w} sorted
+    neighborhood recovers the COMPLETE exact-Jaccard>=0.5 pair set (every
+    true pair sorts within distance 2) — SNM's recall claim, measured
+    not assumed."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.dedup import (
+        exact_jaccard_on_pairs,
+        shingles,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_sorted_neighborhood"].fn(spark, sf_dir).collect()
+    }
+    # full exact pair set via the all-pairs oracle form
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(jac >= 0.5)
+        .collect()
+    }
+    assert got == full and got
+
+
+def test_explode_outer_keeps_empty_rows(spark, sf_dir):
+    """explode_outer_semantics: every doc_id%5==0 document survives as a
+    single NULL row; every other document yields exactly 3 token rows."""
+    rows = REGISTRY["explode_outer_semantics"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert any(d % 5 == 0 for d in by_doc)
+    for doc, rs in by_doc.items():
+        if doc % 5 == 0:
+            assert len(rs) == 1 and rs[0]["pos"] is None and rs[0]["tok"] is None
+        else:
+            assert len(rs) == 3 and {r["pos"] for r in rs} == {0, 1, 2}
