@@ -856,3 +856,62 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "rank_dist", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@query(
+    "minhash_incremental_merge",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_merge_equal
+    FROM documents
+    WHERE LEN(regexp_split_to_array(trim(text), '\\s+')) >= 6
+    """,
+)
+def minhash_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures are MERGEABLE — the property that makes
+    incremental dedup maintenance possible at 100 TB: when a document
+    grows (append-only logs, versioned docs), sig(old ∪ delta) is the
+    ELEMENTWISE MIN of sig(old) and sig(delta) — no re-shingling of the
+    old text. Each document is split into front/back token halves, both
+    halves signed independently, min-merged in-row (`zip_with`), and
+    compared against the full document's directly-computed signature;
+    the count of exact matches is the checked value (== n_docs: the
+    merge identity holds for every doc, not statistically). DuckDB
+    cannot compute xxhash64 signatures, so the oracle states the
+    IDENTITY — both counts equal the eligible-doc count. Shingles that
+    STRADDLE the split are assigned to the front half so the union of
+    shingle sets is exact — the real-world analog is signing the
+    overlap window once, the same discipline as `text_chunk` strides."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    eligible = d.filter(F.size(toks) >= 6).select("doc_id", "text")
+    half = (F.size(toks) / 2).cast("int")
+    # front half carries the straddle: tokens [1, half+SHINGLE_N-1]
+    front = eligible.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(toks, 1, half + F.lit(SHINGLE_N - 1))
+        ).alias("text"),
+    )
+    back = eligible.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(toks, half + 1, F.size(toks) - half)
+        ).alias("text"),
+    )
+    sig_full = minhash_signatures(eligible).select(
+        "doc_id", F.col("sig").alias("sig_full")
+    )
+    sig_f = minhash_signatures(front).select("doc_id", F.col("sig").alias("sf"))
+    sig_b = minhash_signatures(back).select("doc_id", F.col("sig").alias("sb"))
+    merged = sig_f.join(sig_b, "doc_id").select(
+        "doc_id",
+        F.zip_with("sf", "sb", lambda a, b: F.least(a, b)).alias("sig_merged"),
+    )
+    cmp = merged.join(sig_full, "doc_id").select(
+        "doc_id", (F.col("sig_merged") == F.col("sig_full")).alias("eq")
+    )
+    return cmp.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("eq").cast("long")).alias("n_merge_equal"),
+    )

@@ -1656,3 +1656,51 @@ def scan_struct_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.source").alias("source"),
         F.col("meta.n_chars").alias("n_chars"),
     )
+
+
+@query(
+    "scan_jsonl_quarantine",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 6) AS s_acctbal
+    FROM supplier WHERE s_suppkey % 7 <> 3
+    """,
+)
+def scan_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforcing JSONL scan with corrupt-record quarantine — the
+    JSON twin of `scan_csv_quarantine` (malformed log lines are the
+    rule, not the exception, in 100 TB feeds). Every (key % 7 == 3) row
+    is staged deliberately truncated mid-object; PERMISSIVE mode with a
+    corrupt-record capture column turns those into quarantinable rows
+    instead of job failures, and the clean subset flows on. Narrow,
+    parse-in-scan, no shuffle."""
+    path = f"{IO_DIR}/supplier_jsonl_corrupt"
+    s = load_table(spark, sf_dir, "supplier")
+    body = F.concat(
+        F.lit('{"s_suppkey": '),
+        F.col("s_suppkey").cast("string"),
+        F.lit(', "s_nationkey": '),
+        F.col("s_nationkey").cast("string"),
+        F.lit(', "s_acctbal": '),
+        F.round("s_acctbal", 6).cast("string"),
+        F.lit("}"),
+    )
+    lines = s.select(
+        F.when(
+            F.col("s_suppkey") % 7 == 3, F.substring(body, 1, 20)
+        )
+        .otherwise(body)
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = (
+        spark.read.schema(
+            "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE,"
+            " _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return raw.filter(F.col("_corrupt").isNull()).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )

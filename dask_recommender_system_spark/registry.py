@@ -228,6 +228,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_sorted_neighborhood",
     "grouping_id_semantics",
     "explode_outer_semantics",
+    "scan_jsonl_quarantine",
+    "minhash_incremental_merge",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
