@@ -94,6 +94,16 @@ BENCH_QUERIES = [
     "gaps_islands",
     "event_rate_cusum",
     "stream_cdc_upsert",
+    # round-3 batch 6 (linkage, sparse similarity, sampling, DQ, DPP) —
+    # appended, same order-stability rule
+    "weighted_sample_topk",
+    "dq_rule_violations",
+    "doc_similarity_sparse",
+    "dedup_sorted_neighborhood",
+    "join_range_bucketized",
+    "basket_lift",
+    "join_partition_pruned",
+    "cumulative_unique_users",
 ]
 
 FUNK_EPOCHS = 5

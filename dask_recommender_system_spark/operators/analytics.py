@@ -1997,3 +1997,161 @@ def grouped_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6
         ).alias("excess_kurtosis"),
     )
+
+
+# ABC boundaries in exact integer arithmetic: A while cum <= 80% of total
+# revenue cents, B while cum <= 95%, else C — no float boundary can flip
+# a class (the vocab_coverage discipline on money).
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+@query(
+    "abc_classification",
+    oracle=f"""
+    WITH it AS (
+        SELECT l_partkey AS item_id,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM it),
+    w AS (SELECT item_id, rev_cents,
+                 ROW_NUMBER() OVER (ORDER BY rev_cents DESC, item_id) AS rnk,
+                 CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, item_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM it)
+    SELECT item_id, rev_cents, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_share,
+           CASE WHEN cum * 100 <= {ABC_A_PCT} * total THEN 'A'
+                WHEN cum * 100 <= {ABC_B_PCT} * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM w CROSS JOIN t
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: rank items by revenue,
+    class A while cumulative share <= 80%, B <= 95%, else C — the
+    workhorse of inventory/catalog prioritization. The global rank +
+    running revenue share reuse `vocab_coverage`'s two-pass block-offset
+    scheme verbatim (range partition desc, checkpoint, per-block
+    rank/cumsum, broadcast (row, mass) offsets) — no single-partition
+    window over the item table; revenue is integer CENTS so both the
+    cumsum and the class boundaries are exact integer comparisons."""
+    li = load_table(spark, sf_dir, "lineitem")
+    it = li.groupBy(F.col("l_partkey").alias("item_id")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    p = spark.sparkContext.defaultParallelism
+    blocks = it.repartitionByRange(
+        p, F.col("rev_cents").desc(), F.col("item_id")
+    ).localCheckpoint(eager=True)
+    tagged = blocks.withColumn("_pid", F.spark_partition_id())
+    stats = tagged.groupBy("_pid").agg(
+        F.count("*").alias("_n"), F.sum("rev_cents").alias("_mass")
+    ).collect()
+    offs, row_acc, mass_acc = [], 0, 0
+    for row in sorted(stats, key=lambda r: r["_pid"]):
+        offs.append((row["_pid"], row_acc, mass_acc))
+        row_acc += row["_n"]
+        mass_acc += row["_mass"]
+    off_df = spark.createDataFrame(offs, "_pid INT, _row_off LONG, _mass_off LONG")
+    total = F.lit(mass_acc)
+    lw = W.partitionBy("_pid").orderBy(F.col("rev_cents").desc(), "item_id")
+    cum = F.col("_mass_off") + F.sum("rev_cents").over(
+        lw.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.join(F.broadcast(off_df), "_pid")
+        .select(
+            "item_id",
+            "rev_cents",
+            (F.col("_row_off") + F.row_number().over(lw)).cast("long").alias("rnk"),
+            F.round(cum.cast("double") / total, 6).alias("cum_share"),
+            F.when(cum * 100 <= ABC_A_PCT * total, "A")
+            .when(cum * 100 <= ABC_B_PCT * total, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@query(
+    "log2_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT LENGTH(to_base(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 2))
+                   - 1 AS bucket
+        FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale (power-of-two) histogram of order amounts — the
+    heavy-tail profile where fixed-width bins waste 90% of their range:
+    bucket = floor(log2(cents)), computed as the LENGTH OF THE BINARY
+    STRING minus one — exact integer arithmetic on both engines, where
+    floor(ln(x)/ln(2)) flips at exact powers of two on last-ulp libm
+    differences. One narrow map + one ~40-key aggregate; the log2
+    histogram is also the shape HDR latency histograms use at 100 TB
+    telemetry scale."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    bucket = (F.length(F.conv(cents.cast("string"), 10, 2)) - 1).cast("long")
+    return o.select(bucket.alias("log2_bucket")).groupBy("log2_bucket").agg(
+        F.count("*").alias("n")
+    )
+
+
+TOPK_ARRAY_K = 3
+
+
+@query(
+    "grouped_topk_array",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(FLOOR({{EPOCH}} / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY cnt DESC, day) AS rn FROM d)
+    SELECT event_type,
+           list(struct_pack(day := day, cnt := cnt)
+                ORDER BY cnt DESC, day) AS top_days
+    FROM r WHERE rn <= {TOPK_ARRAY_K}
+    GROUP BY event_type
+    """.replace("{EPOCH}", "CAST(FLOOR(epoch(ts)) AS BIGINT)"),
+)
+def grouped_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K delivered AS A NESTED ARRAY column — the result
+    shape APIs actually serve ('top 3 days per metric' as one row per
+    metric, not K rows): keyed ranking window -> filter -> sort_array
+    over collect_list of (cnt, day) structs, with a deterministic
+    (cnt desc, day) order inside the array. Pins that nested
+    array<struct> results survive Arrow conversion and cross-engine
+    value comparison — the contract any downstream JSON serializer
+    depends on."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy(F.col("cnt").desc(), "day")
+    top = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOPK_ARRAY_K
+    )
+    # sort by (-cnt, day) then strip the sort key: array order must be
+    # deterministic and identical to the oracle's ORDER BY
+    return top.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("cnt")).alias("negcnt"), "day", "cnt"))
+            ),
+            lambda s: F.struct(s["day"].alias("day"), s["cnt"].alias("cnt")),
+        ).alias("top_days")
+    )

@@ -1704,3 +1704,46 @@ def scan_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.filter(F.col("_corrupt").isNull()).select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
+
+
+TPCH_Q3 = """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           CAST(YEAR(o_orderdate) * 10000 + MONTH(o_orderdate) * 100
+                + DAY(o_orderdate) AS BIGINT) AS odate_key,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1998-06-01'
+      AND l_shipdate > DATE '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, odate_key, l_orderkey
+    LIMIT 10
+"""
+
+
+@query(
+    "sql_interface_q3",
+    oracle=TPCH_Q3,
+)
+def sql_interface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority shape, adapted to the synthetic
+    schema: o_orderpriority stands in for o_shippriority and the date
+    split sits inside the fixture's 1995-2001 range) verbatim through
+    `spark.sql` — the
+    multi-join SQL pin next to Q1's scan-agg: a 3-table star join with
+    selective filters on BOTH dimension and fact, a grouped revenue
+    aggregate, and a top-10. Catalyst gets join ORDER and strategy
+    (broadcast the filtered customer dim) with zero hints; the LIMIT
+    compiles to TakeOrderedAndProject. Revenue ties are broken by
+    (odate, orderkey) in the ORDER BY so the top-10 is deterministic
+    cross-engine — ordering on a rounded float alone is the
+    `weighted_sample_topk` trap. The date leaves as a yyyymmdd integer
+    built from YEAR/MONTH/DAY — the epoch() spelling is DuckDB-only and
+    would break the run-verbatim-on-both-engines contract."""
+    _utc(spark)
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q3)

@@ -230,6 +230,10 @@ DRIVER_PRIORITY: list[str] = [
     "explode_outer_semantics",
     "scan_jsonl_quarantine",
     "minhash_incremental_merge",
+    "abc_classification",
+    "log2_histogram",
+    "grouped_topk_array",
+    "sql_interface_q3",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

