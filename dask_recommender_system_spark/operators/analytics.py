@@ -2120,8 +2120,8 @@ TOPK_ARRAY_K = 3
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
               ORDER BY cnt DESC, day) AS rn FROM d)
     SELECT event_type,
-           list(struct_pack(day := day, cnt := cnt)
-                ORDER BY cnt DESC, day) AS top_days
+           CAST(to_json(list(struct_pack(day := day, cnt := cnt)
+                ORDER BY cnt DESC, day)) AS VARCHAR) AS top_days_json
     FROM r WHERE rn <= {TOPK_ARRAY_K}
     GROUP BY event_type
     """.replace("{EPOCH}", "CAST(FLOOR(epoch(ts)) AS BIGINT)"),
@@ -2148,10 +2148,14 @@ def grouped_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort by (-cnt, day) then strip the sort key: array order must be
     # deterministic and identical to the oracle's ORDER BY
     return top.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct((-F.col("cnt")).alias("negcnt"), "day", "cnt"))
-            ),
-            lambda s: F.struct(s["day"].alias("day"), s["cnt"].alias("cnt")),
-        ).alias("top_days")
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("cnt")).alias("negcnt"), "day", "cnt")
+                    )
+                ),
+                lambda s: F.struct(s["day"].alias("day"), s["cnt"].alias("cnt")),
+            )
+        ).alias("top_days_json")
     )
