@@ -1633,3 +1633,49 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+@query(
+    "try_arithmetic_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / l_discount, 6)
+           END AS safe_div,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(l_linenumber AS VARCHAR) END AS BIGINT)
+               AS safe_cast,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(FLOOR(l_extendedprice / l_quantity) AS BIGINT)
+           END AS unit_price_floor
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    """,
+)
+def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: `try_divide` / `try_cast` turn the
+    rows that would kill an ANSI-mode job (division by zero, garbage in
+    a numeric column) into NULLs the pipeline can quarantine — the
+    row-level sibling of `scan_csv_quarantine`'s file-level capture, and
+    the semantics that silently differ between engines' strict/lenient
+    modes. Bad inputs are DERIVED (zero discounts exist in the data;
+    non-numeric strings planted by l_linenumber % 3) so every branch is
+    exercised. The oracle models try-semantics with explicit CASE
+    guards — the portable ANSI spelling of the same contract. Narrow,
+    zero shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 13 == 0
+    )
+    dirty = F.when(
+        F.col("l_linenumber") % 3 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("l_linenumber").cast("string"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 6).alias(
+            "safe_div"
+        ),
+        dirty.try_cast("bigint").alias("safe_cast"),
+        F.floor(F.try_divide("l_extendedprice", "l_quantity"))
+        .cast("bigint")
+        .alias("unit_price_floor"),
+    )

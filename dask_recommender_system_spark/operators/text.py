@@ -1162,3 +1162,44 @@ def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= DOC_SIM_MIN_COS)
     )
+
+
+PSEUDO_SALT = "drs-2026-rotation-1"
+
+
+@query(
+    "pii_pseudonymize",
+    oracle=f"""
+    SELECT c_custkey,
+           sha256('{PSEUDO_SALT}' || ':' || CAST(c_custkey AS VARCHAR))
+               AS pseudonym,
+           '****' || SUBSTR(CAST(10000 + c_custkey % 10000 AS VARCHAR), 2, 4)
+               AS display_suffix,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+)
+def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-PII pseudonymization — the GDPR-shaped twin of
+    `text_pii_redact`'s free-text scrubbing: identifiers are replaced by
+    a SALTED sha256 pseudonym (stable within a salt rotation so joins
+    and aggregations still work across pseudonymized tables — that
+    stability is the entire point vs plain redaction), plus a masked
+    display form keeping only a derived 4-digit suffix. Key property:
+    the pseudonym depends ONLY on (salt, key), so two pseudonymized
+    extracts join on it without ever materializing the real key; rotate
+    the salt and every pseudonym changes at once. Narrow, scan-speed,
+    zero shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(
+            F.concat_ws(":", F.lit(PSEUDO_SALT), F.col("c_custkey").cast("string")),
+            256,
+        ).alias("pseudonym"),
+        F.concat(
+            F.lit("****"),
+            F.substring((10000 + F.col("c_custkey") % 10000).cast("string"), 2, 4),
+        ).alias("display_suffix"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )

@@ -234,6 +234,9 @@ DRIVER_PRIORITY: list[str] = [
     "log2_histogram",
     "grouped_topk_array",
     "sql_interface_q3",
+    "stream_checkpoint_resume",
+    "pii_pseudonymize",
+    "try_arithmetic_suite",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -836,3 +836,90 @@ def stream_kll_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p50_within_bound"),
         )
     )
+
+
+@query(
+    "stream_checkpoint_resume",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+           ROUND(value, 6) AS value
+    FROM events
+    """,
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RECOVERY, exercised for real: the stream is started
+    with a durable checkpointLocation, killed partway through its input
+    backlog, and RESTARTED from the same checkpoint — the read-back must
+    equal the source exactly (no loss from under-replay, no duplicates
+    from over-replay). This is the operational half of exactly-once that
+    `stream_foreachbatch_sink` (idempotent writes) assumes: the file
+    source's offsets live in the checkpoint, the restarted query resumes
+    from the last committed batch, and the per-batch-partition dynamic
+    overwrite makes the one possibly-replayed batch idempotent. The
+    events table is staged as MANY small files (maxFilesPerTrigger=1) so
+    the kill point genuinely lands mid-backlog."""
+    import shutil
+
+    from ..data import load_table
+    from ..operators.relational import IO_DIR
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src_dir = f"{IO_DIR}/ckpt_src"
+    out_dir = f"{IO_DIR}/ckpt_sink"
+    ckpt_dir = f"{IO_DIR}/ckpt_state"
+    for d in (src_dir, out_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+    )
+    # 8 input files -> 8 micro-batches
+    ev.repartition(8).write.mode("overwrite").parquet(src_dir)
+    schema = ev.schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def write_batch(df: DataFrame, batch_id: int) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+
+        return (
+            stream.writeStream.option("checkpointLocation", ckpt_dir)
+            .foreachBatch(write_batch)
+            .start()
+        )
+
+    q = start()
+    try:
+        # let SOME batches commit, then kill mid-backlog
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(q.recentProgress) >= 2:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "event_type", "ts_s", "value"
+    )
