@@ -1203,3 +1203,95 @@ def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("display_suffix"),
         F.length("c_name").cast("long").alias("name_len"),
     )
+
+
+CURATE_MIN_TOKS = 20
+CURATE_MAX_TOKS = 1000
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, text FROM documents
+        WHERE doc_id % 10 = 0),
+    norm AS (
+        SELECT doc_id, lang,
+               TRIM(regexp_replace(regexp_replace(LOWER(text),
+                    '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                    '\\s+', ' ', 'g')) AS norm_text
+        FROM src),
+    keep AS (
+        SELECT norm_text, MIN(doc_id) AS keeper FROM norm GROUP BY norm_text),
+    d AS (
+        SELECT n.doc_id, n.lang, n.norm_text,
+               (n.doc_id = k.keeper) AS is_keeper,
+               LEN(string_split(n.norm_text, ' ')) AS n_toks
+        FROM norm n JOIN keep k ON n.norm_text = k.norm_text),
+    q AS (
+        SELECT *,
+               is_keeper AND n_toks BETWEEN {CURATE_MIN_TOKS}
+                   AND {CURATE_MAX_TOKS} AS is_quality
+        FROM d)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(SUM(CASE WHEN is_quality THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality,
+           CAST(SUM(CASE WHEN is_quality
+                THEN CAST(FLOOR((n_toks - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1
+                ELSE 0 END) AS BIGINT) AS n_chunks
+    FROM q GROUP BY lang
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data curation pipeline END-TO-END as one DAG — normalize →
+    exact-dedup (keep min doc) → quality gate (token-count band) → chunk
+    accounting — reported as a per-language funnel (docs in → unique →
+    quality → training chunks). Each stage is an operator this registry
+    already value-checks in isolation (`text_normalize`, `dedup_exact`,
+    `corpus_quality_filter`, `text_chunk`); this query pins that the
+    COMPOSITION stays one lazy plan: the normalize expressions fuse into
+    the scan, the dedup is the only data-sized shuffle (norm-text keyed
+    agg + same-keyed join, one exchange family), and the funnel collapse
+    is a |langs|-row aggregate. At 100 TB this is the job you actually
+    run nightly; the per-stage queries are its unit tests. All funnel
+    counts are exact integers. Exact duplicates are PLANTED (every 10th
+    doc re-enters under a shifted id, the crawl-recrawl shape) so the
+    dedup stage demonstrably cuts — the fixture corpus has only
+    near-dups, which exact dedup must NOT remove."""
+    base = load_table(spark, sf_dir, "documents")
+    d = base.select("doc_id", "lang", "text").unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+        )
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f\x7f]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    n = d.select("doc_id", "lang", norm.alias("norm_text"))
+    keep = n.groupBy("norm_text").agg(F.min("doc_id").alias("keeper"))
+    j = n.join(keep, "norm_text").select(
+        "lang",
+        (F.col("doc_id") == F.col("keeper")).alias("is_keeper"),
+        F.size(F.split("norm_text", " ")).cast("long").alias("n_toks"),
+    )
+    q = j.withColumn(
+        "is_quality",
+        F.col("is_keeper")
+        & F.col("n_toks").between(CURATE_MIN_TOKS, CURATE_MAX_TOKS),
+    )
+    chunks = F.floor((F.col("n_toks") - 1) / CHUNK_STRIDE).cast("long") + 1
+    return q.groupBy("lang").agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n_unique"),
+        F.sum(F.col("is_quality").cast("long")).alias("n_quality"),
+        F.sum(F.when(F.col("is_quality"), chunks).otherwise(0)).alias("n_chunks"),
+    )

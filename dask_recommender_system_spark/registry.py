@@ -237,6 +237,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_checkpoint_resume",
     "pii_pseudonymize",
     "try_arithmetic_suite",
+    "corpus_curation_pipeline",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -673,3 +673,20 @@ def test_log2_histogram_total_and_bounds(spark, sf_dir):
     n = load_table(spark, sf_dir, "orders").count()
     assert sum(r["n"] for r in rows) == n
     assert all(0 <= r["log2_bucket"] < 40 for r in rows)
+
+
+def test_curation_funnel_monotone_and_cuts(spark, sf_dir):
+    """corpus_curation_pipeline: the funnel is monotone (in >= unique >=
+    quality) and every stage demonstrably cuts — planted exact dups for
+    the dedup stage, the token band for quality — while chunks >= quality
+    (every surviving doc yields at least one chunk)."""
+    rows = REGISTRY["corpus_curation_pipeline"].fn(spark, sf_dir).collect()
+    assert rows
+    t_in = sum(r["n_in"] for r in rows)
+    t_u = sum(r["n_unique"] for r in rows)
+    t_q = sum(r["n_quality"] for r in rows)
+    t_c = sum(r["n_chunks"] for r in rows)
+    assert t_in > t_u > t_q  # both stages cut
+    assert t_c >= t_q
+    for r in rows:
+        assert r["n_in"] >= r["n_unique"] >= r["n_quality"]
