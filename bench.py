@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "basket_lift",
     "join_partition_pruned",
     "cumulative_unique_users",
+    # round-3 batch 7 (capstone composition + Pareto classification)
+    "corpus_curation_pipeline",
+    "abc_classification",
 ]
 
 FUNK_EPOCHS = 5
