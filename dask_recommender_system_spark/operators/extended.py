@@ -1679,3 +1679,39 @@ def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unit_price_floor"),
     )
+
+
+@query(
+    "union_schema_drift",
+    oracle="""
+    SELECT o_orderkey AS id, ROUND(o_totalprice, 6) AS amount,
+           o_orderpriority AS priority, CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey AS id, ROUND(o_totalprice, 6) AS amount,
+           CAST(NULL AS VARCHAR) AS priority, 'web' AS channel
+    FROM orders WHERE o_orderkey % 4 = 1
+    """,
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union — the v1/v2 feed problem: two extracts of the
+    same entity where each side carries columns the other lacks.
+    `unionByName(allowMissingColumns=True)` aligns BY NAME and
+    null-fills the gaps (positional `union` would silently pair the
+    wrong columns — the classic corruption, not an error); DuckDB's
+    `UNION ALL BY NAME` is the same contract, so the semantics are
+    value-pinned cross-engine. Complements `schema_evolution_merge`
+    (which handles drift at the STORAGE layer via mergeSchema); this is
+    the in-flight form."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 6).alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 6).alias("amount"),
+        F.lit("web").alias("channel"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

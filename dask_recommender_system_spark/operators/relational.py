@@ -1747,3 +1747,42 @@ def sql_interface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q3)
+
+
+@query(
+    "observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_seen,
+           ROUND(SUM(l_extendedprice), 6) AS price_seen,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_discount_rows
+    FROM lineitem WHERE l_quantity > 10
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe()` — pipeline health metrics WITHOUT a second scan:
+    the observation aggregates piggyback on the main job's pass (here a
+    filtered write-shaped pipeline), and the metrics arrive via the
+    driver-side Observation handle when the action completes — the
+    idiomatic replacement for running a separate COUNT query per metric
+    over 100 TB (exactly the anti-pattern `dq_rule_violations` notes).
+    The observed values ARE the declared result, so the value check
+    proves the piggybacked metrics equal a direct computation."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10)
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("l_extendedprice"), 6).alias("price_seen"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias(
+            "high_discount_rows"
+        ),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_seen"], m["price_seen"], m["high_discount_rows"])],
+        "rows_seen BIGINT, price_seen DOUBLE, high_discount_rows BIGINT",
+    )

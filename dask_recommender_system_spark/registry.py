@@ -238,6 +238,8 @@ DRIVER_PRIORITY: list[str] = [
     "pii_pseudonymize",
     "try_arithmetic_suite",
     "corpus_curation_pipeline",
+    "union_schema_drift",
+    "observe_metrics",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
