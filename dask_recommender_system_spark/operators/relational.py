@@ -1786,3 +1786,56 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_seen"], m["price_seen"], m["high_discount_rows"])],
         "rows_seen BIGINT, price_seen DOUBLE, high_discount_rows BIGINT",
     )
+
+
+DATE_DIM_START = "2024-01-01"
+DATE_DIM_DAYS = 366  # 2024 is a leap year — the edge the dim must carry
+
+
+@query(
+    "generate_date_dim",
+    oracle=f"""
+    WITH d AS (
+        SELECT DATE '{DATE_DIM_START}' + CAST(k AS INTEGER) AS dt
+        FROM (SELECT UNNEST(range(0, {DATE_DIM_DAYS})) AS k))
+    SELECT CAST(YEAR(dt) * 10000 + MONTH(dt) * 100 + DAY(dt) AS BIGINT)
+               AS date_key,
+           CAST(YEAR(dt) AS INT) AS yr,
+           CAST(MONTH(dt) AS INT) AS mo,
+           CAST(quarter(dt) AS INT) AS qtr,
+           CAST(isodow(dt) AS INT) AS iso_dow,
+           CAST(isodow(dt) >= 6 AS BOOLEAN) AS is_weekend,
+           CAST(dt = last_day(dt) AS BOOLEAN) AS is_month_end
+    FROM d
+    """,
+)
+def generate_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension GENERATION — a table from nothing: the calendar
+    spine every star schema joins against, produced by
+    `sequence()`+explode over a literal range rather than loaded from
+    storage (the generator-as-source capability; at 100 TB the date dim
+    is the one table you never ingest). Carries the attributes BI
+    queries cut by — yyyymmdd key, year/month/quarter, ISO day-of-week,
+    weekend and month-end flags — over a leap year so Feb-29 and the
+    366th day pin the calendar edge cases. Narrow generation, no input
+    scan at all."""
+    _utc(spark)
+    start = F.lit(DATE_DIM_START).cast("date")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(DATE_DIM_DAYS - 1))
+        ).alias("k")
+    )
+    dt = F.date_add(start, F.col("k").cast("int"))
+    iso_dow = ((F.dayofweek(dt) + 5) % 7) + 1
+    return days.select(
+        (F.year(dt) * 10000 + F.month(dt) * 100 + F.dayofmonth(dt))
+        .cast("long")
+        .alias("date_key"),
+        F.year(dt).alias("yr"),
+        F.month(dt).alias("mo"),
+        F.quarter(dt).alias("qtr"),
+        iso_dow.cast("int").alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        (dt == F.last_day(dt)).alias("is_month_end"),
+    )

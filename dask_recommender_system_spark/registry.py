@@ -240,6 +240,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_curation_pipeline",
     "union_schema_drift",
     "observe_metrics",
+    "generate_date_dim",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
