@@ -1715,3 +1715,74 @@ def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("web").alias("channel"),
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# Overflow gate for try_multiply: |cents| above this would overflow BIGINT
+# when multiplied by OVF_FACTOR.
+OVF_FACTOR = 1_000_000_000_000
+
+
+@query(
+    "overflow_semantics",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN ABS(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                     > 9223372036854775807 // {OVF_FACTOR}
+                THEN NULL
+                ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                     * {OVF_FACTOR}
+           END AS scaled_or_null,
+           CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) *
+                CAST({OVF_FACTOR} AS HUGEINT) >
+                CAST(9223372036854775807 AS HUGEINT) AS BOOLEAN)
+               AS would_overflow
+    FROM orders WHERE o_orderkey % 19 = 0
+    """,
+)
+def overflow_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-overflow semantics: `try_multiply` yields NULL where the
+    BIGINT product would overflow — the third member of the try-family
+    next to `try_arithmetic_suite`'s division/cast, and the one that
+    differs most across engines (wrap, error, saturate, or NULL). The
+    factor is sized so the fixture's larger amounts genuinely cross the
+    64-bit boundary; the oracle models the same contract by computing
+    the product in HUGEINT and gating on the BIGINT max — the portable
+    spelling of overflow detection."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 19 == 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.try_multiply(cents, F.lit(OVF_FACTOR)).alias("scaled_or_null"),
+        F.try_multiply(cents, F.lit(OVF_FACTOR)).isNull().alias(
+            "would_overflow"
+        ),
+    )
+
+
+@query(
+    "decimal_money_suite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR)
+               AS total_exact,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def decimal_money_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType money aggregation — EXACT by type, not by discipline:
+    where the integer-cents idiom (`hierarchy_rollup`) carries exactness
+    manually, DECIMAL(18,2) carries it in the type system — sums are
+    exact at any partitioning/order and overflow raises instead of
+    silently degrading. The value check serializes totals to STRINGS:
+    pandas materializes Spark decimals as Python Decimal and DuckDB
+    decimals as float64, so the decimal wire form is the only
+    representation both engines agree on byte-for-byte — the same
+    serialize-the-contract move as `grouped_topk_array`'s JSON."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("total_exact"),
+        F.count("*").alias("n"),
+    )

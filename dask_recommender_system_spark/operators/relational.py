@@ -1839,3 +1839,55 @@ def generate_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         (iso_dow >= 6).alias("is_weekend"),
         (dt == F.last_day(dt)).alias("is_month_end"),
     )
+
+
+@query(
+    "sink_parquet_zstd",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec round trip: the same table written twice, snappy (Spark's
+    default: fast, lighter compression) and zstd (denser, the archival/
+    network-bound choice) — content must be byte-identical back, and the
+    codec must actually take effect (file metadata asserted in tests; a
+    misconfigured writer silently falling back to snappy costs ~30-40%
+    extra storage on text-heavy 100 TB corpora). The declared result is
+    the zstd read-back against the source oracle; codec choice is a
+    pure storage-layer knob that never touches query semantics."""
+    base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    for codec in ("snappy", "zstd"):
+        base.write.mode("overwrite").option("compression", codec).parquet(
+            f"{IO_DIR}/nation_{codec}"
+        )
+    return spark.read.parquet(f"{IO_DIR}/nation_zstd")
+
+
+@query(
+    "join_hint_merge",
+    oracle="""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS respected: a join Catalyst would broadcast
+    (region is 5 rows) is forced onto the sort-merge path with a MERGE
+    hint — the escape hatch for when the optimizer's estimate is wrong
+    (a 'small' build side that decompresses 100x, a broadcast that OOMs
+    the driver). The hint must survive into the physical plan
+    (SortMergeJoin asserted, no BroadcastHashJoin) while the RESULT is
+    identical to the unhinted join — hints steer strategy, never
+    semantics, and the oracle pins that."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.hint("merge")
+        .join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )

@@ -241,6 +241,10 @@ DRIVER_PRIORITY: list[str] = [
     "union_schema_drift",
     "observe_metrics",
     "generate_date_dim",
+    "overflow_semantics",
+    "decimal_money_suite",
+    "sink_parquet_zstd",
+    "join_hint_merge",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

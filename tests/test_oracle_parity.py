@@ -690,3 +690,37 @@ def test_curation_funnel_monotone_and_cuts(spark, sf_dir):
     assert t_c >= t_q
     for r in rows:
         assert r["n_in"] >= r["n_unique"] >= r["n_quality"]
+
+
+def test_overflow_semantics_branches(spark, sf_dir):
+    """overflow_semantics: both branches fire, and NULLness of the scaled
+    product exactly coincides with the overflow flag."""
+    rows = REGISTRY["overflow_semantics"].fn(spark, sf_dir).collect()
+    ovf = [r for r in rows if r["would_overflow"]]
+    ok = [r for r in rows if not r["would_overflow"]]
+    assert ovf and ok
+    assert all(r["scaled_or_null"] is None for r in ovf)
+    assert all(r["scaled_or_null"] is not None for r in ok)
+
+
+def test_decimal_totals_are_exact_strings(spark, sf_dir):
+    """decimal_money_suite: each group's decimal total equals the exact
+    integer-cents recomputation, proving DECIMAL sums carry no float
+    drift."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table
+
+    rows = {r["o_orderpriority"]: r for r in REGISTRY["decimal_money_suite"].fn(spark, sf_dir).collect()}
+    cents = {
+        r["o_orderpriority"]: r["c"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c"))
+        .collect()
+    }
+    assert set(rows) == set(cents)
+    for k, r in rows.items():
+        assert Decimal(r["total_exact"]) == Decimal(cents[k]) / 100, (k, r)

@@ -913,3 +913,27 @@ def test_abc_classification_no_global_window(spark, sf_dir):
     scheme — no single-partition window over the item table."""
     df = q("abc_classification", spark, sf_dir)
     assert "SinglePartition" not in physical_plan(df, "formatted")
+
+
+def test_join_hint_merge_forces_smj(spark, sf_dir):
+    """join_hint_merge: the MERGE hint must survive to the physical plan
+    — SortMergeJoin, not the broadcast Catalyst would pick for a 5-row
+    dim."""
+    plan = physical_plan(q("join_hint_merge", spark, sf_dir), "simple")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_zstd_codec_actually_applies(spark, sf_dir):
+    """sink_parquet_zstd: both written layouts carry their declared codec
+    in the parquet metadata — a writer silently falling back to snappy
+    is the failure this pins."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    q("sink_parquet_zstd", spark, sf_dir).collect()
+    for codec, expect in (("snappy", "SNAPPY"), ("zstd", "ZSTD")):
+        f = glob.glob(f"/tmp/drs_spark_io/nation_{codec}/part-*.parquet")[0]
+        meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
+        assert meta.compression == expect, (codec, meta.compression)
