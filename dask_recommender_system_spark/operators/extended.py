@@ -1786,3 +1786,54 @@ def decimal_money_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_exact"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "collation_semantics",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN UPPER(regexp_split_to_array(p_name, ' ')[1])
+                    ELSE regexp_split_to_array(p_name, ' ')[1]
+               END AS word
+        FROM (SELECT p_partkey AS doc_id, p_name FROM part))
+    SELECT LOWER(word) AS word_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_case_variants
+    FROM w GROUP BY LOWER(word)
+    """,
+)
+def collation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 COLLATION semantics: grouping under UTF8_LCASE merges
+    case variants AT THE TYPE LEVEL — `collate(col, 'UTF8_LCASE')` makes
+    'Apple' and 'APPLE' one group key without rewriting every expression
+    through lower() (and, unlike lower(), collation also drives joins,
+    DISTINCT and ORDER BY consistently). Mixed-case data is derived
+    (every even key upper-cases its word) so collated and binary
+    groupings demonstrably differ — n_case_variants > 1 proves the
+    merge happened. The oracle is the portable LOWER() spelling of the
+    same contract."""
+    p = load_table(spark, sf_dir, "part")
+    w = p.select(
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.upper(F.split("p_name", " ")[0]),
+        )
+        .otherwise(F.split("p_name", " ")[0])
+        .alias("word")
+    )
+    return (
+        w.groupBy(F.collate("word", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.collate("word", "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("word_ci"),
+            "n",
+            "n_case_variants",
+        )
+    )

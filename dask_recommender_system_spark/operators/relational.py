@@ -1891,3 +1891,32 @@ def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.count("*").alias("n_nations"))
     )
+
+
+LATERAL_SQL = """
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r, LATERAL (
+        SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+        FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2
+    ) t
+"""
+
+
+@query("sql_lateral_topk", oracle=LATERAL_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery verbatim through `spark.sql` — the
+    top-N-per-group idiom SQL users reach for (per region, the 2 nations
+    with the most customers), where the subquery references the outer
+    row. Catalyst DECORRELATES the lateral into a ranked join rather
+    than executing it per outer row — which is the difference between
+    one plan and |outer| plans at scale. Same text runs on DuckDB (its
+    LATERAL is the same ANSI feature) — the third member of the
+    run-verbatim SQL family after Q1/Q3."""
+    _utc(spark)
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(LATERAL_SQL)

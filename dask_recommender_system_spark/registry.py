@@ -245,6 +245,8 @@ DRIVER_PRIORITY: list[str] = [
     "decimal_money_suite",
     "sink_parquet_zstd",
     "join_hint_merge",
+    "collation_semantics",
+    "sql_lateral_topk",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -724,3 +724,11 @@ def test_decimal_totals_are_exact_strings(spark, sf_dir):
     assert set(rows) == set(cents)
     for k, r in rows.items():
         assert Decimal(r["total_exact"]) == Decimal(cents[k]) / 100, (k, r)
+
+
+def test_collation_merges_case_variants(spark, sf_dir):
+    """collation_semantics: collated grouping is strictly coarser than
+    binary grouping — at least one group holds two case variants."""
+    rows = REGISTRY["collation_semantics"].fn(spark, sf_dir).collect()
+    assert any(r["n_case_variants"] == 2 for r in rows)
+    assert all(r["word_ci"] == r["word_ci"].lower() for r in rows)
