@@ -2159,3 +2159,65 @@ def grouped_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("top_days_json")
     )
+
+
+@query(
+    "activity_heatmap",
+    oracle=f"""
+    SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (day-of-week × hour) activity heatmap — the BI grid behind
+    every 'when are users active' dashboard: one keyed aggregate
+    collapsing the corpus to <= 7x24 cells, map-side partials carrying
+    everything. ISO day-of-week (Monday=1, converted from Spark's
+    Sunday-based dayofweek) and the hour both extract from the UTC-pinned
+    timestamp — the tz discipline is the whole trick, since a heatmap
+    shifted by the session zone is wrong in the most plausible-looking
+    way."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (((F.dayofweek("ts") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+@query(
+    "argmax_per_group",
+    oracle=f"""
+    SELECT user_id,
+           arg_max(event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000 + event_id)
+               AS last_event_type,
+           arg_min(event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000 + event_id)
+               AS first_event_type,
+           CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX aggregates (`max_by`/`min_by`): carry an ATTRIBUTE of the
+    extreme row out of a single hash aggregate — first/last event type
+    per user with no window, no self-join, no rank pass (the window
+    form costs a sort per partition; max_by is one map-side-combinable
+    agg). Ties are the trap: max_by on a bare timestamp is
+    engine-defined when timestamps repeat, so the ordering key is the
+    COMPOSITE (epoch micros-scaled + event_id) — unique by
+    construction, deterministic on both engines."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    key = F.unix_timestamp("ts") * 1000000 + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_event_type"),
+        F.min_by("event_type", key).alias("first_event_type"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias("last_ts"),
+    )

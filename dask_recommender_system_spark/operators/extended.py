@@ -1837,3 +1837,66 @@ def collation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH a AS (
+        SELECT s_suppkey AS a_id,
+               ROUND(s_acctbal * 2, 6) AS a_lo,
+               ROUND(s_acctbal * 2 + 900, 6) AS a_hi
+        FROM supplier WHERE s_acctbal > 0),
+    b AS (
+        SELECT p_partkey AS b_id,
+               ROUND(p_retailprice * 3, 6) AS b_lo,
+               ROUND(p_retailprice * 3 + 600, 6) AS b_hi
+        FROM part WHERE p_partkey % 7 = 0)
+    SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+    GROUP BY a_id
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (availability windows × promotion
+    windows, outage ranges × deploy ranges) — the fourth interval-join
+    shape after point-in-interval, band, and bucketized containment.
+    Overlap (a.lo < b.hi AND b.lo < a.hi) equi-izes like containment
+    did: BOTH interval sets explode in-row onto the same fixed-width
+    bucket grid, the join is a plain equi-join on bucket, pairs dedup
+    (an overlapping pair shares >= 1 bucket — guaranteed because two
+    overlapping intervals both cover any point in their intersection),
+    and the exact predicate verifies after. No nested loop at any dim
+    size; bounds rounded to shared constants before bucketing."""
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    a = sup.select(
+        F.col("s_suppkey").alias("a_id"),
+        F.round(F.col("s_acctbal") * 2, 6).alias("a_lo"),
+        F.round(F.col("s_acctbal") * 2 + 900, 6).alias("a_hi"),
+    )
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    b = pt.select(
+        F.col("p_partkey").alias("b_id"),
+        F.round(F.col("p_retailprice") * 3, 6).alias("b_lo"),
+        F.round(F.col("p_retailprice") * 3 + 600, 6).alias("b_hi"),
+    )
+
+    def bucketize(df, lo, hi):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / RANGE_BUCKET_W).cast("long"),
+                    F.floor(F.col(hi) / RANGE_BUCKET_W).cast("long"),
+                )
+            ),
+        )
+
+    cand = (
+        bucketize(a, "a_lo", "a_hi")
+        .join(bucketize(b, "b_lo", "b_hi"), "bucket")
+        .filter((F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return cand.groupBy("a_id").agg(F.count("*").alias("n_overlaps"))

@@ -247,6 +247,9 @@ DRIVER_PRIORITY: list[str] = [
     "join_hint_merge",
     "collation_semantics",
     "sql_lateral_topk",
+    "interval_overlap_join",
+    "activity_heatmap",
+    "argmax_per_group",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
