@@ -2221,3 +2221,131 @@ def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", key).alias("first_event_type"),
         F.max(F.unix_timestamp("ts")).cast("long").alias("last_ts"),
     )
+
+
+@query(
+    "string_agg_ordered",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg) — the
+    denormalized-label column every report and export wants. The
+    determinism trap is the ORDER: an unordered collect_list is
+    partition-order-defined and can differ per RUN, let alone per
+    engine — so the contract is sort-then-join
+    (`sort_array(collect_list(...))`), matching the oracle's
+    WITHIN-GROUP ORDER BY. One keyed agg; the concatenation is
+    in-group, bounded by group size."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ID_GAP_BUCKET = 1000
+
+
+@query(
+    "id_gap_audit",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_id FROM events WHERE event_id % 997 <> 0),
+    d AS (
+        SELECT event_id // {ID_GAP_BUCKET} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(event_id) AS BIGINT) AS lo,
+               CAST(MAX(event_id) AS BIGINT) AS hi
+        FROM src GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n, lo, hi,
+           CAST(hi - lo + 1 - n AS BIGINT) AS n_missing
+    FROM d WHERE hi - lo + 1 - n > 0
+    """,
+)
+def id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: which id ranges have HOLES (dropped events,
+    failed producers, compaction bugs) — per fixed-width id bucket,
+    span-minus-count gives the missing count with pure integer
+    arithmetic and ONE keyed aggregate; only gappy buckets surface. The
+    naive form (anti-join against a generated full sequence) costs a
+    generated table the size of the ID SPACE — this form costs one agg
+    over the data that exists. Within-bucket holes are exact; holes
+    ALIGNED with bucket boundaries would need the islands machinery
+    (`gaps_islands`) — declared scope. The fixture's ids are DENSE, so
+    holes are planted (every 997th id dropped, a lost-producer shape) —
+    an audit that can never fire checks nothing."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 997 != 0
+    )
+    d = ev.groupBy(
+        F.floor(F.col("event_id") / ID_GAP_BUCKET).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    )
+    missing = F.col("hi") - F.col("lo") + 1 - F.col("n")
+    return d.filter(missing > 0).select(
+        "bucket", "n", "lo", "hi", missing.cast("long").alias("n_missing")
+    )
+
+
+@query(
+    "dense_scaffold_fill",
+    oracle=f"""
+    WITH wk AS (
+        SELECT DISTINCT CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT) AS week
+        FROM events),
+    et AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT week, event_type FROM wk CROSS JOIN et),
+    f AS (
+        SELECT CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT) AS week,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value > 280 GROUP BY 1, 2)
+    SELECT g.week, g.event_type,
+           CAST(COALESCE(f.n, 0) AS BIGINT) AS n,
+           (f.n IS NULL) AS was_empty
+    FROM grid g LEFT JOIN f ON g.week = f.week AND g.event_type = f.event_type
+    """,
+)
+def dense_scaffold_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense reporting scaffold: the (week × event_type) grid with
+    ZERO-FILLED empty cells — the 'no data must still be a row' fix
+    every dashboard needs (a sparse GROUP BY silently drops empty
+    cells, and a line chart connects across the hole as if nothing
+    happened). The scaffold is the cross join of two COLLAPSED
+    dimension sets (|weeks| × |types| rows — broadcast-sized by
+    construction, the only cross join this engine allows unbounded
+    sides nowhere near); facts left-join in and COALESCE to zero,
+    with the was_empty flag distinguishing true zero from filled
+    zero. The filter makes empty cells actually exist."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    wk = ev.select(week.alias("week")).distinct()
+    et = ev.select("event_type").distinct()
+    grid = wk.crossJoin(F.broadcast(et))
+    f = (
+        ev.filter(F.col("value") > 280)
+        .groupBy(week.alias("week"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return grid.join(f, ["week", "event_type"], "left").select(
+        "week",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.col("n").isNull().alias("was_empty"),
+    )

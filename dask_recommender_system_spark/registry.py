@@ -250,6 +250,9 @@ DRIVER_PRIORITY: list[str] = [
     "interval_overlap_join",
     "activity_heatmap",
     "argmax_per_group",
+    "string_agg_ordered",
+    "id_gap_audit",
+    "dense_scaffold_fill",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

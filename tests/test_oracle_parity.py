@@ -732,3 +732,26 @@ def test_collation_merges_case_variants(spark, sf_dir):
     rows = REGISTRY["collation_semantics"].fn(spark, sf_dir).collect()
     assert any(r["n_case_variants"] == 2 for r in rows)
     assert all(r["word_ci"] == r["word_ci"].lower() for r in rows)
+
+
+def test_id_gap_audit_finds_planted_holes(spark, sf_dir):
+    """id_gap_audit: the planted every-997th holes are found, and each
+    bucket's missing count is positive and within the bucket span."""
+    rows = REGISTRY["id_gap_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_missing"] <= r["hi"] - r["lo"] + 1 - 1
+        assert r["n"] + r["n_missing"] == r["hi"] - r["lo"] + 1
+
+
+def test_dense_scaffold_grid_complete(spark, sf_dir):
+    """dense_scaffold_fill: the output is the FULL |weeks|x|types| grid,
+    empty cells exist (zero-filled with the flag set), and non-empty
+    cells carry positive counts."""
+    rows = REGISTRY["dense_scaffold_fill"].fn(spark, sf_dir).collect()
+    weeks = {r["week"] for r in rows}
+    types = {r["event_type"] for r in rows}
+    assert len(rows) == len(weeks) * len(types)
+    empty = [r for r in rows if r["was_empty"]]
+    assert empty and all(r["n"] == 0 for r in empty)
+    assert all(r["n"] > 0 for r in rows if not r["was_empty"])
