@@ -2349,3 +2349,43 @@ def dense_scaffold_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.col("n").isNull().alias("was_empty"),
     )
+
+
+DEBOUNCE_S = 600
+
+
+@query(
+    "event_debounce",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_id, user_id, event_type,
+               {EPOCH_TS} AS t,
+               LAG({EPOCH_TS}) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev_t
+        FROM events)
+    SELECT event_id, user_id, event_type, CAST(t AS BIGINT) AS t
+    FROM g WHERE prev_t IS NULL OR t - prev_t > {DEBOUNCE_S}
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debouncing: drop an event arriving within
+    {DEBOUNCE_S}s of the PREVIOUS event of the same (user, type) —
+    double-click/retry squashing, the single-pass lag form (each event
+    compares against its immediate raw predecessor; the iterative form,
+    where survivors re-anchor the window, is a recurrence — `user_ewma`
+    territory — and deliberately out of scope, declared). One keyed
+    window on the (user_id, event_type) composite, integer-seconds
+    comparison, deterministic event_id tiebreak for same-second
+    events."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    g = ev.select(
+        "event_id", "user_id", "event_type", t.alias("t"),
+        F.lag(t).over(w).alias("prev_t"),
+    )
+    return g.filter(
+        F.col("prev_t").isNull() | (F.col("t") - F.col("prev_t") > DEBOUNCE_S)
+    ).select("event_id", "user_id", "event_type", "t")

@@ -1900,3 +1900,34 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.groupBy("a_id").agg(F.count("*").alias("n_overlaps"))
+
+
+@query(
+    "date_format_suite",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+           strftime(o_orderdate, '%Y/%m') AS year_month,
+           strftime(o_orderdate, '%d.%m.%Y') AS eu_date
+    FROM orders WHERE o_orderkey % 23 = 0
+    """,
+)
+def date_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date FORMATTING parity — the export/filename/partition-label
+    surface: identical output strings from different token dialects
+    (Spark's SimpleDateFormat-style `yyyy-MM-dd` vs DuckDB's strftime
+    `%Y-%m-%d`). The check is on the RESULT strings, which is the only
+    contract that matters — a pipeline migrating engines rewrites the
+    tokens once and pins the outputs, exactly what this query does.
+    Zero-padding and century handling are where dialects silently
+    differ; three formats cover ISO, path-label, and EU conventions.
+    Narrow, zero shuffle."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+        F.date_format(d, "yyyy/MM").alias("year_month"),
+        F.date_format(d, "dd.MM.yyyy").alias("eu_date"),
+    )

@@ -1295,3 +1295,50 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_quality").cast("long")).alias("n_quality"),
         F.sum(F.when(F.col("is_quality"), chunks).otherwise(0)).alias("n_chunks"),
     )
+
+
+@query(
+    "regex_extract_all_suite",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' ref-' || CAST(doc_id AS VARCHAR) ||
+               ' ref-' || CAST(doc_id * 2 AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' ref-' || CAST(doc_id * 3 AS VARCHAR)
+                    ELSE '' END AS t
+        FROM documents)
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(t, 'ref-[0-9]+')) AS BIGINT)
+               AS n_refs,
+           array_to_string(list_sort(regexp_extract_all(t, 'ref-[0-9]+')),
+                           ',') AS refs_sorted
+    FROM planted
+    """,
+)
+def regex_extract_all_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-match regex extraction (`regexp_extract_all`) — reference
+    mining, citation counting, marker harvesting: where
+    `regexp_extract` returns only the first hit and `parse_logs_regex`
+    assumes one match per line, this returns every match as an array.
+    Markers are planted deterministically (2-3 per doc) so multi-match
+    behavior is genuinely exercised; the array is SORTED before joining
+    to a string because match order beyond the first is the part
+    engines could disagree on (both are document-order here, but the
+    pinned contract shouldn't depend on it). Narrow, in-scan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" ref-"), F.col("doc_id").cast("string"),
+        F.lit(" ref-"), (F.col("doc_id") * 2).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" ref-"), (F.col("doc_id") * 3).cast("string")),
+        ).otherwise(""),
+    )
+    refs = F.regexp_extract_all(t, F.lit("ref-[0-9]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(refs).cast("long").alias("n_refs"),
+        F.array_join(F.array_sort(refs), ",").alias("refs_sorted"),
+    )

@@ -253,6 +253,9 @@ DRIVER_PRIORITY: list[str] = [
     "string_agg_ordered",
     "id_gap_audit",
     "dense_scaffold_fill",
+    "date_format_suite",
+    "event_debounce",
+    "regex_extract_all_suite",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
