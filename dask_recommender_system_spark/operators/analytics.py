@@ -2389,3 +2389,70 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(
         F.col("prev_t").isNull() | (F.col("t") - F.col("prev_t") > DEBOUNCE_S)
     ).select("event_id", "user_id", "event_type", "t")
+
+
+@query(
+    "session_duration_stats",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, {EPOCH_TS} AS t,
+               CASE WHEN {EPOCH_TS} - LAG({EPOCH_TS}) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    s AS (
+        SELECT user_id, t,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+    d AS (
+        SELECT user_id, sid,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS dur_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(AVG(dur_s), 6) AS avg_dur_s,
+           ROUND(quantile_cont(dur_s, 0.5), 6) AS p50_dur_s,
+           ROUND(quantile_cont(dur_s, 0.9), 6) AS p90_dur_s,
+           ROUND(AVG(n_events), 6) AS avg_events
+    FROM d
+    """,
+)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution — the product-health readout on top
+    of sessionization: session count, bounce rate (single-event
+    sessions), avg/p50/p90 duration, events per session. Reuses the
+    `sessionize` lag+running-sum decomposition (both windows + the
+    session collapse on ONE user key), then a 6-number scalar gather.
+    Durations are exact integer seconds; only the interpolated
+    percentiles and means are floats, rounded."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    g = ev.select(
+        "user_id", t.alias("t"),
+        F.when(t - F.lag(t).over(w) > 1800, 1).otherwise(0).alias("new_sess"),
+    )
+    s = g.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            W.partitionBy("user_id").orderBy("t").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    d = s.groupBy("user_id", "sid").agg(
+        (F.max("t") - F.min("t")).cast("long").alias("dur_s"),
+        F.count("*").alias("n_events"),
+    )
+    return d.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        F.round(F.avg("dur_s"), 6).alias("avg_dur_s"),
+        F.round(F.expr("percentile(dur_s, 0.5)"), 6).alias("p50_dur_s"),
+        F.round(F.expr("percentile(dur_s, 0.9)"), 6).alias("p90_dur_s"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+    )

@@ -256,6 +256,7 @@ DRIVER_PRIORITY: list[str] = [
     "date_format_suite",
     "event_debounce",
     "regex_extract_all_suite",
+    "session_duration_stats",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
