@@ -2456,3 +2456,53 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(dur_s, 0.9)"), 6).alias("p90_dur_s"),
         F.round(F.avg("n_events"), 6).alias("avg_events"),
     )
+
+
+TOP_MOVERS_K = 5
+
+
+@query(
+    "top_movers",
+    oracle=f"""
+    WITH wk AS (
+        SELECT event_type,
+               CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT) AS week,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    ch AS (
+        SELECT event_type, week, cnt,
+               LAG(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                   AS prev_cnt
+        FROM wk)
+    SELECT event_type, week, cnt, prev_cnt,
+           CAST(ABS(cnt - prev_cnt) AS BIGINT) AS abs_change
+    FROM ch WHERE prev_cnt IS NOT NULL
+    ORDER BY abs_change DESC, event_type, week
+    LIMIT {TOP_MOVERS_K}
+    """,
+)
+def top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top movers — the alerting cut of `period_over_period`: the K
+    (metric, week) cells with the largest ABSOLUTE week-over-week swing,
+    ranked on exact integer deltas (ranking on the percentage is
+    float-ordering; ranking on |Δcount| is not, and for alerting the
+    absolute move is usually the right severity anyway). Keyed agg +
+    keyed lag as before; the global K-cut is a TakeOrderedAndProject
+    over the |types|x|weeks| table with full deterministic tiebreaks."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("week")
+    ch = wk.withColumn("prev_cnt", F.lag("cnt").over(w)).filter(
+        F.col("prev_cnt").isNotNull()
+    )
+    return (
+        ch.withColumn(
+            "abs_change", F.abs(F.col("cnt") - F.col("prev_cnt")).cast("long")
+        )
+        .orderBy(F.col("abs_change").desc(), "event_type", "week")
+        .limit(TOP_MOVERS_K)
+    )

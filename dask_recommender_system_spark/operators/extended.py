@@ -1931,3 +1931,53 @@ def date_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "yyyy/MM").alias("year_month"),
         F.date_format(d, "dd.MM.yyyy").alias("eu_date"),
     )
+
+
+@query(
+    "join_dirty_keys",
+    oracle="""
+    WITH v1 AS (
+        SELECT c_custkey, c_name FROM customer),
+    v2 AS (
+        SELECT c_custkey AS ext_id,
+               CASE WHEN c_custkey % 3 = 0 THEN UPPER(c_name) || '  '
+                    WHEN c_custkey % 3 = 1 THEN ' ' || c_name
+                    ELSE c_name END AS dirty_name,
+               ROUND(c_acctbal, 6) AS balance
+        FROM customer)
+    SELECT v1.c_custkey, v1.c_name, v2.balance,
+           (v1.c_name <> v2.dirty_name) AS was_dirty
+    FROM v1 JOIN v2
+      ON LOWER(TRIM(v1.c_name)) = LOWER(TRIM(v2.dirty_name))
+    """,
+)
+def join_dirty_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-key join — the ETL reality check: a second feed carries the
+    SAME entities with whitespace-padded / case-mangled keys (planted
+    deterministically on 2/3 of rows), and the join succeeds only
+    because both sides normalize (trim + casefold) IN the join
+    condition. The normalization is a narrow expression evaluated
+    map-side before the shuffle — the join still hash-partitions on the
+    normalized key like any equi-join; `was_dirty` reports how much of
+    the feed needed repair (the data-quality metric this pattern should
+    always emit). A raw-key join here would silently drop 2/3 of
+    matches — the oracle pins full recovery."""
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", "c_name")
+    v2 = c.select(
+        F.col("c_custkey").alias("ext_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.upper("c_name"), F.lit("  "))
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.lit(" "), F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("dirty_name"),
+        F.round("c_acctbal", 6).alias("balance"),
+    )
+    norm = lambda col: F.lower(F.trim(col))  # noqa: E731
+    return v1.join(v2, norm(v1.c_name) == norm(v2.dirty_name)).select(
+        "c_custkey",
+        "c_name",
+        "balance",
+        (F.col("c_name") != F.col("dirty_name")).alias("was_dirty"),
+    )

@@ -257,6 +257,8 @@ DRIVER_PRIORITY: list[str] = [
     "event_debounce",
     "regex_extract_all_suite",
     "session_duration_stats",
+    "join_dirty_keys",
+    "top_movers",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
