@@ -290,6 +290,8 @@ _NON_EQUI_OK = {
     "consistent_hash_assignment",  # 1-row key-total broadcast onto 8 shards
     "doc_similarity_sparse",  # 1-row corpus-size broadcast onto the tf table
     "dq_rule_violations",  # 1-row checkpointed rule cell feeding the FK row
+    "dense_scaffold_fill",  # |weeks|x|types| scaffold cross join — both
+    # sides are COLLAPSED dimension sets, broadcast-sized by construction
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
