@@ -2506,3 +2506,61 @@ def top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_change").desc(), "event_type", "week")
         .limit(TOP_MOVERS_K)
     )
+
+
+OPEN_WINDOW_D = 30
+
+
+@query(
+    "concurrent_intervals_daily",
+    oracle=f"""
+    WITH iv AS (
+        SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS d0,
+               CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT)
+                   + {OPEN_WINDOW_D} AS d1
+        FROM orders),
+    deltas AS (
+        SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS delta FROM iv GROUP BY d0
+        UNION ALL
+        SELECT d1 AS day, -CAST(COUNT(*) AS BIGINT) FROM iv GROUP BY d1),
+    byday AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day)
+    SELECT day, net,
+           CAST(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_open
+    FROM byday
+    """,
+)
+def concurrent_intervals_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval CONCURRENCY time series — how many orders are 'open'
+    (within {OPEN_WINDOW_D} days of placement) on each day: the sweep-line
+    +1/-1 decomposition, which turns an interval-stabbing problem (naive:
+    days × intervals containment join) into two keyed delta aggregates
+    collapsing to |days| rows and ONE running sum over that bounded
+    calendar table (pmod-constant window, the `cumulative_unique_users`
+    idiom). Peak concurrency, capacity planning, license counting — all
+    the same sweep. Pure integer arithmetic end-to-end."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    d0 = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    iv = o.select(d0.alias("d0"), (d0 + OPEN_WINDOW_D).alias("d1"))
+    opens = iv.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("delta")
+    )
+    closes = iv.groupBy(F.col("d1").alias("day")).agg(
+        (-F.count("*")).alias("delta")
+    )
+    byday = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = (
+        W.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return byday.select(
+        "day", "net", F.sum("net").over(w).cast("long").alias("n_open")
+    )

@@ -915,3 +915,53 @@ def minhash_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("eq").cast("long")).alias("n_merge_equal"),
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, SUBSTR(text, 1, GREATEST(n_chars - 40, 10)),
+               GREATEST(n_chars - 40, 10)
+        FROM documents WHERE doc_id % 10 = 0),
+    k AS (
+        SELECT LOWER(SUBSTR(trim(text), 1, 40)) AS grp, doc_id, n_chars
+        FROM src)
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(arg_max(doc_id, n_chars * 10000000 - doc_id) AS BIGINT)
+               AS best_doc,
+           CAST(MAX(n_chars) AS BIGINT) AS best_len
+    FROM k GROUP BY grp
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection: when near-copies differ
+    (a truncated recrawl vs the full page — planted: every 10th doc
+    re-enters 40 chars shorter), keep the BEST copy (longest), not the
+    lowest id — `dedup_exact`'s min-id keeper is only right when copies
+    are byte-identical. One `max_by` aggregate carries the winner's id
+    out of the group directly (the `argmax_per_group` move applied to
+    dedup — no rank window, no join-back); the ordering key is the
+    composite (length-scaled − doc_id) so equal-length ties break
+    deterministically to the LOWEST id on both engines. Grouping is by
+    normalized prefix — the blocking key, standing in for the dedup
+    ladder's candidate machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    trunc = F.greatest(F.col("n_chars") - 40, F.lit(10))
+    src = d.select("doc_id", "text", "n_chars").unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substr(text, 1, greatest(n_chars - 40, 10))").alias("text"),
+            trunc.alias("n_chars"),
+        )
+    )
+    grp = F.lower(F.substring(F.trim(F.col("text")), 1, 40))
+    key = F.col("n_chars") * 10000000 - F.col("doc_id")
+    return src.groupBy(grp.alias("grp")).agg(
+        F.count("*").alias("n_copies"),
+        F.max_by("doc_id", key).alias("best_doc"),
+        F.max("n_chars").cast("long").alias("best_len"),
+    )

@@ -1920,3 +1920,48 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("region", "nation", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(LATERAL_SQL)
+
+
+@query(
+    "scan_multi_format_union",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format federation: ONE query over a table whose thirds live in
+    parquet, CSV and JSONL (the mid-migration estate every real
+    warehouse has), read with per-format sources, aligned with
+    unionByName, aggregated once — proving the engine's logical layer is
+    format-agnostic and the union of three scans equals the single-table
+    result. Each scan keeps its format's native pushdown behavior; the
+    union adds no shuffle (aggregation's exchange is the only one)."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    parts = {
+        "parquet": n.filter(F.col("n_nationkey") % 3 == 0),
+        "csv": n.filter(F.col("n_nationkey") % 3 == 1),
+        "json": n.filter(F.col("n_nationkey") % 3 == 2),
+    }
+    paths = {}
+    for fmt, df in parts.items():
+        p = f"{IO_DIR}/nation_fed_{fmt}"
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(p)
+        elif fmt == "json":
+            w.json(p)
+        else:
+            w.parquet(p)
+        paths[fmt] = p
+    schema = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    pq = spark.read.parquet(paths["parquet"])
+    cs = spark.read.schema(schema).option("header", "true").csv(paths["csv"])
+    js = spark.read.schema(schema).json(paths["json"])
+    allrows = pq.unionByName(cs).unionByName(js)
+    return allrows.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"), F.sum("n_nationkey").alias("key_sum")
+    )

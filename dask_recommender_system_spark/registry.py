@@ -259,6 +259,9 @@ DRIVER_PRIORITY: list[str] = [
     "session_duration_stats",
     "join_dirty_keys",
     "top_movers",
+    "concurrent_intervals_daily",
+    "scan_multi_format_union",
+    "dedup_keep_best",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
