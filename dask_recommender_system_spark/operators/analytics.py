@@ -2564,3 +2564,85 @@ def concurrent_intervals_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byday.select(
         "day", "net", F.sum("net").over(w).cast("long").alias("n_open")
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+        FROM orders),
+    v2 AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 500
+                    ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               END AS v
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+        FROM orders WHERE o_orderkey % 17 = 0),
+    tagged AS (
+        SELECT k, v, 1 AS s1, 0 AS s2 FROM v1
+        UNION ALL
+        SELECT k, v, 0, 1 FROM v2),
+    g AS (
+        SELECT k,
+               CAST(SUM(s1) AS BIGINT) AS in1, CAST(SUM(s2) AS BIGINT) AS in2,
+               CAST(MAX(CASE WHEN s1 = 1 THEN v END) AS BIGINT) AS v1,
+               CAST(MAX(CASE WHEN s2 = 1 THEN v END) AS BIGINT) AS v2
+        FROM tagged GROUP BY k)
+    SELECT CASE WHEN in1 = 0 THEN 'added'
+                WHEN in2 = 0 THEN 'removed'
+                WHEN v1 <> v2 THEN 'changed'
+                ELSE 'unchanged' END AS diff_class,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM g GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — added / removed / changed / unchanged
+    between two table versions (the nightly did-the-migration-lose-rows
+    audit; planted: every 13th key deleted, every 11th updated, every
+    17th re-added under a new key). The textbook full-outer join never
+    plans: both snapshots UNION with side tags and ONE key-keyed
+    aggregate carries presence counts and both values out — a single
+    co-partitioned shuffle with no join-skew surface, the
+    `merge_upsert_cdc` trick pointed at diffing instead of merging.
+    Output is the |classes|-row summary; the per-key detail is the same
+    aggregate without the final collapse."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    v1 = o.select(F.col("o_orderkey").alias("k"), cents.alias("v"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 11 == 0, cents + 500)
+            .otherwise(cents)
+            .alias("v"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"), cents.alias("v")
+            )
+        )
+    )
+    tagged = v1.select(
+        "k", "v", F.lit(1).alias("s1"), F.lit(0).alias("s2")
+    ).unionByName(v2.select("k", "v", F.lit(0).alias("s1"), F.lit(1).alias("s2")))
+    g = tagged.groupBy("k").agg(
+        F.sum("s1").alias("in1"),
+        F.sum("s2").alias("in2"),
+        F.max(F.when(F.col("s1") == 1, F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("s2") == 1, F.col("v"))).alias("v2"),
+    )
+    cls = (
+        F.when(F.col("in1") == 0, "added")
+        .when(F.col("in2") == 0, "removed")
+        .when(F.col("v1") != F.col("v2"), "changed")
+        .otherwise("unchanged")
+    )
+    return g.groupBy(cls.alias("diff_class")).agg(F.count("*").alias("n_keys"))

@@ -1337,3 +1337,59 @@ def sketch_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_bound"),
     )
+
+
+@query(
+    "nth_value_suite",
+    oracle="""
+    WITH w AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER win AS rn,
+               CAST(nth_value(o_orderkey, 2) OVER win AS BIGINT)
+                   AS second_best_order,
+               CAST(first_value(o_orderkey) OVER win AS BIGINT)
+                   AS best_order
+        FROM orders
+        WINDOW win AS (PARTITION BY o_custkey
+                       ORDER BY ROUND(o_totalprice * 100, 0) DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING))
+    SELECT o_custkey, o_orderkey, cents, second_best_order, best_order
+    FROM w WHERE rn = 1
+    """,
+)
+def nth_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values (first_value / nth_value) — 'the
+    customer's best and SECOND-best order' without two rank passes: an
+    unbounded frame over the keyed sort exposes any position to every
+    row, then one row per key survives. The frame is the trap pinned
+    here: nth_value over the DEFAULT frame (unbounded-preceding to
+    CURRENT ROW) returns NULL until row n arrives — the unbounded
+    FOLLOWING bound is what makes position 2 visible from row 1, and
+    forgetting it is the classic silent-NULL window bug. Ordering is on
+    integer cents with an orderkey tiebreak — deterministic positions
+    on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    win = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("cents").desc(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    base = o.select("o_custkey", "o_orderkey", cents.alias("cents"))
+    ranked = base.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        F.row_number()
+        .over(
+            W.partitionBy("o_custkey").orderBy(F.col("cents").desc(), "o_orderkey")
+        )
+        .alias("rn"),
+        F.nth_value("o_orderkey", 2).over(win).alias("second_best_order"),
+        F.first("o_orderkey").over(win).alias("best_order"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", "o_orderkey", "cents", "second_best_order", "best_order"
+    )

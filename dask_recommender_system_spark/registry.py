@@ -262,6 +262,8 @@ DRIVER_PRIORITY: list[str] = [
     "concurrent_intervals_daily",
     "scan_multi_format_union",
     "dedup_keep_best",
+    "snapshot_diff",
+    "nth_value_suite",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
