@@ -1393,3 +1393,92 @@ def nth_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") == 1).select(
         "o_custkey", "o_orderkey", "cents", "second_best_order", "best_order"
     )
+
+
+@query(
+    "events_since_purchase",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_id, user_id, event_type, {EPOCH_TS} AS t,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS purchase_epoch
+        FROM events)
+    SELECT event_id, user_id, event_type, CAST(t AS BIGINT) AS t,
+           purchase_epoch,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, purchase_epoch
+                                   ORDER BY t, event_id) - 1 AS BIGINT)
+               AS n_since_purchase
+    FROM g
+    """,
+)
+def events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESETTABLE running count — 'events since this user's last
+    purchase', the engagement-recency feature whose naive form is a
+    per-row correlated lookup: a running purchase count partitions each
+    user's stream into inter-purchase EPOCHS (the gaps-and-islands
+    move with a semantic boundary instead of a calendar gap), and a
+    row_number within (user, epoch) is the reset counter — purchases
+    themselves start epoch N with counter 0. Both windows ride the same
+    user_id exchange; the second is sub-partitioned, not re-shuffled
+    (epoch is derived per-user). Deterministic event_id tiebreaks
+    throughout."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_id", "user_id", "event_type", t.alias("t"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("purchase_epoch"),
+    )
+    w2 = W.partitionBy("user_id", "purchase_epoch").orderBy("t", "event_id")
+    return g.withColumn(
+        "n_since_purchase", (F.row_number().over(w2) - 1).cast("long")
+    )
+
+
+@query(
+    "pivot_multi_measure",
+    oracle="""
+    SELECT user_id % 50 AS user_bucket,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS click_n,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0),
+                 6) AS click_sum,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase_n,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'),
+                 0), 6) AS purchase_sum
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-MEASURE pivot: each pivoted value yields a count AND a sum
+    column pair in one aggregate pass — `pivot_events` pins the
+    single-measure form; production feature tables always want several
+    measures per cell, and the trap is running one pivot per measure
+    (one pass per measure over 100 TB). Spark's pivot(...).agg(m1, m2)
+    fuses them; missing cells COALESCE to 0/0.0 so the wide schema is
+    total. Still ONE keyed exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("user_bucket", F.col("user_id") % 50)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "purchase"])
+        # count(lit(1)), not count("*"): star expansion doesn't resolve
+        # inside pivot's per-value aggregate rewriting
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum"),
+        )
+    )
+    return out.select(
+        "user_bucket",
+        F.coalesce(F.col("click_n"), F.lit(0)).cast("long").alias("click_n"),
+        F.coalesce(F.col("click_sum"), F.lit(0.0)).alias("click_sum"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).cast("long").alias("purchase_n"),
+        F.coalesce(F.col("purchase_sum"), F.lit(0.0)).alias("purchase_sum"),
+    )

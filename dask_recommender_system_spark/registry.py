@@ -264,6 +264,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_keep_best",
     "snapshot_diff",
     "nth_value_suite",
+    "events_since_purchase",
+    "pivot_multi_measure",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
