@@ -2646,3 +2646,62 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return g.groupBy(cls.alias("diff_class")).agg(F.count("*").alias("n_keys"))
+
+
+@query(
+    "running_compound_growth",
+    oracle=f"""
+    WITH wk AS (
+        SELECT event_type,
+               CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT) AS week,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT event_type, week, cnt,
+               CAST(cnt AS DOUBLE) /
+                   LAG(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                   AS ratio
+        FROM wk)
+    SELECT event_type, week, cnt,
+           ROUND(EXP(SUM(LN(ratio)) OVER (
+               PARTITION BY event_type ORDER BY week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS growth_index
+    FROM r WHERE ratio IS NOT NULL
+    """,
+)
+def running_compound_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compounding growth index — cumulative PRODUCT of week-over-week
+    ratios (index = 1 at the first comparable week), via the log-sum-exp
+    identity: SQL has running SUM but no running PRODUCT, and
+    exp(Σ ln rᵢ) is the standard rewrite (portfolio returns, compounding
+    conversion lifts). The inner sum is an ORDERED sequential window sum
+    — both engines execute identical additions in identical order, so
+    the only cross-engine surface is ln/exp themselves, absorbed by the
+    6-decimal round. Note the telescoping identity (index =
+    cnt/first_cnt) holds mathematically and is the property test; the
+    log form is what generalizes to ratios that don't telescope
+    (per-period rebalanced returns)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("week")
+    r = wk.withColumn(
+        "ratio", F.col("cnt").cast("double") / F.lag("cnt").over(w)
+    ).filter(F.col("ratio").isNotNull())
+    return r.select(
+        "event_type",
+        "week",
+        "cnt",
+        F.round(
+            F.exp(
+                F.sum(F.log("ratio")).over(
+                    w.rowsBetween(W.unboundedPreceding, 0)
+                )
+            ),
+            6,
+        ).alias("growth_index"),
+    )

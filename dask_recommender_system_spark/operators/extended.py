@@ -1981,3 +1981,53 @@ def join_dirty_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "balance",
         (F.col("c_name") != F.col("dirty_name")).alias("was_dirty"),
     )
+
+
+@query(
+    "array_set_ops_suite",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE LENGTH(trim(text)) > 0),
+    h AS (
+        SELECT doc_id,
+               list_distinct(toks[:GREATEST(len(toks) // 2, 1)]) AS a,
+               list_distinct(toks[GREATEST(len(toks) // 2, 1) + 1:]) AS b
+        FROM t)
+    SELECT doc_id,
+           CAST(len(list_distinct(a || b)) AS INT) AS n_union,
+           CAST(len(list_intersect(a, b)) AS INT) AS n_intersect,
+           CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INT)
+               AS n_except
+    FROM h
+    """,
+)
+def array_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-row array SET algebra (array_union / array_intersect /
+    array_except) — vocabulary overlap between each document's two
+    halves, entirely inside the row: the scalar counterpart of
+    `set_ops_bag`'s relational forms, and the primitive behind
+    shingle/token overlap scoring without an explode-join. The pinned
+    CONTRACT is the sizes only: the element ORDER these functions
+    return is engine-defined (Spark preserves first-seen, DuckDB
+    differs), so comparing the arrays themselves would test an
+    accident. Dedup semantics (union/except deduplicate) are part of
+    the pin. Zero shuffle, codegen."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    half = F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))
+    h = d.select(
+        "doc_id",
+        F.array_distinct(F.slice(toks, 1, half)).alias("a"),
+        F.array_distinct(
+            F.slice(toks, half + 1, F.size(toks) - half)
+        ).alias("b"),
+    )
+    return h.select(
+        "doc_id",
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.size(F.array_intersect("a", "b")).alias("n_intersect"),
+        F.size(F.array_except("a", "b")).alias("n_except"),
+    )

@@ -266,6 +266,8 @@ DRIVER_PRIORITY: list[str] = [
     "nth_value_suite",
     "events_since_purchase",
     "pivot_multi_measure",
+    "running_compound_growth",
+    "array_set_ops_suite",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

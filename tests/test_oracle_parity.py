@@ -755,3 +755,33 @@ def test_dense_scaffold_grid_complete(spark, sf_dir):
     empty = [r for r in rows if r["was_empty"]]
     assert empty and all(r["n"] == 0 for r in empty)
     assert all(r["n"] > 0 for r in rows if not r["was_empty"])
+
+
+def test_compound_growth_telescopes(spark, sf_dir):
+    """running_compound_growth: the log-sum-exp running product must
+    telescope — each week's index equals cnt / first_week_cnt to
+    rounding tolerance."""
+    rows = REGISTRY["running_compound_growth"].fn(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["week"])
+        # index is relative to the week BEFORE the first ratio row
+        base = series[0]["cnt"] / series[0]["growth_index"]
+        for r in series:
+            assert abs(r["growth_index"] - r["cnt"] / base) < 1e-4, r
+
+
+def test_array_set_ops_identities(spark, sf_dir):
+    """array_set_ops_suite: |A∪B| = |A\\B| + |A∩B| + |B\\A| ⇒ in
+    particular |union| + |intersect| = |A| + |B| on deduped halves;
+    checked via |union| >= max sizes and the inclusion-exclusion
+    derived from except."""
+    rows = REGISTRY["array_set_ops_suite"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # n_union = n_except(A\B) + n_intersect + n_(B\A)
+        n_b_only = r["n_union"] - r["n_except"] - r["n_intersect"]
+        assert n_b_only >= 0, r
+        assert r["n_intersect"] <= r["n_union"], r
