@@ -2705,3 +2705,50 @@ def running_compound_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("growth_index"),
     )
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle=f"""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day
+        FROM events),
+    fs AS (SELECT user_id, MIN(day) AS first_day FROM act GROUP BY user_id)
+    SELECT a.day,
+           CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           ROUND(SUM(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS returning_share
+    FROM act a JOIN fs f ON a.user_id = f.user_id
+    GROUP BY a.day
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day — the growth-quality readout next
+    to `cumulative_unique_users`' total curve (growth made of new users
+    and growth made of retention are different businesses): each active
+    (user, day) classifies against the user's first-seen day. Both aggs
+    and the classify join ride the user key (the daily distinct, the
+    first-seen MIN, and the join share it); the final day collapse is
+    the only other exchange. Counts are exact integers; the share is
+    one division."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    fs = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = act.join(fs, "user_id")
+    is_new = (F.col("day") == F.col("first_day")).cast("long")
+    is_ret = (F.col("day") > F.col("first_day")).cast("long")
+    return j.groupBy("day").agg(
+        F.sum(is_new).alias("new_users"),
+        F.sum(is_ret).alias("returning_users"),
+        F.round(F.sum(is_ret) / F.count("*").cast("double"), 6).alias(
+            "returning_share"
+        ),
+    )

@@ -268,6 +268,7 @@ DRIVER_PRIORITY: list[str] = [
     "pivot_multi_measure",
     "running_compound_growth",
     "array_set_ops_suite",
+    "new_vs_returning_daily",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
