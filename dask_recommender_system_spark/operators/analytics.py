@@ -2752,3 +2752,99 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_share"
         ),
     )
+
+
+FREQ_CAP_N = 3
+
+
+@query(
+    "frequency_cap",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT) AS week,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type,
+                       CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT)
+                   ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT event_id, user_id, event_type, week,
+           CAST(rn AS BIGINT) AS exposure_rank
+    FROM r WHERE rn <= {FREQ_CAP_N}
+    """,
+)
+def frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency capping — at most {FREQ_CAP_N} exposures per (user,
+    type, week), the ad-serving / notification-throttling primitive:
+    ONE ranking window on the composite (user, type, week) key keeps
+    the first N by time and drops the rest. Unlike `sample_per_key`'s
+    hash-random keep, the cap keeps the EARLIEST (order matters to the
+    product semantics); unlike `event_debounce`'s gap rule, the budget
+    is per calendar window. Deterministic (ts, event_id) tiebreaks;
+    the week boundary is a tz-free integer."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    w = W.partitionBy("user_id", "event_type", week.alias("wk")).orderBy(
+        "ts", "event_id"
+    )
+    r = ev.select(
+        "event_id", "user_id", "event_type", week.alias("week"),
+        F.row_number().over(
+            W.partitionBy("user_id", "event_type", week).orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    return r.filter(F.col("rn") <= FREQ_CAP_N).select(
+        "event_id", "user_id", "event_type", "week",
+        F.col("rn").cast("long").alias("exposure_rank"),
+    )
+
+
+# Fixture-calibrated: users here are active near-daily (max observed idle
+# ~2.4 days), so the risk line sits at 1 day to split the population —
+# the production value is weeks, the plan is identical.
+CHURN_IDLE_D = 1
+
+
+@query(
+    "churn_risk_flags",
+    oracle=f"""
+    WITH m AS (SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_max
+               FROM events),
+    u AS (
+        SELECT user_id,
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_t,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST((t_max - last_t) // 86400 AS BIGINT) AS idle_days,
+           CAST(t_max - last_t > {CHURN_IDLE_D} * 86400 AS BOOLEAN)
+               AS churn_risk
+    FROM u CROSS JOIN m
+    """,
+)
+def churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk flagging: users idle for more than {CHURN_IDLE_D} days
+    relative to the CORPUS's observation end (anchoring to now() would
+    make every historical backfill disagree with itself — the
+    observation-end anchor is the `kaplan_meier_retention` discipline).
+    One user-keyed agg + a 1-row max broadcast; integer day arithmetic
+    end-to-end. The flag feeds win-back campaigns; the idle-days column
+    feeds the survival curves next door."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    m = ev.agg(F.max(t).alias("t_max"))
+    u = ev.groupBy("user_id").agg(
+        F.max(t).alias("last_t"), F.count("*").alias("n_events")
+    )
+    return u.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        "n_events",
+        F.floor((F.col("t_max") - F.col("last_t")) / 86400)
+        .cast("long")
+        .alias("idle_days"),
+        (F.col("t_max") - F.col("last_t") > CHURN_IDLE_D * 86400).alias(
+            "churn_risk"
+        ),
+    )

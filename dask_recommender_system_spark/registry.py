@@ -269,6 +269,8 @@ DRIVER_PRIORITY: list[str] = [
     "running_compound_growth",
     "array_set_ops_suite",
     "new_vs_returning_daily",
+    "frequency_cap",
+    "churn_risk_flags",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
