@@ -2031,3 +2031,97 @@ def array_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("a", "b")).alias("n_intersect"),
         F.size(F.array_except("a", "b")).alias("n_except"),
     )
+
+
+@query(
+    "string_functions_extra",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 2) AS second_word,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           repeat('*', CAST(p_size % 5 AS INTEGER)) AS stars,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           reverse(p_brand) AS brand_rev
+    FROM part WHERE p_partkey % 29 = 0
+    """,
+)
+def string_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function surface beyond `string_date_suite`:
+    split_part (the delimited-field extractor ETL leans on), translate,
+    repeat, lpad (fixed-width key formatting — the `dedup_sorted_
+    neighborhood` sort-key trick), reverse. Each exists on both engines
+    with matching 1-based/first-empty edge semantics — which is the pin;
+    initcap is deliberately EXCLUDED (its word-boundary definition
+    differs across engines, so a portable pipeline shouldn't rely on
+    it). Narrow, zero shuffle, codegen."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 29 == 0)
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@query(
+    "bitwise_ops_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS keys_xor,
+           CAST(o_orderkey << 3 AS BIGINT) AS shifted_up,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shifted_down,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders WHERE o_orderkey % 31 = 0
+    """,
+)
+def bitwise_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (& | xor << >> popcount) — the primitives
+    behind flag packing, `sink_parquet_zorder`'s Morton interleave, and
+    `dedup_simhash`'s Hamming verify, pinned as a value-checked suite in
+    their own right: bit semantics are exact integers, so any
+    cross-engine divergence is a sign-extension or operator-precedence
+    bug, not a tolerance question. Narrow, zero shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("keys_xor"),
+        F.shiftleft(k, 3).alias("shifted_up"),
+        F.shiftright(k, 2).alias("shifted_down"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )
+
+
+@query(
+    "boolean_agg_suite",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_high,
+           bool_or(value > 100) AS any_high,
+           bool_and(value > 0) AS all_positive,
+           bool_and(value > 100) AS all_high
+    FROM events GROUP BY event_type
+    """,
+)
+def boolean_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface (count_if / any / every) — the
+    assertion-style aggregates data-quality checks compose from: 'did
+    ANY row breach', 'did EVERY row satisfy', 'how many'. The fixture
+    exercises all four truth outcomes (any_high true, all_high false,
+    all_positive true, n_high mid-range) so a short-circuit bug can't
+    hide behind a constant column. One keyed agg, map-side
+    combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    high = F.col("value") > 100
+    return ev.groupBy("event_type").agg(
+        F.count_if(high).alias("n_high"),
+        F.bool_or(high).alias("any_high"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_and(high).alias("all_high"),
+    )

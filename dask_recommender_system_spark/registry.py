@@ -271,6 +271,9 @@ DRIVER_PRIORITY: list[str] = [
     "new_vs_returning_daily",
     "frequency_cap",
     "churn_risk_flags",
+    "string_functions_extra",
+    "bitwise_ops_suite",
+    "boolean_agg_suite",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
