@@ -1482,3 +1482,66 @@ def pivot_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("purchase_n"), F.lit(0)).cast("long").alias("purchase_n"),
         F.coalesce(F.col("purchase_sum"), F.lit(0.0)).alias("purchase_sum"),
     )
+
+
+ROLL_Z_WIN_D = 14
+
+
+@query(
+    "rolling_zscore",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT event_type, day, cnt,
+               AVG(cnt) OVER w AS mu,
+               STDDEV_SAMP(cnt) OVER w AS sd,
+               COUNT(*) OVER w AS n_win
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN {ROLL_Z_WIN_D} PRECEDING
+                     AND 1 PRECEDING))
+    SELECT event_type, day, cnt, CAST(n_win AS BIGINT) AS n_win,
+           ROUND((cnt - mu) / sd, 6) AS z
+    FROM s WHERE n_win >= 7 AND sd > 0
+    """,
+)
+def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING-window z-score — today's count against the preceding
+    {ROLL_Z_WIN_D} days' mean/std, the frame EXCLUDING the current row
+    (RANGE … 1 PRECEDING): the leakage rule — a spike that inflates its
+    own baseline hides itself, the subtle bug in most hand-rolled
+    monitors (`anomaly_zscore` uses global stats; this is the
+    concept-drift-proof form). Frame moments run over the COLLAPSED
+    daily table partitioned by type; warm-up rows (fewer than 7
+    baseline days) and zero-variance frames are excluded rather than
+    emitting infinities."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-ROLL_Z_WIN_D, -1)
+    )
+    s = d.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    return s.filter((F.col("n_win") >= 7) & (F.col("sd") > 0)).select(
+        "event_type",
+        "day",
+        "cnt",
+        F.col("n_win").cast("long").alias("n_win"),
+        F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )

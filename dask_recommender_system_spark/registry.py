@@ -274,6 +274,7 @@ DRIVER_PRIORITY: list[str] = [
     "string_functions_extra",
     "bitwise_ops_suite",
     "boolean_agg_suite",
+    "rolling_zscore",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
