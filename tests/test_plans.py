@@ -292,6 +292,7 @@ _NON_EQUI_OK = {
     "dq_rule_violations",  # 1-row checkpointed rule cell feeding the FK row
     "dense_scaffold_fill",  # |weeks|x|types| scaffold cross join — both
     # sides are COLLAPSED dimension sets, broadcast-sized by construction
+    "churn_risk_flags",  # 1-row observation-end MAX broadcast onto users
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
