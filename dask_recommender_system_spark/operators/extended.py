@@ -2125,3 +2125,104 @@ def boolean_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") > 0).alias("all_positive"),
         F.bool_and(high).alias("all_high"),
     )
+
+
+@query(
+    "join_null_safe_keys",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0),
+    b AS (
+        SELECT CASE WHEN n % 5 = 0 THEN NULL
+                    ELSE pri END AS k,
+               n AS grp_id
+        FROM (SELECT DISTINCT o_orderpriority AS pri,
+                     CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS n
+              FROM orders))
+    SELECT a.o_orderkey, a.cents, b.grp_id,
+           (a.k IS NULL) AS null_key
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE join keys (`<=>` / IS NOT DISTINCT FROM): a plain
+    equi-join silently DROPS every null-keyed row (NULL = NULL is
+    unknown), which is right for FKs and wrong for
+    unknown-bucket-matches-unknown-bucket semantics — the choice must
+    be explicit, and this pins the null-safe side with planted NULL
+    keys on BOTH inputs (the null⋈null matches are the rows a plain
+    join loses). Null-safe equality still hash-partitions (NULL is just
+    a key value under <=>), so the plan is an ordinary equi-join, not a
+    nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    pri = o.select("o_orderpriority").distinct().select(
+        F.col("o_orderpriority").alias("pri"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("n"),
+    )
+    b = pri.select(
+        F.when(F.col("n") % 5 == 0, None).otherwise(F.col("pri")).alias("k"),
+        F.col("n").alias("grp_id"),
+    )
+    return a.join(F.broadcast(b), a.k.eqNullSafe(b.k)).select(
+        "o_orderkey", "cents", "grp_id", a.k.isNull().alias("null_key")
+    )
+
+
+@query(
+    "join_outer_suite",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS a_cents
+        FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (
+        SELECT o_orderkey AS k,
+               CAST(o_custkey AS BIGINT) AS b_cust
+        FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT COALESCE(a.k, b.k) AS k, a_cents, b_cust,
+           CASE WHEN a.k IS NULL THEN 'right_only'
+                WHEN b.k IS NULL THEN 'left_only'
+                ELSE 'both' END AS side
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join pinned with all three populations planted
+    (left-only: keys ≡ 3 (mod 6) except even ones; right-only: ≡ 2,4
+    (mod 6); both: ≡ 0 (mod 6)): the unmatched sides carry NULLs and
+    the COALESCE'd key + side label is the reconciliation-report shape.
+    Full outer is the one join that cannot broadcast (both sides must
+    see unmatched rows), so it always sort-merges on the shuffled key —
+    when only counts are needed, the union-tag aggregate
+    (`snapshot_diff`) is the cheaper plan; when the joined ROWS are
+    needed, this is the honest one."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("a_cents"),
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_custkey").cast("long").alias("b_cust"),
+    )
+    j = a.join(b, a.k == b.k2, "full_outer")
+    return j.select(
+        F.coalesce(a.k, F.col("k2")).alias("k"),
+        "a_cents",
+        "b_cust",
+        F.when(a.k.isNull(), "right_only")
+        .when(F.col("k2").isNull(), "left_only")
+        .otherwise("both")
+        .alias("side"),
+    )

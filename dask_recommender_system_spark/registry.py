@@ -275,6 +275,8 @@ DRIVER_PRIORITY: list[str] = [
     "bitwise_ops_suite",
     "boolean_agg_suite",
     "rolling_zscore",
+    "join_null_safe_keys",
+    "join_outer_suite",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
