@@ -2848,3 +2848,99 @@ def churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churn_risk"
         ),
     )
+
+
+@query(
+    "monotonicity_audit",
+    oracle=f"""
+    WITH src AS (
+        SELECT user_id, {EPOCH_TS} AS t,
+               event_id + CASE WHEN event_id % 97 = 0 THEN 500 ELSE 0 END
+                   AS seq,
+               event_id
+        FROM events),
+    g AS (
+        SELECT user_id, t,
+               LAG(t) OVER (PARTITION BY user_id
+                            ORDER BY seq, event_id) AS prev_t
+        FROM src)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN t < prev_t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inversions,
+           CAST(SUM(CASE WHEN t < prev_t THEN 1 ELSE 0 END) > 0 AS BOOLEAN)
+               AS has_disorder
+    FROM g GROUP BY user_id
+    """,
+)
+def monotonicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-monotonicity audit: does event TIME advance with event
+    ID per producer — the stream-quality check behind every 'can I
+    trust event order' decision (CDC appliers, sessionizers and as-of
+    joins all silently assume it; this measures it instead). The
+    fixture's ids are perfectly time-ordered, so disorder is PLANTED:
+    every 97th sequence number jumps 500 positions ahead (a delayed
+    producer flush), creating real inversions for the audit to find.
+    One keyed lag + one keyed agg on the same user exchange; the
+    inversion count
+    per producer is the reorder-buffer sizing input for the streaming
+    jobs next door (watermark delay ≈ max observed disorder)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.col("event_id") + F.when(F.col("event_id") % 97 == 0, 500).otherwise(0)
+    t = F.unix_timestamp("ts")
+    src = ev.select("user_id", t.alias("t"), seq.alias("seq"), "event_id")
+    w = W.partitionBy("user_id").orderBy("seq", "event_id")
+    g = src.select(
+        "user_id", "t", F.lag("t").over(w).alias("prev_t")
+    )
+    inv = (F.col("t") < F.col("prev_t")).cast("long")
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(inv).alias("n_inversions"),
+        (F.sum(inv) > 0).alias("has_disorder"),
+    )
+
+
+@query(
+    "share_of_parent",
+    oracle=f"""
+    WITH wk AS (
+        SELECT event_type,
+               CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT) AS week,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, week, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+               AS type_total,
+           ROUND(CAST(cnt AS DOUBLE) /
+                 SUM(cnt) OVER (PARTITION BY event_type), 6)
+               AS share_of_type,
+           ROUND(CAST(cnt AS DOUBLE) /
+                 SUM(cnt) OVER (PARTITION BY week), 6) AS share_of_week
+    FROM wk
+    """,
+)
+def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent along BOTH hierarchy axes in one pass: each
+    (type, week) cell's share of its type's total AND of its week's
+    total — the contribution readout every drill-down table shows. Two
+    partition-keyed window sums over the COLLAPSED cell table (never
+    the corpus), no self-joins back to totals; both marginals ride the
+    |types|x|weeks| table. Integer counts, two exact divisions."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).agg(F.count("*").alias("cnt"))
+    by_type = F.sum("cnt").over(W.partitionBy("event_type"))
+    by_week = F.sum("cnt").over(W.partitionBy("week"))
+    return wk.select(
+        "event_type",
+        "week",
+        "cnt",
+        by_type.cast("long").alias("type_total"),
+        F.round(F.col("cnt").cast("double") / by_type, 6).alias("share_of_type"),
+        F.round(F.col("cnt").cast("double") / by_week, 6).alias("share_of_week"),
+    )

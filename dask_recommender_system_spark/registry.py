@@ -277,6 +277,8 @@ DRIVER_PRIORITY: list[str] = [
     "rolling_zscore",
     "join_null_safe_keys",
     "join_outer_suite",
+    "monotonicity_audit",
+    "share_of_parent",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
