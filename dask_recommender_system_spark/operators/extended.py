@@ -2226,3 +2226,55 @@ def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("side"),
     )
+
+
+@query(
+    "join_fallback_hierarchy",
+    oracle="""
+    WITH spec AS (
+        SELECT c_custkey AS user_id,
+               CAST(5 + c_custkey % 10 AS BIGINT) AS rate_pct
+        FROM customer WHERE c_custkey % 4 = 0),
+    seg AS (
+        SELECT DISTINCT c_mktsegment AS segment,
+               CAST(LENGTH(c_mktsegment) % 5 + 1 AS BIGINT) AS rate_pct
+        FROM customer)
+    SELECT c.c_custkey, c.c_mktsegment AS segment,
+           COALESCE(s.rate_pct, g.rate_pct) AS rate_pct,
+           CASE WHEN s.rate_pct IS NOT NULL THEN 'user_specific'
+                ELSE 'segment_default' END AS rate_source
+    FROM customer c
+    LEFT JOIN spec s ON c.c_custkey = s.user_id
+    LEFT JOIN seg g ON c.c_mktsegment = g.segment
+    """,
+)
+def join_fallback_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback-hierarchy enrichment — the dimensional COALESCE ladder
+    (user-specific rate, else segment default): pricing, quotas,
+    feature flags and ML feature defaults all resolve this way. TWO
+    LEFT joins (both broadcastable dims here) + COALESCE in specificity
+    order + a provenance column saying WHICH level matched — the
+    provenance is the part naive implementations drop and the first
+    thing an audit asks for. Specific rates exist for 1/4 of users
+    (planted) so both resolution branches fire."""
+    c = load_table(spark, sf_dir, "customer")
+    spec = c.filter(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_custkey").alias("user_id"),
+        (5 + F.col("c_custkey") % 10).cast("long").alias("spec_rate"),
+    )
+    seg = c.select("c_mktsegment").distinct().select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.length("c_mktsegment") % 5 + 1).cast("long").alias("seg_rate"),
+    )
+    return (
+        c.join(F.broadcast(spec), c.c_custkey == spec.user_id, "left")
+        .join(F.broadcast(seg), c.c_mktsegment == seg.segment, "left")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce("spec_rate", "seg_rate").alias("rate_pct"),
+            F.when(F.col("spec_rate").isNotNull(), "user_specific")
+            .otherwise("segment_default")
+            .alias("rate_source"),
+        )
+    )

@@ -1545,3 +1545,52 @@ def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_win").cast("long").alias("n_win"),
         F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 6).alias("z"),
     )
+
+
+@query(
+    "weighted_moving_avg",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    l AS (
+        SELECT event_type, day, cnt,
+               LAG(cnt, 1) OVER w AS c1,
+               LAG(cnt, 2) OVER w AS c2
+        FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, cnt,
+           ROUND((3 * cnt + 2 * c1 + 1 * c2) / 6.0, 6) AS wma3
+    FROM l WHERE c2 IS NOT NULL
+    """,
+)
+def weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average (WMA-3: weights 3/2/1 on the
+    most-recent days) — the smoother that reacts faster than a plain
+    rolling mean because recency carries more weight, but unlike
+    `user_ewma`'s infinite-memory recurrence it is a FIXED-k windowed
+    expression: explicit lags compose it in pure SQL (one keyed window,
+    no Arrow, no state), which is the right trade whenever k is small
+    and fixed. Integer numerator, ONE division — deterministic; warm-up
+    rows without a full window are excluded, not zero-padded."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type", "day", "cnt",
+        F.lag("cnt", 1).over(w).alias("c1"),
+        F.lag("cnt", 2).over(w).alias("c2"),
+    )
+    return l.filter(F.col("c2").isNotNull()).select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round(
+            (3 * F.col("cnt") + 2 * F.col("c1") + F.col("c2")) / 6.0, 6
+        ).alias("wma3"),
+    )

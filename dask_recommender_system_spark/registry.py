@@ -279,6 +279,8 @@ DRIVER_PRIORITY: list[str] = [
     "join_outer_suite",
     "monotonicity_audit",
     "share_of_parent",
+    "join_fallback_hierarchy",
+    "weighted_moving_avg",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
