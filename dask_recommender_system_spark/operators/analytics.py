@@ -2944,3 +2944,55 @@ def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cnt").cast("double") / by_type, 6).alias("share_of_type"),
         F.round(F.col("cnt").cast("double") / by_week, 6).alias("share_of_week"),
     )
+
+
+TRIM_PCT = 0.05
+
+
+@query(
+    "trimmed_mean_grouped",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, {TRIM_PCT}) AS lo,
+               quantile_cont(value, {1 - TRIM_PCT}) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n_all
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           c.n_all,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(AVG(e.value), 6) AS trimmed_mean,
+           ROUND(c.lo, 6) AS lo_cut, ROUND(c.hi, 6) AS hi_cut
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    WHERE e.value >= c.lo AND e.value <= c.hi
+    GROUP BY e.event_type, c.n_all, c.lo, c.hi
+    """,
+)
+def trimmed_mean_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed mean per group (drop the top and bottom {TRIM_PCT:.0%}
+    before averaging) — the robust center that, unlike the median,
+    still uses 90% of the data: the standard answer to 'the mean is
+    dominated by outliers but the median wastes information'. Two-pass
+    broadcast shape (the `anomaly_zscore` / `feature_winsorize`
+    family): a tiny per-group percentile-cuts table joins back and the
+    trimmed AVG runs in the second pass — winsorize CLAMPS the tails,
+    trimming EXCLUDES them; both exist because they answer different
+    questions. Cut values are rounded into the output so the filter
+    boundary itself is value-checked."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {TRIM_PCT})").alias("lo"),
+        F.expr(f"percentile(value, {1 - TRIM_PCT})").alias("hi"),
+        F.count("*").alias("n_all"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    return j.groupBy("event_type", "n_all", "lo", "hi").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("value"), 6).alias("trimmed_mean"),
+    ).select(
+        "event_type", "n_all", "n_kept", "trimmed_mean",
+        F.round("lo", 6).alias("lo_cut"), F.round("hi", 6).alias("hi_cut"),
+    )

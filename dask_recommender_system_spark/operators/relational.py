@@ -1965,3 +1965,45 @@ def scan_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allrows.groupBy("n_regionkey").agg(
         F.count("*").alias("n"), F.sum("n_nationkey").alias("key_sum")
     )
+
+
+# small enough to split even the sf0.001 fixture's 1500 orders
+SIZED_MAX_RECORDS = 200
+
+
+@query(
+    "sink_parquet_sized",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_parquet_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance on write: `maxRecordsPerFile` caps every
+    output file at {SIZED_MAX_RECORDS} rows — the knob that prevents
+    both the giant-file problem (one task per huge file downstream) and
+    complements `sink_compacted`'s small-file repair by not CREATING
+    oversized files in the first place. The cap is enforced per task
+    during the write, no extra shuffle. Tests assert every produced
+    file respects the cap AND that enough files exist; the declared
+    result is the read-back aggregate (content survives the split
+    untouched)."""
+    path = f"{IO_DIR}/orders_sized_parquet"
+    (
+        load_table(spark, sf_dir, "orders")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", SIZED_MAX_RECORDS)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    # integer cents: the split layout changes summation order, and an
+    # unordered SUM(double) flipped 6-decimal rounding on this fixture
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "sum_cents"
+        ),
+    )

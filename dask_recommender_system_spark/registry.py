@@ -281,6 +281,8 @@ DRIVER_PRIORITY: list[str] = [
     "share_of_parent",
     "join_fallback_hierarchy",
     "weighted_moving_avg",
+    "trimmed_mean_grouped",
+    "sink_parquet_sized",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

@@ -940,3 +940,22 @@ def test_zstd_codec_actually_applies(spark, sf_dir):
         f = glob.glob(f"/tmp/drs_spark_io/nation_{codec}/part-*.parquet")[0]
         meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
         assert meta.compression == expect, (codec, meta.compression)
+
+
+def test_sized_sink_respects_record_cap(spark, sf_dir):
+    """sink_parquet_sized: every produced file holds at most
+    maxRecordsPerFile rows, and the cap actually split the output
+    (more files than tasks)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_recommender_system_spark.operators.relational import (
+        SIZED_MAX_RECORDS,
+    )
+
+    q("sink_parquet_sized", spark, sf_dir).collect()
+    files = glob.glob("/tmp/drs_spark_io/orders_sized_parquet/part-*.parquet")
+    assert len(files) > 2  # the cap split the 2 tasks' outputs
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= SIZED_MAX_RECORDS
