@@ -251,3 +251,54 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", F.round(scale, 9).alias("scale"), q.alias("q"))
         .select("vec_id", "scale", F.posexplode("q").alias("pos", "qval"))
     )
+
+
+@query(
+    "grouped_agg_pandas_udf",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+               AS iqr,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the fifth and last Arrow shape
+    (alongside scalar pandas_udf, GROUPED_MAP, mapInPandas, and
+    applyInPandasWithState): a custom aggregate whose kernel is a numpy
+    expression over the group's Arrow batch, used directly inside
+    groupBy().agg() next to built-ins. The kernel here (interquartile
+    range via np.percentile with linear interpolation) is deliberately
+    SQL-expressible so the Arrow aggregation path itself is
+    value-checked against an exact oracle — the plumbing is the test
+    subject, the IQR the witness. Two placement rules pinned: GROUPED_AGG
+    UDFs cannot share an agg with non-pandas aggregates (the count is a
+    second Arrow kernel), and GROUPED_AGG
+    ships whole groups to Python (no partial aggregation), so at 100 TB
+    it is for moderate group counts with kernels SQL can't express —
+    else prefer built-ins (the `embedding_quantize_int8` lesson)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def iqr(v: pd.Series) -> float:
+        q75, q25 = np.percentile(v.to_numpy(), [75.0, 25.0])
+        return float(q75 - q25)
+
+    # GROUPED_AGG UDFs cannot mix with non-pandas aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a second Arrow
+    # kernel instead of F.count
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    agged = ev.groupBy("event_type").agg(
+        iqr("value").alias("iqr_raw"), n_rows("value").alias("n")
+    )
+    return agged.select(
+        "event_type", F.round("iqr_raw", 6).alias("iqr"), "n"
+    )

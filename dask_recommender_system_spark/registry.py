@@ -283,6 +283,8 @@ DRIVER_PRIORITY: list[str] = [
     "weighted_moving_avg",
     "trimmed_mean_grouped",
     "sink_parquet_sized",
+    "stream_update_mode",
+    "grouped_agg_pandas_udf",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

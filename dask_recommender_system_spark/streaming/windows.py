@@ -923,3 +923,75 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "event_type", "ts_s", "value"
     )
+
+
+@query(
+    "stream_update_mode",
+    oracle=REGISTRY["window_events_tumbling"].oracle,
+)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode pinned: the streaming agg emits only rows that
+    CHANGED each micro-batch (vs `stream_window_tumbling`'s complete
+    mode re-emitting the whole table) — the mode that scales when the
+    result table is large but churn per batch is small. The memory sink
+    therefore accumulates a history of intermediate versions; the FINAL
+    value per window key is the last emission, recovered with one keyed
+    max_by over the sink (batch post-pass) — and must equal the batch
+    oracle exactly, which is the semantic: update mode changes WHAT
+    ships per batch, never what the result converges to. The events
+    stage replays as multiple event-time-SCRAMBLED files so
+    intermediate emissions genuinely occur — which is also why this
+    query runs unwatermarked (a watermark would drop the scrambled
+    chunks as late; `stream_window_tumbling` owns the watermarked
+    form)."""
+    import shutil
+
+    from ..data import load_table, normalize_event_ts
+    from ..operators.relational import IO_DIR
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src_dir = f"{IO_DIR}/upd_src"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = normalize_event_ts(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # NO watermark: the staged files are event-time-scrambled
+    # (repartition), so a watermark would drop whole chunks as late —
+    # update mode without a watermark keeps all state and drops nothing,
+    # which is the configuration whose final table provably equals batch
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    # last emission per key wins; n is monotonically nondecreasing per
+    # key across emissions, so max_by on n with sum_value tiebreak IS the
+    # final state
+    return sink.groupBy("window_start", "event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by("sum_value", F.struct("n", "sum_value")).alias("sum_value"),
+    )

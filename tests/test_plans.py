@@ -298,6 +298,7 @@ _NON_EQUI_OK = {
 _ARROW_OK = {
     "multimodal_decode", "multimodal_frame_sample", "user_ewma",
     "cogroup_user_activity", "heavy_hitters",
+    "grouped_agg_pandas_udf",  # the declared GROUPED_AGG Arrow shape
 }
 
 
