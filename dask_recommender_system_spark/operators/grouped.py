@@ -302,3 +302,55 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agged.select(
         "event_type", F.round("iqr_raw", 6).alias("iqr"), "n"
     )
+
+
+@query(
+    "map_in_arrow_passthrough",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS n_dims,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6) AS vec_sum
+    FROM embeddings
+    """,
+)
+def map_in_arrow_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the RAW-Arrow interop path below `mapInPandas`: the
+    kernel receives pyarrow RecordBatches directly, skipping the
+    pandas conversion entirely (no index, no object boxing, no dtype
+    coercion) — the shape for kernels that are already Arrow-native
+    (Arrow compute, Rust/C++ extensions via the C data interface,
+    columnar codecs). The kernel here sums each embedding with
+    pyarrow.compute list operations, value-checked against the SQL
+    form — the plumbing is the subject, per the `cogroup_user_activity`
+    discipline. The batch-level contract (schema declared up front,
+    batches in/batches out) is what survives at 100 TB."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..data import load_table
+
+    def kernel(batches):
+        for b in batches:
+            vec = b.column("embedding").combine_chunks() if isinstance(
+                b.column("embedding"), pa.ChunkedArray
+            ) else b.column("embedding")
+            flat = pc.cast(pc.list_flatten(vec), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            offsets = np.asarray(vec.offsets)
+            # per-list sums via reduceat over the flattened buffer — the
+            # zero-copy columnar reduction mapInArrow exists for
+            sums = np.round(np.add.reduceat(flat, offsets[:-1]), 6)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("vec_id"),
+                    pc.cast(pc.list_value_length(vec), pa.int32()),
+                    pa.array(sums, type=pa.float64()),
+                ],
+                names=["vec_id", "n_dims", "vec_sum"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(kernel, "vec_id BIGINT, n_dims INT, vec_sum DOUBLE")

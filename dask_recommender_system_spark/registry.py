@@ -285,6 +285,8 @@ DRIVER_PRIORITY: list[str] = [
     "sink_parquet_sized",
     "stream_update_mode",
     "grouped_agg_pandas_udf",
+    "map_in_arrow_passthrough",
+    "stream_available_now",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",

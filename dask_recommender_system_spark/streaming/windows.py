@@ -995,3 +995,40 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.max_by("sum_value", F.struct("n", "sum_value")).alias("sum_value"),
     )
+
+
+@query(
+    "stream_available_now",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow pinned: process EXACTLY the data available
+    at start across multiple rate-limited batches, then STOP — the
+    batch-over-streaming-source pattern (nightly catch-up jobs over a
+    Kafka/file backlog with streaming's checkpointing but a bounded
+    runtime), replacing both always-on triggers and the deprecated
+    Trigger.Once that ignored rate limits. The query terminates ITSELF
+    (awaitTermination, no manual stop); the per-type aggregate of
+    everything it consumed must equal the batch oracle — nothing
+    skipped, nothing duplicated, nothing waited for."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(name)

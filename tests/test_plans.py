@@ -299,6 +299,7 @@ _ARROW_OK = {
     "multimodal_decode", "multimodal_frame_sample", "user_ewma",
     "cogroup_user_activity", "heavy_hitters",
     "grouped_agg_pandas_udf",  # the declared GROUPED_AGG Arrow shape
+    "map_in_arrow_passthrough",  # the declared raw-Arrow mapInArrow shape
 }
 
 
@@ -321,7 +322,8 @@ def test_no_query_uses_rowwise_python_or_cartesian(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NLJ"
         if name not in _ARROW_OK:
             for frag in ("ArrowEvalPython", "FlatMapGroupsInPandas",
-                         "FlatMapCoGroupsInPandas", "MapInPandas"):
+                         "FlatMapCoGroupsInPandas", "MapInPandas",
+                         "MapInArrow"):
                 assert frag not in plan, f"{name}: unexpected Python stage {frag}"
         spark.catalog.clearCache()
 
