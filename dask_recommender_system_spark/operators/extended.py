@@ -2278,3 +2278,99 @@ def join_fallback_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rate_source"),
         )
     )
+
+
+SK_NAMESPACE = "orders-v2"
+
+
+@query(
+    "surrogate_keys",
+    oracle=f"""
+    WITH k AS (
+        SELECT o_orderkey,
+               ('0x' || SUBSTR(md5('{SK_NAMESPACE}' || ':' ||
+                    CAST(o_orderkey AS VARCHAR) || ':' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS sk
+        FROM orders)
+    SELECT o_orderkey, sk,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT sk) FROM k) AS BIGINT)
+               AS n_collisions
+    FROM k
+    """,
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic namespaced surrogate keys — warehouse key
+    generation WITHOUT a sequence/identity column (sequences don't
+    distribute and don't reproduce): sk = 60 bits of
+    md5(namespace:natural-key), stable across engines, runs and
+    backfills, re-keyable by bumping the namespace. The collision count
+    over the whole table ships IN the result (birthday bound at 60
+    bits: ~50% only at ~10⁹ keys; a collision in your keyspace is a
+    fact you want surfaced, not assumed away). The hash is the
+    `sample_deterministic` md5 family — one narrow map, no
+    shuffle until the verification count."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(SK_NAMESPACE),
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = o.select("o_orderkey", sk.alias("sk"))
+    coll = k.agg(
+        (F.count("*") - F.countDistinct("sk")).alias("n_collisions")
+    )
+    return k.crossJoin(F.broadcast(coll))
+
+
+@query(
+    "table_fingerprint",
+    oracle=f"""
+    WITH h AS (
+        SELECT ('0x' || SUBSTR(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                        AS VARCHAR)), 1, 8))::BIGINT AS rh
+        FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) AS BIGINT) AS fingerprint_sum,
+           CAST(MAX(rh) AS BIGINT) AS fingerprint_max
+    FROM h
+    """,
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT table fingerprint — did the replica / migration
+    / engine-swap preserve every row, answered with three numbers
+    instead of a row-by-row diff: each row hashes its canonical
+    serialization (pipe-joined string forms, money as integer cents so
+    the serialization itself is engine-stable), and the fingerprint is
+    the SUM of row hashes — commutative, so partitioning and row order
+    cannot change it (a concat-based checksum would). 32-bit row hashes
+    keep the sum far from BIGINT overflow at any real row count; same
+    fingerprint ⇒ same multiset of serialized rows with ~2⁻³² per-row
+    error. This is `snapshot_diff`'s cheap precursor: fingerprints
+    disagree → run the diff."""
+    o = load_table(spark, sf_dir, "orders")
+    ser = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(ser), 1, 8), 16, 10).cast("long")
+    return o.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rh").alias("fingerprint_sum"),
+        F.max("rh").alias("fingerprint_max"),
+    )

@@ -287,6 +287,8 @@ DRIVER_PRIORITY: list[str] = [
     "grouped_agg_pandas_udf",
     "map_in_arrow_passthrough",
     "stream_available_now",
+    "surrogate_keys",
+    "table_fingerprint",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
