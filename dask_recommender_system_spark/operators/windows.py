@@ -1594,3 +1594,71 @@ def weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (3 * F.col("cnt") + 2 * F.col("c1") + F.col("c2")) / 6.0, 6
         ).alias("wma3"),
     )
+
+
+# Dynamic per-event session gaps: purchases hold a session open longer.
+DYN_GAP_PURCHASE_S = 3600
+DYN_GAP_DEFAULT_S = 1800
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, {EPOCH_TS} AS t,
+               CASE WHEN event_type = 'purchase'
+                    THEN {DYN_GAP_PURCHASE_S}
+                    ELSE {DYN_GAP_DEFAULT_S} END AS gap
+        FROM events),
+    m AS (
+        SELECT user_id, t,
+               MAX(t + gap) OVER (
+                   PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_end_before
+        FROM e),
+    g AS (
+        SELECT user_id, t,
+               CASE WHEN max_end_before IS NULL OR t >= max_end_before
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM m),
+    s AS (
+        SELECT user_id, t,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+    SELECT user_id, CAST(MIN(t) AS BIGINT) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: the inactivity timeout depends on
+    the EVENT (a purchase holds its session open for 1h, everything
+    else 30min — engagement-weighted sessionization; mobile-vs-web
+    timeouts are the other classic). `F.session_window` accepts a gap
+    EXPRESSION, merging overlapping [t, t+gap(event)] intervals inside
+    one hash aggregate. The oracle is the sweep form: a session breaks
+    where t reaches the running max of all previous events' window
+    ends — note a RUNNING MAX, not a lag against the previous event
+    (a long-gap event can hold the session open across several
+    short-gap ones; the lag form is simply wrong here). Timestamps
+    truncated to whole seconds pre-agg, per `session_window_native`."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("tss"),
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit(f"{DYN_GAP_PURCHASE_S} seconds")
+    ).otherwise(F.lit(f"{DYN_GAP_DEFAULT_S} seconds"))
+    return (
+        ev.groupBy(F.session_window("tss", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n",
+        )
+    )

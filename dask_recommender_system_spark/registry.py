@@ -289,6 +289,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_available_now",
     "surrogate_keys",
     "table_fingerprint",
+    "session_window_dynamic_gap",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
