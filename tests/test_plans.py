@@ -293,6 +293,7 @@ _NON_EQUI_OK = {
     "dense_scaffold_fill",  # |weeks|x|types| scaffold cross join — both
     # sides are COLLAPSED dimension sets, broadcast-sized by construction
     "churn_risk_flags",  # 1-row observation-end MAX broadcast onto users
+    "surrogate_keys",  # 1-row collision-count broadcast onto the key table
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
