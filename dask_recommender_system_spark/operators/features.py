@@ -179,3 +179,40 @@ def split_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt") - 1).cast("long").alias("n_train"),
         )
     )
+
+
+@query(
+    "feature_minmax_scale",
+    oracle="""
+    WITH s AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT o_orderkey,
+           ROUND((o_totalprice - lo) / (hi - lo), 6) AS price_scaled,
+           CAST(o_totalprice = lo AS BOOLEAN) AS is_min,
+           CAST(o_totalprice = hi AS BOOLEAN) AS is_max
+    FROM orders CROSS JOIN s
+    """,
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scaling to [0, 1] — the bounded-range normalizer next to
+    the family's winsorize (clamp), binning (discretize) and
+    target-encoding (supervised) entries: one 1-row (min, max) broadcast
+    and a narrow affine map, the two-pass broadcast shape at its
+    simplest. The is_min/is_max witnesses pin that the endpoints land
+    exactly on 0 and 1 (an off-by-ulp range computation shows up there
+    first). At 100 TB the caveat is the same as every min-max: a single
+    outlier owns the range — which is why `feature_winsorize` usually
+    runs FIRST."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return o.crossJoin(F.broadcast(s)).select(
+        "o_orderkey",
+        F.round(
+            (F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+            6,
+        ).alias("price_scaled"),
+        (F.col("o_totalprice") == F.col("lo")).alias("is_min"),
+        (F.col("o_totalprice") == F.col("hi")).alias("is_max"),
+    )

@@ -290,6 +290,7 @@ DRIVER_PRIORITY: list[str] = [
     "surrogate_keys",
     "table_fingerprint",
     "session_window_dynamic_gap",
+    "feature_minmax_scale",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
