@@ -294,6 +294,7 @@ _NON_EQUI_OK = {
     # sides are COLLAPSED dimension sets, broadcast-sized by construction
     "churn_risk_flags",  # 1-row observation-end MAX broadcast onto users
     "surrogate_keys",  # 1-row collision-count broadcast onto the key table
+    "feature_minmax_scale",  # 1-row (min, max) range broadcast onto rows
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
