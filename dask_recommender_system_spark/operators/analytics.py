@@ -2996,3 +2996,43 @@ def trimmed_mean_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_all", "n_kept", "trimmed_mean",
         F.round("lo", 6).alias("lo_cut"), F.round("hi", 6).alias("hi_cut"),
     )
+
+
+@query(
+    "peak_activity_cell",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(isodow(ts) AS BIGINT) AS iso_dow,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3)
+    SELECT event_type,
+           arg_max(iso_dow, n * 1000 - (iso_dow * 24 + hr)) AS peak_dow,
+           arg_max(hr, n * 1000 - (iso_dow * 24 + hr)) AS peak_hr,
+           CAST(MAX(n) AS BIGINT) AS peak_n
+    FROM cells GROUP BY event_type
+    """,
+)
+def peak_activity_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak activity cell per metric — `activity_heatmap`'s grid reduced
+    to its answer ('WHEN is each event type busiest'): two chained
+    keyed aggregates, the second carrying the argmax cell out via
+    max_by on a composite key (count scaled, earliest cell breaks
+    ties — the `argmax_per_group` tie discipline applied to a derived
+    grid instead of raw rows). No window, no broadcast, no join; the
+    grid is ≤ 7×24 cells per type so the second agg is bounded at any
+    corpus size."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (((F.dayofweek("ts") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    key = F.col("n") * 1000 - (F.col("iso_dow") * 24 + F.col("hr"))
+    return cells.groupBy("event_type").agg(
+        F.max_by("iso_dow", key).alias("peak_dow"),
+        F.max_by("hr", key).alias("peak_hr"),
+        F.max("n").alias("peak_n"),
+    )

@@ -291,6 +291,7 @@ DRIVER_PRIORITY: list[str] = [
     "table_fingerprint",
     "session_window_dynamic_gap",
     "feature_minmax_scale",
+    "peak_activity_cell",
     # ---- backfill: rows-only re-confirmation on regenerated testdata ----
     "dedup_minhash",
     "dedup_simhash",
