@@ -1857,9 +1857,7 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     span AS (
         SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
     grid AS (
-        SELECT s.user_id, d0 + g.k AS day
-        FROM span s CROSS JOIN (SELECT UNNEST(range(0, 400)) AS k) g
-        WHERE d0 + g.k <= d1),
+        SELECT user_id, UNNEST(range(d0, d1 + 1)) AS day FROM span),
     j AS (
         SELECT g.user_id, g.day, d.v FROM grid g
         LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day),
@@ -2954,15 +2952,15 @@ TRIM_PCT = 0.05
     oracle=f"""
     WITH cuts AS (
         SELECT event_type,
-               quantile_cont(value, {TRIM_PCT}) AS lo,
-               quantile_cont(value, {1 - TRIM_PCT}) AS hi,
+               ROUND(quantile_cont(value, {TRIM_PCT}), 6) AS lo,
+               ROUND(quantile_cont(value, {1 - TRIM_PCT}), 6) AS hi,
                CAST(COUNT(*) AS BIGINT) AS n_all
         FROM events GROUP BY event_type)
     SELECT e.event_type,
            c.n_all,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
            ROUND(AVG(e.value), 6) AS trimmed_mean,
-           ROUND(c.lo, 6) AS lo_cut, ROUND(c.hi, 6) AS hi_cut
+           c.lo AS lo_cut, c.hi AS hi_cut
     FROM events e JOIN cuts c ON e.event_type = c.event_type
     WHERE e.value >= c.lo AND e.value <= c.hi
     GROUP BY e.event_type, c.n_all, c.lo, c.hi
@@ -2977,13 +2975,17 @@ def trimmed_mean_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     family): a tiny per-group percentile-cuts table joins back and the
     trimmed AVG runs in the second pass — winsorize CLAMPS the tails,
     trimming EXCLUDES them; both exist because they answer different
-    questions. Cut values are rounded into the output so the filter
-    boundary itself is value-checked."""
+    questions. Cut values are ROUND(...,6) BEFORE the range filter (the
+    shared-rounded-constant discipline: Spark percentile() and DuckDB
+    quantile_cont() can differ in the last ulp, and an unrounded cut
+    landing exactly on a data value could flip a boundary row's
+    inclusion) and the rounded cuts are emitted so the filter boundary
+    itself is value-checked."""
     _utc(spark)
     ev = load_table(spark, sf_dir, "events")
     cuts = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {TRIM_PCT})").alias("lo"),
-        F.expr(f"percentile(value, {1 - TRIM_PCT})").alias("hi"),
+        F.round(F.expr(f"percentile(value, {TRIM_PCT})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(value, {1 - TRIM_PCT})"), 6).alias("hi"),
         F.count("*").alias("n_all"),
     )
     j = ev.join(F.broadcast(cuts), "event_type").filter(
@@ -2994,7 +2996,7 @@ def trimmed_mean_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("trimmed_mean"),
     ).select(
         "event_type", "n_all", "n_kept", "trimmed_mean",
-        F.round("lo", 6).alias("lo_cut"), F.round("hi", 6).alias("hi_cut"),
+        F.col("lo").alias("lo_cut"), F.col("hi").alias("hi_cut"),
     )
 
 

@@ -1030,5 +1030,14 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    try:
+        # awaitTermination returns False on timeout — in that case the
+        # memory table is incomplete, so fail loudly instead of returning
+        # a silently-wrong aggregate
+        if not q.awaitTermination(timeout=300):
+            raise TimeoutError(
+                "stream_available_now did not terminate within 300 s"
+            )
+    finally:
+        q.stop()
     return spark.table(name)

@@ -703,7 +703,11 @@ def test_theta_set_ops_sketches_build_map_side(spark, sf_dir):
     broadcast, never a shuffled join)."""
     df = q("theta_sketch_set_ops", spark, sf_dir)
     plan = physical_plan(df, "formatted")
-    assert "SinglePartition" in plan or True  # scalar aggs legitimately gather
+    # the only global gathers allowed are the scalar sketch aggregates —
+    # a global Sort or an unpartitioned Window would mean the whole stream
+    # serialized through one task
+    assert "Sort [" not in plan or "Exchange rangepartitioning" not in plan
+    assert "Window [" not in plan
     assert_broadcast_join(df)
     # both branches scan events; neither needs more than its own agg pair
     assert count_exchanges(df) <= 5
