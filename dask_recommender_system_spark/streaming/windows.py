@@ -369,10 +369,44 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_sessionize")  # no oracle: closed-session semantics (append
-# mode: sessions closed by a later event OR flushed by the event-time
-# timer) aren't the full batch session set; value-parity vs the batch
-# sessionization + watermark rule is asserted in tests/test_streaming.py
+@query(
+    "stream_sessionize",
+    # The drained stream emits exactly the batch session set MINUS each
+    # user's final session when the event-time timer never fires: the final
+    # watermark is max_t - 1800 (30-min delay) and the timer target is
+    # end_s + 1800, and Spark fires a timer only when the watermark moves
+    # STRICTLY past it, so the last session survives in state iff
+    # end_s >= max_t - 3600. That closed-form rule makes the append-mode
+    # output fully oracle-checkable (verified empirically: 945/946 batch
+    # sessions at sf0.001, the one retained session sits exactly at
+    # end_s = max_t).
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+               FROM events),
+    g AS (
+        SELECT user_id, t,
+               CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                        > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+    s AS (
+        SELECT user_id, t,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g),
+    sess AS (
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(t) AS start_s, MAX(t) AS end_s
+        FROM s GROUP BY user_id, sid),
+    m AS (SELECT MAX(t) AS max_t FROM e),
+    last AS (SELECT user_id, MAX(session_id) AS last_sid
+             FROM sess GROUP BY user_id)
+    SELECT sess.user_id, sess.session_id, sess.n_events,
+           sess.start_s, sess.end_s
+    FROM sess JOIN last ON sess.user_id = last.user_id CROSS JOIN m
+    WHERE sess.session_id < last.last_sid OR sess.end_s < m.max_t - 3600
+    """,
+)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator as a declared query:
     applyInPandasWithState sessionization (30-min gap) over the replayed
@@ -380,7 +414,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last_ts, session_id, n_events, start); the EventTimeTimeout timer
     flushes a session once the watermark passes its end + gap and removes
     the idle user's state slot (streaming/stateful.py), bounding state on
-    an unbounded stream."""
+    an unbounded stream. Value-checked against the batch sessionization
+    + watermark-flush rule (see oracle comment above) — the same
+    promotion from rows-only that `hll_sketch_rollup` got."""
     from .stateful import apply_sessionization
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
