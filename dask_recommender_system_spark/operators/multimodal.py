@@ -72,25 +72,31 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
         T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, float, list[float]]:
-    """Deterministic fake decode. A real deployment replaces this body with
-    e.g. PIL/torchvision decode — the libs are absent in this container
-    (FIXTURES.md), so we derive (width, height, mean, 8-dim feature) from
-    the bytes themselves. Raise NotImplementedError here to hard-fail
-    instead of faking, if silent stubbing is unacceptable."""
+def _decode_stub(payload: bytes) -> tuple[int, int, int, int, float, list[float]]:
+    """Decode the synthetic struct-packed image format: byte 0 and the
+    last byte are header fields (width/height, 16 + b % 64), every byte is
+    a grayscale pixel sample. A real deployment replaces this body with
+    e.g. PIL/torchvision decode — the image libs are absent in this
+    container (FIXTURES.md) — but because the format is bytes-defined, an
+    oracle can recompute every emitted feature from the payload bytes in
+    SQL, which is what promotes `multimodal_decode` to a full value
+    verdict. The mean divides by a power of two (16-byte payloads) so the
+    float is exact; min/max/width/height are ints."""
     if not payload:
-        return 0, 0, 0.0, [0.0] * 8
+        return 0, 0, 0, 0, 0.0, [0.0] * 8
     w = 16 + payload[0] % 64
     h = 16 + payload[-1] % 64
     mean = float(sum(payload) / len(payload))
     feat = [float(payload[i % len(payload)]) / 255.0 for i in range(8)]
-    return w, h, mean, feat
+    return w, h, min(payload), max(payload), mean, feat
 
 
 def decode_image_features(images: DataFrame) -> DataFrame:
@@ -111,18 +117,49 @@ def decode_image_features(images: DataFrame) -> DataFrame:
             decoded = pdf["image"].map(lambda b: _decode_stub(b or b""))
             out["width"] = decoded.map(lambda t: t[0])
             out["height"] = decoded.map(lambda t: t[1])
-            out["mean_intensity"] = decoded.map(lambda t: t[2])
-            out["feature"] = decoded.map(lambda t: t[3])
+            out["px_min"] = decoded.map(lambda t: t[2])
+            out["px_max"] = decoded.map(lambda t: t[3])
+            out["mean_intensity"] = decoded.map(lambda t: t[4])
+            out["feature"] = decoded.map(lambda t: t[5])
             yield pd.DataFrame(out)
 
     return images.mapInPandas(decode, schema=IMAGE_FEATURE_SCHEMA)
 
 
-@query("multimodal_decode")  # no oracle: mapInPandas stage — rows-only check
+@query(
+    "multimodal_decode",
+    # Oracle recomputes the decode from the payload bytes themselves: the
+    # payload is unhex(md5(text)), so each of its 16 bytes is two hex
+    # digits of md5(text) — extracted with strpos arithmetic in a list
+    # comprehension. width/height/px_min/px_max are pure byte ints; the
+    # mean divides by 16 (dyadic), so the float is bit-exact both sides.
+    # The float32 `feature` array stays kernel-internal: 3 of 256 possible
+    # b/255 values round differently through float32, so it is deliberately
+    # NOT in the checked projection.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               [ (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1)
+                 * 16
+                 + (strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)
+                 FOR i IN range(16) ] AS px
+        FROM documents)
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS n_bytes,
+           CAST(16 + px[1] % 64 AS BIGINT) AS width,
+           CAST(16 + px[16] % 64 AS BIGINT) AS height,
+           CAST(list_min(px) AS BIGINT) AS px_min,
+           CAST(list_max(px) AS BIGINT) AS px_max,
+           ROUND(list_sum(px) / 16.0, 6) AS mean_intensity
+    FROM b
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4b: the decode/feature-extract pipeline end-to-end on constructed
     payloads: binary column → mapInPandas(Arrow) → typed features. The
-    decode kernel is a deterministic stub (see `_decode_stub`)."""
+    decode kernel (`_decode_stub`) reads the synthetic struct-packed image
+    format, so every checked output is recomputable from the payload bytes
+    by the SQL oracle — a full value verdict on the mapInPandas path."""
     d = load_table(spark, sf_dir, "documents")
     images = d.select("doc_id", F.unhex(F.md5(F.col("text"))).alias("image"))
     feats = decode_image_features(images)
@@ -131,8 +168,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "width",
         "height",
+        "px_min",
+        "px_max",
         F.round("mean_intensity", 6).alias("mean_intensity"),
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
 
 
@@ -177,12 +215,33 @@ def sample_frames(videos: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
     return videos.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
 
 
-@query("multimodal_frame_sample")  # no oracle: mapInPandas stage — rows-only
+@query(
+    "multimodal_frame_sample",
+    # Oracle recomputes the frame sampler from the payload bytes: the
+    # payload is unhex(sha256(text)) (32 bytes), so frame f is bytes
+    # [8f, 8f+8) = hex digits [16f+1, 16f+16] of sha256(text); the 16-byte
+    # strided "thumbnail" of an 8-byte frame is the frame itself. Every
+    # emitted column (sizes, timestamps, base64 thumb) is therefore pure
+    # SQL over the same bytes — the flat-map mapInPandas path gets a full
+    # value verdict including its 4x output cardinality.
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, sha256(text) AS hx, UNNEST(range({N_FRAMES})) AS fi
+        FROM documents)
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(fi * {FAKE_FPS_MS} AS BIGINT) AS ts_ms,
+           CAST(8 AS BIGINT) AS frame_bytes,
+           to_base64(unhex(substr(hx, fi * 16 + 1, 16))) AS thumb_b64
+    FROM f
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4c: video frame-sample + resize plumbing end-to-end on constructed
     payloads (sha2-derived bytes stand in for video): binary column →
     flat-map mapInPandas → (doc_id, frame_idx, ts_ms, frame, thumb) rows.
-    Exactly N_FRAMES rows per document (asserted in tests)."""
+    Exactly N_FRAMES rows per document (asserted in tests); the byte-defined
+    frame format makes every output oracle-recomputable in SQL."""
     d = load_table(spark, sf_dir, "documents")
     videos = d.select(
         "doc_id", F.unhex(F.sha2(F.col("text"), 256)).alias("video")
