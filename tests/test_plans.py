@@ -250,7 +250,9 @@ def test_salted_join_preserves_single_agg_shuffle(spark, sf_dir):
 # intentional exact brute-force baselines: non-equi joins appear as
 # BroadcastNestedLoopJoin (bounded: one side is the broadcast query/dim set)
 _NON_EQUI_OK = {
-    "similarity_topk", "dedup_embedding_cosine", "recommend_top_k",
+    "similarity_topk", "recommend_top_k",
+    # exact-IVF probes a 16-row broadcast centroid dim (bounded BNLJ);
+    # the data-sized joins are keyed on cell
     "similarity_ann_ivf",
     # band join against a literal 3-row interval dim — NLJ bounded by |bands|
     "join_range_band",
