@@ -1,6 +1,9 @@
 """Benchmark harness (driver contract): runs the headline queries + a
 FunkSVD training segment at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS], prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS]. Prints the full JSON object on one line, writes
+it to BENCH_local.json, and prints a <1900-char compact summary as the
+LAST line so the driver's bounded tail capture parses whole
+(BENCH_r03.json arrived truncated — VERDICT r03 item 5).
 
 Reference numbers to beat (BASELINE.md): FunkSVD ≈ 9.47 s/epoch on 219,155
 ratings single-node ⇒ ≈ 23.1k ratings/s/epoch; our bound is ≥ half that
@@ -107,10 +110,98 @@ BENCH_QUERIES = [
     # round-3 batch 7 (capstone composition + Pareto classification)
     "corpus_curation_pipeline",
     "abc_classification",
+    # round-4 additions (this round's promoted/reworked plans) — appended,
+    # same order-stability rule
+    "similarity_ann_ivf",
+    "dedup_embedding_cosine",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "stream_sessionize",
 ]
 
 FUNK_EPOCHS = 5
 FUNK_K = 30
+
+# the driver records only the last ~2000 stdout chars (BENCH_r03 captured a
+# truncated tail and lost bench_total), so the LAST line is a compact
+# summary whose per-query map is limited to this headline subset; the full
+# per-query map is printed on an earlier line AND written to
+# BENCH_local.json, which is committed each round
+HEADLINE_QUERIES = [
+    "scan_parquet",
+    "dedup_keep_last",
+    "agg_rollup",
+    "join_predict_lookup",
+    "window_events_tumbling",
+    "sessionize",
+    "recommend_top_k",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "join_asof",
+    "session_window_native",
+    "tfidf_top_terms",
+    "item_cf_similarity",
+    "pagerank_items",
+    "dedup_sorted_neighborhood",
+    "graph_triangle_stats",
+    "corpus_curation_pipeline",
+    # training segments (the BASELINE.md comparison numbers)
+    "funk_svd_epoch",
+    "funk_svd_fit_total",
+    "als_epoch",
+    "als_fit_total",
+    "funk_svd_fit_total_100ep",
+]
+
+
+def _planted_holdout_rmse(spark) -> dict[str, float]:
+    """Held-out RMSE on the planted-factor fixture (the quantity
+    tests/test_model_metrics.py gates) — reported next to the sf0.1 train
+    RMSE because the two are NOT comparable: the 100-epoch headline number
+    is a TRAIN RMSE on synthetic TPC-H-derived ratings, while BASELINE.md's
+    0.92 band is held-out RMSE on Amazon data. The planted fixture is the
+    apples-to-apples held-out measurement this engine can produce."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.models import FunkSVD
+
+    rng = np.random.RandomState(42)
+    n_users, n_items, k_true, n_ratings = 400, 150, 4, 16000
+    P = rng.normal(0, 0.5, (n_users, k_true))
+    Q = rng.normal(0, 0.5, (n_items, k_true))
+    bu = rng.normal(0, 0.3, n_users)
+    bi = rng.normal(0, 0.3, n_items)
+    us = rng.randint(0, n_users, n_ratings)
+    its = rng.randint(0, n_items, n_ratings)
+    raw = (
+        3.5 + bu[us] + bi[its] + np.einsum("ij,ij->i", P[us], Q[its])
+        + rng.normal(0, 0.3, n_ratings)
+    )
+    r = np.clip(np.round(raw), 1, 5)
+    rows = [
+        (f"U{u:05d}", f"I{i:05d}", float(v), int(j))
+        for j, (u, i, v) in enumerate(zip(us, its, r))
+    ]
+    df = spark.createDataFrame(
+        rows, "user string, item string, rating double, rid long"
+    )
+    train = df.filter(F.col("rid") % 10 < 7).persist()
+    test = df.filter(F.col("rid") % 10 >= 7).persist()
+    m = FunkSVD(n_factors=8, lr=0.02, reg=0.005, epochs=8)
+    m.fit(train)
+    mu = m.stats.mean_rating
+    base = (
+        test.agg(F.avg((F.col("rating") - mu) ** 2).alias("m")).first()["m"] ** 0.5
+    )
+    _, _, rmse = m.eval(m.predict(test))
+    return {
+        "funk_svd_holdout_rmse": round(rmse, 6),
+        "holdout_baseline_rmse": round(base, 6),
+    }
 
 
 def main() -> None:
@@ -202,20 +293,43 @@ def main() -> None:
         extras["funk_svd_epoch_steady"] = round(steady_s, 3)
         extras["ratings_per_s_per_epoch_steady"] = round(n_ratings / steady_s)
 
+    extras.update(_planted_holdout_rmse(spark))
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "n_ratings": n_ratings,
-                **extras,
-            }
-        )
-    )
+    full = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "n_ratings": n_ratings,
+        **extras,
+    }
+    # full object: one stdout line (for anyone parsing the whole stream)
+    # plus the committed file the driver/judge can always read whole
+    print(json.dumps(full))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # LAST line: compact summary sized to survive the driver's ~2000-char
+    # tail capture — headline queries only, everything else in the file
+    summary = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            k: timings[k] for k in HEADLINE_QUERIES if k in timings
+        },
+        "sf": SF_DIR,
+        "n_ratings": n_ratings,
+        "n_queries_timed": len(timings),
+        "full_map": "BENCH_local.json",
+        **extras,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":
