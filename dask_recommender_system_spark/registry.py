@@ -73,78 +73,28 @@ def load_all_operators() -> None:
     from .streaming import windows as streaming_windows  # noqa: F401
 
 
-# The driver's CORRECTNESS gate truncates at the first 50 entries of
-# ``queries()`` (observed in round 1: exactly insertion-order positions 0-49
-# got verdicts). Coverage therefore rotates: queries the driver has NOT yet
-# vouched for register first, banked-green rows last. This list is the round-3
-# front of the rotation: (a) queries NEW this round, (b) the 13 oracle-backed
-# queries added late in round 2 that have never been inside the window,
-# (c) the fixed ``pack_sequences`` (r2 FAIL — oracle HUGEINT cast, repaired),
-# (d) ``agg_approx_distinct``/``hll_sketch_rollup``, promoted this round from
-# rows-only to oracle-backed via exact-count + bounded-error-flag outputs,
-# (e) ``stream_sessionize`` (rows-only, never checked), then backfill with
-# rows-only queries re-confirmed against the regenerated testdata and the
-# oldest round-1 greens. Keep in sync when adding queries until every
-# registered query has a green CORRECTNESS_r* row across rounds.
+# The driver's CORRECTNESS gate checks the first 50 entries of ``queries()``
+# per round, so coverage rotates: this list fronts the names that most need
+# a driver verdict; every name NOT listed here is already driver-green
+# (CORRECTNESS_r01-r03) and falls back to registration order behind them.
+# Round-4 front, in order:
+#   (a) the six promotions whose implementation or oracle changed this
+#       round (rows-only -> full value verdicts: stream_sessionize, both
+#       ANN paths, both multimodal kernels; plan rework:
+#       dedup_embedding_cosine) - they must re-earn a driver row;
+#   (b) the 141 locally-green queries never yet inside a driver window,
+#       float-surface ops first (VERDICT r03 item 1). Slots 1-50 are the
+#       round-4 window; the remainder fronts round 5. Keep in sync when
+#       adding queries until every name has a CORRECTNESS_r* row.
 DRIVER_PRIORITY: list[str] = [
-    # ---- (a) new in round 3 (add names here as queries land) ----
-    "negative_sampling",
-    "feature_binning",
-    "vocab_coverage",
-    "join_bloom_pruned",
-    "heavy_hitters",
-    "timeseries_resample",
-    "rollup_incremental_merge",
-    "pagerank_items",
-    "bm25_score",
-    "sink_parquet_zorder",
-    "data_drift_psi",
-    "chi2_independence",
-    "session_path_topk",
-    "schema_profile",
-    "sample_per_key",
-    "feature_winsorize",
-    "unigram_logprob_score",
-    "bpr_epoch_user_update",
-    "stream_hll_rollup",
-    "scan_manifest_pruned",
-    "join_point_in_interval",
-    "dedup_containment",
-    "grouped_median_mad",
-    "retention_cohorts",
-    "event_transition_counts",
-    "rfm_segmentation",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "dedup_levenshtein_verified",
-    "scd2_intervals",
-    "time_weighted_avg",
-    "merge_upsert_cdc",
-    "corpus_mix_rebalance",
-    # ---- (b) never driver-checked, oracle-backed ----
-    "item_cf_similarity",
-    "trend_linear_fit",
-    "corr_matrix",
-    "tfidf_top_terms",
-    "anomaly_zscore",
-    "parse_logs_regex",
-    "stream_parse_logs",
-    "stream_foreachbatch_sink",
-    "scan_orc",
-    "scan_csv_quarantine",
-    "split_kfold",
-    "sink_parquet_sorted",
-    "cogroup_user_activity",
-    # ---- (c) red in r02, fixed (oracle CAST) — needs a green row ----
-    "pack_sequences",
-    # ---- (d) promoted rows-only -> oracle-backed this round ----
-    "agg_approx_distinct",
-    "hll_sketch_rollup",
-    # ---- (e) never driver-checked, rows-only by design ----
+    # ---- (a) promotions: changed this round, need fresh driver rows ----
     "stream_sessionize",
-    # ---- overflow: never-checked queries beyond the 50-slot window
-    # (full of never-checked + the repaired pack_sequences); these front
-    # the round-4 rotation ----
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "dedup_embedding_cosine",
+    # ---- (b) never driver-checked (rotation debt, oldest first) ----
     "interval_union_length",
     "sink_compacted",
     "schema_evolution_merge",
@@ -292,41 +242,6 @@ DRIVER_PRIORITY: list[str] = [
     "session_window_dynamic_gap",
     "feature_minmax_scale",
     "peak_activity_cell",
-    # ---- backfill: rows-only re-confirmation on regenerated testdata ----
-    "dedup_minhash",
-    "dedup_simhash",
-    "user_ewma",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "funk_svd_fit_metrics",
-    "als_fit_metrics",
-    "mllib_als_recommend",
-    # ---- backfill: oldest r1 greens, re-confirmed on regenerated data ----
-    "scan_csv",
-    "scan_jsonl",
-    "sink_csv",
-    "scan_parquet",
-    "sink_parquet_partitioned",
-    "etl_jsonl_to_csv",
-    "project_columns",
-    "rename_columns",
-    "filter_predicate",
-    "add_column",
-    "dedup_full_row",
-    "dedup_keep_last",
-    "sort_by_time",
-    "split_train_test",
-    "distinct_keys",
-    "encode_ids",
-    "count_rows",
-    "global_stats",
-    "grouped_sum_user",
-    "grouped_sum_item",
-    "eval_metrics",
-    "agg_rollup",
-    "join_encode",
 ]
 
 
