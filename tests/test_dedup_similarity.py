@@ -85,3 +85,50 @@ def test_ann_recall_on_clustered_fixture(spark, tmp_path):
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8, f"{name} recall {recall}"
+
+
+@pytest.mark.slow
+def test_exact_ivf_equals_brute_force(spark, tmp_path):
+    """similarity_ann_ivf is EXACT by construction (probe + triangle-
+    inequality bound expansion): on the clustered fixture its full output
+    must EQUAL the brute-force top-k — not merely reach a recall bound."""
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path / "ivfexact")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    exact = {tuple(r) for r in REGISTRY["similarity_topk"].fn(spark, d).collect()}
+    ivf = {tuple(r) for r in REGISTRY["similarity_ann_ivf"].fn(spark, d).collect()}
+    assert exact and ivf == exact
+
+
+@pytest.mark.slow
+def test_bucketed_cosine_dedup_equals_brute_force(spark, tmp_path):
+    """dedup_embedding_cosine's cell-pair pruning is exact (triangle
+    inequality): the bucketed plan must return every >=0.4 pair the naive
+    O(n^2) scan finds — on clustered data, where intra-cluster pairs all
+    fire the threshold."""
+    rows = _clustered_vectors(n_clusters=6, per_cluster=20)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path / "cosdedup")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    from dask_recommender_system_spark.operators.linalg import dot
+
+    e = (
+        spark.read.parquet(f"{d}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(dot(F.col("va"), F.col("vb")) >= 0.4)
+        .collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, d).collect()
+    }
+    assert brute and bucketed == brute

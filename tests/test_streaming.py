@@ -175,3 +175,37 @@ def test_stream_kll_monitor_flags_hold(spark, sf_dir):
         .count()
     )
     assert len(rows) == batch_hours
+
+
+def test_sessionize_timer_boundary_matches_oracle_rule(spark, tmp_path):
+    """Pins the strictness the stream_sessionize ORACLE encodes: a timer
+    at exactly the final watermark (end_s == max_t - 3600 with the 30-min
+    delay and 30-min gap) must NOT fire — Spark fires event-time timers
+    only when the watermark moves STRICTLY past them — while one second
+    earlier must. If a Spark upgrade flips this, this test (not a driver
+    hash mismatch) is what goes red."""
+    src = str(tmp_path / "src")
+    schema = "user_id long, ts_s long"
+    T = 100_000
+    rows = [
+        (1, T - 7200), (1, T),   # user 1: closed session + open tail
+        (2, T - 3600),           # boundary: timer == final watermark
+        (3, T - 3601),           # one past: timer fires
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = apply_sessionization(stream)
+    name = "sess_boundary"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_id"], r["n_events"], r["start_s"], r["end_s"])
+        for r in spark.table(name).collect()
+    }
+    assert (1, 0, 1, T - 7200, T - 7200) in got  # closed by later event
+    assert (3, 0, 1, T - 3601, T - 3601) in got  # timer strictly below wm
+    assert all(u != 2 for (u, *_rest) in got)    # boundary timer held
+    assert all(not (u == 1 and s == 1) for (u, s, *_r) in got)  # open tail held
