@@ -30,7 +30,10 @@ def get_spark(app_name: str = "dask-recommender-system-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM for driver AND all 32 executor threads; 8g
+        # starved AQE's runtime broadcast builds at the sf1 probe scale
+        # (Not-enough-memory-to-broadcast), so size the heap to the box
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
