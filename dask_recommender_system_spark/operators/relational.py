@@ -674,6 +674,116 @@ def split_train_test_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    c AS (SELECT quantile_cont({ORACLE_EPOCH.format(col='ts')}, 0.8) AS cutoff
+          FROM r),
+    lab AS (SELECT r.user_id, r.item_id,
+                   {ORACLE_EPOCH.format(col='r.ts')} <= c.cutoff AS is_train
+            FROM r, c),
+    tr_u AS (SELECT DISTINCT user_id FROM lab WHERE is_train),
+    tr_i AS (SELECT DISTINCT item_id FROM lab WHERE is_train),
+    te AS (SELECT * FROM lab WHERE NOT is_train),
+    base AS (SELECT CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_train,
+                    CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                      AS n_test
+             FROM lab),
+    cu AS (SELECT CAST(COUNT(DISTINCT te.user_id) AS BIGINT) AS n_cold_users,
+                  CAST(COUNT(*) AS BIGINT) AS n_cold_user_rows
+           FROM te LEFT JOIN tr_u ON te.user_id = tr_u.user_id
+           WHERE tr_u.user_id IS NULL),
+    ci AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cold_items FROM
+           (SELECT DISTINCT te.item_id FROM te
+            LEFT JOIN tr_i ON te.item_id = tr_i.item_id
+            WHERE tr_i.item_id IS NULL)),
+    rp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_pairs FROM
+           (SELECT DISTINCT user_id, item_id FROM lab WHERE is_train
+            INTERSECT
+            SELECT DISTINCT user_id, item_id FROM te))
+    SELECT base.n_train, base.n_test, cu.n_cold_users, cu.n_cold_user_rows,
+           ci.n_cold_items, rp.n_repeat_pairs,
+           ROUND(CAST(cu.n_cold_user_rows AS DOUBLE) / base.n_test, 6)
+             AS pct_cold_user_rows,
+           ROUND(CAST(rp.n_repeat_pairs AS DOUBLE) / base.n_test, 6)
+             AS repeat_pair_ratio
+    FROM base, cu, ci, rp
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X232: eval-integrity audit of the temporal train/test split — the
+    numbers a recommender eval must report before its metrics mean
+    anything: how much of the test set is cold (users/items the model
+    never trained on, answerable only by fallback) and how much is
+    repeat-interaction overlap (user-item pairs present in BOTH halves,
+    which implicit-feedback metrics silently reward memorizing). Same 0.8
+    exact-percentile cutoff as `split_train_test_temporal`, broadcast as
+    a 1-row scalar. Everything else is keyed distincts, two LEFT ANTI
+    joins, and one pair-keyed join — each shuffled on its own key,
+    scalars crossJoined at the end (1-row broadcasts). The two ratios
+    are single divisions of exact BIGINTs, rounded. (On the TPC-H-derived
+    ratings every user/item appears before the 0.8 cutoff, so the cold
+    counts are legitimately 0 here; tests/test_properties.py drives
+    `leakage_audit_from` with a planted split where every branch fires.)"""
+    r = _ratings(spark, sf_dir).select("user_id", "item_id", _epoch("ts").alias("t"))
+    return leakage_audit_from(r)
+
+
+def leakage_audit_from(r: DataFrame) -> DataFrame:
+    """Audit core over a (user_id, item_id, t) frame — see
+    `split_leakage_audit` for semantics."""
+    cutoff = r.agg(F.expr("percentile(t, 0.8)").alias("cutoff"))
+    lab = r.crossJoin(F.broadcast(cutoff)).select(
+        "user_id", "item_id", (F.col("t") <= F.col("cutoff")).alias("is_train")
+    )
+    tr = lab.filter(F.col("is_train"))
+    te = lab.filter(~F.col("is_train"))
+    base = lab.agg(
+        F.sum(F.col("is_train").cast("long")).alias("n_train"),
+        F.sum((~F.col("is_train")).cast("long")).alias("n_test"),
+    )
+    cu = (
+        te.join(tr.select("user_id").distinct(), "user_id", "left_anti")
+        .agg(
+            F.countDistinct("user_id").alias("n_cold_users"),
+            F.count("*").alias("n_cold_user_rows"),
+        )
+    )
+    ci = (
+        te.select("item_id")
+        .distinct()
+        .join(tr.select("item_id").distinct(), "item_id", "left_anti")
+        .agg(F.count("*").alias("n_cold_items"))
+    )
+    rp = (
+        tr.select("user_id", "item_id")
+        .distinct()
+        .join(te.select("user_id", "item_id").distinct(), ["user_id", "item_id"])
+        .agg(F.count("*").alias("n_repeat_pairs"))
+    )
+    return (
+        base.crossJoin(F.broadcast(cu))
+        .crossJoin(F.broadcast(ci))
+        .crossJoin(F.broadcast(rp))
+        .select(
+            "n_train",
+            "n_test",
+            "n_cold_users",
+            "n_cold_user_rows",
+            "n_cold_items",
+            "n_repeat_pairs",
+            F.round(
+                F.col("n_cold_user_rows").cast("double") / F.col("n_test"), 6
+            ).alias("pct_cold_user_rows"),
+            F.round(
+                F.col("n_repeat_pairs").cast("double") / F.col("n_test"), 6
+            ).alias("repeat_pair_ratio"),
+        )
+    )
+
+
 K_FOLDS = 5
 
 

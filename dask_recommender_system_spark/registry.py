@@ -242,6 +242,8 @@ DRIVER_PRIORITY: list[str] = [
     "session_window_dynamic_gap",
     "feature_minmax_scale",
     "peak_activity_cell",
+    # ---- new in round 4 ----
+    "split_leakage_audit",
 ]
 
 

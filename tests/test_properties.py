@@ -492,3 +492,53 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     assert cos > 0.995, f"power iteration off numpy PC1: cos={cos}"
     assert abs(row["eigenvalue"] - float(np.max(w))) < 1e-3
     assert 0.0 < row["explained_var"] <= 1.0 + 1e-9
+
+
+def test_split_leakage_audit_invariants(spark, sf_dir):
+    """split_leakage_audit: the audit must be internally consistent with
+    the split it audits — counts partition the ratings, cold rows bound
+    cold users, ratios are the exact divisions of the emitted counts."""
+    from dask_recommender_system_spark.data import load_table, ratings_from_df
+
+    row = REGISTRY["split_leakage_audit"].fn(spark, sf_dir).first()
+    n_ratings = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    ).count()
+    assert row["n_train"] + row["n_test"] == n_ratings
+    assert row["n_train"] >= row["n_test"] > 0  # 0.8 temporal cutoff
+    assert 0 <= row["n_cold_users"] <= row["n_cold_user_rows"] <= row["n_test"]
+    assert 0 <= row["n_cold_items"]
+    assert 0 <= row["n_repeat_pairs"] <= row["n_test"]
+    assert row["pct_cold_user_rows"] == round(
+        row["n_cold_user_rows"] / row["n_test"], 6
+    )
+    assert row["repeat_pair_ratio"] == round(
+        row["n_repeat_pairs"] / row["n_test"], 6
+    )
+
+
+def test_split_leakage_audit_planted_branches(spark):
+    """Every audit branch fires on a planted split (the sf fixtures have
+    no cold users/items, so zeros there check only half the logic):
+    10 ratings, cutoff at the 0.8 quantile of t=1..10 (=8) puts t=9,10 in
+    test. User 100/item 7 appear only in test (cold); user 1/item 1 repeat
+    across the halves."""
+    from dask_recommender_system_spark.operators.relational import (
+        leakage_audit_from,
+    )
+
+    rows = [
+        # train: t 1..8, users 1-2, items 1-6
+        (1, 1, 1), (1, 2, 2), (1, 3, 3), (2, 4, 4),
+        (2, 5, 5), (2, 6, 6), (1, 4, 7), (2, 1, 8),
+        # test: cold user 100 on cold item 7; repeat pair (1, 1)
+        (100, 7, 9), (1, 1, 10),
+    ]
+    r = spark.createDataFrame(rows, "user_id long, item_id long, t long")
+    row = leakage_audit_from(r).first()
+    assert row["n_train"] == 8 and row["n_test"] == 2
+    assert row["n_cold_users"] == 1 and row["n_cold_user_rows"] == 1
+    assert row["n_cold_items"] == 1
+    assert row["n_repeat_pairs"] == 1
+    assert row["pct_cold_user_rows"] == 0.5
+    assert row["repeat_pair_ratio"] == 0.5
