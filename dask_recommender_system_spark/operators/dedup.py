@@ -965,3 +965,45 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("doc_id", key).alias("best_doc"),
         F.max("n_chars").cast("long").alias("best_len"),
     )
+
+
+@query(
+    "dedup_cross_corpus_anti",
+    oracle="""
+    WITH b AS (SELECT doc_id, md5(text) AS h FROM documents
+               WHERE doc_id % 3 = 0),
+    ref AS (SELECT DISTINCT md5(text) AS h FROM documents
+            WHERE doc_id % 3 <> 0),
+    fresh AS (SELECT b.doc_id, b.h FROM b
+              LEFT JOIN ref ON b.h = ref.h WHERE ref.h IS NULL)
+    SELECT MIN(doc_id) AS doc_id, h AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+    FROM fresh GROUP BY h
+    """,
+)
+def dedup_cross_corpus_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X233: incremental-ingest dedup — the nightly-crawl shape that
+    within-corpus dedup (dedup_exact) and sketch unioning
+    (minhash_incremental_merge) don't cover: a NEW batch (doc_id % 3 = 0
+    stands in for tonight's crawl) is admitted only where its content
+    hash is unseen in the existing reference corpus (LEFT ANTI join on
+    the 32-byte hash — the shuffle carries hashes, never documents),
+    then deduped within itself by one keyed aggregate (keeper = min
+    doc_id). At 100 TB the reference side is a hash-bucketed table the
+    batch anti-joins against bucket-to-bucket with no re-shuffle of the
+    corpus; nothing here is sized by the corpus except that one keyed
+    lookup."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    ref = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    fresh = batch.join(ref, "content_hash", "left_anti")
+    return fresh.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_batch_copies"),
+    ).select("doc_id", "content_hash", "n_batch_copies")

@@ -1342,3 +1342,76 @@ def regex_extract_all_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(refs).cast("long").alias("n_refs"),
         F.array_join(F.array_sort(refs), ",").alias("refs_sorted"),
     )
+
+
+SAMPLE_STRATA_CUTS = [round(0.1 * i, 1) for i in range(1, 10)]  # deciles
+SAMPLE_MOD, SAMPLE_KEEP = 5, 1  # deterministic 20% within each stratum
+
+_QUALITY_SQL = f"""
+        SELECT doc_id,
+               ROUND(LEAST(CAST(LEN({ORACLE_TOKENS}) AS DOUBLE) / 100.0, 1.0)
+                     * 0.5
+                     + LEAST(CAST(LEN(list_filter({ORACLE_TOKENS},
+                         t -> t IN ('the','and','of','to','in','a','is')))
+                         AS DOUBLE)
+                       / LEN({ORACLE_TOKENS}) * 5.0, 1.0) * 0.5, 6) AS q
+        FROM documents"""
+
+
+@query(
+    "quality_stratified_sample",
+    oracle=f"""
+    WITH s AS ({_QUALITY_SQL}),
+    c AS (SELECT quantile_cont(q, {SAMPLE_STRATA_CUTS}) AS cuts FROM
+          (SELECT ROUND(q, 6) AS q FROM s)),
+    lab AS (SELECT doc_id, q,
+                   CAST(LEN(list_filter(c.cuts, x -> s.q > ROUND(x, 6)))
+                        AS BIGINT) AS stratum
+            FROM s, c)
+    SELECT doc_id, stratum, q AS quality
+    FROM lab WHERE doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
+    """,
+)
+def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X234: quality-stratified corpus subsampling — the curation move
+    after `text_quality_score`: bucket documents into quality deciles and
+    keep a deterministic 20% of EACH decile, so a downsized training mix
+    preserves the full quality distribution instead of whatever a uniform
+    hash-sample happens to hit. Decile cuts are ONE exact-percentile
+    scalar row broadcast back over the docs (the `rfm_segmentation` /
+    `split_train_test_temporal` shape — no global ntile window, which
+    would serialize a data-sized table through one task); stratum
+    assignment is an in-row count of cuts below the rounded score (both
+    engines compare identical ROUND(...,6) constants), and the keep rule
+    is a key-hash (doc_id % {SAMPLE_MOD}), stable under repartitioning.
+    At 100 TB swap percentile for approx_percentile (t-digest) and
+    nothing else changes."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(TOKENS()).cast("long")
+    n_stop = F.size(
+        F.expr(
+            "filter(split(trim(text), '\\\\s+'),"
+            " t -> t IN ('the','and','of','to','in','a','is'))"
+        )
+    ).cast("long")
+    quality = F.round(
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(n_stop.cast("double") / n_tokens * 5.0, F.lit(1.0)) * 0.5,
+        6,
+    )
+    scored = d.select("doc_id", quality.alias("q"))
+    cuts_arr = "array({})".format(
+        ", ".join(f"round(percentile(q, {p}), 6)" for p in SAMPLE_STRATA_CUTS)
+    )
+    cuts = scored.agg(F.expr(cuts_arr).alias("cuts"))
+    lab = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "q",
+        F.expr(
+            "aggregate(transform(cuts, c -> CASE WHEN q > c THEN 1 ELSE 0 END),"
+            " 0, (a, x) -> a + x)"
+        ).cast("long").alias("stratum"),
+    )
+    return lab.filter(F.col("doc_id") % SAMPLE_MOD < SAMPLE_KEEP).select(
+        "doc_id", "stratum", F.col("q").alias("quality")
+    )

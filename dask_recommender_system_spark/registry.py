@@ -244,6 +244,8 @@ DRIVER_PRIORITY: list[str] = [
     "peak_activity_cell",
     # ---- new in round 4 ----
     "split_leakage_audit",
+    "dedup_cross_corpus_anti",
+    "quality_stratified_sample",
 ]
 
 

@@ -262,6 +262,7 @@ _NON_EQUI_OK = {
     "sgd_epoch_user_update", "sgd_epoch_item_update",
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
     "split_leakage_audit",  # same 1-row cutoff + three 1-row stat broadcasts
+    "quality_stratified_sample",  # 1-row decile-cuts broadcast onto docs
     "key_skew_profile",  # 1-row total-count broadcast onto top-k rows
     "tfidf_top_terms",  # 1-row corpus-size broadcast onto the tf table
     "rfm_segmentation",  # 1-row quintile-cuts broadcast onto per-user RFM

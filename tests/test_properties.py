@@ -542,3 +542,42 @@ def test_split_leakage_audit_planted_branches(spark):
     assert row["n_repeat_pairs"] == 1
     assert row["pct_cold_user_rows"] == 0.5
     assert row["repeat_pair_ratio"] == 0.5
+
+
+def test_cross_corpus_anti_planted(spark, tmp_path):
+    """dedup_cross_corpus_anti on a planted corpus where every branch
+    fires: a batch doc duplicated in the reference is dropped, batch-only
+    duplicates collapse to the min doc_id, unique batch docs survive."""
+    rows = [
+        # batch = doc_id % 3 == 0
+        (0, "shared with reference corpus"),   # dup of ref doc 1 -> dropped
+        (3, "batch only duplicate text"),      # batch-dup group keeper
+        (6, "batch only duplicate text"),      # collapsed into doc 3
+        (9, "unique fresh batch document"),    # survives alone
+        # reference = doc_id % 3 != 0
+        (1, "shared with reference corpus"),
+        (2, "reference only text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "xcorpus")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_id"], r["n_batch_copies"])
+        for r in REGISTRY["dedup_cross_corpus_anti"].fn(spark, d).collect()
+    }
+    assert got == {(3, 2), (9, 1)}
+
+
+def test_quality_stratified_sample_invariants(spark, sf_dir):
+    """quality_stratified_sample: the keep rule is exactly
+    doc_id % 5 == 0, strata span the decile range, and within the sample
+    every stratum's quality band is disjoint from the next (cuts are
+    shared constants, so strata must be ordered by quality)."""
+    out = REGISTRY["quality_stratified_sample"].fn(spark, sf_dir).toPandas()
+    assert (out["doc_id"] % 5 == 0).all()
+    assert out["stratum"].between(0, 9).all()
+    by = out.groupby("stratum")["quality"]
+    hi, lo = by.max(), by.min()
+    strata = sorted(by.groups)
+    for a, b in zip(strata, strata[1:]):
+        assert hi[a] <= lo[b], f"stratum {a} overlaps {b}"
