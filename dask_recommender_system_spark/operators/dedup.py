@@ -1007,3 +1007,59 @@ def dedup_cross_corpus_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("n_batch_copies"),
     ).select("doc_id", "content_hash", "n_batch_copies")
+
+
+BOILER_DF = 5  # a shingle in >= this many docs is boilerplate
+BOILER_MAX_RATIO = 0.2  # docs above this boilerplate share get flagged
+
+
+@query(
+    "boilerplate_shingle_profile",
+    oracle=f"""
+    WITH {ORACLE_SHINGLES},
+    d AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df >= {BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           ROUND(SUM(CASE WHEN d.df >= {BOILER_DF} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS boiler_ratio,
+           CAST(SUM(CASE WHEN d.df >= {BOILER_DF} THEN 1 ELSE 0 END)
+                * 1.0 / COUNT(*) <= {BOILER_MAX_RATIO} AS BIGINT) AS keep
+    FROM sh JOIN d ON sh.s = d.s
+    GROUP BY sh.doc_id
+    """,
+)
+def boilerplate_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X235: repeated-n-gram boilerplate profiling (the CCNet/RefinedWeb
+    line-dedup idea at shingle granularity, which is what survives when
+    documents have no line structure): a 3-gram shingle occurring in >=
+    {BOILER_DF} distinct documents is boilerplate (navigation chrome,
+    license blurbs, templated headers), and a document whose boilerplate
+    share exceeds {BOILER_MAX_RATIO:.0%} is flagged for removal. Two
+    keyed aggregates around one shingle-keyed equi-join: corpus df is a
+    shingle-keyed count (map-side combined), the profile a doc-keyed
+    rollup — the exact shape of tfidf_top_terms, so the 100 TB notes
+    (posting lists capped by df, stop-shingle pruning) carry over. The
+    ratio is one division of exact counts; keep is an integer flag of a
+    shared-constant comparison."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
+    boiler = (F.col("df") >= BOILER_DF).cast("long")
+    prof = (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(boiler).alias("n_boiler"),
+        )
+    )
+    ratio = F.col("n_boiler") / F.col("n_shingles")
+    return prof.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        F.round(ratio, 6).alias("boiler_ratio"),
+        (ratio <= BOILER_MAX_RATIO).cast("long").alias("keep"),
+    )

@@ -246,6 +246,7 @@ DRIVER_PRIORITY: list[str] = [
     "split_leakage_audit",
     "dedup_cross_corpus_anti",
     "quality_stratified_sample",
+    "boilerplate_shingle_profile",
 ]
 
 

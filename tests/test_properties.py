@@ -581,3 +581,28 @@ def test_quality_stratified_sample_invariants(spark, sf_dir):
     strata = sorted(by.groups)
     for a, b in zip(strata, strata[1:]):
         assert hi[a] <= lo[b], f"stratum {a} overlaps {b}"
+
+
+def test_boilerplate_profile_planted(spark, tmp_path):
+    """boilerplate_shingle_profile on a planted corpus: a shingle pasted
+    into BOILER_DF docs flags them (every other shingle unique), docs
+    below the share threshold keep=1, and counts partition."""
+    from dask_recommender_system_spark.operators.dedup import BOILER_DF
+
+    boiler = "click here subscribe"
+    rows = []
+    for d in range(BOILER_DF):
+        # 2 boiler shingles (the 3-gram + its window) inside unique filler
+        rows.append((d, f"u{d}a u{d}b u{d}c {boiler} u{d}d u{d}e u{d}f"))
+    rows.append((99, "entirely unique document text body here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "boiler")
+    df.write.mode("overwrite").parquet(f"{p}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["boilerplate_shingle_profile"].fn(spark, p).collect()
+    }
+    assert out[99]["n_boiler"] == 0 and out[99]["keep"] == 1
+    for d in range(BOILER_DF):
+        assert out[d]["n_boiler"] >= 1  # the planted shingle crossed df>=K
+        assert out[d]["n_boiler"] < out[d]["n_shingles"]
