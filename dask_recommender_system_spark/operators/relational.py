@@ -2117,3 +2117,53 @@ def sink_parquet_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents"
         ),
     )
+
+
+_HIERARCHY_CLOSURE_SQL = """
+    WITH RECURSIVE nodes AS (
+        SELECT 'R' || CAST(r_regionkey AS STRING) AS node,
+               CAST(NULL AS STRING) AS parent
+        FROM region
+        UNION ALL
+        SELECT 'N' || CAST(n_nationkey AS STRING),
+               'R' || CAST(n_regionkey AS STRING)
+        FROM nation
+        UNION ALL
+        SELECT 'C' || CAST(c_custkey AS STRING),
+               'N' || CAST(c_nationkey AS STRING)
+        FROM customer),
+    closure(node, root, depth) AS (
+        SELECT node, node, CAST(0 AS BIGINT) FROM nodes WHERE parent IS NULL
+        UNION ALL
+        SELECT n.node, c.root, c.depth + 1
+        FROM nodes n JOIN closure c ON n.parent = c.node)
+    SELECT node, root, depth FROM closure
+    """
+
+
+@query(
+    "hierarchy_closure_recursive",
+    # DuckDB dialect twin: || needs VARCHAR casts, STRING -> VARCHAR
+    oracle=_HIERARCHY_CLOSURE_SQL.replace("AS STRING", "AS VARCHAR"),
+)
+def hierarchy_closure_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X236: transitive hierarchy closure via Spark 4's native
+    WITH RECURSIVE — every node of the real region→nation→customer FK
+    tree resolved to its root region and depth in ONE declarative
+    statement, the arbitrary-depth form that `hierarchy_rollup`'s fixed
+    levels can't express (org charts, category trees, BOM explosions).
+    The SAME recursive SQL text runs verbatim through `spark.sql` and
+    DuckDB (modulo a VARCHAR cast spelling), extending the
+    `sql_interface_*` paste-your-SQL guarantee to recursion. The anchor
+    is the root set and each node has exactly ONE parent, so UNION ALL
+    (the only recursive combinator Spark supports — UNION-distinct
+    raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) visits every node
+    exactly once: rows = |V|, iterations = tree depth, each iteration
+    one parent-keyed equi-join — the same frontier-join shape
+    `graph_bfs_levels` builds by hand for graphs, where UNION ALL would
+    instead count paths."""
+    _utc(spark)
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_HIERARCHY_CLOSURE_SQL)

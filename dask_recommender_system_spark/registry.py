@@ -247,6 +247,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_cross_corpus_anti",
     "quality_stratified_sample",
     "boilerplate_shingle_profile",
+    "hierarchy_closure_recursive",
 ]
 
 

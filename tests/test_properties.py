@@ -606,3 +606,23 @@ def test_boilerplate_profile_planted(spark, tmp_path):
     for d in range(BOILER_DF):
         assert out[d]["n_boiler"] >= 1  # the planted shingle crossed df>=K
         assert out[d]["n_boiler"] < out[d]["n_shingles"]
+
+
+def test_hierarchy_closure_depth_and_roots(spark, sf_dir):
+    """hierarchy_closure_recursive: every customer resolves through its
+    nation to the correct root region at depth 2 — verified against the
+    direct two-join lookup."""
+    from dask_recommender_system_spark.data import load_table
+
+    out = REGISTRY["hierarchy_closure_recursive"].fn(spark, sf_dir).toPandas()
+    assert set(out[out.node.str.startswith("R")]["depth"]) == {0}
+    assert set(out[out.node.str.startswith("N")]["depth"]) == {1}
+    assert set(out[out.node.str.startswith("C")]["depth"]) == {2}
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    nat = load_table(spark, sf_dir, "nation").toPandas()
+    n2r = dict(zip(nat.n_nationkey, nat.n_regionkey))
+    expect = {
+        f"C{c}": f"R{n2r[n]}" for c, n in zip(cust.c_custkey, cust.c_nationkey)
+    }
+    got = dict(zip(out.node, out.root))
+    assert all(got[k] == v for k, v in expect.items())
