@@ -354,3 +354,63 @@ def map_in_arrow_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(kernel, "vec_id BIGINT, n_dims INT, vec_sum DOUBLE")
+
+
+@query(
+    "udtf_order_milestones",
+    oracle="""
+    WITH u AS (SELECT o_orderkey,
+                      CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day0,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_orderpriority = '1-URGENT'),
+    m AS (SELECT o_orderkey, day0, cents, UNNEST(range(1, 4)) AS k FROM u)
+    SELECT o_orderkey, CAST(k AS BIGINT) AS k,
+           day0 + 7 * k AS due_day,
+           CASE WHEN k = 1 THEN (cents * 5) // 10
+                WHEN k = 2 THEN (cents * 3) // 10
+                ELSE cents - (cents * 5) // 10 - (cents * 3) // 10
+           END AS tranche_cents
+    FROM m
+    """,
+)
+def udtf_order_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X237: the Python UDTF surface (PySpark 4 `@udtf` + LATERAL),
+    completing the Python-interop pattern set (scalar pandas_udf,
+    GROUPED_MAP/AGG, mapInPandas, mapInArrow, applyInPandasWithState,
+    cogroup): each urgent order expands into a 50/30/20 payment-milestone
+    schedule — one input row → three typed output rows produced by
+    imperative Python, joined laterally. Arrow-optimized
+    (`ArrowEvalPythonUDTF` in the plan, not row-pickled BatchEvalPython);
+    the priority filter sits BELOW the UDTF so only the urgent slice
+    crosses into Python. Money is integer cents and dates integer day
+    numbers, so the oracle (UNNEST(range) + the same integer splits)
+    reproduces every value exactly. At 100 TB a UDTF is still the slow
+    path — this op exists to pin the API for the expansions that
+    genuinely need imperative logic; `F.sequence`/`explode` stays the
+    fast path for anything expressible in SQL."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="k long, due_day long, tranche_cents long")
+    class Milestones:
+        def eval(self, day0: int, cents: int):
+            t1 = cents * 5 // 10
+            t2 = cents * 3 // 10
+            for k in range(1, 4):
+                tranche = t1 if k == 1 else t2 if k == 2 else cents - t1 - t2
+                yield k, day0 + 7 * k, tranche
+
+    spark.udtf.register("drs_milestones", Milestones)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("drs_udtf_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, m.k, m.due_day, m.tranche_cents
+        FROM drs_udtf_orders o,
+             LATERAL drs_milestones(
+                 CAST(FLOOR(unix_timestamp(o.o_orderdate) / 86400) AS BIGINT),
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) m
+        WHERE o.o_orderpriority = '1-URGENT'
+        """
+    )

@@ -248,6 +248,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_stratified_sample",
     "boilerplate_shingle_profile",
     "hierarchy_closure_recursive",
+    "udtf_order_milestones",
 ]
 
 

@@ -306,6 +306,7 @@ _ARROW_OK = {
     "cogroup_user_activity", "heavy_hitters",
     "grouped_agg_pandas_udf",  # the declared GROUPED_AGG Arrow shape
     "map_in_arrow_passthrough",  # the declared raw-Arrow mapInArrow shape
+    "udtf_order_milestones",  # the declared ArrowEvalPythonUDTF shape
 }
 
 
