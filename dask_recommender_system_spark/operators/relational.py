@@ -2167,3 +2167,39 @@ def hierarchy_closure_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_HIERARCHY_CLOSURE_SQL)
+
+
+@query(
+    "corpus_jsonl_gz_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_checked
+    FROM documents
+    """,
+)
+def corpus_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X238: gzip-compressed JSONL — the de-facto interchange format LLM
+    corpora actually ship in (one JSON doc per line, .jsonl.gz shards) —
+    written and read back losslessly: documents → codec-gzip JSONL sink →
+    schema-explicit scan → byte-length witness recomputed from the
+    decoded text. Completes the sources/sinks matrix (csv, jsonl, parquet
+    sorted/partitioned/zstd/z-order, orc, xml) with the compressed-text
+    path. Scale note: gzip is NOT splittable — one shard = one task — so
+    shard size is the parallelism knob at 100 TB (this sink inherits
+    upstream partitioning, giving one ~uniform shard per input
+    partition); for splittable compressed text land on zstd parquet
+    instead (`sink_parquet_zstd`) and keep .jsonl.gz for the interchange
+    boundary only."""
+    _utc(spark)
+    path = f"{IO_DIR}/corpus_jsonl_gz"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    d.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string"
+    ).json(path)
+    return back.select(
+        "doc_id", "text", "lang", "source",
+        F.length("text").cast("long").alias("n_chars_checked"),
+    )

@@ -249,6 +249,7 @@ DRIVER_PRIORITY: list[str] = [
     "boilerplate_shingle_profile",
     "hierarchy_closure_recursive",
     "udtf_order_milestones",
+    "corpus_jsonl_gz_roundtrip",
 ]
 
 

@@ -12,7 +12,15 @@ tracks users active within the watermark horizon, not all users ever
 seen, and being event-time-driven it is deterministic for a given input
 (no wall clock). (``ProcessingTimeTimeout`` deadlocks the Python worker
 protocol in PySpark 4.1.2 local mode — the event-time form is both the
-working and the semantically better choice.)
+working and the semantically better choice. The newer
+``transformWithStateInPandas`` API (Spark 4.0 arbitrary-state v2,
+RocksDB-backed) was evaluated for this operator and crashes its
+dedicated Python driver worker in the same local-mode environment
+("TransformWithStateInPySpark driver worker exited unexpectedly"), so
+``applyInPandasWithState`` remains the declared custom-stateful
+surface here; on a real cluster the v2 API is the drop-in upgrade —
+same per-key Arrow-batch contract plus state TTL and multiple typed
+state variables.)
 """
 
 from __future__ import annotations
