@@ -85,7 +85,9 @@ def load_all_operators() -> None:
 #   (b) the 141 locally-green queries never yet inside a driver window,
 #       float-surface ops first (VERDICT r03 item 1). Slots 1-50 are the
 #       round-4 window; the remainder fronts round 5. Keep in sync when
-#       adding queries until every name has a CORRECTNESS_r* row.
+#       adding queries until every name has a CORRECTNESS_r* row;
+#   (c) queries NEW in round 4 (X232-X238), appended at the back of the
+#       never-checked queue.
 DRIVER_PRIORITY: list[str] = [
     # ---- (a) promotions: changed this round, need fresh driver rows ----
     "stream_sessionize",
