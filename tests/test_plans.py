@@ -973,3 +973,22 @@ def test_sized_sink_respects_record_cap(spark, sf_dir):
     assert len(files) > 2  # the cap split the 2 tasks' outputs
     for f in files:
         assert pq.ParquetFile(f).metadata.num_rows <= SIZED_MAX_RECORDS
+
+
+def test_round4_operator_plan_shapes(spark, sf_dir):
+    """Round-4 operators: bounded exchange counts and the intended join
+    strategies — the pruning/broadcast structure, not just the values."""
+    df = q("quality_stratified_sample", spark, sf_dir)
+    # scalar cuts agg gather + its broadcast back: no data-sized shuffle
+    assert count_exchanges(df) <= 2
+    df = q("boilerplate_shingle_profile", spark, sf_dir)
+    # shingle-df count, df join, doc rollup — three keyed exchanges max
+    assert count_exchanges(df) <= 3
+    df = q("dedup_cross_corpus_anti", spark, sf_dir)
+    assert count_exchanges(df) <= 3
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    df = q("split_leakage_audit", spark, sf_dir)
+    # labeled frame persisted: branches aggregate the pin, not six
+    # rebuilt ratings joins (was 41 exchanges unpinned)
+    assert count_exchanges(df) <= 24
