@@ -3038,3 +3038,56 @@ def peak_activity_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("hr", key).alias("peak_hr"),
         F.max("n").alias("peak_n"),
     )
+
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+@query(
+    "rolling_distinct_users_7d",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day
+        FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+        SELECT ud.user_id, d.day
+        FROM ud JOIN days d
+          ON d.day BETWEEN ud.day AND ud.day + {ROLLING_DISTINCT_DAYS} - 1)
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniques_7d
+    FROM contrib GROUP BY day
+    """,
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X239: trailing-{ROLLING_DISTINCT_DAYS}-day distinct users per day
+    (rolling WAU/MAU) — the metric a RANGE window cannot produce because
+    COUNT(DISTINCT) is not a window aggregate. The scalable shape:
+    collapse events to distinct (user, day) pairs first (the only
+    data-sized reduction), then EXPLODE each pair to the
+    {ROLLING_DISTINCT_DAYS} window days it contributes to (an in-row
+    `sequence`, ×{ROLLING_DISTINCT_DAYS} fan-out of the already-collapsed
+    pairs, NOT of raw events), and finish with one day-keyed distinct
+    count. Cost is {ROLLING_DISTINCT_DAYS}·|user-days| — at 100 TB swap
+    the exact final count for `approx_count_distinct` or the mergeable
+    HLL sketches of `hll_sketch_rollup` and the shape is unchanged. The
+    oracle keeps only observed days (the engine's explode is bounded to
+    the days table by a semi join)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(ROLLING_DISTINCT_DAYS - 1)
+            )
+        ).alias("day"),
+    ).join(days, "day", "left_semi")
+    return contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("uniques_7d")
+    )

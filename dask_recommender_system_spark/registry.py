@@ -252,6 +252,7 @@ DRIVER_PRIORITY: list[str] = [
     "hierarchy_closure_recursive",
     "udtf_order_milestones",
     "corpus_jsonl_gz_roundtrip",
+    "rolling_distinct_users_7d",
 ]
 
 

@@ -626,3 +626,29 @@ def test_hierarchy_closure_depth_and_roots(spark, sf_dir):
     }
     got = dict(zip(out.node, out.root))
     assert all(got[k] == v for k, v in expect.items())
+
+
+def test_rolling_distinct_users_7d_planted(spark, tmp_path):
+    """rolling_distinct_users_7d on a planted frame: windows accumulate
+    and expire correctly (user seen on day 0 still counts on day 6, gone
+    by day 7), and repeat visits within a window count once."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for (u, day) in [(1, 0), (1, 3), (2, 0), (3, 6), (4, 13)]:
+        rows.append((u, base + dt.timedelta(days=day)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    d = str(tmp_path / "r7d")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["day"]: r["uniques_7d"]
+           for r in REGISTRY["rolling_distinct_users_7d"].fn(spark, d).collect()}
+    day0 = min(out)
+    # day 0: users 1,2. day 3: 1 (repeat, counted once) + 2 still in window.
+    assert out[day0] == 2
+    assert out[day0 + 3] == 2
+    # day 6: users 1,2 (from day 0) + 1's day-3 visit + 3 -> {1,2,3}
+    assert out[day0 + 6] == 3
+    # day 13: window is days 7..13 — user 3's day-6 visit expired (it
+    # contributes through day 12), leaving only user 4
+    assert out[day0 + 13] == 1
