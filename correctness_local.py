@@ -6,7 +6,9 @@ the driver's format so regressions in driver-unchecked queries stay
 visible between rounds.
 
     python correctness_local.py            # sf0.01, all queries
-    SPARK_GRAFT_LOCAL_SF_DIR=... python correctness_local.py
+    SPARK_GRAFT_LOCAL_SF_DIR=/root/testdata/sf0.1 \
+        SPARK_GRAFT_LOCAL_OUT=CORRECTNESS_sf01.json \
+        python correctness_local.py        # 10x-scale sweep, own file
 """
 
 from __future__ import annotations
@@ -65,7 +67,10 @@ def main() -> None:
         )
         print(f"{name}: {status}", flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_local.json")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_LOCAL_OUT", "CORRECTNESS_local.json"),
+    )
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     n_pass = sum(1 for r in results.values() if r["hash_match"])

@@ -807,16 +807,25 @@ ATTR_SQL = f"""
                {ORACLE_EPOCH.format(col="t.ts")} AS touch_ts_s,
                ROW_NUMBER() OVER (
                    PARTITION BY c.event_id
-                   ORDER BY t.ts DESC, t.event_id DESC
+                   ORDER BY {ORACLE_EPOCH.format(col="t.ts")} DESC,
+                            t.event_id DESC
                ) AS rn
         FROM events c
         JOIN events t
-          ON t.user_id = c.user_id AND t.ts <= c.ts
+          ON t.user_id = c.user_id
+         AND {ORACLE_EPOCH.format(col="t.ts")}
+             <= {ORACLE_EPOCH.format(col="c.ts")}
          AND t.event_type = '{ATTR_TOUCH}'
         WHERE c.event_type = '{ATTR_CONVERSION}'
     )
     WHERE rn = 1
 """
+# NOTE the epoch-FLOOR on both join and order sides: the declared
+# semantics are second-granular (the engine compares unix_timestamp
+# seconds), so a touch 100 ms after a conversion within the same second
+# IS at-or-before it and same-second ties break purely on event_id. The
+# raw-timestamp oracle diverged exactly once at sf0.1 — the first
+# same-second cross-sub-second pair in any fixture (CORRECTNESS_sf01).
 
 
 @query("attribution_last_touch", oracle=ATTR_SQL)

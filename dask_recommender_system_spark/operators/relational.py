@@ -1654,14 +1654,28 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules_local.unionByName(fk)
 
 
+# TPC-H specifies money as DECIMAL(15,2) and discount as DECIMAL(15,2)
+# basis values; this parquet ships them as DOUBLE, so the money aggregates
+# are written in exact integer cents / basis points (the ROUND..CAST
+# BIGINT forms below) to recover the spec's exact decimal arithmetic.
+# Plain SUM(double) diverged between engines at sf0.1 — 600k-row float
+# sums differ by O(1) ULP-accumulation in the units place depending on
+# add order (CORRECTNESS_sf01 find) — while integer sums are
+# order-independent. The text stays ANSI and runs verbatim on both
+# engines; one division at the end converts back to dollars.
 TPCH_Q1 = """
     SELECT l_returnflag,
            l_linestatus,
            CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100, 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000, 6) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 / (100 * COUNT(*)), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2024-11-01'

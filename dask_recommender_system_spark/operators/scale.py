@@ -179,10 +179,15 @@ BLOOM_M = 1 << 17
 
 @query(
     "join_bloom_pruned",
+    # revenue in exact integer cents x (100 - basis points): plain
+    # SUM(double) diverged at sf0.1 row counts (add-order ULP drift —
+    # CORRECTNESS_sf01 find); the integer sum is order-independent
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                      AS BIGINT) / 10000.0, 6) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 200000
@@ -214,14 +219,15 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = l.withColumn(
         "_b", F.pmod(F.xxhash64("l_orderkey"), F.lit(BLOOM_M))
     ).join(F.broadcast(buckets), "_b", "left_semi")
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         pruned.join(sel, pruned["l_orderkey"] == sel["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
+            F.round(F.sum(rev_e4) / 10000.0, 6).alias("revenue"),
         )
     )
 
