@@ -96,6 +96,12 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_decode",
     "multimodal_frame_sample",
     "dedup_embedding_cosine",
+    # money aggregates rewritten in exact integer cents + attribution
+    # oracle re-floored to seconds after the sf0.1 sweep finds — changed
+    # behavior, so they re-earn driver rows (attribution_last_touch is
+    # already below in the never-checked block)
+    "sql_interface_q1",
+    "join_bloom_pruned",
     # ---- (b) never driver-checked (rotation debt, oldest first) ----
     "interval_union_length",
     "sink_compacted",
@@ -164,7 +170,6 @@ DRIVER_PRIORITY: list[str] = [
     "null_semantics_suite",
     "date_functions_suite",
     "graph_bfs_levels",
-    "sql_interface_q1",
     "weighted_median_grouped",
     "cumulative_unique_users",
     "join_partition_pruned",
