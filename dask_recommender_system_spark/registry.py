@@ -258,6 +258,7 @@ DRIVER_PRIORITY: list[str] = [
     "udtf_order_milestones",
     "corpus_jsonl_gz_roundtrip",
     "rolling_distinct_users_7d",
+    "stream_daily_unique_users",
 ]
 
 

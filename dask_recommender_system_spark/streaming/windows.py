@@ -1077,3 +1077,38 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_daily_unique_users",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def stream_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X240: EXACT daily distinct users through the stream — streaming
+    aggregations cannot express COUNT(DISTINCT), so the standard
+    composition is two chained stateful operators:
+    ``dropDuplicatesWithinWatermark`` on (user_id, day) first (one
+    surviving row per user-day, state evicted a day past the watermark),
+    then an ordinary per-day COUNT of the survivors. Exactness comes
+    from the dedup stage; bounded state comes from its watermark — the
+    approximate alternative (`stream_hll_rollup`) trades this pipeline's
+    second stateful stage for mergeable sketches. Matches the batch
+    COUNT(DISTINCT) oracle exactly — the same one-correctness-definition
+    rule every streaming twin follows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    dd = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["user_id", "day"]
+    )
+    agg = dd.groupBy("day").agg(F.count("*").alias("dau"))
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name)
+    return spark.table(name)
