@@ -120,20 +120,88 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_NH = 64  # signature width (Jaccard estimate ± ~0.06)
 MINHASH_BANDS = 8  # single-row bands for candidates: P(cand) = 1-(1-s)^8
 
+# Portable 60-bit string hash + (a·x+b) mod p permutation family. Every
+# constant is a module-level LITERAL so the DuckDB oracles recompute the
+# IDENTICAL signatures — the promotion that turned similarity_ann_lsh's
+# plane family into a full value verdict, applied to the whole LSH stack.
+# 60 bits (15 hex chars of md5) keep hex→int exact in BIGINT arithmetic on
+# both engines; permutations run in a 31-bit Mersenne field so a·x+b stays
+# < 2^62 (no overflow, no HUGEINT/decimal promotion on either side).
+H60_P = 2147483647  # 2^31 - 1
+_H60_POWERS = [16 ** (14 - i) for i in range(15)]
+# fixed draws from random.Random(20260814) — regenerating them is a
+# correctness change (every committed signature/band value moves)
+MINHASH_A = [
+    1571058545, 730493952, 1660058740, 1293707556, 1122761735, 1579482914,
+    72772567, 776319283, 1809802580, 1088400266, 1716185262, 1854787491,
+    1376580201, 1232262117, 126093127, 1718349005, 1255154079, 929465994,
+    1495162255, 1110399377, 253380337, 223979957, 331484110, 2008330133,
+    554108161, 2135836561, 84440658, 430566607, 287728255, 1463639563,
+    1926419603, 34250604, 492340083, 377114939, 1370280527, 1486839301,
+    1398888244, 2122241594, 1078376802, 462006863, 988049140, 2126155474,
+    827766902, 1307509405, 1105680809, 1314894101, 2032715449, 109028815,
+    2091592247, 1492510469, 1748677567, 1091064768, 791347239, 583621837,
+    1267255616, 288603718, 146926940, 761214735, 923038556, 1674215712,
+    1858616511, 193761615, 804076797, 119361461,
+]
+MINHASH_B = [
+    98814916, 266826054, 245419345, 1201252330, 1859793215, 206035909,
+    223865883, 49088442, 41232954, 856971917, 1965718114, 941651180,
+    671533330, 617845258, 688059068, 1944479396, 537251662, 30436578,
+    152459477, 1273538093, 1317125680, 1310907092, 1000501228, 477874466,
+    1750660665, 166771034, 2107493483, 1840299834, 145221887, 1889926712,
+    1823132764, 1487515885, 185844917, 54371504, 2068842449, 1797935739,
+    855848344, 2087883667, 1954204805, 995937520, 919877967, 1695462048,
+    1724977144, 1759306916, 1149796936, 1058702318, 196574839, 646284890,
+    1877826249, 2145608185, 384649797, 872125835, 674143216, 1924984630,
+    46258261, 1389849858, 1905916930, 599288704, 1849850184, 484960482,
+    2018272176, 1849562618, 742836724, 1300078765,
+]
+
+
+def h60_spark(col) -> "F.Column":
+    """First 60 bits of md5(col) as a positive BIGINT (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """The same 60-bit md5 value in DuckDB SQL — hex digits → BIGINT via
+    strpos arithmetic against literal powers of 16 (no float anywhere;
+    16^14 = 2^56 < 2^63 so every term and the sum stay exact)."""
+    powers = ", ".join(str(p) for p in _H60_POWERS)
+    return (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), CAST(i + 1 AS INT), 1)) - 1)"
+        f" * [{powers}][i + 1])) AS BIGINT)"
+    )
+
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>[NH]) — each shingle string-hashed ONCE
-    (xxhash64), the NH components derived via xxhash64(base, t) — fixed
-    12-byte rehash, not NH passes over the string; min per component is a
-    narrow (key, long) hash aggregate with map-side combine."""
-    sh = shingles(docs).select("doc_id", F.xxhash64("s").alias("h"))
+    (60-bit md5, portable across engines), the NH components derived via
+    the literal (Aₜ·x + Bₜ) mod 2³¹−1 permutation family — fixed-cost
+    arithmetic rehash, not NH passes over the string; min per component
+    is a narrow (key, long) hash aggregate with map-side combine."""
+    sh = shingles(docs).select(
+        "doc_id", F.pmod(h60_spark("s"), F.lit(H60_P)).alias("x")
+    )
     # (doc_id, t, min hash_t): explode over seed indices keeps every stage
     # narrow-schema — a NH-wide agg needs a ~1 KB agg buffer per group and
     # NH-col generated code; this form is a plain (key, long) hash
     # aggregate with map-side combine (shuffle = n_docs × NH longs)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in MINHASH_A])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in MINHASH_B])
     e = sh.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_NH - 1))).alias("t")
-    ).select("doc_id", "t", F.xxhash64("h", "t").alias("ht"))
+        "doc_id", "x", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_NH - 1))).alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.pmod(
+            F.element_at(a_arr, F.col("t") + 1) * F.col("x")
+            + F.element_at(b_arr, F.col("t") + 1),
+            F.lit(H60_P),
+        ).alias("ht"),
+    )
     mins = e.groupBy("doc_id", "t").agg(F.min("ht").alias("m"))
     return (
         mins.groupBy("doc_id")
@@ -173,16 +241,58 @@ def minhash_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_minhash")  # no oracle: LSH hash family is engine-specific;
-# the VERIFIED twin below is the value-checked form
+def _minhash_comp_sql() -> str:
+    """DuckDB CTEs recomputing the engine's exact per-component minima:
+    (doc_id, t, m) for t in 0..NH-1, from the same md5-60-bit hash and the
+    same literal permutation constants. Appended after ORACLE_SHINGLES."""
+    a_lit = ", ".join(str(a) for a in MINHASH_A)
+    b_lit = ", ".join(str(b) for b in MINHASH_B)
+    return f"""
+    mh AS (SELECT doc_id, {h60_sql("s")} % {H60_P} AS x FROM sh),
+    comp AS (
+        SELECT doc_id, u.t AS t,
+               MIN(([{a_lit}][CAST(u.t + 1 AS INT)] * x
+                    + [{b_lit}][CAST(u.t + 1 AS INT)]) % {H60_P}) AS m
+        FROM mh CROSS JOIN (SELECT UNNEST(range({MINHASH_NH})) AS t) u
+        GROUP BY doc_id, u.t)
+    """
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {ORACLE_SHINGLES},
+    {_minhash_comp_sql()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM comp a JOIN comp b
+          ON a.t = b.t AND a.m = b.m AND a.doc_id < b.doc_id
+        WHERE a.t < {MINHASH_BANDS}),
+    eq AS (
+        SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN ca.m = cb.m THEN 1 ELSE 0 END) AS matches
+        FROM cand c
+        JOIN comp ca ON ca.doc_id = c.doc_a
+        JOIN comp cb ON cb.doc_id = c.doc_b AND cb.t = ca.t
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(1 - CAST(matches AS DOUBLE) / {MINHASH_NH}, 6) AS jaccard_dist
+    FROM eq WHERE matches * 5 >= {MINHASH_NH}
+    """,
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: MinHash near-dup candidates, fully JVM-side (no MLlib
     approxSimilarityJoin — that path recomputes exact distance with a
     per-pair UDF over the sparse vectors, the slow part at any scale).
     Estimated Jaccard = fraction of matching signature components
     (zip_with), floor 0.2 — reported as jaccard_dist = 1 - estimate.
-    Recall vs the exact n-gram pairs is asserted in
-    tests/test_dedup_similarity.py."""
+    The hash family is the portable literal one (h60_spark + MINHASH_A/B),
+    so the DuckDB oracle recomputes the SIGNATURES themselves and the
+    driver value-hashes the estimates — a full verdict on the raw LSH
+    structure, not just its verified downstream. The 0.2 floor is applied
+    as the exact integer test matches·5 ≥ NH (k/64 doubles are exact, but
+    the integer form keeps the boundary engine-proof). Recall vs the exact
+    n-gram pairs is asserted in tests/test_dedup_similarity.py."""
     d = spread(load_table(spark, sf_dir, "documents"))
     sig = minhash_signatures(d).persist()
     cand = minhash_candidates(sig)
@@ -191,49 +301,84 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    est_sim = matches.cast("double") / MINHASH_NH
     return (
         cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
         .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
-        .withColumn("est_sim", est_sim)
-        .filter(F.col("est_sim") >= 0.2)
-        .select("doc_a", "doc_b", F.round(1.0 - F.col("est_sim"), 6).alias("jaccard_dist"))
+        .withColumn("matches", matches)
+        .filter(F.col("matches") * 5 >= MINHASH_NH)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                1.0 - F.col("matches").cast("double") / MINHASH_NH, 6
+            ).alias("jaccard_dist"),
+        )
     )
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 — portable AND sign-bit-free
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig: long) — per-token 64-bit xxhash64 → per-bit ±1 votes
-    → sign → 64-bit signature."""
+    """(doc_id, sig: long) — per-token 60-bit md5 hash (h60_spark, the
+    portable family) → per-bit ±1 votes → sign → 60-bit signature. 60 bits
+    keep the signature a positive BIGINT on both engines (no sign-bit
+    encoding games) while exceeding the 48-bit floor Manku et al. report
+    for web-scale corpora."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     )
-    h = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    h = tok.select("doc_id", h60_spark("t").alias("h"))
     # per-bit vote: sum(±1) over tokens; bit b of the signature = vote>0
     votes = h.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v_{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig + F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v_{b}") > 0, F.lit(2**b).cast("long")).otherwise(0)
     return votes.select("doc_id", sig.alias("sig"))
+
+
+def simhash_sig_sql() -> str:
+    """DuckDB CTE recomputing the engine's exact signatures:
+    sig AS (doc_id, sig BIGINT). Tokenization (trim + split on \\s+,
+    duplicates kept) matches simhash_signatures exactly."""
+    return f"""
+    tok AS (SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents),
+    th AS (SELECT doc_id, {h60_sql("t")} AS h FROM tok),
+    votes AS (
+        SELECT doc_id, u.b AS b,
+               SUM(CASE WHEN (h >> CAST(u.b AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN (SELECT UNNEST(range({SIMHASH_BITS})) AS b) u
+        GROUP BY doc_id, u.b),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0
+                             THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM votes GROUP BY doc_id)
+    """
 
 
 def simhash_candidates(signatures: DataFrame, n_bands: int = 4) -> DataFrame:
     """(doc_a, doc_b, sig_a, sig_b) candidates via n_bands equal bit-slices
-    of the 64-bit signature — a pair must agree on ≥1 band to be a
+    of the 60-bit signature — a pair must agree on ≥1 band to be a
     candidate, so pigeonhole guarantees recall for Hamming ≤ n_bands-1.
-    Band WIDTH (64/n_bands bits) sets the bucket count and therefore the
-    candidate blowup: the default 4×16 (d≤3, 2^16 buckets) is the
-    production config à la Manku et al.; wider tolerance (16×4, d≤15) has
+    Band WIDTH (60/n_bands bits) sets the bucket count and therefore the
+    candidate blowup: the default 4×15 (d≤3, 2^15 buckets) is the
+    production config à la Manku et al.; wider tolerance (15×4, d≤14) has
     only 2^4 buckets and is viable for calibration corpora, not 100 TB —
     at scale, tolerance beyond d=3 is the verify stage's job, not the
     banding's."""
-    width = 64 // n_bands
+    width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
     bands = signatures.select(
         "doc_id",
@@ -270,12 +415,32 @@ def simhash_candidates(signatures: DataFrame, n_bands: int = 4) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # no oracle: xxhash64 is Spark-specific; the
-# VERIFIED twin below is the value-checked form
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {{SIMHASH_SIG}},
+    bands AS (
+        SELECT doc_id, sig, u.band AS band,
+               (sig >> CAST(15 * u.band AS INT)) & 32767 AS val
+        FROM sig CROSS JOIN (SELECT UNNEST(range(4)) AS band) u),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 12
+    """.replace("{SIMHASH_SIG}", simhash_sig_sql().strip().lstrip()),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection, fully JVM-side: banded candidates
     verified with bit_count(xor) ≤ 12. At 100 TB the band join is the only
-    shuffle and carries (band, 16-bit value) keys."""
+    shuffle and carries (band, 15-bit value) keys. The portable md5-60-bit
+    hash family means the DuckDB oracle rebuilds the signatures bit-for-bit
+    and value-checks the emitted Hamming distances — a full verdict on the
+    raw structure (the verified twin below additionally proves end-to-end
+    Jaccard recall)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     cand = simhash_candidates(simhash_signatures(d))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -359,15 +524,15 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash_verified", oracle=JACCARD_VERIFY_SQL)
 def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded dedup pipeline, value-checked: wide-tolerance
-    banding (16×4-bit slices — guaranteed candidates for Hamming ≤ 15) →
+    banding (15×4-bit slices — guaranteed candidates for Hamming ≤ 14) →
     cheap bit_count(xor) ≤ 12 prefilter (measured Hamming of Jaccard≥0.5
     pairs in this corpus family tops out at 9) → exact Jaccard verify
     ≥ 0.5 on the survivors only. The oracle (full exact pair set ≥ 0.5)
     checks values, so a driver-green row certifies end-to-end recall.
-    The production 4×16 config (dedup_simhash above) trades that recall
-    for 2^16-bucket selectivity — see simhash_candidates."""
+    The production 4×15 config (dedup_simhash above) trades that recall
+    for 2^15-bucket selectivity — see simhash_candidates."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    cand = simhash_candidates(simhash_signatures(d), n_bands=16)
+    cand = simhash_candidates(simhash_signatures(d), n_bands=15)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     near = cand.filter(hamming <= 12).select("doc_a", "doc_b")
     return (
@@ -876,9 +1041,11 @@ def minhash_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves signed independently, min-merged in-row (`zip_with`), and
     compared against the full document's directly-computed signature;
     the count of exact matches is the checked value (== n_docs: the
-    merge identity holds for every doc, not statistically). DuckDB
-    cannot compute xxhash64 signatures, so the oracle states the
-    IDENTITY — both counts equal the eligible-doc count. Shingles that
+    merge identity holds for every doc, not statistically). The oracle
+    states the IDENTITY — both counts equal the eligible-doc count —
+    because the merge law, not any particular hash family, is the claim
+    under test (the family itself is value-checked by `dedup_minhash`'s
+    signature-recomputing oracle). Shingles that
     STRADDLE the split are assigned to the front half so the union of
     shingle sets is exact — the real-world analog is signing the
     overlap window once, the same discipline as `text_chunk` strides."""

@@ -78,10 +78,12 @@ def load_all_operators() -> None:
 # a driver verdict; every name NOT listed here is already driver-green
 # (CORRECTNESS_r01-r03) and falls back to registration order behind them.
 # Round-4 front, in order:
-#   (a) the six promotions whose implementation or oracle changed this
-#       round (rows-only -> full value verdicts: stream_sessionize, both
-#       ANN paths, both multimodal kernels; plan rework:
-#       dedup_embedding_cosine) - they must re-earn a driver row;
+#   (a) the promotions whose implementation or oracle changed this
+#       round (rows-only -> full value verdicts: dedup_minhash +
+#       dedup_simhash via the portable md5-60-bit hash family,
+#       stream_sessionize, both ANN paths, both multimodal kernels;
+#       plan rework: dedup_embedding_cosine) - they must re-earn a
+#       driver row;
 #   (b) the 141 locally-green queries never yet inside a driver window,
 #       float-surface ops first (VERDICT r03 item 1). Slots 1-50 are the
 #       round-4 window; the remainder fronts round 5. Keep in sync when
@@ -90,6 +92,10 @@ def load_all_operators() -> None:
 #       never-checked queue.
 DRIVER_PRIORITY: list[str] = [
     # ---- (a) promotions: changed this round, need fresh driver rows ----
+    # raw LSH structures flipped to full value verdicts (portable
+    # md5-60-bit hash family, oracle recomputes the signatures)
+    "dedup_minhash",
+    "dedup_simhash",
     "stream_sessionize",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
