@@ -3091,3 +3091,56 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("day").agg(
         F.countDistinct("user_id").alias("uniques_7d")
     )
+
+
+@query(
+    "session_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type),
+    u AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               SUM(c * log2(CAST(c AS DOUBLE))) AS s
+        FROM c GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           ROUND(log2(CAST(n_events AS DOUBLE))
+                 - s / CAST(n_events AS DOUBLE), 6) AS entropy_bits
+    FROM u
+    """,
+)
+def session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X243: per-user Shannon entropy of the event-type mix — the
+    behavioral-diversity feature (specialist vs generalist users) that
+    feeds recommender exploration policies and bot screens (a scripted
+    client has near-zero entropy; organic browsing doesn't). Algebra is
+    the numerically honest factoring H = log2(n) − Σcᵢ·log2(cᵢ)/n: every
+    log2 argument is an exact INTEGER count (identical bit pattern on
+    both engines), the per-user sum runs over ≤|event types| ≈ 5 terms
+    (ULP noise orders below the ROUND 6 emission), and no p=c/n division
+    happens before the single final one. Two chained keyed aggregates —
+    the first collapses events to |users|×|types| rows map-side, the
+    second to |users| — zero joins, zero windows; at 100 TB this is a
+    scan plus two combine-friendly shuffles of tiny key spaces."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("c") * F.log2(F.col("c").cast("double"))).alias("s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                F.log2(F.col("n_events").cast("double"))
+                - F.col("s") / F.col("n_events").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )

@@ -298,3 +298,158 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         levels = levels.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return levels
+
+
+# --- personalized PageRank (X242) -----------------------------------------
+
+PPR_ITERS = 4
+PPR_DAMP = 0.85
+PPR_SEED_NATION = "NATION_0"
+
+
+def _ppr_oracle() -> str:
+    """Fixed-iteration personalized PageRank as chained CTEs (the
+    _pagerank_oracle unroll with a teleport-to-seed-set term). Zero-mass
+    nodes are carried explicitly so both engines iterate the identical
+    |nodes|-row vector."""
+    head = f"""
+WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p
+          GROUP BY a.p, b.p),
+deg AS (SELECT u, SUM(w) AS dw FROM edges GROUP BY u),
+en AS (SELECT e.u, e.v, e.w / d.dw AS wn FROM edges e JOIN deg d ON e.u = d.u),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+nodes AS (SELECT u AS node FROM deg),
+seeds AS (SELECT DISTINCT l.l_partkey AS node
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation na ON c.c_nationkey = na.n_nationkey
+          WHERE na.n_name = '{PPR_SEED_NATION}'),
+sn AS (SELECT s.node FROM seeds s JOIN nodes nd ON s.node = nd.node),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM sn),
+pr0 AS (SELECT nd.node,
+               CASE WHEN s.node IS NOT NULL
+                    THEN CAST(1 AS DOUBLE) / ns.c ELSE 0 END AS r
+        FROM nodes nd LEFT JOIN sn s ON nd.node = s.node CROSS JOIN ns)"""
+    parts = [head]
+    for it in range(PPR_ITERS):
+        parts.append(
+            f""",
+pr{it + 1} AS (
+  SELECT nd.node,
+         (CASE WHEN s.node IS NOT NULL
+               THEN {1 - PPR_DAMP} / ns.c ELSE 0 END)
+         + {PPR_DAMP} * COALESCE(m.mass, 0) AS r
+  FROM nodes nd
+  LEFT JOIN (SELECT en.v AS node, SUM(pr{it}.r * en.wn) AS mass
+             FROM en JOIN pr{it} ON en.u = pr{it}.node
+             GROUP BY en.v) m ON nd.node = m.node
+  LEFT JOIN sn s ON nd.node = s.node
+  CROSS JOIN ns)"""
+        )
+    parts.append(
+        f"""
+SELECT pr{PPR_ITERS}.node, ROUND(pr{PPR_ITERS}.r * nn.n, 6) AS ppr_rel
+FROM pr{PPR_ITERS} CROSS JOIN nn"""
+    )
+    return "".join(parts)
+
+
+@query("personalized_pagerank", oracle=_ppr_oracle())
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X242: personalized PageRank over the item co-purchase graph —
+    random walk with restart INTO a seed set (here: items bought by
+    {PPR_SEED_NATION}'s customers), the graph-native "more like these"
+    recommender next to pagerank_items' global centrality (Haveliwala
+    2002; Pixie at Pinterest is this at production scale). Teleport mass
+    goes to the seed set instead of uniform, so rank concentrates in the
+    seed's neighborhood; emitted as r·n relative to uniform.
+
+    Same physical discipline as pagerank_items: edges from the in-row
+    per-order double explode, normalized once, repartitioned on the
+    iteration key and checkpointed; each of the {PPR_ITERS} rounds is ONE
+    u-keyed join + ONE v-keyed agg + a nodes-keyed reassembly (the
+    teleport term needs every node present, so the |nodes|-row vector —
+    zeros included — is the iterated state on both engines; dropping
+    zero-mass nodes would make the two engines sum different term sets).
+    Driver-side scalars: n, |seeds| (two counts). At 10⁹ items the rank
+    vector stays keyed (never broadcast) and the per-round cost is one
+    co-located edge join, identical to the global variant."""
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    grp = lines.groupBy("o").agg(F.collect_set("p").alias("ps"))
+    e = (
+        grp.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    edges = e.groupBy("u", "v").agg(F.count("*").cast("double").alias("w"))
+    deg = edges.groupBy("u").agg(F.sum("w").alias("dw"))
+    p = spark.sparkContext.defaultParallelism
+    en = (
+        edges.join(deg, "u")
+        .select("u", "v", (F.col("w") / F.col("dw")).alias("wn"))
+        .repartition(p, "u")
+        .localCheckpoint(eager=True)
+    )
+    nodes = deg.select(F.col("u").alias("node")).localCheckpoint(eager=True)
+    n = float(nodes.count())
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == PPR_SEED_NATION
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    seed_items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_partkey").alias("node"))
+        .join(
+            load_table(spark, sf_dir, "orders").join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            ).select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("node")
+        .distinct()
+    )
+    sn = seed_items.join(nodes, "node").localCheckpoint(eager=True)
+    ns = float(sn.count())
+    seed_flag = sn.withColumn("is_seed", F.lit(True))
+    r = (
+        nodes.join(seed_flag, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_seed"), F.lit(1.0 / ns)).otherwise(0.0).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PPR_ITERS):
+        mass = (
+            en.join(r, en["u"] == r["node"])
+            .groupBy(F.col("v").alias("mnode"))
+            .agg(F.sum(F.col("r") * F.col("wn")).alias("mass"))
+        )
+        r = (
+            nodes.join(mass, nodes["node"] == mass["mnode"], "left")
+            .join(seed_flag.select("node", "is_seed"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit((1 - PPR_DAMP) / ns)).otherwise(0.0)
+                    + F.lit(PPR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", F.round(F.col("r") * n, 6).alias("ppr_rel"))

@@ -1876,6 +1876,50 @@ def sql_interface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q3)
 
 
+# TPC-H Q5 (local-supplier volume): the 6-table snowflake join — the
+# deepest join tree in the benchmark's "easy" tier and the canonical
+# join-ORDERING stress (region→nation prunes two dims to a handful of
+# rows; the planner must broadcast those and join facts last). Revenue in
+# exact integer cents × basis points (the TPCH_Q1 discipline) so the
+# 6-way join's row order can't move the sum.
+TPCH_Q5 = """
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000, 6) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+@query("sql_interface_q5", oracle=TPCH_Q5)
+def sql_interface_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X241: TPC-H Q5 verbatim through `spark.sql` — the snowflake-join
+    SQL pin completing the Q1 (scan-agg) / Q3 (star-join top-k) series.
+    Six tables, one revenue aggregate: Catalyst must (a) push the region
+    filter through nation before anything touches a fact table,
+    (b) broadcast the pruned region/nation/supplier/customer dims, and
+    (c) leave lineitem⋈orders as the single shuffle join — all with zero
+    hints (asserted in tests/test_plans.py). The same ANSI text runs on
+    both engines; the local-supplier condition c_nationkey = s_nationkey
+    is the classic cycle in the join graph that defeats naive left-deep
+    planners. At 100 TB the pruned dims are KB-to-MB scale (broadcast),
+    so the plan reads the two fact tables exactly once each."""
+    _utc(spark)
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q5)
+
+
 @query(
     "observe_metrics",
     oracle="""

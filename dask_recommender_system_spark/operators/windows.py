@@ -1662,3 +1662,66 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+PDISC_PCTS = [25, 50, 75, 95]  # integer percents: targets stay exact
+
+
+@query(
+    "percentile_disc_exact",
+    oracle=f"""
+    WITH src AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    hist AS (SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS c
+             FROM src GROUP BY grp, cents),
+    cum AS (SELECT grp, cents,
+                   SUM(c) OVER (PARTITION BY grp ORDER BY cents) AS cm,
+                   SUM(c) OVER (PARTITION BY grp) AS n
+            FROM hist),
+    t AS (SELECT grp, cents, cm, CAST(u.pct AS INT) AS pct,
+                 (u.pct * n + 99) // 100 AS target
+          FROM cum CROSS JOIN (SELECT UNNEST({PDISC_PCTS!r}) AS pct) u)
+    SELECT grp, pct, ROUND(CAST(MIN(cents) AS DOUBLE) / 100, 6) AS disc_value
+    FROM t WHERE cm >= target GROUP BY grp, pct
+    """,
+)
+def percentile_disc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X244: EXACT discrete percentiles (PERCENTILE_DISC semantics —
+    the smallest actual data value whose cumulative count reaches
+    ceil(p·n)) of order value per priority class. The cont/disc split
+    matters operationally: interpolated percentiles invent values that
+    never occurred (a nonsense "order total"), while disc answers "what
+    did the p-th real order cost". Spark has exact cont (`percentile`)
+    and approximate disc (`approx_percentile`) built in, but no exact
+    disc aggregate — composed here scalably: collapse rows to a per-group
+    VALUE HISTOGRAM first (the only full-data shuffle, combine-friendly),
+    then run the cumulative window over |distinct values| histogram rows,
+    not raw rows — at 100 TB the window input is compression-bounded
+    (money values repeat), and the rank targets (p·n + 99)//100 are pure
+    integer arithmetic (ceil(0.95·n) through doubles is an off-by-one
+    trap when 0.95·n lands on an ULP boundary). Emits the full
+    group × percentile grid in one pass — no per-p re-aggregation."""
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = src.groupBy("grp", "cents").agg(F.count("*").alias("c"))
+    w_cum = W.partitionBy("grp").orderBy("cents")
+    w_all = W.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "cents",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pcts = F.explode(F.array(*[F.lit(p) for p in PDISC_PCTS])).alias("pct")
+    t = cum.select("grp", "cents", "cm", "n", pcts).withColumn(
+        "target", F.expr("(pct * n + 99) DIV 100")
+    )
+    return (
+        t.filter(F.col("cm") >= F.col("target"))
+        .groupBy("grp", "pct")
+        .agg(F.round(F.min("cents").cast("double") / 100, 6).alias("disc_value"))
+    )

@@ -265,6 +265,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_jsonl_gz_roundtrip",
     "rolling_distinct_users_7d",
     "stream_daily_unique_users",
+    "sql_interface_q5",
+    "personalized_pagerank",
+    "session_entropy",
+    "percentile_disc_exact",
 ]
 
 

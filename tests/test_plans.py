@@ -992,3 +992,81 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
     # labeled frame persisted: branches aggregate the pin, not six
     # rebuilt ratings joins (was 41 exchanges unpinned)
     assert count_exchanges(df) <= 24
+
+
+def test_sql_q5_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    """sql_interface_q5: the pruned region/nation/supplier/customer dims
+    must broadcast with zero hints, leaving lineitem⋈orders as the only
+    shuffle join in the 6-table snowflake."""
+    df = q("sql_interface_q5", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_personalized_pagerank_mass_and_seed_focus(spark, sf_dir):
+    """personalized_pagerank: the walk distribution must stay a
+    probability vector (Σr = 1 exactly up to float noise — the
+    co-purchase graph is symmetric, so no dangling leakage), never go
+    negative, and concentrate ABOVE uniform on the seed neighborhood
+    (max ppr_rel > 1)."""
+    from pyspark.sql import functions as F
+
+    df = q("personalized_pagerank", spark, sf_dir).persist()
+    n = df.count()
+    total = df.agg(F.sum("ppr_rel")).first()[0]
+    assert abs(total / n - 1.0) < 1e-4, total
+    assert df.filter(F.col("ppr_rel") < 0).count() == 0
+    assert df.agg(F.max("ppr_rel")).first()[0] > 1.0
+    df.unpersist()
+
+
+def test_session_entropy_bounds_and_shape(spark, sf_dir):
+    """session_entropy: 0 ≤ H ≤ log2(n_types) per user (equality at the
+    edges: single-type users exactly 0), two keyed exchanges, no joins."""
+    from pyspark.sql import functions as F
+
+    fresh = q("session_entropy", spark, sf_dir)
+    assert count_exchanges(fresh) <= 2  # before persist: cache relists nodes
+    assert "Join" not in physical_plan(fresh, "simple")
+    df = fresh.persist()
+    bad = df.filter(
+        (F.col("entropy_bits") < 0)
+        | (F.col("entropy_bits") > F.log2(F.col("n_types").cast("double")) + 1e-9)
+    ).count()
+    assert bad == 0
+    assert (
+        df.filter((F.col("n_types") == 1) & (F.col("entropy_bits") != 0.0)).count()
+        == 0
+    )
+    df.unpersist()
+
+
+def test_percentile_disc_values_are_real_and_monotone(spark, sf_dir):
+    """percentile_disc_exact: disc percentiles must be ACTUAL order
+    totals (round-trip join back to orders) and monotone in p within
+    each group; the cumulative window runs over the value histogram."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    df = q("percentile_disc_exact", spark, sf_dir).persist()
+    rows = df.collect()
+    by = defaultdict(dict)
+    for r in rows:
+        by[r["grp"]][r["pct"]] = r["disc_value"]
+    for g, m in by.items():
+        assert m[25] <= m[50] <= m[75] <= m[95], g
+    orders = (
+        q("scan_parquet", spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .distinct()
+    )
+    vals = df.withColumn("cents", F.round(F.col("disc_value") * 100).cast("long"))
+    assert vals.join(orders, ["grp", "cents"], "left_anti").count() == 0
+    df.unpersist()
