@@ -3144,3 +3144,71 @@ def session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_bits"),
         )
     )
+
+
+COVISIT_WINDOW_S = 900  # 15-minute co-visitation window
+
+
+@query(
+    "covisitation_timebound",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+               {EPOCH_TS} AS sec
+        FROM events)
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_covisits,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.item < b.item
+     AND b.sec BETWEEN a.sec - {COVISIT_WINDOW_S} AND a.sec + {COVISIT_WINDOW_S}
+    GROUP BY a.item, b.item
+    """,
+)
+def covisitation_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X246: time-bounded co-visitation counts — the candidate-generation
+    matrix behind "people who viewed X soon viewed Y" recommenders
+    (co-visitation with a 15-min proximity constraint, not whole-history
+    co-occurrence: temporal locality IS the signal, and it also bounds
+    the work per user). The naive per-user event self-join is quadratic
+    in user history; here both sides bucket to ⌊sec/900⌋ and the LEFT
+    side expands to {b−1, b, b+1} in-row (a 3-array explode — the
+    join_range_bucketized move; any in-window pair differs by at most one
+    bucket, and the three keys are distinct so it lands exactly once),
+    making the join a pure EQUI join on
+    (user, bucket) whose candidate pairs are only same-or-adjacent-bucket
+    events; the exact |Δt| ≤ 900 filter then prunes. At 100 TB the
+    shuffle carries (user, bucket) keys, pair work is bounded by events
+    per 30-min of any one user, and the final pair aggregate is
+    combine-friendly. The item pair is oriented (item_a < item_b) so each
+    unordered event pair lands exactly once."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    b = (F.col("sec") / COVISIT_WINDOW_S).cast("long")
+    left = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("item").alias("item_a"),
+        F.col("sec").alias("sec_a"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("bk"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("item").alias("item_b"),
+        F.col("sec").alias("sec_b"),
+        b.alias("bk"),
+    )
+    pairs = left.join(right, ["u", "bk"]).filter(
+        (F.col("item_a") < F.col("item_b"))
+        & (F.col("sec_b") >= F.col("sec_a") - COVISIT_WINDOW_S)
+        & (F.col("sec_b") <= F.col("sec_a") + COVISIT_WINDOW_S)
+    )
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.count("*").alias("n_covisits"),
+        F.countDistinct("u").alias("n_users"),
+    )

@@ -269,6 +269,8 @@ DRIVER_PRIORITY: list[str] = [
     "personalized_pagerank",
     "session_entropy",
     "percentile_disc_exact",
+    "embedding_pq_quantize",
+    "covisitation_timebound",
 ]
 
 

@@ -1070,3 +1070,30 @@ def test_percentile_disc_values_are_real_and_monotone(spark, sf_dir):
     vals = df.withColumn("cents", F.round(F.col("disc_value") * 100).cast("long"))
     assert vals.join(orders, ["grp", "cents"], "left_anti").count() == 0
     df.unpersist()
+
+
+def test_pq_quantize_is_narrow_scan(spark, sf_dir):
+    """embedding_pq_quantize: pure projection — zero exchanges, no joins;
+    codes in [0, 4), recon_err ≥ 0."""
+    from pyspark.sql import functions as F
+
+    df = q("embedding_pq_quantize", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "Join" not in physical_plan(df, "simple")
+    pdf = df.toPandas()
+    for m in range(8):
+        assert pdf[f"code_{m}"].between(0, 3).all()
+    assert (pdf["recon_err"] >= 0).all()
+
+
+def test_covisitation_is_bucketed_equi_join(spark, sf_dir):
+    """covisitation_timebound: the time-band self-join must plan as an
+    EQUI join on (user, bucket) — no nested loop — and n_users can never
+    exceed n_covisits."""
+    from pyspark.sql import functions as F
+
+    df = q("covisitation_timebound", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert df.filter(F.col("n_users") > F.col("n_covisits")).count() == 0
