@@ -1230,3 +1230,214 @@ def boilerplate_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("boiler_ratio"),
         (ratio <= BOILER_MAX_RATIO).cast("long").alias("keep"),
     )
+
+
+# --- chunk-level rewriting dedup (X248) -----------------------------------
+
+CHUNK_TOKENS = 20
+CHUNK_MIN_DOCS = 2  # a chunk seen in >= 2 distinct docs is boilerplate
+
+
+@query(
+    "dedup_chunk_rewrite",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+    ch AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               array_to_string(
+                   list_slice(t, {CHUNK_TOKENS} * u.i + 1,
+                              LEAST({CHUNK_TOKENS} * (u.i + 1), len(t))),
+                   ' ') AS chunk
+        FROM tok CROSS JOIN
+             UNNEST(range(0, (len(t) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS}))
+             AS u(i)),
+    freq AS (
+        SELECT md5(chunk) AS h,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM ch GROUP BY md5(chunk)),
+    flagged AS (
+        SELECT c.doc_id, c.pos, c.chunk,
+               (f.nd >= {CHUNK_MIN_DOCS}) AS boiler
+        FROM ch c JOIN freq f ON md5(c.chunk) = f.h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+           md5(COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                        FILTER (WHERE NOT boiler), '')) AS rebuilt_md5,
+           CAST(COALESCE(LENGTH(string_agg(chunk, ' ' ORDER BY pos)
+                                FILTER (WHERE NOT boiler)), 0) AS BIGINT)
+               AS rebuilt_len
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X248: sub-document REWRITING dedup — the CCNet/RefinedWeb
+    line-level dedup move at fixed {CHUNK_TOKENS}-token chunk
+    granularity: a chunk whose hash appears in ≥ {CHUNK_MIN_DOCS}
+    distinct documents is boilerplate (headers, navigation, licence
+    blocks — here: the planted near-dup families) and is REMOVED; the
+    document is rebuilt from its surviving chunks in order. Differs from
+    boilerplate_shingle_profile (X235), which only FLAGS documents —
+    this emits the rewritten corpus, witnessed by rebuilt_md5 +
+    rebuilt_len so the driver value-checks the reconstruction
+    byte-for-byte. Physical shape: in-row chunking (sequence+slice, the
+    text_chunk pattern) → ONE 32-byte-keyed distinct-doc count → ONE
+    hash-keyed flag join → per-doc ordered reassembly
+    (array_sort(collect_list(struct)) — pos-deterministic, and
+    concat_ws drops the NULLed boilerplate slots in-row). The shuffles
+    carry hashes and chunk text once each; reassembly state is bounded
+    by document size, not corpus size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    n_ch = F.ceil(F.size(t) / F.lit(CHUNK_TOKENS)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_ch - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "chunk")
+    freq = chunks.groupBy(F.md5("chunk").alias("h")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    flagged = chunks.withColumn("h", F.md5("chunk")).join(freq, "h").select(
+        "doc_id", "pos", "chunk", (F.col("nd") >= CHUNK_MIN_DOCS).alias("boiler")
+    )
+    kept_chunk = F.when(~F.col("boiler"), F.col("chunk"))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boiler"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", kept_chunk.alias("c")))
+        ).alias("sorted"),
+    )
+    rebuilt = F.concat_ws(" ", F.transform("sorted", lambda s: s["c"]))
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_boiler",
+        F.md5(rebuilt).alias("rebuilt_md5"),
+        F.length(rebuilt).cast("long").alias("rebuilt_len"),
+    )
+
+
+# --- LSH band-count sweep (X249) ------------------------------------------
+
+BAND_SWEEP = [4, 8, 16]
+
+
+def _band_sweep_oracle() -> str:
+    return f"""
+    WITH {ORACLE_SHINGLES},
+    {_minhash_comp_sql()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, MIN(a.t) AS mint
+        FROM comp a JOIN comp b
+          ON a.t = b.t AND a.m = b.m AND a.doc_id < b.doc_id
+        WHERE a.t < {max(BAND_SWEEP)}
+        GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    exact AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+    tagged AS (
+        SELECT p.mint, (e.doc_a IS NOT NULL) AS is_true
+        FROM pairs p LEFT JOIN exact e
+          ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b),
+    final AS (
+        SELECT CAST(b.n_bands AS INT) AS n_bands,
+               CAST(SUM(CASE WHEN t.mint < b.n_bands THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN t.mint < b.n_bands AND t.is_true
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_captured
+        FROM (SELECT UNNEST({BAND_SWEEP!r}) AS n_bands) b
+        CROSS JOIN tagged t
+        GROUP BY b.n_bands),
+    tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM exact)
+    SELECT f.n_bands, f.n_candidates, f.n_captured, tr.n_true,
+           ROUND(CAST(f.n_captured AS DOUBLE) / tr.n_true, 6) AS recall
+    FROM final f CROSS JOIN tr
+    """
+
+
+@query("minhash_band_sweep", oracle=_band_sweep_oracle())
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X249: the LSH TUNING CURVE as a checked value — candidate volume
+    vs recall@0.5 for 4/8/16 single-row bands, the S-curve tradeoff
+    every production dedup config is chosen from (more bands: recall →
+    1 − (1−s)^b, but candidates grow linearly in b). Only possible
+    because the hash family is the portable literal one: the oracle
+    recomputes the SIGNATURES, so the sweep's counts are exact
+    cross-engine, not a statistical claim. One component self-join
+    (t < 16) tagged with the MINIMUM colliding component per pair feeds
+    all three configs (pair ∈ config b iff mint < b) — one join, one
+    pair-keyed agg, then a 1-row conditional aggregate stacked to three
+    rows; the exact ≥ 0.5 pair set (the shingle machinery) provides the
+    truth column. Calibration-scale by design, like the exact Jaccard
+    oracle forms: at 100 TB you run it on a sampled shard to pick b,
+    then deploy dedup_minhash with the chosen config."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    comp = (
+        minhash_signatures(d)
+        .select("doc_id", F.posexplode("sig").alias("t", "m"))
+        .filter(F.col("t") < max(BAND_SWEEP))
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.min("a.t").alias("mint"))
+    )
+    exact = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    )
+    tagged = pairs.join(exact, ["doc_a", "doc_b"], "left")
+    aggs = []
+    for bb in BAND_SWEEP:
+        hit = (F.col("mint") < bb).cast("long")
+        aggs.append(F.sum(hit).alias(f"cand_{bb}"))
+        aggs.append(
+            F.sum(hit * F.col("is_true").isNotNull().cast("long")).alias(
+                f"capt_{bb}"
+            )
+        )
+    cell = tagged.agg(*aggs).crossJoin(
+        F.broadcast(exact.agg(F.count("*").alias("n_true")))
+    )
+    stack = ", ".join(
+        f"{bb}, cand_{bb}, capt_{bb}" for bb in BAND_SWEEP
+    )
+    return cell.selectExpr(
+        f"stack({len(BAND_SWEEP)}, {stack}) AS (n_bands, n_candidates, n_captured)",
+        "n_true",
+    ).selectExpr(
+        "CAST(n_bands AS INT) AS n_bands",
+        "n_candidates",
+        "n_captured",
+        "n_true",
+        "ROUND(CAST(n_captured AS DOUBLE) / n_true, 6) AS recall",
+    )

@@ -1725,3 +1725,92 @@ def percentile_disc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "pct")
         .agg(F.round(F.min("cents").cast("double") / 100, 6).alias("disc_value"))
     )
+
+
+@query(
+    "recs_novelty",
+    oracle=f"""
+    WITH r AS ({{RATINGS}}),
+    train AS (SELECT * FROM r WHERE interaction_id % 10 < 7),
+    mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM train),
+    ub AS (SELECT user_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bu
+           FROM train GROUP BY user_id),
+    ib AS (SELECT item_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bi
+           FROM train GROUP BY item_id),
+    users AS (SELECT user_id, bu FROM ub WHERE user_id % 29 = 0),
+    scored AS (
+        SELECT u.user_id, i.item_id,
+               ROUND((SELECT mu FROM mu) + u.bu + i.bi, 6) AS score
+        FROM users u CROSS JOIN ib i),
+    recs AS (
+        SELECT user_id, item_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY score DESC, item_id) AS rnk
+            FROM scored)
+        WHERE rnk <= {RECO_TOP_K}),
+    pop AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM train GROUP BY item_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pop),
+    head AS (
+        SELECT item_id FROM (
+            SELECT item_id, ROW_NUMBER() OVER (ORDER BY c DESC, item_id) AS pr,
+                   (SELECT n FROM tot) AS m
+            FROM pop)
+        WHERE pr <= (m + 9) // 10),
+    tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM pop)
+    SELECT r.user_id,
+           ROUND(AVG(log2(CAST((SELECT t FROM tt) AS DOUBLE))
+                     - log2(CAST(p.c AS DOUBLE))), 6) AS novelty_bits,
+           CAST(SUM(CASE WHEN h.item_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail,
+           ROUND(CAST(SUM(CASE WHEN h.item_id IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {RECO_TOP_K}, 6) AS tail_share
+    FROM recs r
+    JOIN pop p ON r.item_id = p.item_id
+    LEFT JOIN head h ON r.item_id = h.item_id
+    GROUP BY r.user_id
+    """.replace("{RATINGS}", RATINGS_SQL),
+)
+def recs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X247: novelty / popularity-bias audit of the top-k recommendation
+    lists — the beyond-accuracy metrics (Vargas & Castells 2011) that
+    catch a recommender collapsed onto the head of the catalog: per-user
+    mean self-information −log2(p_item) of the recommended items
+    (novelty_bits) and the share drawn from outside the most-popular
+    decile (tail_share). Consumes recommend_top_k's actual output, so a
+    green row certifies list METRICS, not a re-derivation. Numerics: the
+    log arguments are exact integer counts (the session_entropy
+    factoring, log2(total) − log2(c)); the popular-head cut is a
+    TakeOrderedAndProject top-⌈m/10⌉ (driver holds one integer m — never
+    a global rank window), and head membership is a broadcast-sized LEFT
+    join. At 100 TB: popularity is one keyed agg of the train facts; recs
+    are users×k rows; everything downstream is rec-list-sized."""
+    recs = recommend_top_k(spark, sf_dir).select("user_id", "item_id")
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    train = r.filter(F.col("interaction_id") % 10 < 7)
+    pop = train.groupBy("item_id").agg(F.count("*").alias("c")).persist()
+    m = pop.count()
+    total = pop.agg(F.sum("c")).first()[0]
+    head = (
+        pop.orderBy(F.col("c").desc(), F.col("item_id"))
+        .limit((m + 9) // 10)
+        .select("item_id", F.lit(True).alias("is_head"))
+    )
+    nov = F.log2(F.lit(float(total))) - F.log2(F.col("c").cast("double"))
+    out = (
+        recs.join(pop, "item_id")
+        .join(F.broadcast(head), "item_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg(nov), 6).alias("novelty_bits"),
+            F.sum(F.col("is_head").isNull().cast("long")).alias("n_tail"),
+            F.round(
+                F.sum(F.col("is_head").isNull().cast("long")).cast("double")
+                / RECO_TOP_K,
+                6,
+            ).alias("tail_share"),
+        )
+    )
+    return out

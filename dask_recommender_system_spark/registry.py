@@ -271,6 +271,9 @@ DRIVER_PRIORITY: list[str] = [
     "percentile_disc_exact",
     "embedding_pq_quantize",
     "covisitation_timebound",
+    "recs_novelty",
+    "dedup_chunk_rewrite",
+    "minhash_band_sweep",
 ]
 
 

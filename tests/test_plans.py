@@ -1097,3 +1097,50 @@ def test_covisitation_is_bucketed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert df.filter(F.col("n_users") > F.col("n_covisits")).count() == 0
+
+
+def test_chunk_rewrite_reconstruction(spark, sf_dir):
+    """dedup_chunk_rewrite: a doc with zero boilerplate must rebuild to
+    exactly its original (normalized) text; boilerplate removal must
+    actually fire on the planted dup families."""
+    from pyspark.sql import functions as F
+
+    df = q("dedup_chunk_rewrite", spark, sf_dir).persist()
+    assert df.filter(F.col("n_boiler") > 0).count() > 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "orig_md5"
+        ),
+    )
+    clean = df.filter(F.col("n_boiler") == 0).join(docs, "doc_id")
+    assert clean.count() > 0
+    assert clean.filter(F.col("rebuilt_md5") != F.col("orig_md5")).count() == 0
+    df.unpersist()
+
+
+def test_band_sweep_monotone(spark, sf_dir):
+    """minhash_band_sweep: candidates and captured must be monotone
+    non-decreasing in the band count (adding bands only adds collisions),
+    and recall = captured/true."""
+    rows = {r["n_bands"]: r for r in q("minhash_band_sweep", spark, sf_dir).collect()}
+    assert rows[4]["n_candidates"] <= rows[8]["n_candidates"] <= rows[16]["n_candidates"]
+    assert rows[4]["n_captured"] <= rows[8]["n_captured"] <= rows[16]["n_captured"]
+    for r in rows.values():
+        assert r["n_captured"] <= r["n_true"]
+        assert abs(r["recall"] - round(r["n_captured"] / r["n_true"], 6)) < 1e-9
+
+
+def test_recs_novelty_consumes_rec_lists(spark, sf_dir):
+    """recs_novelty: one row per recommended user, tail_share in [0,1],
+    novelty positive (every item has popularity < 1)."""
+    from pyspark.sql import functions as F
+
+    recs_users = q("recommend_top_k", spark, sf_dir).select("user_id").distinct()
+    df = q("recs_novelty", spark, sf_dir).persist()
+    assert df.count() == recs_users.count()
+    assert df.filter(
+        (F.col("tail_share") < 0) | (F.col("tail_share") > 1)
+    ).count() == 0
+    assert df.filter(F.col("novelty_bits") <= 0).count() == 0
+    df.unpersist()
