@@ -3212,3 +3212,187 @@ def covisitation_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_covisits"),
         F.countDistinct("u").alias("n_users"),
     )
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH src AS (
+        SELECT c_nationkey AS grp,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+    gh AS (SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS c
+           FROM src GROUP BY grp, cents),
+    gcum AS (SELECT grp, cents,
+                    SUM(c) OVER (PARTITION BY grp ORDER BY cents) AS r,
+                    SUM(c) OVER (PARTITION BY grp) AS ng
+             FROM gh),
+    h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY cents),
+    g AS (SELECT cents AS gval,
+                 SUM(c) OVER (ORDER BY cents) AS hi,
+                 SUM(c) OVER (ORDER BY cents) - c + 1 AS lo
+          FROM h),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    probe AS (SELECT grp, cents, r, ng,
+                     (r * (SELECT n FROM nn) + ng - 1) // ng AS t
+              FROM gcum)
+    SELECT p.grp, p.cents AS orig_cents,
+           CAST(p.r AS BIGINT) AS rank_in_grp,
+           CAST(p.ng AS BIGINT) AS n_grp,
+           g.gval AS qnorm_cents
+    FROM probe p JOIN g ON p.t BETWEEN g.lo AND g.hi
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X250: quantile normalization — map each group's value distribution
+    onto the GLOBAL distribution (the cross-sample calibration standard
+    from genomics/feature preprocessing, here: each nation's account
+    balances re-expressed as the global balance at the same within-group
+    rank fraction). Entirely INTEGER arithmetic: rank targets are
+    ceil(r·N/n_g) = (r·N + n_g − 1) DIV n_g and values stay exact cents —
+    zero float surface. Physical design has the two classic 100 TB traps
+    and dodges both: (a) the GLOBAL cumulative distribution is built with
+    the two-pass block-offset scheme (range-partition the value
+    histogram, per-block cumsum under a _pid-keyed window, O(P)-row
+    offset collect — never a single-partition ORDER BY window); (b) the
+    rank→value lookup is an interval join (positions tile [1..N]
+    disjointly) executed as a bucketized EQUI join: each global interval
+    explodes to its ⌈span/W⌉ buckets (amortized N/W + |values| rows), the
+    probe hashes to one bucket. Output is histogram-compressed (one row
+    per distinct (group, value))."""
+    p = spark.sparkContext.defaultParallelism
+    src = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    gh = src.groupBy("grp", "cents").agg(F.count("*").alias("c"))
+    wg = W.partitionBy("grp").orderBy("cents")
+    gcum = gh.select(
+        "grp",
+        "cents",
+        F.sum("c").over(wg).alias("r"),
+        F.sum("c").over(W.partitionBy("grp")).alias("ng"),
+    )
+    h = src.groupBy("cents").agg(F.count("*").alias("c"))
+    blocked = h.repartitionByRange(p, "cents").localCheckpoint(eager=True)
+    tagged = blocked.withColumn("_pid", F.spark_partition_id())
+    totals = tagged.groupBy("_pid").agg(F.sum("c").alias("s")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda x: x["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["s"]
+    n_total = acc
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off LONG")
+    wl = W.partitionBy("_pid").orderBy("cents")
+    g = (
+        tagged.withColumn("_lcum", F.sum("c").over(wl))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            F.col("cents").alias("gval"),
+            (F.col("_off") + F.col("_lcum")).alias("hi"),
+            (F.col("_off") + F.col("_lcum") - F.col("c") + 1).alias("lo"),
+        )
+    )
+    # bucketized interval join: W_B positions per bucket
+    wb = max(1, n_total // 512)
+    probe = gcum.withColumn(
+        "t", F.expr(f"(r * {n_total} + ng - 1) DIV ng")
+    ).withColumn("bk", F.expr(f"(t - 1) DIV {wb}"))
+    build = g.withColumn(
+        "bk", F.explode(F.sequence(F.expr(f"(lo - 1) DIV {wb}"), F.expr(f"(hi - 1) DIV {wb}")))
+    )
+    return (
+        probe.join(build, "bk")
+        .filter((F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi")))
+        .select(
+            "grp",
+            F.col("cents").alias("orig_cents"),
+            F.col("r").alias("rank_in_grp"),
+            F.col("ng").alias("n_grp"),
+            F.col("gval").alias("qnorm_cents"),
+        )
+    )
+
+
+FUNNEL_STEPS = [("view", 0), ("click", 3600), ("purchase", 7200)]
+
+
+@query(
+    "funnel_step_deadlines",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {EPOCH_TS} AS sec FROM events),
+    t1 AS (SELECT user_id, MIN(sec) AS s FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.sec) AS s
+           FROM e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click'
+             AND e.sec >= t1.s AND e.sec <= t1.s + 3600
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.sec) AS s
+           FROM e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase'
+             AND e.sec >= t2.s AND e.sec <= t2.s + 7200
+           GROUP BY e.user_id),
+    c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n2,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
+    SELECT 'view' AS step, n1 AS n_users, CAST(1 AS DOUBLE) AS conv_rate
+    FROM c
+    UNION ALL
+    SELECT 'click', n2,
+           ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 6) FROM c
+    UNION ALL
+    SELECT 'purchase', n3,
+           ROUND(CAST(n3 AS DOUBLE) / NULLIF(n2, 0), 6) FROM c
+    """,
+)
+def funnel_step_deadlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X251: funnel with PER-STEP DEADLINES — view → click within 1 h →
+    purchase within 2 h of the click. funnel_conversion (X37) counts
+    ever-ordered steps; real product funnels expire (an attribution
+    window), which changes both the numbers and the shape: each step's
+    earliest qualifying time depends on the PREVIOUS step's, so the
+    computation is a chain of keyed aggregates — min(view) per user,
+    then min(click) within the window anchored at it, then
+    min(purchase) — each one user-keyed agg + one user-keyed join of
+    dimension-sized frames (no event self-join, no window function; the
+    naive per-user event cross-product is quadratic in history).
+    Division guards (NULLIF) keep empty funnels NULL on both engines.
+    At 100 TB the events table is scanned once per step with the type
+    filter pushed down, and everything after the first agg is
+    |users|-sized."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("s1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("sec") >= F.col("s1")) & (F.col("sec") <= F.col("s1") + 3600))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("s2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("sec") >= F.col("s2")) & (F.col("sec") <= F.col("s2") + 7200))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("s3"))
+    )
+    c = (
+        t1.agg(F.count("*").alias("n1"))
+        .crossJoin(F.broadcast(t2.agg(F.count("*").alias("n2"))))
+        .crossJoin(F.broadcast(t3.agg(F.count("*").alias("n3"))))
+    )
+    return c.selectExpr(
+        "stack(3,"
+        " 'view', n1, CAST(1 AS DOUBLE),"
+        " 'click', n2, ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 6),"
+        " 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / NULLIF(n2, 0), 6))"
+        " AS (step, n_users, conv_rate)"
+    )

@@ -274,6 +274,8 @@ DRIVER_PRIORITY: list[str] = [
     "recs_novelty",
     "dedup_chunk_rewrite",
     "minhash_band_sweep",
+    "quantile_normalize",
+    "funnel_step_deadlines",
 ]
 
 

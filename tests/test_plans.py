@@ -1144,3 +1144,40 @@ def test_recs_novelty_consumes_rec_lists(spark, sf_dir):
     ).count() == 0
     assert df.filter(F.col("novelty_bits") <= 0).count() == 0
     df.unpersist()
+
+
+def test_quantile_normalize_exactness_and_shape(spark, sf_dir):
+    """quantile_normalize: pure-integer pipeline — qnorm preserves
+    within-group order, boundary rows map to the global extremes, and
+    the rank→value lookup is an equi join (no NLJ/cartesian)."""
+    from pyspark.sql import functions as F
+
+    df = q("quantile_normalize", spark, sf_dir).persist()
+    # top-ranked row of every group maps to the global max value
+    gmax = df.agg(F.max("qnorm_cents")).first()[0]
+    tops = df.filter(F.col("rank_in_grp") == F.col("n_grp"))
+    assert tops.filter(F.col("qnorm_cents") != gmax).count() == 0
+    # monotone: within a group, higher orig value → qnorm never decreases
+    a, b = df.alias("a"), df.alias("b")
+    viol = (
+        a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.orig_cents") < F.col("b.orig_cents"))
+            & (F.col("a.qnorm_cents") > F.col("b.qnorm_cents")),
+        )
+    ).count()
+    assert viol == 0
+    plan = physical_plan(q("quantile_normalize", spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    df.unpersist()
+
+
+def test_funnel_deadlines_monotone_counts(spark, sf_dir):
+    """funnel_step_deadlines: step counts can only shrink down the
+    funnel, and the deadline funnel is ≤ the unconstrained ever-ordered
+    funnel at each shared stage."""
+    rows = {r["step"]: r["n_users"] for r in q("funnel_step_deadlines", spark, sf_dir).collect()}
+    assert rows["view"] >= rows["click"] >= rows["purchase"]
+    assert rows["view"] > 0
