@@ -417,3 +417,471 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= DEDUP_COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
     )
+
+# 16 subspaces x 16 centroids x 4 dims, Lloyd-trained on the 500-vector
+# corpus sample (deterministic index-spread init, 60 iters, round 4dp).
+PQR_BOOK = [
+    [
+        [0.0371, 0.0442, 0.0276, -0.2025],
+        [-0.0199, -0.1098, 0.087, 0.1582],
+        [-0.0009, 0.0144, -0.0736, 0.074],
+        [-0.1272, -0.0449, -0.1467, -0.0995],
+        [-0.1616, -0.1157, 0.0345, -0.0404],
+        [0.1807, -0.0703, -0.0324, 0.0908],
+        [0.1375, 0.0127, -0.0094, -0.08],
+        [0.0832, 0.1348, -0.2182, -0.0021],
+        [0.0954, -0.1799, 0.0546, -0.0567],
+        [0.0995, 0.0853, 0.1738, 0.0159],
+        [-0.1009, 0.1094, -0.0098, -0.1116],
+        [-0.0549, -0.0155, 0.1689, -0.0514],
+        [0.105, 0.0943, -0.0049, 0.1722],
+        [0.0648, -0.1382, -0.1594, -0.0242],
+        [-0.0529, 0.2236, 0.0659, 0.033],
+        [-0.1603, 0.0264, -0.0423, 0.1562],
+    ],
+    [
+        [0.1695, -0.113, -0.1469, 0.0044],
+        [-0.1609, -0.1572, 0.0065, -0.0053],
+        [-0.0335, -0.0631, 0.2054, 0.0331],
+        [0.1391, 0.0867, 0.0852, -0.1135],
+        [-0.0817, 0.0709, 0.0099, 0.1783],
+        [-0.0571, -0.0385, -0.1693, 0.0945],
+        [-0.196, 0.0734, -0.049, -0.0254],
+        [-0.012, -0.0008, -0.0229, 0.0008],
+        [0.0169, 0.1054, -0.2245, -0.0907],
+        [0.0124, -0.049, -0.0124, -0.2031],
+        [-0.065, 0.1768, 0.0027, -0.0508],
+        [0.1303, -0.1227, 0.0552, 0.0558],
+        [0.1279, 0.135, -0.1201, 0.0818],
+        [0.1067, 0.043, 0.0195, 0.2058],
+        [0.0387, 0.1935, 0.1613, 0.0423],
+        [0.0301, -0.1964, -0.0128, 0.2068],
+    ],
+    [
+        [0.1924, 0.0746, -0.0072, -0.0276],
+        [-0.1175, -0.1916, 0.0121, 0.12],
+        [-0.0526, -0.1885, 0.0186, -0.1044],
+        [0.0953, -0.1539, 0.0019, 0.0577],
+        [0.0131, 0.2208, 0.039, 0.0486],
+        [-0.0487, 0.2492, -0.0747, -0.0587],
+        [-0.1116, 0.0014, 0.1122, -0.0665],
+        [-0.0285, 0.0787, 0.0432, 0.2626],
+        [-0.039, 0.0389, -0.0414, -0.2102],
+        [0.0474, 0.0309, 0.1588, 0.0362],
+        [0.0626, 0.0083, -0.1258, 0.1027],
+        [-0.1169, -0.0915, -0.1556, 0.0226],
+        [0.08, -0.0808, -0.1028, -0.0833],
+        [0.0996, -0.1046, 0.1709, -0.1286],
+        [-0.1706, 0.044, 0.1576, 0.106],
+        [-0.1259, 0.1024, -0.0976, 0.0849],
+    ],
+    [
+        [-0.2036, -0.0723, 0.0607, -0.0418],
+        [0.177, -0.0248, 0.1566, -0.0946],
+        [-0.0665, 0.0125, -0.1565, 0.1681],
+        [-0.0589, 0.0337, -0.034, 0.0139],
+        [-0.0423, 0.085, 0.174, 0.1007],
+        [0.0352, -0.1929, 0.0767, -0.023],
+        [-0.0912, 0.011, -0.1694, -0.15],
+        [-0.0711, -0.1717, -0.1318, 0.0026],
+        [0.1528, -0.0818, -0.0338, 0.0407],
+        [0.1818, 0.1368, 0.0177, 0.119],
+        [0.0912, 0.0032, -0.159, -0.0126],
+        [-0.128, 0.1993, 0.0162, -0.0819],
+        [-0.0386, -0.0534, 0.058, -0.1948],
+        [0.0338, -0.0591, 0.0378, 0.1555],
+        [0.0196, 0.2129, -0.0451, 0.0725],
+        [0.0488, 0.1023, 0.0578, -0.0963],
+    ],
+    [
+        [0.0092, 0.1139, 0.0353, 0.1369],
+        [-0.0986, -0.1819, 0.0167, -0.0359],
+        [0.0557, -0.0475, -0.1013, -0.1487],
+        [0.0447, -0.04, -0.0561, 0.0483],
+        [0.018, 0.0638, 0.0889, -0.1348],
+        [0.2079, 0.0742, -0.0302, -0.0604],
+        [-0.1303, -0.0572, -0.0331, 0.1461],
+        [-0.0052, 0.2388, 0.0025, -0.1061],
+        [0.1128, 0.0257, 0.1933, 0.1057],
+        [-0.1755, 0.0423, 0.0789, -0.0561],
+        [-0.0177, -0.0926, 0.1562, 0.0314],
+        [0.0633, -0.1784, -0.1567, 0.0807],
+        [-0.1159, 0.1194, -0.0964, 0.0226],
+        [0.1806, -0.1364, 0.0344, -0.0588],
+        [-0.1507, -0.1728, -0.1797, -0.0782],
+        [0.066, 0.0662, -0.1921, 0.1045],
+    ],
+    [
+        [-0.0351, -0.1628, 0.0958, -0.1217],
+        [0.1258, 0.0268, 0.1356, -0.1582],
+        [-0.1391, 0.0713, -0.1113, -0.0924],
+        [-0.1045, -0.0864, -0.0812, -0.0665],
+        [0.1113, 0.0659, -0.1338, 0.0359],
+        [0.0915, 0.0521, -0.0825, 0.2588],
+        [0.0812, 0.1258, 0.1207, 0.0653],
+        [0.118, 0.0019, -0.0785, -0.1678],
+        [-0.006, 0.0286, 0.0144, -0.0162],
+        [-0.0398, 0.2065, -0.0368, 0.0989],
+        [-0.081, 0.1198, 0.1109, -0.1643],
+        [0.0907, -0.0866, 0.1126, 0.0891],
+        [-0.1433, 0.0824, 0.0956, 0.1749],
+        [-0.1778, -0.0756, -0.0569, 0.1854],
+        [0.0668, -0.14, -0.0892, 0.0446],
+        [-0.1162, -0.0899, 0.0986, 0.0392],
+    ],
+    [
+        [-0.058, 0.2203, 0.0833, -0.0531],
+        [-0.2022, 0.0908, 0.0091, 0.064],
+        [-0.0207, -0.0262, -0.1494, -0.1296],
+        [0.0816, -0.1028, 0.1037, 0.1228],
+        [0.046, -0.0887, -0.1194, 0.1926],
+        [-0.0374, -0.0211, -0.1723, 0.068],
+        [0.1486, 0.1229, 0.036, -0.1463],
+        [-0.1391, -0.1119, -0.0394, 0.0535],
+        [-0.1375, -0.0168, -0.004, -0.1922],
+        [-0.0581, 0.1631, -0.1287, 0.0235],
+        [0.1789, 0.0526, -0.0937, 0.109],
+        [0.1162, 0.1736, 0.0968, 0.0579],
+        [-0.0526, -0.0053, 0.1868, -0.0395],
+        [0.0506, -0.1655, 0.039, -0.0547],
+        [-0.0665, 0.0149, 0.0879, 0.2285],
+        [0.0797, 0.0253, -0.0522, -0.0159],
+    ],
+    [
+        [0.0865, 0.1256, 0.0416, 0.197],
+        [0.0458, -0.0608, 0.1126, -0.2045],
+        [0.0011, -0.1313, 0.0928, 0.1508],
+        [-0.0678, -0.0793, -0.091, 0.1473],
+        [-0.2142, -0.0606, -0.0081, -0.0818],
+        [-0.1193, 0.1049, 0.0532, 0.1033],
+        [-0.1168, 0.0755, 0.061, -0.1127],
+        [-0.0018, 0.0259, 0.2016, -0.0035],
+        [0.0242, -0.0943, 0.0145, -0.0401],
+        [0.0882, 0.1561, 0.0572, -0.0967],
+        [-0.1105, 0.0129, -0.2006, -0.0143],
+        [0.0525, 0.0297, -0.0531, 0.0584],
+        [0.0992, -0.016, -0.1323, -0.1597],
+        [-0.0097, -0.2832, 0.0398, -0.0643],
+        [0.2044, -0.0585, -0.0, 0.0059],
+        [0.0017, 0.2071, -0.0987, 0.0142],
+    ],
+    [
+        [-0.2428, -0.1221, -0.0037, 0.0583],
+        [-0.0631, 0.0285, -0.0683, 0.1448],
+        [-0.0937, -0.0676, -0.1059, -0.1416],
+        [0.1361, 0.0703, -0.0964, 0.0978],
+        [0.1098, -0.1129, 0.0357, -0.0018],
+        [-0.1424, 0.1327, -0.0815, -0.0374],
+        [-0.0374, -0.0813, 0.0978, 0.0815],
+        [0.0643, 0.0927, 0.1525, 0.1372],
+        [0.0043, -0.0248, 0.2374, -0.0967],
+        [0.0433, -0.1596, -0.1419, -0.0307],
+        [-0.1346, -0.0284, 0.0625, -0.1431],
+        [0.0307, 0.3277, 0.0221, 0.0271],
+        [0.009, 0.0488, -0.0327, -0.0592],
+        [0.0613, -0.0823, -0.0237, 0.2384],
+        [0.1394, -0.0644, 0.0219, -0.205],
+        [0.1321, 0.1496, 0.0402, -0.0604],
+    ],
+    [
+        [0.0224, -0.002, -0.0154, 0.0805],
+        [0.0532, 0.0335, -0.1985, -0.0614],
+        [0.0154, -0.0099, 0.1907, -0.179],
+        [0.0345, 0.0853, 0.1573, 0.0725],
+        [-0.1547, -0.0188, -0.0414, -0.3063],
+        [-0.1893, -0.0765, 0.134, 0.0112],
+        [-0.1267, 0.0995, -0.0787, 0.0019],
+        [-0.0247, -0.1129, -0.0346, -0.1106],
+        [0.0795, 0.2283, -0.0104, -0.099],
+        [0.1586, 0.0964, -0.0662, 0.1332],
+        [0.168, -0.0074, 0.0452, -0.0547],
+        [-0.0032, -0.1236, 0.1071, 0.0833],
+        [-0.1586, 0.1072, 0.0302, -0.1079],
+        [-0.0598, -0.1353, -0.1337, 0.1491],
+        [0.1341, -0.1934, -0.0769, 0.0284],
+        [-0.0839, 0.1509, -0.0209, 0.1856],
+    ],
+    [
+        [-0.0079, -0.1026, -0.1783, -0.035],
+        [-0.044, -0.0807, -0.013, -0.2048],
+        [0.1415, -0.0791, 0.0964, -0.0879],
+        [0.1162, 0.0188, -0.0549, 0.1973],
+        [0.0791, -0.0138, 0.1114, 0.1319],
+        [-0.0477, -0.2006, 0.1158, -0.0415],
+        [0.0373, 0.1104, 0.2147, -0.0276],
+        [-0.0337, 0.1023, -0.129, 0.0618],
+        [-0.0549, 0.0385, 0.0267, -0.0208],
+        [0.0517, 0.0334, -0.0834, -0.2216],
+        [-0.0843, 0.2221, -0.0157, -0.0797],
+        [0.1039, -0.1534, -0.0194, 0.0286],
+        [-0.1624, -0.0403, 0.1248, 0.0869],
+        [0.1733, 0.1088, -0.0594, -0.0665],
+        [-0.0732, -0.1238, -0.0723, 0.1672],
+        [-0.1916, -0.0225, -0.0785, -0.0304],
+    ],
+    [
+        [-0.0322, 0.1282, -0.0408, -0.1577],
+        [0.137, -0.0098, 0.1339, 0.0309],
+        [0.0927, 0.1998, 0.0386, 0.0079],
+        [0.0177, 0.0238, -0.0347, 0.0543],
+        [-0.1122, -0.1091, -0.1645, -0.071],
+        [-0.1318, 0.0148, 0.1122, 0.0711],
+        [-0.1132, 0.067, 0.1862, -0.1762],
+        [0.109, -0.0421, -0.1615, 0.1398],
+        [-0.0779, 0.067, -0.1372, 0.2163],
+        [0.0347, 0.1364, 0.0765, 0.1559],
+        [0.0247, -0.0614, 0.0219, -0.2475],
+        [-0.0723, -0.1013, 0.0421, -0.0769],
+        [-0.0217, -0.1677, -0.0337, 0.1668],
+        [0.0734, -0.1868, 0.0345, -0.0373],
+        [0.1442, 0.0561, -0.1203, -0.043],
+        [-0.1642, 0.0719, -0.088, 0.0067],
+    ],
+    [
+        [0.2068, -0.0755, -0.1001, 0.1756],
+        [-0.1239, -0.1629, 0.1069, -0.035],
+        [-0.1793, -0.0068, 0.0296, 0.136],
+        [-0.1517, -0.0256, -0.0443, -0.0835],
+        [0.1412, 0.0619, 0.0527, -0.0284],
+        [0.1504, -0.1562, 0.0703, -0.0763],
+        [-0.0366, 0.1237, 0.1451, 0.0992],
+        [0.0207, -0.0507, 0.1105, 0.05],
+        [0.0688, 0.055, -0.0536, -0.2234],
+        [-0.1072, 0.1023, -0.1327, 0.0106],
+        [-0.0043, 0.0138, -0.0786, 0.1609],
+        [0.0563, -0.0053, -0.1226, -0.0543],
+        [-0.0554, 0.065, 0.1384, -0.1565],
+        [-0.0226, -0.2032, -0.0943, -0.0121],
+        [0.0425, 0.2076, 0.0619, -0.0245],
+        [0.0048, -0.1657, 0.246, 0.1304],
+    ],
+    [
+        [0.0639, -0.0799, 0.0909, 0.1366],
+        [0.0294, 0.0047, 0.0009, -0.0209],
+        [0.2024, 0.0051, 0.0763, -0.0373],
+        [-0.0554, 0.1079, 0.0457, -0.1422],
+        [-0.2321, -0.0469, -0.0102, -0.0221],
+        [-0.0251, 0.0945, -0.1683, -0.0574],
+        [-0.0341, -0.0179, -0.1127, 0.157],
+        [0.1607, 0.0437, -0.1301, 0.0258],
+        [0.0389, 0.0855, 0.1652, -0.035],
+        [0.0879, -0.1346, 0.121, -0.1307],
+        [-0.067, -0.1571, -0.0456, -0.0931],
+        [0.06, 0.1864, 0.0246, 0.0655],
+        [0.092, -0.1465, -0.1062, 0.0059],
+        [-0.0653, 0.0563, -0.1506, -0.2167],
+        [-0.1277, 0.0936, 0.0532, 0.1082],
+        [-0.1394, -0.0004, 0.2103, -0.0009],
+    ],
+    [
+        [0.0738, 0.0162, -0.0523, -0.1782],
+        [0.1618, 0.0058, 0.1246, -0.0008],
+        [-0.1944, 0.041, 0.0795, -0.0033],
+        [-0.0309, 0.2056, -0.1718, -0.0621],
+        [0.0679, -0.1341, -0.0644, 0.0687],
+        [0.0506, 0.1496, 0.0616, -0.0579],
+        [-0.0086, -0.1565, 0.1043, 0.0152],
+        [-0.0422, 0.0668, 0.0836, 0.1723],
+        [-0.0398, 0.0159, 0.2132, -0.0562],
+        [-0.1216, -0.1162, -0.0208, -0.0663],
+        [0.103, -0.1029, 0.0311, 0.1989],
+        [0.0595, -0.2038, -0.0081, -0.1262],
+        [0.1566, 0.0358, -0.0746, 0.0605],
+        [-0.1277, 0.0316, -0.0258, -0.1671],
+        [-0.0042, -0.0943, -0.2165, -0.0264],
+        [-0.0704, 0.0152, -0.1046, 0.0941],
+    ],
+    [
+        [-0.1086, -0.0596, 0.0642, -0.2235],
+        [-0.1376, -0.137, -0.1261, -0.0536],
+        [0.0747, -0.0726, 0.1311, 0.0971],
+        [-0.1791, 0.0593, -0.0726, 0.0056],
+        [0.0233, 0.0501, -0.1654, -0.1391],
+        [-0.0567, -0.0637, 0.1994, -0.044],
+        [-0.0847, 0.0198, 0.046, 0.1411],
+        [-0.0014, 0.013, 0.0178, -0.0755],
+        [-0.0355, -0.2106, 0.0756, 0.0162],
+        [0.0021, 0.1711, -0.0955, 0.0416],
+        [0.0011, 0.1875, 0.0306, -0.1232],
+        [0.0757, 0.1515, 0.1421, 0.0528],
+        [0.1294, 0.0229, -0.0494, 0.2255],
+        [0.058, -0.116, -0.0993, 0.0978],
+        [0.1599, -0.1318, 0.0007, -0.1163],
+        [0.1848, 0.0469, -0.0752, 0.0047],
+    ],
+]
+
+# --- PQ-ADC candidate generation + exact re-rank (X252) -------------------
+# The re-rank pipeline uses its OWN trained codebook (above): retrieval
+# needs quantization fidelity (16 x 4-dim subspaces, 16 centroids each =
+# 64-bit codes), while embedding_pq_quantize (operators/extended.py)
+# keeps its small 16-bit random book as the compression-plumbing demo.
+# Regenerating PQR_BOOK is a correctness change: every code, candidate
+# pool, and the oracle move with it.
+
+PQR_M, PQR_K, PQR_SUBDIM = 16, 16, 4
+PQ_TOPC = 50  # ADC candidate pool per query before exact re-rank
+
+
+def _pqr_cb_sql(m: int) -> str:
+    """Subspace m's codebook as a DuckDB list-of-lists literal."""
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in PQR_BOOK[m][c]) + "]"
+            for c in range(PQR_K)
+        )
+        + "]"
+    )
+
+
+def _pqr_dists_lambda_sql(vec: str, m: int) -> str:
+    """list of the 16 squared subvector-to-centroid distances — each an
+    explicit fixed-order 4-term chain inside the list_transform lambda,
+    so both engines add in identical textual order."""
+    terms = " + ".join(
+        f"({vec}[{m * PQR_SUBDIM + i + 1}] - c[{i + 1}])"
+        f" * ({vec}[{m * PQR_SUBDIM + i + 1}] - c[{i + 1}])"
+        for i in range(PQR_SUBDIM)
+    )
+    return f"list_transform({_pqr_cb_sql(m)}, c -> {terms})"
+
+
+def _pq_rerank_oracle() -> str:
+    code_cols = ", ".join(
+        f"CAST(list_position(d_{m}, list_min(d_{m})) - 1 AS INT) AS code_{m}"
+        for m in range(PQR_M)
+    )
+    dist_cols = ", ".join(
+        f"{_pqr_dists_lambda_sql('v', m)} AS d_{m}" for m in range(PQR_M)
+    )
+    qd_cols = ", ".join(
+        f"{_pqr_dists_lambda_sql('v', m)} AS qd_{m}" for m in range(PQR_M)
+    )
+    adist = " + ".join(f"q.qd_{m}[c.code_{m} + 1]" for m in range(PQR_M))
+    exact = " + ".join(
+        f"(qv[{j + 1}] - v[{j + 1}]) * (qv[{j + 1}] - v[{j + 1}])"
+        for j in range(PQR_M * PQR_SUBDIM)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dists AS (SELECT vec_id, v, {dist_cols} FROM e),
+    codes AS (SELECT vec_id, v, {code_cols} FROM dists),
+    q AS (SELECT vec_id AS query_id, v AS qv, {qd_cols} FROM e
+          WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (
+        SELECT q.query_id, c.vec_id, c.v, q.qv, {adist} AS adist
+        FROM codes c JOIN q ON c.vec_id <> q.query_id),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adist, vec_id) AS crnk
+            FROM pairs)
+        WHERE crnk <= {PQ_TOPC}),
+    rr AS (SELECT query_id, vec_id, adist, {exact} AS dist FROM cand),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, vec_id) AS rnk
+        FROM rr)
+    SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(adist, 6) AS approx_dist, ROUND(dist, 6) AS exact_dist
+    FROM ranked WHERE rnk <= {TOPK}
+    """
+
+
+def _pqr_cb_col(m: int) -> "F.Column":
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in PQR_BOOK[m][c]])
+            for c in range(PQR_K)
+        ]
+    )
+
+
+def _pqr_dists_col(vec_col: str, m: int) -> "F.Column":
+    """array<double>[16] of squared subvector-to-centroid distances —
+    the same explicit 4-term fixed-order chain as the oracle lambda."""
+
+    def sq(c):
+        t = None
+        for i in range(PQR_SUBDIM):
+            d = F.element_at(F.col(vec_col), m * PQR_SUBDIM + i + 1) - F.element_at(
+                c, i + 1
+            )
+            t = d * d if t is None else t + d * d
+        return t
+
+    return F.transform(_pqr_cb_col(m), sq)
+
+
+@query("similarity_pq_rerank", oracle=_pq_rerank_oracle())
+def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X252: the production ANN retrieval stack end-to-end — PQ codes
+    from the Lloyd-trained literal codebook scanned with ASYMMETRIC
+    DISTANCE COMPUTATION (Jégou et al.'s ADC: query stays full-precision,
+    corpus is 64-bit codes) to a top-{PQ_TOPC} candidate pool, then an
+    exact squared-L2 re-rank of the pool to the final top-{TOPK}. This is
+    what FAISS/ScaNN execute at serving time; at billion scale the ADC
+    pass reads 8 bytes/vector instead of 256 (with IVF cell pruning
+    composing in front — similarity_ann_ivf). Both stages are
+    value-checked: subspace distances are explicit fixed-order 4-term
+    chains inside higher-order-function lambdas (HOFs keep generated
+    code bounded — the fully unrolled form blew whole-stage codegen's
+    64 KB method limit), the argmin is array_position(min) with its
+    lowest-index tiebreak, the ADC sum is an in-row LUT probe
+    qd[code+1], and the re-rank is the zip_with/aggregate left fold
+    (bit-equal to the oracle's explicit left-associated 64-term chain).
+    Candidate recall vs the exact search is test-gated. Physical shape:
+    corpus codes in-row (scan-speed), queries broadcast with their
+    16×16 LUTs, candidate cut a query-keyed window over corpus-scan
+    output, re-rank window over {PQ_TOPC}·|queries| rows."""
+    e = _emb(spark, sf_dir)
+    corpus = e.select(
+        "vec_id",
+        "v",
+        *[
+            (
+                F.array_position(
+                    _pqr_dists_col("v", m), F.array_min(_pqr_dists_col("v", m))
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(PQR_M)
+        ],
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        *[_pqr_dists_col("v", m).alias(f"qd_{m}") for m in range(PQR_M)],
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    adist = None
+    for m in range(PQR_M):
+        term = F.element_at(F.col(f"qd_{m}"), F.col(f"code_{m}") + 1)
+        adist = term if adist is None else adist + term
+    wc = W.partitionBy("query_id").orderBy(F.col("adist"), F.col("vec_id"))
+    cand = (
+        pairs.withColumn("adist", adist)
+        .withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= PQ_TOPC)
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("vec_id"))
+    return (
+        cand.withColumn("dist", dist)
+        .withColumn("rnk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rnk",
+            F.round("adist", 6).alias("approx_dist"),
+            F.round("dist", 6).alias("exact_dist"),
+        )
+    )

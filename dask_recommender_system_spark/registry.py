@@ -276,6 +276,7 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_band_sweep",
     "quantile_normalize",
     "funnel_step_deadlines",
+    "similarity_pq_rerank",
 ]
 
 

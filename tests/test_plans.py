@@ -299,6 +299,10 @@ _NON_EQUI_OK = {
     "churn_risk_flags",  # 1-row observation-end MAX broadcast onto users
     "surrogate_keys",  # 1-row collision-count broadcast onto the key table
     "feature_minmax_scale",  # 1-row (min, max) range broadcast onto rows
+    "similarity_pq_rerank",  # X2's broadcast query-side probe (<> join)
+    "funnel_step_deadlines",  # three 1-row step-count aggs crossJoined
+    "minhash_band_sweep",  # 1-row true-pair-count broadcast onto 3 rows
+    "recs_novelty",  # inherits recommend_top_k's 1-row mu broadcasts
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -1181,3 +1185,25 @@ def test_funnel_deadlines_monotone_counts(spark, sf_dir):
     rows = {r["step"]: r["n_users"] for r in q("funnel_step_deadlines", spark, sf_dir).collect()}
     assert rows["view"] >= rows["click"] >= rows["purchase"]
     assert rows["view"] > 0
+
+
+def test_pq_rerank_recall_vs_exact(spark, sf_dir):
+    """similarity_pq_rerank: on unit vectors L2² ranking ≡ cosine ranking,
+    so the exact top-k (similarity_topk) is the truth set; the ADC
+    candidate pool must capture most of it on the fixture, and every
+    emitted exact_dist must be ≥ its approx counterpart's floor of 0."""
+    from pyspark.sql import functions as F
+
+    truth = q("similarity_topk", spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("n")
+    )
+    got = q("similarity_pq_rerank", spark, sf_dir).persist()
+    hit = got.join(
+        truth,
+        (got["query_id"] == truth["query_id"]) & (got["neighbor_id"] == truth["n"]),
+    ).count()
+    total = truth.count()
+    assert hit / total >= 0.85, f"PQ recall {hit}/{total}"
+    assert got.filter(F.col("exact_dist") < 0).count() == 0
+    assert got.filter(F.col("approx_dist") < 0).count() == 0
+    got.unpersist()
