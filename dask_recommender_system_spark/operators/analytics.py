@@ -3396,3 +3396,214 @@ def funnel_step_deadlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / NULLIF(n2, 0), 6))"
         " AS (step, n_users, conv_rate)"
     )
+
+
+# X253 determinism note: both engines evaluate the IDENTICAL Cramer
+# expression text over sufficient statistics that are EXACT integers
+# (every sum fits double's 2^53 integer range, or is carried in
+# decimal/hugeint first and converted once), so the float arithmetic is
+# bit-identical by construction.
+@query(
+    "grouped_ols_2var",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderpriority AS grp,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    s AS (
+        SELECT grp,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(q) AS DOUBLE) AS sq,
+               CAST(SUM(d) AS DOUBLE) AS sd,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(q * q) AS DOUBLE) AS sqq,
+               CAST(SUM(d * d) AS DOUBLE) AS sdd,
+               CAST(SUM(q * d) AS DOUBLE) AS sqd,
+               CAST(SUM(q * y) AS DOUBLE) AS sqy,
+               CAST(SUM(d * y) AS DOUBLE) AS sdy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM src GROUP BY grp),
+    f AS (
+        SELECT grp, n_rows, n, sq, sd, sy, sqq, sdd, sqd, sqy, sdy, syy,
+               (n * (sqq * sdd - sqd * sqd)
+                - sq * (sq * sdd - sqd * sd)
+                + sd * (sq * sqd - sqq * sd)) AS det
+        FROM s)
+    SELECT grp, n_rows,
+           ROUND((sy * (sqq * sdd - sqd * sqd)
+                  - sq * (sqy * sdd - sqd * sdy)
+                  + sd * (sqy * sqd - sqq * sdy)) / det, 6) AS b0,
+           ROUND((n * (sqy * sdd - sqd * sdy)
+                  - sy * (sq * sdd - sqd * sd)
+                  + sd * (sq * sdy - sqy * sd)) / det, 6) AS b1,
+           ROUND((n * (sqq * sdy - sqy * sqd)
+                  - sq * (sq * sdy - sqy * sd)
+                  + sy * (sq * sqd - sqq * sd)) / det, 6) AS b2,
+           ROUND(1 - (syy
+                      - ((sy * (sqq * sdd - sqd * sqd)
+                          - sq * (sqy * sdd - sqd * sdy)
+                          + sd * (sqy * sqd - sqq * sdy)) / det) * sy
+                      - ((n * (sqy * sdd - sqd * sdy)
+                          - sy * (sq * sdd - sqd * sd)
+                          + sd * (sq * sdy - sqy * sd)) / det) * sqy
+                      - ((n * (sqq * sdy - sqy * sqd)
+                          - sq * (sq * sdy - sqy * sd)
+                          + sy * (sq * sqd - sqq * sd)) / det) * sdy)
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM f
+    """,
+)
+def grouped_ols_2var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X253: per-group TWO-regressor OLS (revenue cents on quantity and
+    discount basis points) solved in closed form from the 3×3 normal
+    equations via Cramer's rule — the multivariate step past
+    trend_linear_fit's single regressor, and the shape a feature-
+    attribution pass runs per segment at 100 TB: ONE combine-friendly
+    keyed aggregate collecting the 10 sufficient statistics, then pure
+    per-group scalar arithmetic (the matrix solve never touches the
+    cluster). Determinism: every sufficient statistic is an EXACT
+    integer (Σy² carried in decimal/hugeint — cents² × 600k rows
+    overflows int64 — then converted once), and both engines evaluate
+    the IDENTICAL Cramer expression text over those exact doubles, so
+    the emitted coefficients agree bit-for-bit before the ROUND 6. R²
+    from the same statistics: 1 − SSE/SST with SSE expanded in sums (no
+    second data pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    src = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = src.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("sqd"),
+        F.sum(F.col("q") * F.col("y")).cast("double").alias("sqy"),
+        F.sum(F.col("d") * F.col("y")).cast("double").alias("sdy"),
+        F.sum(
+            (F.col("y").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)")
+        ).cast("double").alias("syy"),
+        F.count("*").alias("n_rows"),
+    )
+    det = (
+        F.col("n") * (F.col("sqq") * F.col("sdd") - F.col("sqd") * F.col("sqd"))
+        - F.col("sq") * (F.col("sq") * F.col("sdd") - F.col("sqd") * F.col("sd"))
+        + F.col("sd") * (F.col("sq") * F.col("sqd") - F.col("sqq") * F.col("sd"))
+    )
+    b0 = (
+        F.col("sy") * (F.col("sqq") * F.col("sdd") - F.col("sqd") * F.col("sqd"))
+        - F.col("sq") * (F.col("sqy") * F.col("sdd") - F.col("sqd") * F.col("sdy"))
+        + F.col("sd") * (F.col("sqy") * F.col("sqd") - F.col("sqq") * F.col("sdy"))
+    ) / F.col("det")
+    b1 = (
+        F.col("n") * (F.col("sqy") * F.col("sdd") - F.col("sqd") * F.col("sdy"))
+        - F.col("sy") * (F.col("sq") * F.col("sdd") - F.col("sqd") * F.col("sd"))
+        + F.col("sd") * (F.col("sq") * F.col("sdy") - F.col("sqy") * F.col("sd"))
+    ) / F.col("det")
+    b2 = (
+        F.col("n") * (F.col("sqq") * F.col("sdy") - F.col("sqy") * F.col("sqd"))
+        - F.col("sq") * (F.col("sq") * F.col("sdy") - F.col("sqy") * F.col("sd"))
+        + F.col("sy") * (F.col("sq") * F.col("sqd") - F.col("sqq") * F.col("sd"))
+    ) / F.col("det")
+    r2 = 1 - (
+        F.col("syy") - b0 * F.col("sy") - b1 * F.col("sqy") - b2 * F.col("sdy")
+    ) / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+    return s.withColumn("det", det).select(
+        "grp",
+        "n_rows",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+XCORR_MAX_LAG = 7
+
+
+@query(
+    "daily_crosscorr_lags",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {EPOCH_TS} // 86400 AS day FROM events),
+    v AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM e
+          WHERE event_type = 'view' GROUP BY day),
+    p AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS y FROM e
+          WHERE event_type = 'purchase' GROUP BY day),
+    lags AS (SELECT UNNEST(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1})) AS lag),
+    j AS (SELECT l.lag, v.x, p.y
+          FROM lags l JOIN v ON TRUE JOIN p ON p.day = v.day + l.lag),
+    s AS (SELECT lag,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) AS DOUBLE) AS syy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy
+          FROM j GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, n_days,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS xcorr
+    FROM s
+    """,
+)
+def daily_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X254: lead–lag cross-correlation between two daily event series
+    (views vs purchases at lags −{XCORR_MAX_LAG}..+{XCORR_MAX_LAG}) — the
+    standard "does activity LEAD conversions, and by how many days"
+    diagnostic behind marketing-mix and capacity models. The series
+    collapse to |days| integer counts FIRST (two keyed aggs of the fact
+    scan), so the lag sweep is a {2 * XCORR_MAX_LAG + 1}-row literal dim
+    broadcast against the tiny day table, one shifted-day equi join, and
+    a per-lag aggregate of exact integer sums — Pearson arithmetic
+    happens once per lag over sums that are all exactly representable,
+    with both engines evaluating the identical expression. At 100 TB the
+    only data-sized work is the two initial aggregates."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("day")
+        .agg(F.count("*").alias("x"))
+        .select(F.col("day").alias("vday"), "x")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("day")
+        .agg(F.count("*").alias("y"))
+        .select(F.col("day").alias("pday"), "y")
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    j = (
+        v.crossJoin(F.broadcast(lags))
+        .join(p, F.col("pday") == F.col("vday") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    s = j.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    xcorr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("lag", "n_days", F.round(xcorr, 6).alias("xcorr"))

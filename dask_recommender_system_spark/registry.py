@@ -277,6 +277,8 @@ DRIVER_PRIORITY: list[str] = [
     "quantile_normalize",
     "funnel_step_deadlines",
     "similarity_pq_rerank",
+    "grouped_ols_2var",
+    "daily_crosscorr_lags",
 ]
 
 

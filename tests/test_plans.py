@@ -1207,3 +1207,43 @@ def test_pq_rerank_recall_vs_exact(spark, sf_dir):
     assert got.filter(F.col("exact_dist") < 0).count() == 0
     assert got.filter(F.col("approx_dist") < 0).count() == 0
     got.unpersist()
+
+
+def test_ols_2var_matches_numpy_lstsq(spark, sf_dir):
+    """grouped_ols_2var: the Cramer closed form must agree with an
+    independent numpy least-squares fit per group, and R² ∈ [0, 1];
+    one keyed aggregate, no second data pass."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    df = q("grouped_ols_2var", spark, sf_dir)
+    rows = {r["grp"]: r for r in df.collect()}
+    assert rows and all(0 <= r["r2"] <= 1 for r in rows.values())
+    assert count_exchanges(df) <= 2
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pdf = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.floor("l_quantity").cast("long").alias("qq"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .toPandas()
+    )
+    for grp, sub in pdf.groupby("grp"):
+        X = np.column_stack(
+            [np.ones(len(sub)), sub["qq"].to_numpy(), sub["d"].to_numpy()]
+        ).astype(float)
+        beta, *_ = np.linalg.lstsq(X, sub["y"].to_numpy().astype(float), rcond=None)
+        r = rows[grp]
+        for got, ref in zip((r["b0"], r["b1"], r["b2"]), beta):
+            assert abs(got - ref) <= max(1e-4, 1e-6 * abs(ref)), (grp, got, ref)
+
+
+def test_crosscorr_bounds_and_lag_zero(spark, sf_dir):
+    """daily_crosscorr_lags: |corr| ≤ 1 at every lag; 15 lag rows."""
+    rows = q("daily_crosscorr_lags", spark, sf_dir).collect()
+    assert len(rows) == 15
+    assert all(abs(r["xcorr"]) <= 1.0 + 1e-9 for r in rows)
