@@ -117,6 +117,16 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "multimodal_frame_sample",
     "stream_sessionize",
+    # round-4 batch 2 (portable-LSH promotion + the X241-X254 family) —
+    # appended, same order-stability rule
+    "dedup_simhash",
+    "sql_interface_q5",
+    "personalized_pagerank",
+    "dedup_chunk_rewrite",
+    "covisitation_timebound",
+    "quantile_normalize",
+    "similarity_pq_rerank",
+    "grouped_ols_2var",
 ]
 
 FUNK_EPOCHS = 5

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..data import load_table
+from ..data import load_table, spread
 from ..registry import query
 
 # Shared tokenizer expression (Spark + DuckDB twins). Lazy: Column
@@ -1414,4 +1414,84 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lab.filter(F.col("doc_id") % SAMPLE_MOD < SAMPLE_KEEP).select(
         "doc_id", "stratum", F.col("q").alias("quality")
+    )
+
+
+@query(
+    "bigram_lm_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {ORACLE_TOKENS} AS t FROM documents
+        WHERE LEN({ORACLE_TOKENS}) >= 2),
+    bg AS (
+        SELECT doc_id, t[CAST(u.i AS INT)] AS w1, t[CAST(u.i + 1 AS INT)] AS w2
+        FROM tok CROSS JOIN UNNEST(range(1, len(t))) AS u(i)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY w1, w2),
+    cc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx FROM bc GROUP BY w1),
+    vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+           FROM (SELECT w1 AS w2 FROM bc UNION SELECT w2 FROM bc)),
+    scored AS (
+        SELECT bg.doc_id,
+               LN((CAST(bc.c AS DOUBLE) + 1)
+                  / (CAST(cc.ctx AS DOUBLE) + (SELECT v FROM vv))) AS lp
+        FROM bg
+        JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+        JOIN cc ON bg.w1 = cc.w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_logprob,
+           ROUND(EXP(-AVG(lp)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X255: bigram language-model scoring with Laplace smoothing —
+    the CONDITIONAL step past unigram_logprob_score (X78): a document of
+    common words in impossible ORDER scores fine under a unigram model
+    and terribly here, which is exactly the word-salad/MT-garbage
+    failure mode LM-based corpus filters (CCNet's wikipedia-LM
+    perplexity gate) exist to catch. P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V),
+    so every probability is a ratio of EXACT integers; per-doc
+    aggregation is a mean of ≤|doc| log terms (ULP noise orders below
+    the ROUND 6 emission). Physically the unigram shape one key wider:
+    bigrams build in-row (slice+zip, no self-join), the model collapses
+    to |bigram-vocab| rows with map-side combine, and the scoring pass
+    joins bigram-keyed then context-keyed — both model tables broadcast
+    while they fit; at 100 TB the bigram table is the one that may not,
+    and then the scoring join shuffles on (w1,w2), still keyed."""
+    d = load_table(spark, sf_dir, "documents").filter(F.size(TOKENS()) >= 2)
+    t = TOKENS()
+    bg_arr = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        spread(d)
+        .select("doc_id", F.explode(bg_arr).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cc = bc.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    vv = (
+        bc.select(F.col("w1").alias("w"))
+        .union(bc.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
+    lp = F.log(
+        (F.col("c").cast("double") + 1)
+        / (F.col("ctx").cast("double") + F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(cc), "w1")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(lp)), 6).alias("perplexity"),
+        )
     )

@@ -279,6 +279,7 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_pq_rerank",
     "grouped_ols_2var",
     "daily_crosscorr_lags",
+    "bigram_lm_logprob",
 ]
 
 

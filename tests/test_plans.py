@@ -303,6 +303,7 @@ _NON_EQUI_OK = {
     "funnel_step_deadlines",  # three 1-row step-count aggs crossJoined
     "minhash_band_sweep",  # 1-row true-pair-count broadcast onto 3 rows
     "recs_novelty",  # inherits recommend_top_k's 1-row mu broadcasts
+    "bigram_lm_logprob",  # 1-row vocab-size broadcast, like unigram's
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -1247,3 +1248,15 @@ def test_crosscorr_bounds_and_lag_zero(spark, sf_dir):
     rows = q("daily_crosscorr_lags", spark, sf_dir).collect()
     assert len(rows) == 15
     assert all(abs(r["xcorr"]) <= 1.0 + 1e-9 for r in rows)
+
+
+def test_bigram_lm_is_keyed_and_sane(spark, sf_dir):
+    """bigram_lm_logprob: model tables broadcast (no data-sized shuffle
+    on the scoring pass beyond the doc rollup); avg_logprob strictly
+    negative, perplexity = exp(-avg) > 1."""
+    from pyspark.sql import functions as F
+
+    df = q("bigram_lm_logprob", spark, sf_dir).persist()
+    assert df.filter(F.col("avg_logprob") >= 0).count() == 0
+    assert df.filter(F.col("perplexity") <= 1).count() == 0
+    df.unpersist()
