@@ -414,3 +414,98 @@ def udtf_order_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderpriority = '1-URGENT'
         """
     )
+
+
+HYST_HI, HYST_LO = 80.0, 20.0  # fire/clear thresholds (value quartiles ~15/69)
+
+HYST_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("sec", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("alert", T.IntegerType()),
+    ]
+)
+
+
+@query(
+    "hysteresis_alert_flags",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                           event_id) AS rn
+        FROM events WHERE user_id % 10 = 0),
+    st(user_id, event_id, sec, value, rn, alert) AS (
+        SELECT user_id, event_id, sec, value, rn,
+               CASE WHEN value > {HYST_HI} THEN 1 ELSE 0 END
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.sec, e.value, e.rn,
+               CASE WHEN e.value > {HYST_HI} THEN 1
+                    WHEN e.value < {HYST_LO} THEN 0
+                    ELSE st.alert END
+        FROM e JOIN st ON e.user_id = st.user_id AND e.rn = st.rn + 1)
+    SELECT user_id, event_id, sec, value, CAST(alert AS INT) AS alert
+    FROM st
+    """,
+)
+def hysteresis_alert_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X256: hysteresis (Schmitt-trigger) alerting over each user's event
+    stream — alert RAISES above {HYST_HI}, CLEARS below {HYST_LO}, and
+    HOLDS its previous state in between. The two-threshold band is what
+    separates production alerting from naive thresholding (no flapping
+    when a metric oscillates around one line), and the hold branch makes
+    the state genuinely RECURSIVE: unlike user_ewma's linear recurrence
+    there is no closed form, so neither window functions nor prefix
+    algebra can express it — this is exactly the shape GROUPED_MAP
+    applyInPandas exists for (one shuffle on user_id, per-group
+    vectorized recurrence; the streaming twin is
+    applyInPandasWithState/stream_sessionize's pattern with the alert
+    bit as state). The recurrence is np.where masks + one forward-fill
+    (raise/clear rows pin the state, holds propagate the last pinned
+    value) — vectorized, no per-row Python loop. Only threshold
+    COMPARISONS touch the float values (no arithmetic), so cross-engine
+    determinism is structural; the oracle is a recursive CTE stepping
+    rn → rn+1. Deterministic user subset bounds the output; order is
+    total via (sec, event_id)."""
+    _ = spark
+    ev = (
+        load_table_events(spark, sf_dir)
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "value",
+        )
+    )
+
+    def hyst(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "event_id"])
+        v = pdf["value"].to_numpy()
+        pin = np.where(v > HYST_HI, 1.0, np.where(v < HYST_LO, 0.0, np.nan))
+        # forward-fill the pinned states; leading holds default to 0
+        s = pd.Series(pin).ffill().fillna(0.0).to_numpy().astype(np.int32)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "sec": pdf["sec"],
+                "value": pdf["value"],
+                "alert": s,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(hyst, schema=HYST_SCHEMA)
+
+
+def load_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events via the footer-sniffing loader with a UTC session pin —
+    epoch projections must be engine-stable (the X256 oracle floors
+    epoch seconds)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "events")

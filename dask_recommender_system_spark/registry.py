@@ -280,6 +280,7 @@ DRIVER_PRIORITY: list[str] = [
     "grouped_ols_2var",
     "daily_crosscorr_lags",
     "bigram_lm_logprob",
+    "hysteresis_alert_flags",
 ]
 
 

@@ -312,6 +312,7 @@ _ARROW_OK = {
     "grouped_agg_pandas_udf",  # the declared GROUPED_AGG Arrow shape
     "map_in_arrow_passthrough",  # the declared raw-Arrow mapInArrow shape
     "udtf_order_milestones",  # the declared ArrowEvalPythonUDTF shape
+    "hysteresis_alert_flags",  # the declared GROUPED_MAP recurrence shape
 }
 
 
@@ -1259,4 +1260,22 @@ def test_bigram_lm_is_keyed_and_sane(spark, sf_dir):
     df = q("bigram_lm_logprob", spark, sf_dir).persist()
     assert df.filter(F.col("avg_logprob") >= 0).count() == 0
     assert df.filter(F.col("perplexity") <= 1).count() == 0
+    df.unpersist()
+
+
+def test_hysteresis_band_semantics(spark, sf_dir):
+    """hysteresis_alert_flags: raise rows always 1, clear rows always 0,
+    and the HOLD band must carry BOTH states (the recurrence is live —
+    a memoryless thresholder would fail this)."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.operators.grouped import HYST_HI, HYST_LO
+
+    df = q("hysteresis_alert_flags", spark, sf_dir).persist()
+    assert df.filter(~F.col("alert").isin(0, 1)).count() == 0
+    assert df.filter((F.col("value") > HYST_HI) & (F.col("alert") != 1)).count() == 0
+    assert df.filter((F.col("value") < HYST_LO) & (F.col("alert") != 0)).count() == 0
+    hold = df.filter(F.col("value").between(HYST_LO, HYST_HI))
+    states = {r["alert"] for r in hold.select("alert").distinct().collect()}
+    assert states == {0, 1}, states
     df.unpersist()
