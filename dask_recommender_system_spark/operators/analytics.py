@@ -3607,3 +3607,166 @@ def daily_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("lag", "n_days", F.round(xcorr, 6).alias("xcorr"))
+
+
+CHG_MIN_SEG = 30  # minimum days on each side of a candidate breakpoint
+
+# Shared centered-sum SSE text for X257: sse(n,sx,sy,sxx,syy,sxy) of the
+# best-fit line over a segment, from exact integer sums converted once.
+_SEG_SSE = (
+    "(({syy} - {sy} * {sy} / {n}) - "
+    "({sxy} - {sx} * {sy} / {n}) * ({sxy} - {sx} * {sy} / {n})"
+    " / ({sxx} - {sx} * {sx} / {n}))"
+)
+
+
+@query(
+    "revenue_changepoint_fit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    p AS (
+        SELECT x, y,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS n1,
+               CAST(SUM(x) OVER w AS DOUBLE) AS sx1,
+               CAST(SUM(y) OVER w AS DOUBLE) AS sy1,
+               CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx1,
+               CAST(SUM(CAST(y AS HUGEINT) * y) OVER w AS DOUBLE) AS syy1,
+               CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy1
+        FROM d WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+    t AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM d),
+    c AS (
+        SELECT p.x AS break_day, p.n1 AS nl,
+               {_SEG_SSE.format(n='p.n1', sx='p.sx1', sy='p.sy1',
+                                sxx='p.sxx1', syy='p.syy1', sxy='p.sxy1')}
+               + {_SEG_SSE.format(n='(t.n - p.n1)', sx='(t.sx - p.sx1)',
+                                  sy='(t.sy - p.sy1)', sxx='(t.sxx - p.sxx1)',
+                                  syy='(t.syy - p.syy1)', sxy='(t.sxy - p.sxy1)')}
+                   AS sse_split,
+               ((p.sxy1 - p.sx1 * p.sy1 / p.n1)
+                / (p.sxx1 - p.sx1 * p.sx1 / p.n1)) AS slope_left,
+               (((t.sxy - p.sxy1) - (t.sx - p.sx1) * (t.sy - p.sy1) / (t.n - p.n1))
+                / ((t.sxx - p.sxx1) - (t.sx - p.sx1) * (t.sx - p.sx1) / (t.n - p.n1)))
+                   AS slope_right,
+               {_SEG_SSE.format(n='t.n', sx='t.sx', sy='t.sy',
+                                sxx='t.sxx', syy='t.syy', sxy='t.sxy')}
+                   AS sse_single
+        FROM p CROSS JOIN t
+        WHERE p.n1 >= {CHG_MIN_SEG} AND t.n - p.n1 >= {CHG_MIN_SEG})
+    SELECT break_day, CAST(nl AS BIGINT) AS n_left,
+           ROUND(slope_left / 100, 6) AS slope_left_dollars,
+           ROUND(slope_right / 100, 6) AS slope_right_dollars,
+           ROUND(1 - sse_split / sse_single, 6) AS sse_reduction
+    FROM c ORDER BY sse_split, break_day LIMIT 1
+    """,
+)
+def revenue_changepoint_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X257: segmented-regression changepoint — fit daily revenue with
+    TWO lines split at the breakpoint minimizing total SSE (the "did the
+    trend change, and when" question behind launch/regression analyses;
+    the exhaustive one-breakpoint special case of PELT-style detection).
+    The whole sweep costs ONE pass of prefix sufficient statistics: each
+    candidate's left segment reads the prefix sums at its row, the right
+    segment is total − prefix, and the SSE closed form (centered sums)
+    needs no residual pass — so evaluating EVERY candidate is O(|days|)
+    rows of scalar arithmetic, not |days| regression fits. Sums are
+    exact integers (Σy² via decimal/hugeint); both engines evaluate the
+    same centered-sum text; the winner is picked by (sse, day) so float
+    ties cannot flap. The day series is bounded (|days| rows), so the
+    prefix window runs on the collapsed table — the fact scan does one
+    keyed day aggregate and is done."""
+    _utc(spark)
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400").alias("x")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+        )
+    )
+    # bounded |days| table: the single-partition prefix window is explicit
+    # and documented (pmod partition key per house convention)
+    wp = W.partitionBy(F.pmod(F.col("x"), F.lit(1))).orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    p = d.select(
+        "x",
+        "y",
+        F.count("*").over(wp).cast("double").alias("n1"),
+        F.sum("x").over(wp).cast("double").alias("sx1"),
+        F.sum("y").over(wp).cast("double").alias("sy1"),
+        F.sum(F.col("x") * F.col("x")).over(wp).cast("double").alias("sxx1"),
+        F.sum((F.col("y").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)"))
+        .over(wp)
+        .cast("double")
+        .alias("syy1"),
+        F.sum(F.col("x") * F.col("y")).over(wp).cast("double").alias("sxy1"),
+    )
+    t = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum((F.col("y").cast("decimal(38,0)") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+
+    def sse(n, sx, sy, sxx, syy, sxy):
+        return (syy - sy * sy / n) - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (
+            sxx - sx * sx / n
+        )
+
+    c = p.crossJoin(F.broadcast(t)).filter(
+        (F.col("n1") >= CHG_MIN_SEG) & (F.col("n") - F.col("n1") >= CHG_MIN_SEG)
+    )
+    nl, sxl, syl, sxxl, syyl, sxyl = (
+        F.col("n1"), F.col("sx1"), F.col("sy1"),
+        F.col("sxx1"), F.col("syy1"), F.col("sxy1"),
+    )
+    nr = F.col("n") - nl
+    sxr, syr = F.col("sx") - sxl, F.col("sy") - syl
+    sxxr, syyr, sxyr = (
+        F.col("sxx") - sxxl, F.col("syy") - syyl, F.col("sxy") - sxyl,
+    )
+    sse_split = sse(nl, sxl, syl, sxxl, syyl, sxyl) + sse(
+        nr, sxr, syr, sxxr, syyr, sxyr
+    )
+    slope_l = (sxyl - sxl * syl / nl) / (sxxl - sxl * sxl / nl)
+    slope_r = (sxyr - sxr * syr / nr) / (sxxr - sxr * sxr / nr)
+    sse_single = sse(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxx"), F.col("syy"), F.col("sxy"),
+    )
+    scored = c.select(
+        F.col("x").alias("break_day"),
+        nl.alias("nl"),
+        sse_split.alias("sse_split"),
+        slope_l.alias("slope_l"),
+        slope_r.alias("slope_r"),
+        sse_single.alias("sse_single"),
+    )
+    return (
+        scored.orderBy("sse_split", "break_day")
+        .limit(1)
+        .select(
+            "break_day",
+            F.col("nl").cast("long").alias("n_left"),
+            F.round(F.col("slope_l") / 100, 6).alias("slope_left_dollars"),
+            F.round(F.col("slope_r") / 100, 6).alias("slope_right_dollars"),
+            F.round(1 - F.col("sse_split") / F.col("sse_single"), 6).alias(
+                "sse_reduction"
+            ),
+        )
+    )

@@ -281,6 +281,7 @@ DRIVER_PRIORITY: list[str] = [
     "daily_crosscorr_lags",
     "bigram_lm_logprob",
     "hysteresis_alert_flags",
+    "revenue_changepoint_fit",
 ]
 
 

@@ -1279,3 +1279,41 @@ def test_hysteresis_band_semantics(spark, sf_dir):
     states = {r["alert"] for r in hold.select("alert").distinct().collect()}
     assert states == {0, 1}, states
     df.unpersist()
+
+
+def test_changepoint_matches_numpy_exhaustive(spark, sf_dir):
+    """revenue_changepoint_fit: the prefix-sum sweep must find the same
+    breakpoint as an exhaustive numpy scan, and splitting can only
+    reduce SSE (each segment's own fit beats the global line)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    row = q("revenue_changepoint_fit", spark, sf_dir).collect()[0]
+    assert 0 <= row["sse_reduction"] <= 1
+    d = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.expr(
+                "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+            ).alias("x")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+        .orderBy("x")
+        .toPandas()
+    )
+    x = d["x"].to_numpy(dtype=float)
+    y = d["y"].to_numpy(dtype=float)
+
+    def sse(xs, ys):
+        if len(xs) < 2:
+            return 0.0
+        A = np.column_stack([np.ones(len(xs)), xs])
+        beta, *_ = np.linalg.lstsq(A, ys, rcond=None)
+        r = ys - A @ beta
+        return float(r @ r)
+
+    best = min(
+        (sse(x[:i], y[:i]) + sse(x[i:], y[i:]), x[i - 1])
+        for i in range(30, len(x) - 30 + 1)
+    )
+    assert row["break_day"] == int(best[1]), (row["break_day"], best)
