@@ -88,7 +88,7 @@ def load_all_operators() -> None:
 #       float-surface ops first (VERDICT r03 item 1). Slots 1-50 are the
 #       round-4 window; the remainder fronts round 5. Keep in sync when
 #       adding queries until every name has a CORRECTNESS_r* row;
-#   (c) queries NEW in round 4 (X232-X238), appended at the back of the
+#   (c) queries NEW in round 4 (X232-X257), appended at the back of the
 #       never-checked queue.
 DRIVER_PRIORITY: list[str] = [
     # ---- (a) promotions: changed this round, need fresh driver rows ----
