@@ -3770,3 +3770,167 @@ def revenue_changepoint_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "inventory_fifo_matching",
+    oracle="""
+    WITH base AS (
+        SELECT l_partkey, l_linestatus AS st,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cost_cents,
+               CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) AS ship_s,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    sup AS (
+        SELECT l_partkey, qty, cost_cents,
+               CAST(SUM(qty) OVER (PARTITION BY l_partkey
+                    ORDER BY ship_s, l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+        FROM base WHERE st = 'F'),
+    dem AS (
+        SELECT l_partkey, qty,
+               CAST(SUM(qty) OVER (PARTITION BY l_partkey
+                    ORDER BY ship_s, l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd
+        FROM base WHERE st = 'O'),
+    pairs AS (
+        SELECT s.l_partkey,
+               LEAST(s.cs, d.cd)
+                 - GREATEST(s.cs - s.qty, d.cd - d.qty) AS overlap,
+               (s.cost_cents
+                 * (LEAST(s.cs, d.cd) - GREATEST(s.cs - s.qty, d.cd - d.qty))
+                 * 1000) // s.qty AS pair_cogs_milli
+        FROM sup s JOIN dem d ON s.l_partkey = d.l_partkey
+        WHERE s.cs - s.qty < d.cd AND d.cd - d.qty < s.cs),
+    ps AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lots,
+                  CAST(SUM(qty) AS BIGINT) AS supply_qty
+           FROM sup GROUP BY 1),
+    pdm AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_demands,
+                   CAST(SUM(qty) AS BIGINT) AS demand_qty
+            FROM dem GROUP BY 1),
+    pm AS (SELECT l_partkey, CAST(SUM(overlap) AS BIGINT) AS matched_qty,
+                  CAST(SUM(pair_cogs_milli) AS BIGINT) AS cogs_milli
+           FROM pairs GROUP BY 1)
+    SELECT COALESCE(ps.l_partkey, pdm.l_partkey) AS part_key,
+           COALESCE(n_lots, 0) AS n_lots,
+           COALESCE(n_demands, 0) AS n_demands,
+           COALESCE(supply_qty, 0) AS supply_qty,
+           COALESCE(demand_qty, 0) AS demand_qty,
+           COALESCE(matched_qty, 0) AS matched_qty,
+           COALESCE(supply_qty, 0) - COALESCE(matched_qty, 0)
+               AS leftover_supply_qty,
+           COALESCE(demand_qty, 0) - COALESCE(matched_qty, 0)
+               AS unmatched_demand_qty,
+           COALESCE(cogs_milli, 0) AS cogs_milli
+    FROM ps FULL JOIN pdm ON ps.l_partkey = pdm.l_partkey
+         LEFT JOIN pm ON pm.l_partkey = COALESCE(ps.l_partkey, pdm.l_partkey)
+    ORDER BY part_key
+    """,
+)
+def inventory_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X258: FIFO inventory matching — per part, allocate "open" demand
+    lines (l_linestatus='O') against "finished" supply lots ('F') in
+    strict ship-date order, yielding matched quantity, leftover stock,
+    backordered demand, and FIFO cost-of-goods (the cost basis every
+    inventory/tax ledger legally needs; same mechanics as payment-to-
+    invoice application). The set-based formulation replaces the
+    textbook sequential loop: each side gets a per-part CUMULATIVE
+    quantity interval [c_prev, c), and lot i supplies demand j exactly
+    where the intervals overlap — so the allocation is ONE keyed
+    equi-join on partkey with two range predicates, and a chain of at
+    most n_s + n_d − 1 pairs survives per part. All quantities are
+    exact integers; per-pair COGS is scaled-integer arithmetic
+    ((cost_cents · overlap · 1000) DIV lot_qty) so both engines agree
+    bit-for-bit with no float sums anywhere. Scale: windows and the
+    join are all partkey-keyed (no global ordering); per-part line
+    counts are bounded by the schema (TPC-H ~30/part), so the join
+    fanout is data-bounded and the whole plan is two keyed windows +
+    one keyed join + keyed aggregates — shuffle count stays constant
+    at any corpus size."""
+    _utc(spark)
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_linestatus").alias("st"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cost_cents"),
+        F.expr("CAST(FLOOR(unix_timestamp(l_shipdate)) AS BIGINT)").alias("ship_s"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("l_partkey").orderBy(
+        "ship_s", "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    sup = (
+        base.filter(F.col("st") == "F")
+        .select(
+            "l_partkey",
+            F.col("qty").alias("s_qty"),
+            "cost_cents",
+            F.sum("qty").over(w).alias("cs"),
+        )
+    )
+    dem = (
+        base.filter(F.col("st") == "O")
+        .select(
+            F.col("l_partkey").alias("d_partkey"),
+            F.col("qty").alias("d_qty"),
+            F.sum("qty").over(w).alias("cd"),
+        )
+    )
+    overlap = F.least(F.col("cs"), F.col("cd")) - F.greatest(
+        F.col("cs") - F.col("s_qty"), F.col("cd") - F.col("d_qty")
+    )
+    pairs = (
+        sup.join(
+            dem,
+            on=[
+                F.col("l_partkey") == F.col("d_partkey"),
+                F.col("cs") - F.col("s_qty") < F.col("cd"),
+                F.col("cd") - F.col("d_qty") < F.col("cs"),
+            ],
+        )
+        .select(
+            F.col("l_partkey"),
+            overlap.alias("overlap"),
+            F.expr(
+                "(cost_cents * (least(cs, cd) - greatest(cs - s_qty, cd - d_qty))"
+                " * 1000) DIV s_qty"
+            ).alias("pair_cogs_milli"),
+        )
+    )
+    ps = sup.groupBy("l_partkey").agg(
+        F.count("*").alias("n_lots"), F.sum("s_qty").alias("supply_qty")
+    )
+    pdm = (
+        dem.groupBy("d_partkey")
+        .agg(F.count("*").alias("n_demands"), F.sum("d_qty").alias("demand_qty"))
+        .withColumnRenamed("d_partkey", "l_partkey")
+    )
+    pm = pairs.groupBy("l_partkey").agg(
+        F.sum("overlap").alias("matched_qty"),
+        F.sum("pair_cogs_milli").alias("cogs_milli"),
+    )
+    out = (
+        ps.join(pdm, "l_partkey", "full")
+        .join(pm, "l_partkey", "left")
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.coalesce("n_lots", F.lit(0)).alias("n_lots"),
+            F.coalesce("n_demands", F.lit(0)).alias("n_demands"),
+            F.coalesce("supply_qty", F.lit(0)).alias("supply_qty"),
+            F.coalesce("demand_qty", F.lit(0)).alias("demand_qty"),
+            F.coalesce("matched_qty", F.lit(0)).alias("matched_qty"),
+            (
+                F.coalesce("supply_qty", F.lit(0))
+                - F.coalesce("matched_qty", F.lit(0))
+            ).alias("leftover_supply_qty"),
+            (
+                F.coalesce("demand_qty", F.lit(0))
+                - F.coalesce("matched_qty", F.lit(0))
+            ).alias("unmatched_demand_qty"),
+            F.coalesce("cogs_milli", F.lit(0)).alias("cogs_milli"),
+        )
+        .orderBy("part_key")
+    )
+    return out

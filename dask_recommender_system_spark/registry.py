@@ -282,6 +282,7 @@ DRIVER_PRIORITY: list[str] = [
     "bigram_lm_logprob",
     "hysteresis_alert_flags",
     "revenue_changepoint_fit",
+    "inventory_fifo_matching",
 ]
 
 

@@ -1317,3 +1317,30 @@ def test_changepoint_matches_numpy_exhaustive(spark, sf_dir):
         for i in range(30, len(x) - 30 + 1)
     )
     assert row["break_day"] == int(best[1]), (row["break_day"], best)
+
+
+def test_fifo_matching_conservation(spark, sf_dir):
+    """inventory_fifo_matching: FIFO allocation must match EXACTLY
+    min(supply, demand) units per part (both sides drain from zero, so
+    the interval chains always intersect fully), leftover/unmatched are
+    the complements, and the pair join must stay partkey-keyed (no
+    cartesian)."""
+    from pyspark.sql import functions as F
+
+    df = q("inventory_fifo_matching", spark, sf_dir).persist()
+    bad = df.filter(
+        F.col("matched_qty") != F.least("supply_qty", "demand_qty")
+    ).count()
+    assert bad == 0
+    assert df.filter(
+        (F.col("leftover_supply_qty") < 0) | (F.col("unmatched_demand_qty") < 0)
+    ).count() == 0
+    assert df.filter(
+        (F.col("leftover_supply_qty") > 0) & (F.col("unmatched_demand_qty") > 0)
+    ).count() == 0
+    # a matched part's COGS is positive, an unmatched one's is zero
+    assert df.filter((F.col("matched_qty") > 0) & (F.col("cogs_milli") <= 0)).count() == 0
+    assert df.filter((F.col("matched_qty") == 0) & (F.col("cogs_milli") != 0)).count() == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    df.unpersist()
