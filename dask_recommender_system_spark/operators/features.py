@@ -216,3 +216,97 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") == F.col("lo")).alias("is_min"),
         (F.col("o_totalprice") == F.col("hi")).alias("is_max"),
     )
+
+
+WOE_BIN_CENTS = 2_500_000  # $25k-wide totalprice bins (exact integer cut)
+
+
+@query(
+    "woe_iv_binning",
+    oracle=f"""
+    WITH lab AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // {WOE_BIN_CENTS}
+                   AS bin,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS good
+        FROM orders),
+    b AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(good) AS BIGINT) AS n_good,
+               CAST(COUNT(*) - SUM(good) AS BIGINT) AS n_bad
+        FROM lab GROUP BY 1),
+    t AS (
+        SELECT CAST(SUM(n_good) AS BIGINT) AS tot_good,
+               CAST(SUM(n_bad) AS BIGINT) AS tot_bad,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM b)
+    SELECT bin, n, n_good, n_bad,
+           ROUND(LN(CAST(n_good + 1 AS DOUBLE)) - LN(CAST(tot_good + n_bins AS DOUBLE))
+                 - LN(CAST(n_bad + 1 AS DOUBLE)) + LN(CAST(tot_bad + n_bins AS DOUBLE)),
+                 6) AS woe,
+           ROUND((CAST(n_good + 1 AS DOUBLE) / (tot_good + n_bins)
+                  - CAST(n_bad + 1 AS DOUBLE) / (tot_bad + n_bins))
+                 * (LN(CAST(n_good + 1 AS DOUBLE)) - LN(CAST(tot_good + n_bins AS DOUBLE))
+                    - LN(CAST(n_bad + 1 AS DOUBLE)) + LN(CAST(tot_bad + n_bins AS DOUBLE))),
+                 6) AS iv_contrib
+    FROM b CROSS JOIN t
+    ORDER BY bin
+    """,
+)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X259: Weight-of-Evidence / Information-Value binning — the credit-
+    scoring-standard monotonic feature screen: bucket a continuous
+    feature (order totalprice, fixed $25k integer-cent cuts so the cut
+    itself has no float surface), and per bin report WoE = ln of the
+    Laplace-smoothed good/bad share ratio plus its IV contribution
+    ((g%−b%)·WoE, the summand of the classic screening statistic).
+    Complements target_encoding (X106: posterior means) and
+    mutual_information_screen (X133: MI) with the log-odds view.
+    Determinism: counts are exact integers; every log argument is an
+    exact integer widened to double once, and the four-term ln sum is a
+    fixed expression tree evaluated identically by both engines before
+    a single ROUND — no cross-row float sums anywhere (total IV is
+    deliberately per-bin, the reader sums rounded contributions).
+    Scale: one keyed agg on the bin id (map-side combinable), a 1-row
+    totals broadcast, and scalar projection — a constant two-shuffle
+    plan regardless of fact size."""
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            f"CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV {WOE_BIN_CENTS}"
+        ).alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("good"),
+    )
+    b = lab.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("good").alias("n_good"),
+        (F.count("*") - F.sum("good")).alias("n_bad"),
+    )
+    t = b.agg(
+        F.sum("n_good").alias("tot_good"),
+        F.sum("n_bad").alias("tot_bad"),
+        F.count("*").alias("n_bins"),
+    )
+    j = b.crossJoin(F.broadcast(t))
+    woe = (
+        F.log((F.col("n_good") + 1).cast("double"))
+        - F.log((F.col("tot_good") + F.col("n_bins")).cast("double"))
+        - F.log((F.col("n_bad") + 1).cast("double"))
+        + F.log((F.col("tot_bad") + F.col("n_bins")).cast("double"))
+    )
+    share_gap = (F.col("n_good") + 1).cast("double") / (
+        F.col("tot_good") + F.col("n_bins")
+    ) - (F.col("n_bad") + 1).cast("double") / (
+        F.col("tot_bad") + F.col("n_bins")
+    )
+    return j.select(
+        "bin",
+        "n",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round(share_gap * woe, 6).alias("iv_contrib"),
+    ).orderBy("bin")

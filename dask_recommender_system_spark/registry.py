@@ -283,6 +283,7 @@ DRIVER_PRIORITY: list[str] = [
     "hysteresis_alert_flags",
     "revenue_changepoint_fit",
     "inventory_fifo_matching",
+    "woe_iv_binning",
 ]
 
 

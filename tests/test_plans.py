@@ -260,6 +260,7 @@ _NON_EQUI_OK = {
     # attached to every row; the build side is exactly one row
     "eval_metrics", "join_predict_lookup",
     "sgd_epoch_user_update", "sgd_epoch_item_update",
+    "woe_iv_binning",  # 1-row good/bad-totals broadcast attached to each bin
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
     "split_leakage_audit",  # same 1-row cutoff + three 1-row stat broadcasts
     "quality_stratified_sample",  # 1-row decile-cuts broadcast onto docs
@@ -1343,4 +1344,19 @@ def test_fifo_matching_conservation(spark, sf_dir):
     assert df.filter((F.col("matched_qty") == 0) & (F.col("cogs_milli") != 0)).count() == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    df.unpersist()
+
+
+def test_woe_iv_sign_coupling(spark, sf_dir):
+    """woe_iv_binning: IV contributions are NON-NEGATIVE by construction
+    ((g%−b%) and ln(g%/b%) always share a sign), woe's sign must equal
+    the sign of the smoothed share gap, and bins must partition the
+    order count exactly."""
+    from pyspark.sql import functions as F
+
+    df = q("woe_iv_binning", spark, sf_dir).persist()
+    assert df.filter(F.col("iv_contrib") < 0).count() == 0
+    assert df.filter(F.col("n") != F.col("n_good") + F.col("n_bad")).count() == 0
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert df.agg(F.sum("n")).collect()[0][0] == n_orders
     df.unpersist()
