@@ -2264,3 +2264,50 @@ def corpus_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source",
         F.length("text").cast("long").alias("n_chars_checked"),
     )
+
+
+# TPC-H Q18 (large-volume customers): the GROUP-BY-HAVING semi-join pin —
+# an aggregate subquery over the FACT table feeds an IN predicate back
+# into a 3-table join on the same fact. The planner must evaluate the
+# HAVING rollup once, semi-join it into orders, and only then join
+# customer — re-aggregating lineitem per matched order. Threshold 300 is
+# the spec's own; money/date leave as exact integers (TPCH_Q3 rules).
+TPCH_Q18 = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(YEAR(o_orderdate) * 10000 + MONTH(o_orderdate) * 100
+                + DAY(o_orderdate) AS BIGINT) AS odate_key,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice_cents DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@query("sql_interface_q18", oracle=TPCH_Q18)
+def sql_interface_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X260: TPC-H Q18 verbatim through `spark.sql` — the aggregate-
+    subquery pin completing the Q1/Q3/Q5 SQL-interface series: an IN
+    predicate whose subquery AGGREGATES the same fact table the outer
+    query joins (large-volume customers, spec threshold 300). Catalyst
+    must plan the HAVING rollup once, turn the IN into a LeftSemi join
+    against orders (AQE picks broadcast when the >300 survivor set is
+    small — the common case at any scale), and re-aggregate lineitem
+    only for matched orders. The identical ANSI text runs on DuckDB;
+    quantities sum as exact BIGINTs, money/date leave as integer
+    cents / yyyymmdd keys, and the top-100 orders by (totalprice_cents
+    DESC, orderkey) carry an integer tiebreak so cross-engine ordering
+    cannot flap. At 100 TB the semi-join build side is the handful of
+    jumbo orders — KBs — so lineitem is read exactly twice (rollup +
+    detail), both scans column-pruned to 2-3 columns."""
+    _utc(spark)
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q18)

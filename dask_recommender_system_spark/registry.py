@@ -284,6 +284,7 @@ DRIVER_PRIORITY: list[str] = [
     "revenue_changepoint_fit",
     "inventory_fifo_matching",
     "woe_iv_binning",
+    "sql_interface_q18",
 ]
 
 

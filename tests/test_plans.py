@@ -1360,3 +1360,21 @@ def test_woe_iv_sign_coupling(spark, sf_dir):
     n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert df.agg(F.sum("n")).collect()[0][0] == n_orders
     df.unpersist()
+
+
+def test_q18_semi_join_shape(spark, sf_dir):
+    """sql_interface_q18: the IN-subquery must compile to a LeftSemi
+    join (never a cartesian or a full aggregate-materialize-then-filter
+    of the outer), and every surviving order really exceeds the
+    threshold."""
+    from pyspark.sql import functions as F
+
+    df = q("sql_interface_q18", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert all(r["total_qty"] > 300 for r in rows)
+    # descending by price, orderkey tiebreak
+    keys = [(-r["totalprice_cents"], r["o_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
