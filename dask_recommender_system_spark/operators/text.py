@@ -1495,3 +1495,113 @@ def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg(lp)), 6).alias("perplexity"),
         )
     )
+
+
+WINNOW_K = 5  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+
+
+def _winnow_oracle() -> str:
+    """DuckDB twin of the winnowing selection — built here because the
+    per-gram hash expands to the h60_sql strpos polynomial."""
+    from .dedup import h60_sql
+
+    k, w = WINNOW_K, WINNOW_W
+    # NB: the lambda variable must NOT be `i` — h60_sql's own inner
+    # list_transform binds `i` and would shadow it (all grams would hash
+    # alike; caught by the oracle compare when first written).
+    gram_hash = h60_sql(
+        "array_to_string(toks[CAST(gi AS INT):CAST(gi + %d AS INT)], ' ')" % (k - 1)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               list_transform(range(1, len(toks) - {k} + 2),
+                              gi -> {gram_hash}) AS h
+        FROM t
+        WHERE len(toks) >= {k}),
+    s AS (
+        SELECT doc_id, n_tokens, h, len(h) AS n_grams,
+               list_sort(list_distinct(list_transform(
+                   range(1, len(h) - {w} + 2),
+                   j -> CAST(j + {w} - list_position(
+                            list_reverse(h[CAST(j AS INT):CAST(j + {w} - 1 AS INT)]),
+                            list_min(h[CAST(j AS INT):CAST(j + {w} - 1 AS INT)]))
+                        AS BIGINT)))) AS sel
+        FROM g)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(sel) AS BIGINT) AS n_selected,
+           ROUND(CAST(len(sel) AS DOUBLE) / n_grams, 6) AS density,
+           md5(array_to_string(list_transform(sel, p -> h[CAST(p AS INT)]), ','))
+               AS fp_digest
+    FROM s
+    """
+
+
+@query("winnowing_fingerprint", oracle=_winnow_oracle())
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X261: MOSS winnowing (Schleimer et al., SIGMOD 2003) — the
+    sub-document fingerprint selection behind plagiarism/clone detection
+    and CCNet-style local dedup: hash every 5-token k-gram, slide a
+    4-hash window, keep the RIGHTMOST MINIMUM of each window, distinct
+    the kept positions. Guarantees: any shared run of k+w-1 tokens
+    shares a fingerprint (no false negatives longer than the window),
+    and expected density is 2/(w+1) — position-stable, unlike sampling
+    every i-th hash. The per-doc digest (md5 of the selected hash
+    sequence) makes the whole selection one value-checkable string.
+    Everything is IN-ROW higher-order functions over the portable
+    60-bit md5 hash family (dedup.py h60) — zero shuffles, zero joins,
+    scan-speed at any corpus size; the fingerprint inverted index that
+    would follow is exactly dedup_chunk_rewrite's keyed-join shape.
+    Docs shorter than one k-gram are dropped (none exist in the
+    fixture; a test pins that)."""
+    from .dedup import h60_spark  # noqa: F401  (same family, spark side inline)
+
+    k, w = WINNOW_K, WINNOW_W
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    g = (
+        d.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k} + 1), i -> "
+                "CAST(conv(substring(md5("
+                f"concat_ws(' ', slice(toks, i, {k}))), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("h"),
+        )
+    )
+    s = g.select(
+        "doc_id",
+        "n_tokens",
+        "h",
+        F.size("h").cast("long").alias("n_grams"),
+        F.expr(
+            f"array_sort(array_distinct(transform(sequence(1, size(h) - {w} + 1), "
+            f"j -> CAST(j + {w} - array_position("
+            f"reverse(slice(h, j, {w})), "
+            f"array_min(slice(h, j, {w}))) AS BIGINT))))"
+        ).alias("sel"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        F.size("sel").cast("long").alias("n_selected"),
+        F.round(F.size("sel").cast("double") / F.col("n_grams"), 6).alias(
+            "density"
+        ),
+        F.md5(
+            F.array_join(
+                F.expr("transform(sel, p -> element_at(h, CAST(p AS INT)))"), ","
+            )
+        ).alias("fp_digest"),
+    )

@@ -285,6 +285,7 @@ DRIVER_PRIORITY: list[str] = [
     "inventory_fifo_matching",
     "woe_iv_binning",
     "sql_interface_q18",
+    "winnowing_fingerprint",
 ]
 
 

@@ -1378,3 +1378,25 @@ def test_q18_semi_join_shape(spark, sf_dir):
     # descending by price, orderkey tiebreak
     keys = [(-r["totalprice_cents"], r["o_orderkey"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_winnowing_guarantee(spark, sf_dir):
+    """winnowing_fingerprint: no doc dropped (fixture docs all >= k
+    tokens), density in (0, 1], n_grams = n_tokens - k + 1, and the
+    defining winnowing property: expected density ~ 2/(w+1) — far below
+    1.0 (selecting every gram would mean the windowing does nothing)."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.operators.text import WINNOW_K, WINNOW_W
+
+    df = q("winnowing_fingerprint", spark, sf_dir).persist()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.count() == n_docs
+    assert df.filter(
+        F.col("n_grams") != F.col("n_tokens") - WINNOW_K + 1
+    ).count() == 0
+    assert df.filter((F.col("density") <= 0) | (F.col("density") > 1)).count() == 0
+    mean_d = df.agg(F.avg("density")).collect()[0][0]
+    assert mean_d < 0.75, mean_d  # window must actually thin the grams
+    assert mean_d > 2.0 / (WINNOW_W + 1) * 0.5
+    df.unpersist()
