@@ -509,3 +509,116 @@ def load_table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch seconds)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, "events")
+
+
+HOLT_ALPHA, HOLT_BETA = 0.5, 0.25  # dyadic: exact in binary floating point
+
+HOLT_SCHEMA = T.StructType(
+    [
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("last_day", T.LongType()),
+        T.StructField("level_cents", T.DoubleType()),
+        T.StructField("trend_cents", T.DoubleType()),
+        T.StructField("forecast7_cents", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT n_name,
+               CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+    d AS (
+        SELECT n_name, day, y,
+               ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY day) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS n_days,
+               MAX(day) OVER (PARTITION BY n_name) AS last_day
+        FROM daily),
+    st(n_name, rn, lprev, l, b) AS (
+        SELECT n_name, rn, y, y, CAST(0 AS DOUBLE) FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.n_name, d.rn, st.l,
+               0.5 * d.y + 0.5 * (st.l + st.b),
+               0.25 * ((0.5 * d.y + 0.5 * (st.l + st.b)) - st.l)
+                   + 0.75 * st.b
+        FROM d JOIN st ON d.n_name = st.n_name AND d.rn = st.rn + 1)
+    SELECT st.n_name, CAST(d.n_days AS BIGINT) AS n_days,
+           CAST(d.last_day AS BIGINT) AS last_day,
+           st.l AS level_cents, st.b AS trend_cents,
+           st.l + 7 * st.b AS forecast7_cents
+    FROM st
+    JOIN (SELECT n_name, MAX(rn) AS mrn, ANY_VALUE(n_days) AS n_days,
+                 ANY_VALUE(last_day) AS last_day
+          FROM d GROUP BY 1) d
+      ON st.n_name = d.n_name AND st.rn = d.mrn
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X262: Holt double exponential smoothing (level + trend) over each
+    nation's daily-revenue series, with the 7-day-ahead linear forecast
+    — the workhorse short-horizon forecaster between user_ewma's single
+    smoother and full Holt-Winters. The state (l, b) is a genuinely
+    2-dimensional linear recurrence: no window/prefix expression can
+    carry both components, so this is the GROUPED_MAP applyInPandas
+    shape (ONE shuffle on the series key, sequential recurrence inside
+    the group — inherent to the model, parallelism comes from the
+    number of series). Determinism is BIT-EXACT by construction, not by
+    rounding: α=0.5 / β=0.25 are dyadic (exact binary floats), inputs
+    are exact integer cents widened once, and the engine's numpy loop
+    evaluates literally the same expression tree as the oracle's
+    recursive CTE step — l' = 0.5y + 0.5(l+b), b' = 0.25(l'−l) + 0.75b
+    — so IEEE-754 yields identical bits and the output ships UNROUNDED
+    doubles. At scale: |nations| bounds the group count here; for
+    millions of series the same plan shards perfectly (hash shuffle on
+    key, O(len) work per series)."""
+    from .relational import _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(F.broadcast(c.join(F.broadcast(n),
+                                  c["c_nationkey"] == n["n_nationkey"]))
+               .select("c_custkey", "n_name"),
+               o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").cast("double").alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = pdf["y"].to_numpy()
+        l = y[0]
+        b = 0.0
+        for t in range(1, len(y)):
+            l_new = 0.5 * y[t] + 0.5 * (l + b)
+            b = 0.25 * (l_new - l) + 0.75 * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "n_name": [pdf["n_name"].iloc[0]],
+                "n_days": [len(y)],
+                "last_day": [int(pdf["day"].max())],
+                "level_cents": [l],
+                "trend_cents": [b],
+                "forecast7_cents": [l + 7 * b],
+            }
+        )
+
+    return daily.groupBy("n_name").applyInPandas(holt, schema=HOLT_SCHEMA)

@@ -286,6 +286,7 @@ DRIVER_PRIORITY: list[str] = [
     "woe_iv_binning",
     "sql_interface_q18",
     "winnowing_fingerprint",
+    "holt_linear_forecast",
 ]
 
 

@@ -314,6 +314,7 @@ _ARROW_OK = {
     "map_in_arrow_passthrough",  # the declared raw-Arrow mapInArrow shape
     "udtf_order_milestones",  # the declared ArrowEvalPythonUDTF shape
     "hysteresis_alert_flags",  # the declared GROUPED_MAP recurrence shape
+    "holt_linear_forecast",  # the declared GROUPED_MAP 2-state recurrence
 }
 
 
@@ -1399,4 +1400,49 @@ def test_winnowing_guarantee(spark, sf_dir):
     mean_d = df.agg(F.avg("density")).collect()[0][0]
     assert mean_d < 0.75, mean_d  # window must actually thin the grams
     assert mean_d > 2.0 / (WINNOW_W + 1) * 0.5
+    df.unpersist()
+
+
+def test_holt_forecast_consistency(spark, sf_dir):
+    """holt_linear_forecast: one row per nation, forecast must equal
+    level + 7·trend exactly (same floats), and smoothing must keep the
+    level inside the series' [min, max] daily-revenue envelope."""
+    from pyspark.sql import functions as F
+
+    df = q("holt_linear_forecast", spark, sf_dir).persist()
+    n_nations = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert df.count() == n_nations
+    assert df.filter(
+        F.col("forecast7_cents")
+        != F.col("level_cents") + 7 * F.col("trend_cents")
+    ).count() == 0
+    env = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+            ).alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+        .groupBy("n_name")
+        .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+    )
+    bad = (
+        df.join(env, "n_name")
+        .filter(
+            (F.col("level_cents") < F.col("lo"))
+            | (F.col("level_cents") > F.col("hi"))
+        )
+        .count()
+    )
+    assert bad == 0
     df.unpersist()
