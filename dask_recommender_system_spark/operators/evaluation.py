@@ -795,3 +795,119 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z * se, 6).alias("mde_abs"),
         F.round(z * se / F.col("m1"), 6).alias("mde_rel"),
     )
+
+
+DID_CUTOFF = "1998-01-01"  # pre/post boundary (fixture spans 1995-2001)
+
+
+@query(
+    "diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS treat,
+               CASE WHEN o_orderdate >= DATE '{DID_CUTOFF}'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+    w AS (
+        SELECT
+          SUM(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t0,
+          SUM(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t1,
+          SUM(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c0,
+          SUM(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_c1,
+          SUM(CASE WHEN treat = 1 AND post = 0 THEN cents END) AS s_t0,
+          SUM(CASE WHEN treat = 1 AND post = 1 THEN cents END) AS s_t1,
+          SUM(CASE WHEN treat = 0 AND post = 0 THEN cents END) AS s_c0,
+          SUM(CASE WHEN treat = 0 AND post = 1 THEN cents END) AS s_c1
+        FROM cells)
+    SELECT CAST(n_t0 AS BIGINT) AS n_treat_pre,
+           CAST(n_t1 AS BIGINT) AS n_treat_post,
+           CAST(n_c0 AS BIGINT) AS n_ctrl_pre,
+           CAST(n_c1 AS BIGINT) AS n_ctrl_post,
+           ROUND(CAST(s_t0 AS DOUBLE) / n_t0 / 100, 6) AS treat_pre_mean,
+           ROUND(CAST(s_t1 AS DOUBLE) / n_t1 / 100, 6) AS treat_post_mean,
+           ROUND(CAST(s_c0 AS DOUBLE) / n_c0 / 100, 6) AS ctrl_pre_mean,
+           ROUND(CAST(s_c1 AS DOUBLE) / n_c1 / 100, 6) AS ctrl_post_mean,
+           ROUND(((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0)
+                  - (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0))
+                 / 100, 6) AS did_dollars
+    FROM w
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X263: difference-in-differences — the workhorse quasi-experimental
+    estimator when you can't randomize: treated group = ASIA-region
+    customers, pre/post split at {DID_CUTOFF}, outcome = mean order
+    value; DiD = (post−pre)|treated − (post−pre)|control strips both
+    the group's level difference and the common time trend. Completes
+    the causal toolkit next to welch_ttest (randomized), ab_power_mde
+    (design) and price_elasticity (observational slope). All four cell
+    means are ratios of exact integer cent sums over exact counts,
+    combined in one fixed expression tree and rounded once — no
+    cross-engine float surface. Plan: dims broadcast into the fact
+    scan, ONE map-side-combinable 4-cell aggregate, then scalar
+    arithmetic on a single row — the minimal two-exchange plan at any
+    fact size."""
+    from ..data import load_table
+    from .relational import _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "r_name")
+    )
+    lab = o.join(F.broadcast(dim), o["o_custkey"] == dim["c_custkey"]).select(
+        F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("treat"),
+        F.when(
+            F.col("o_orderdate") >= F.lit(DID_CUTOFF).cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("one"),
+    )
+
+    def cell(t: int, p: int, col: str):
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        return F.sum(F.when(cond, F.col(col)))
+
+    w = lab.agg(
+        cell(1, 0, "one").alias("n_t0"),
+        cell(1, 1, "one").alias("n_t1"),
+        cell(0, 0, "one").alias("n_c0"),
+        cell(0, 1, "one").alias("n_c1"),
+        cell(1, 0, "cents").alias("s_t0"),
+        cell(1, 1, "cents").alias("s_t1"),
+        cell(0, 0, "cents").alias("s_c0"),
+        cell(0, 1, "cents").alias("s_c1"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    return w.select(
+        F.col("n_t0").alias("n_treat_pre"),
+        F.col("n_t1").alias("n_treat_post"),
+        F.col("n_c0").alias("n_ctrl_pre"),
+        F.col("n_c1").alias("n_ctrl_post"),
+        F.round(mean("s_t0", "n_t0") / 100, 6).alias("treat_pre_mean"),
+        F.round(mean("s_t1", "n_t1") / 100, 6).alias("treat_post_mean"),
+        F.round(mean("s_c0", "n_c0") / 100, 6).alias("ctrl_pre_mean"),
+        F.round(mean("s_c1", "n_c1") / 100, 6).alias("ctrl_post_mean"),
+        F.round(
+            (
+                (mean("s_t1", "n_t1") - mean("s_t0", "n_t0"))
+                - (mean("s_c1", "n_c1") - mean("s_c0", "n_c0"))
+            )
+            / 100,
+            6,
+        ).alias("did_dollars"),
+    )

@@ -287,6 +287,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q18",
     "winnowing_fingerprint",
     "holt_linear_forecast",
+    "diff_in_diff",
 ]
 
 

@@ -1446,3 +1446,20 @@ def test_holt_forecast_consistency(spark, sf_dir):
     )
     assert bad == 0
     df.unpersist()
+
+
+def test_did_cell_partition(spark, sf_dir):
+    """diff_in_diff: the four cells partition ALL orders, and the
+    estimator equals the recomputed cell-mean contrast to rounding."""
+    from pyspark.sql import functions as F
+
+    row = q("diff_in_diff", spark, sf_dir).collect()[0]
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert (
+        row["n_treat_pre"] + row["n_treat_post"]
+        + row["n_ctrl_pre"] + row["n_ctrl_post"]
+    ) == n_orders
+    recomputed = (row["treat_post_mean"] - row["treat_pre_mean"]) - (
+        row["ctrl_post_mean"] - row["ctrl_pre_mean"]
+    )
+    assert abs(recomputed - row["did_dollars"]) < 5e-6
