@@ -818,3 +818,149 @@ def als_implicit_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("a00") * F.col("b1") - F.col("a01") * F.col("b0")) / det, 6)
         .alias("x1"),
     )
+
+
+# Forgy-initialized centroids for the Lloyd epoch: the quantized vectors
+# of vec_ids 0-7 (millis scale), committed as LITERALS so the DuckDB
+# oracle recomputes assignment and update from the identical constants
+# (the similarity.py PQ-codebook discipline). Regenerating them is a
+# correctness change.
+KMEANS_CENTROIDS: list[list[int]] = [
+    [54, 106, -38, -252, 200, -97, -78, -15, 164, 28, 40, -28, -193, -70, -27, -32, -22, 84, 7, 120, -245, -167, 151, -50, -77, 295, 76, -75, 31, 225, 112, 270, -170, -257, 8, -35, -9, 23, 12, 43, 85, -14, -145, -36, 25, 109, 62, -137, 143, -128, 21, 241, 78, -125, 54, 6, 47, 38, -176, -126, -54, 12, 105, -258],
+    [-146, -15, 45, 4, -21, -70, -151, 64, -134, 53, -33, 39, 114, -131, 137, -23, -4, 75, 11, -311, 110, 231, 45, -48, 47, 209, -148, -148, -51, 289, -161, 123, -58, -214, -80, -2, -73, -125, 30, -296, -1, -95, 181, -1, 60, -59, -74, -192, -127, -255, -8, -5, -15, 193, 43, 147, 133, -129, 14, 166, -60, 14, -123, -59],
+    [15, -10, -144, 170, -98, -10, 30, 67, -122, -236, 44, 44, -176, 55, 68, 153, -48, 121, -239, -280, 108, -52, 152, -4, -37, -81, -135, -94, 95, 187, -71, -174, 8, -128, -151, 55, 94, 198, 22, 32, 27, 76, 179, 40, -112, 36, -105, -62, 257, -94, 156, -108, 12, -212, 138, 226, 108, -153, 0, 187, 87, 136, 25, 103],
+    [-158, 74, 52, 39, 70, -30, 131, 19, -239, 67, -46, 107, -12, 347, -27, 15, 8, -29, -41, 86, 57, -85, -17, 37, -104, 63, -4, -247, -289, -49, -44, -19, 293, -2, -92, -99, 102, -11, 0, -103, -17, -129, -296, 51, -14, 27, -98, -10, 331, -269, -84, -35, 43, 105, -204, -78, -19, -28, -17, -118, 171, -73, 8, -122],
+    [-53, 25, 122, 30, -19, -260, 273, 289, 0, 179, 169, -31, 76, -92, 196, -11, 97, 215, 35, -126, -9, 62, -44, 95, -34, -57, 151, -125, 260, -86, 166, 32, -121, -85, 76, -149, -95, -61, -74, -55, 68, -66, -299, 31, 10, 98, -162, 113, -72, -75, 36, 80, 33, 145, 120, -33, 179, -218, -29, -37, -82, 72, 95, 170],
+    [-25, -160, 142, 119, 132, -37, -102, 166, -100, 100, 130, -20, 89, -96, -99, -84, 140, -73, -79, 139, 98, -235, 152, 180, 145, 80, -63, -56, 41, 92, 202, -141, 43, -144, -53, 109, 33, 162, -156, 5, -140, 224, -141, 100, -117, -72, 65, -71, 67, 49, 94, 215, -31, 246, -176, -231, -60, -31, 26, 54, -140, 112, 15, 264],
+    [-88, 86, 115, -149, -100, 186, -59, -30, -27, 363, 234, -27, 45, 205, -187, -40, -35, 144, -149, -191, 147, -169, -19, 22, -101, -76, -5, 82, 108, -63, 26, -58, -113, -251, -154, 96, 118, 193, -47, 107, 139, -116, -48, -114, 40, 125, 115, 100, 27, -24, -158, 161, 27, 43, -105, 219, -91, 193, -82, -11, 56, 53, 150, -31],
+    [327, 97, -18, 150, -53, 0, -49, 160, -187, -51, 6, 1, -196, -99, 62, -170, 78, 119, -146, 39, -41, 45, 146, 53, 24, 58, -170, 122, -48, 70, 295, 92, -95, -128, -16, -125, -75, -152, 5, 145, -40, -180, 32, 5, 4, 100, -2, 214, -154, -73, 137, 155, -18, -151, -117, 192, 35, 120, -275, -118, 95, 22, 23, -217]
+]
+
+
+def _km_quant_sql(col: str) -> str:
+    """Quantize a FLOAT[] embedding to exact integer millis (DuckDB)."""
+    return (
+        f"list_transform({col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+
+
+def _km_dist_exprs() -> tuple[list[str], list[str]]:
+    """(spark_exprs, duck_exprs): squared-L2 distance from the quantized
+    vector `q` to each literal centroid — exact BIGINT arithmetic."""
+    spark_e, duck_e = [], []
+    for c in KMEANS_CENTROIDS:
+        lits = ", ".join(f"{v}L" for v in c)
+        spark_e.append(
+            f"aggregate(zip_with(q, array({lits}), (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        dlits = ", ".join(str(v) for v in c)
+        duck_e.append(
+            f"list_sum(list_transform(range(1, 65), di -> "
+            f"(q[CAST(di AS INT)] - [{dlits}][CAST(di AS INT)])"
+            f" * (q[CAST(di AS INT)] - [{dlits}][CAST(di AS INT)])))"
+        )
+    return spark_e, duck_e
+
+
+def _km_oracle() -> str:
+    _, duck = _km_dist_exprs()
+    k = len(KMEANS_CENTROIDS)
+    dist_cols = ",\n               ".join(
+        f"{e} AS d{i}" for i, e in enumerate(duck)
+    )
+    best = "LEAST(" + ", ".join(f"d{i}" for i in range(k)) + ")"
+    assign = "CASE " + " ".join(
+        f"WHEN d{i} = {best} THEN {i}" for i in range(k)
+    ) + " END"
+    return f"""
+    WITH qv AS (
+        SELECT vec_id, {_km_quant_sql('embedding')} AS q FROM embeddings),
+    d AS (
+        SELECT vec_id, q,
+               {dist_cols}
+        FROM qv),
+    a AS (
+        SELECT vec_id, q, CAST({assign} AS BIGINT) AS cluster_id,
+               {best} AS dist2
+        FROM d),
+    cm AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(dist2) AS BIGINT) AS inertia
+        FROM a GROUP BY 1),
+    s AS (
+        SELECT a.cluster_id, r.dim,
+               CAST(SUM(a.q[CAST(r.dim AS INT)]) AS BIGINT) AS sum_q
+        FROM a CROSS JOIN (SELECT UNNEST(range(1, 65)) AS dim) r
+        GROUP BY 1, 2)
+    SELECT s.cluster_id, CAST(s.dim - 1 AS BIGINT) AS dim,
+           cm.n_members, cm.inertia, s.sum_q,
+           (s.sum_q * 1000) // cm.n_members AS new_centroid_micro
+    FROM s JOIN cm ON s.cluster_id = cm.cluster_id
+    ORDER BY s.cluster_id, dim
+    """
+
+
+@query("kmeans_lloyd_epoch", oracle=_km_oracle())
+def kmeans_lloyd_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X264: one exact Lloyd iteration of k-means (k=8, Forgy-init
+    literal centroids) over integer-quantized embeddings — the
+    clustering twin of the als_implicit/bpr "one training epoch as a
+    checked value" family, and the training loop behind similarity's
+    IVF cells. Assignment = argmin of squared L2 distance to each
+    literal centroid computed in EXACT BIGINT arithmetic (quantized
+    millis, zip_with/aggregate HOFs — zero float ops, so the argmin
+    can't flap cross-engine; ties break to the lowest centroid id via
+    the CASE-chain order). Update = per-(cluster, dim) exact integer
+    sums with the new centroid in scaled-integer micros
+    ((sum·1000) DIV n — both engines truncate toward zero, verified).
+    Per-cluster inertia is the exact summed distance, making
+    convergence itself a checkable value. Plan: one scan, in-row
+    distance/argmin (codegen), ONE posexplode + keyed agg, tiny
+    cluster-meta broadcast join — the same shape at a billion vectors;
+    iterating = re-literalizing centroids per epoch (driver-side
+    O(k·dim), the IVF training loop documented in SCALE.md)."""
+    spark_exprs, _ = _km_dist_exprs()
+    k = len(KMEANS_CENTROIDS)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS array<double>), "
+            "x -> CAST(ROUND(x * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    d = e.select(
+        "vec_id",
+        "q",
+        *[F.expr(ex).alias(f"d{i}") for i, ex in enumerate(spark_exprs)],
+    )
+    best = F.least(*[F.col(f"d{i}") for i in range(k)])
+    assign = F.lit(None)
+    chain = None
+    for i in range(k):
+        cond = F.col(f"d{i}") == F.col("dist2")
+        chain = F.when(cond, i) if chain is None else chain.when(cond, i)
+    a = d.withColumn("dist2", best).select(
+        "vec_id", "q", chain.cast("long").alias("cluster_id"), "dist2"
+    )
+    cm = a.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist2").alias("inertia"),
+    )
+    s = (
+        a.select("cluster_id", F.posexplode("q").alias("dim", "qd"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.sum("qd").alias("sum_q"))
+    )
+    return (
+        s.join(F.broadcast(cm), "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("dim").cast("long").alias("dim"),
+            "n_members",
+            "inertia",
+            "sum_q",
+            F.expr("(sum_q * 1000) DIV n_members").alias("new_centroid_micro"),
+        )
+        .orderBy("cluster_id", "dim")
+    )

@@ -288,6 +288,7 @@ DRIVER_PRIORITY: list[str] = [
     "winnowing_fingerprint",
     "holt_linear_forecast",
     "diff_in_diff",
+    "kmeans_lloyd_epoch",
 ]
 
 

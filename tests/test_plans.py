@@ -1463,3 +1463,37 @@ def test_did_cell_partition(spark, sf_dir):
         row["ctrl_post_mean"] - row["ctrl_pre_mean"]
     )
     assert abs(recomputed - row["did_dollars"]) < 5e-6
+
+
+def test_kmeans_epoch_matches_numpy(spark, sf_dir):
+    """kmeans_lloyd_epoch: assignment counts and exact integer inertia
+    must match an independent numpy replica of the quantize → argmin →
+    aggregate step, and every vector must be assigned."""
+    import numpy as np
+
+    from dask_recommender_system_spark.operators.linalg import KMEANS_CENTROIDS
+
+    rows = q("kmeans_lloyd_epoch", spark, sf_dir).collect()
+    per_cluster = {}
+    for r in rows:
+        per_cluster[r["cluster_id"]] = (r["n_members"], r["inertia"])
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    V = np.stack(
+        [np.round(np.asarray(v, dtype=np.float64) * 1000) for v in emb["embedding"]]
+    ).astype(np.int64)
+    C = np.asarray(KMEANS_CENTROIDS, dtype=np.int64)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # argmin takes first (lowest id) on ties
+    assert sum(n for n, _ in per_cluster.values()) == len(V)
+    for k in range(len(C)):
+        members = assign == k
+        if members.sum() == 0:
+            assert k not in per_cluster
+            continue
+        n, inertia = per_cluster[k]
+        assert n == int(members.sum()), (k, n, members.sum())
+        assert inertia == int(d2[members, k].sum()), k
