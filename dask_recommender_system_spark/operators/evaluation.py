@@ -911,3 +911,107 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_dollars"),
     )
+
+
+SRM_CHI2_CRIT = 3.841  # chi-square 1-df critical value at alpha = 0.05
+SRM_ERR_HEAVY = 15  # "error-heavy" user threshold for the planted bug
+
+
+def _srm_oracle() -> str:
+    from .dedup import h60_sql
+
+    arm = f"{h60_sql('CAST(user_id AS VARCHAR)')} % 2"
+    return f"""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events),
+    arms AS (
+        SELECT user_id, CAST({arm} AS BIGINT) AS arm FROM u),
+    heavy AS (
+        SELECT user_id FROM events WHERE event_type = 'error'
+        GROUP BY user_id HAVING COUNT(*) >= {SRM_ERR_HEAVY}),
+    clean AS (
+        SELECT 'clean' AS scheme,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM arms),
+    buggy AS (
+        SELECT 'dropped_telemetry' AS scheme,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM arms
+        WHERE NOT (arm = 1 AND user_id IN (SELECT user_id FROM heavy))),
+    both_s AS (SELECT * FROM clean UNION ALL SELECT * FROM buggy)
+    SELECT scheme, n_a, n_b,
+           ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+               AS chi2,
+           CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                          / (n_a + n_b) > {SRM_CHI2_CRIT}
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM both_s ORDER BY scheme
+    """
+
+
+@query("ab_srm_check", oracle=_srm_oracle())
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X265: sample-ratio-mismatch check — the FIRST gate every A/B
+    readout must pass: under a 50/50 hash split, does the observed arm
+    ratio deviate more than chance allows (chi-square GoF, 1 df)? An
+    SRM means the assignment or logging pipeline is biased and every
+    downstream metric is garbage (Fabijan et al., KDD'19 diagnopsis
+    taxonomy). Two schemes ship side by side: `clean` (all users,
+    portable h60 hash % 2 — the flag must stay 0) and
+    `dropped_telemetry`, a planted instance of the classic bug where
+    error-heavy clients fail to log and only arm B loses them — the
+    flag FIRES at sf0.01 (both branches of the gate are exercised, per
+    the fixture-must-fire house rule). For two cells the statistic
+    collapses to (n_a−n_b)²/(n_a+n_b): ONE division of exact integer
+    counts, rounded once — no float surface. Plan: distinct on user,
+    tiny heavy-user anti-filter, two 1-row aggregates — trivially
+    map-combinable at any event volume."""
+    from ..data import load_table
+    from .dedup import h60_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (h60_spark(F.col("user_id").cast("string")) % 2).alias("arm"),
+        )
+    )
+    heavy = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") >= SRM_ERR_HEAVY)
+        .select(F.col("user_id").alias("h_user"))
+    )
+    buggy_arms = arms.join(
+        F.broadcast(heavy),
+        (arms["user_id"] == heavy["h_user"]) & (arms["arm"] == 1),
+        "left_anti",
+    )
+
+    def agg(df: DataFrame, scheme: str) -> DataFrame:
+        return df.agg(
+            F.lit(scheme).alias("scheme"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+
+    both = agg(arms, "clean").unionByName(agg(buggy_arms, "dropped_telemetry"))
+    chi2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    ) / (F.col("n_a") + F.col("n_b"))
+    return both.select(
+        "scheme",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).cast("long").alias("srm_flag"),
+    ).orderBy("scheme")

@@ -289,6 +289,7 @@ DRIVER_PRIORITY: list[str] = [
     "holt_linear_forecast",
     "diff_in_diff",
     "kmeans_lloyd_epoch",
+    "ab_srm_check",
 ]
 
 

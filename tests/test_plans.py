@@ -1497,3 +1497,16 @@ def test_kmeans_epoch_matches_numpy(spark, sf_dir):
         n, inertia = per_cluster[k]
         assert n == int(members.sum()), (k, n, members.sum())
         assert inertia == int(d2[members, k].sum()), k
+
+
+def test_srm_planted_bug_skews(spark, sf_dir):
+    """ab_srm_check: the clean 50/50 hash split must NOT flag (chi2
+    under the critical value), the planted dropped-telemetry scheme
+    must lose users from arm B only (n_b strictly smaller, n_a equal),
+    and its chi2 must strictly exceed the clean one."""
+    rows = {r["scheme"]: r for r in q("ab_srm_check", spark, sf_dir).collect()}
+    clean, buggy = rows["clean"], rows["dropped_telemetry"]
+    assert clean["srm_flag"] == 0
+    assert buggy["n_a"] == clean["n_a"]
+    assert buggy["n_b"] < clean["n_b"]
+    assert buggy["chi2"] > clean["chi2"]
