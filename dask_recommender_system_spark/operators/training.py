@@ -402,3 +402,91 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg(lp)), 6).alias("perplexity"),
         )
     )
+
+
+APPORTION_BUDGET = 997  # prime sample budget => nonzero remainders
+
+
+@query(
+    "largest_remainder_apportionment",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_src FROM s),
+    b AS (
+        SELECT source, w, tot,
+               (w * {APPORTION_BUDGET}) // tot AS base,
+               w * {APPORTION_BUDGET} - ((w * {APPORTION_BUDGET}) // tot) * tot
+                   AS remainder
+        FROM s CROSS JOIN t),
+    l AS (SELECT CAST({APPORTION_BUDGET} - SUM(base) AS BIGINT) AS leftover
+          FROM b),
+    r AS (
+        SELECT source, w, base, remainder,
+               ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rk
+        FROM b)
+    SELECT r.source, r.w AS weight, CAST(r.base AS BIGINT) AS quota_base,
+           CAST(r.remainder AS BIGINT) AS remainder,
+           CAST(CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+           CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r CROSS JOIN l
+    ORDER BY source
+    """,
+)
+def largest_remainder_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266: largest-remainder (Hamilton) apportionment — split a fixed
+    sample budget of {APPORTION_BUDGET} slots across corpus sources in
+    proportion to their total characters: floor each exact quota, then
+    hand the leftover slots to the largest fractional remainders. This
+    is the quota-sampling step a training-mix pipeline runs after
+    corpus_mix_rebalance decides target proportions — the only
+    allocation rule that both sums EXACTLY to the budget and never
+    strays more than one slot from true proportionality. Zero float
+    surface: quotas stay as the integer pair (w·N DIV tot, remainder),
+    so cross-engine ties in the remainder ranking are impossible to
+    misorder (source name is the total tiebreak). Plan: one keyed agg
+    to |sources| rows, a 1-row total broadcast, and a bounded-table
+    rank window (pmod partition) — the fact scan is the only
+    data-sized pass."""
+    from ..data import load_table
+
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("w"))
+    )
+    t = s.agg(F.sum("w").alias("tot"))
+    b = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "w",
+        F.expr(f"(w * {APPORTION_BUDGET}) DIV tot").alias("base"),
+        F.expr(
+            f"w * {APPORTION_BUDGET} - ((w * {APPORTION_BUDGET}) DIV tot) * tot"
+        ).alias("remainder"),
+    )
+    leftover = b.agg(
+        (F.lit(APPORTION_BUDGET) - F.sum("base")).alias("leftover")
+    )
+    wrk = W.partitionBy(F.pmod(F.length("source"), F.lit(1))).orderBy(
+        F.col("remainder").desc(), "source"
+    )
+    r = b.withColumn("rk", F.row_number().over(wrk))
+    return (
+        r.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            F.col("w").alias("weight"),
+            F.col("base").alias("quota_base"),
+            "remainder",
+            (F.col("rk") <= F.col("leftover")).cast("long").alias("extra"),
+            (
+                F.col("base")
+                + (F.col("rk") <= F.col("leftover")).cast("long")
+            ).alias("quota"),
+        )
+        .orderBy("source")
+    )

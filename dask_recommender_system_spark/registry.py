@@ -290,6 +290,7 @@ DRIVER_PRIORITY: list[str] = [
     "diff_in_diff",
     "kmeans_lloyd_epoch",
     "ab_srm_check",
+    "largest_remainder_apportionment",
 ]
 
 

@@ -261,6 +261,9 @@ _NON_EQUI_OK = {
     "eval_metrics", "join_predict_lookup",
     "sgd_epoch_user_update", "sgd_epoch_item_update",
     "woe_iv_binning",  # 1-row good/bad-totals broadcast attached to each bin
+    "largest_remainder_apportionment",  # 1-row total + leftover broadcasts
+    "daily_crosscorr_lags",  # 15-row literal lag dim crossJoin (bounded BNLJ)
+    "revenue_changepoint_fit",  # 1-row total-sufficient-stats broadcast
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
     "split_leakage_audit",  # same 1-row cutoff + three 1-row stat broadcasts
     "quality_stratified_sample",  # 1-row decile-cuts broadcast onto docs
@@ -1510,3 +1513,26 @@ def test_srm_planted_bug_skews(spark, sf_dir):
     assert buggy["n_a"] == clean["n_a"]
     assert buggy["n_b"] < clean["n_b"]
     assert buggy["chi2"] > clean["chi2"]
+
+
+def test_apportionment_exactness(spark, sf_dir):
+    """largest_remainder_apportionment: quotas must sum EXACTLY to the
+    budget, every quota within one slot of the exact proportional share,
+    and extras go to the largest remainders only."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.operators.training import APPORTION_BUDGET
+
+    df = q("largest_remainder_apportionment", spark, sf_dir).persist()
+    assert df.agg(F.sum("quota")).collect()[0][0] == APPORTION_BUDGET
+    tot = df.agg(F.sum("weight")).collect()[0][0]
+    rows = df.collect()
+    for r in rows:
+        exact = r["weight"] * APPORTION_BUDGET / tot
+        assert abs(r["quota"] - exact) < 1.0, (r["source"], r["quota"], exact)
+    min_extra_rem = min(r["remainder"] for r in rows if r["extra"] == 1)
+    max_noext_rem = max(
+        (r["remainder"] for r in rows if r["extra"] == 0), default=-1
+    )
+    assert min_extra_rem >= max_noext_rem  # equality only via name tiebreak
+    df.unpersist()
