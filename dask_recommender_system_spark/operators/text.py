@@ -1605,3 +1605,92 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_digest"),
     )
+
+
+def _novelty_oracle() -> str:
+    from .dedup import h60_sql
+
+    k = WINNOW_K
+    gram_hash = h60_sql(
+        "array_to_string(toks[CAST(gi AS INT):CAST(gi + %d AS INT)], ' ')" % (k - 1)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - {k} + 2),
+                                            gi -> {gram_hash})) AS hs
+        FROM t WHERE len(toks) >= {k}),
+    x AS (SELECT doc_id, UNNEST(hs) AS h FROM g),
+    first_seen AS (
+        SELECT h, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM x GROUP BY 1)
+    SELECT x.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM x JOIN first_seen f ON x.h = f.h
+    GROUP BY x.doc_id
+    ORDER BY x.doc_id
+    """
+
+
+@query("ngram_novelty_score", oracle=_novelty_oracle())
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X267: n-gram novelty vs the corpus prefix — for each document,
+    the share of its distinct 5-gram hashes whose FIRST corpus
+    occurrence (minimum doc_id, i.e. arrival order) is this document.
+    This is the primitive behind duplication/memorization curves
+    (Lee et al. "Deduplicating Training Data Makes LMs Better"): a
+    streaming-arrival corpus keeps a doc only if its novelty clears a
+    floor, and the aggregate novelty-vs-position curve diagnoses crawl
+    rot. Complements dedup_* (pairwise/near-dup) and
+    decontaminate_ngram_overlap (vs a fixed benchmark) with the
+    self-referential time-ordered view. Plan: in-row distinct gram
+    hashing (h60 family — the oracle recomputes every hash), ONE
+    explode → hash-keyed MIN agg (map-combinable), ONE hash-keyed join
+    back, per-doc agg — all shuffles keyed on the 60-bit gram hash,
+    uniformly distributed by construction; no windows, no skew."""
+    k = WINNOW_K
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k} + 1), i -> "
+                    "CAST(conv(substring(md5("
+                    f"concat_ws(' ', slice(toks, i, {k}))), 1, 15), 16, 10) AS BIGINT))"
+                )
+            ).alias("hs"),
+        )
+    )
+    x = g.select("doc_id", F.explode("hs").alias("h"))
+    first_seen = x.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        x.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -291,6 +291,7 @@ DRIVER_PRIORITY: list[str] = [
     "kmeans_lloyd_epoch",
     "ab_srm_check",
     "largest_remainder_apportionment",
+    "ngram_novelty_score",
 ]
 
 

@@ -1536,3 +1536,40 @@ def test_apportionment_exactness(spark, sf_dir):
     )
     assert min_extra_rem >= max_noext_rem  # equality only via name tiebreak
     df.unpersist()
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """ngram_novelty_score: the first document (doc_id 0) has no corpus
+    prefix, so its novelty must be exactly 1.0; novelty in [0, 1]
+    everywhere (0 happens — the fixture contains duplicate docs); and
+    the corpus-wide novel-gram count equals the number of distinct gram
+    hashes (each hash is novel exactly once)."""
+    from pyspark.sql import functions as F
+
+    df = q("ngram_novelty_score", spark, sf_dir).persist()
+    first = df.orderBy("doc_id").first()
+    assert first["novelty"] == 1.0
+    assert df.filter((F.col("novelty") < 0) | (F.col("novelty") > 1)).count() == 0
+    assert df.filter(F.col("novelty") == 0).count() > 0  # dup docs exist
+    tot_novel = df.agg(F.sum("n_novel")).collect()[0][0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from dask_recommender_system_spark.operators.text import WINNOW_K
+
+    n_hashes = (
+        docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - %d + 1), "
+                        "i -> CAST(conv(substring(md5(concat_ws(' ', "
+                        "slice(split(trim(lower(text)), '\\\\s+'), i, %d))), 1, 15), 16, 10) AS BIGINT))"
+                        % (WINNOW_K, WINNOW_K)
+                    )
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert tot_novel == n_hashes
+    df.unpersist()
