@@ -2311,3 +2311,53 @@ def sql_interface_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q18)
+
+
+# TPC-H Q7 (volume shipping): the two-sided dimension filter pin — the
+# SAME nation dim joins twice (supplier side and customer side) under a
+# symmetric OR predicate, so the planner must alias the dim, keep both
+# broadcasts, and avoid turning the OR into a fact-side blowup. Nations
+# adapted to the synthetic fixture's names; revenue in exact integer
+# cents x basis points; the year leaves as a plain integer.
+TPCH_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(vol_cents_bp) AS DOUBLE) / 10000, 6) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                   AS vol_cents_bp
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_interface_q7", oracle=TPCH_Q7)
+def sql_interface_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268: TPC-H Q7 verbatim through `spark.sql` — the self-joined-
+    dimension pin extending the Q1/Q3/Q5/Q18 series: nation joins TWICE
+    (supplier's and customer's) under the symmetric two-country OR, so
+    Catalyst must alias the dim into two broadcasts and keep the OR on
+    the dim side (never expanded against the fact). The date BETWEEN
+    pushes into the lineitem scan; revenue aggregates per (supplier
+    nation, customer nation, ship year) in exact integer cents ×
+    basis points with ONE final division. Identical ANSI text on both
+    engines; ORDER BY is total so no tiebreak is needed. At 100 TB
+    both nation broadcasts are KBs and lineitem⋈orders remains the
+    single data-sized shuffle — Q5's shape with a doubled dim."""
+    _utc(spark)
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q7)

@@ -292,6 +292,7 @@ DRIVER_PRIORITY: list[str] = [
     "ab_srm_check",
     "largest_remainder_apportionment",
     "ngram_novelty_score",
+    "sql_interface_q7",
 ]
 
 

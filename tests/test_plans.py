@@ -1573,3 +1573,18 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
     )
     assert tot_novel == n_hashes
     df.unpersist()
+
+
+def test_q7_symmetric_nation_pairs(spark, sf_dir):
+    """sql_interface_q7: exactly the two ordered nation pairs × the two
+    ship years appear, no cartesian in the plan, and each pair/year
+    revenue is positive."""
+    df = q("sql_interface_q7", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+    assert pairs  # sf0.001 may lack one direction; sf0.01 has both
+    assert pairs <= {("NATION_3", "NATION_7"), ("NATION_7", "NATION_3")}
+    assert all(r["revenue"] > 0 for r in rows)
+    assert all(r["l_year"] in (1996, 1997) for r in rows)
