@@ -288,3 +288,131 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.select(
         F.lower(F.hex("payload")).alias("payload_md5"), "n_dups", "canonical_doc"
     )
+
+
+AUDIO_N = 64  # samples per synthetic clip (4 md5 blocks; power of two)
+AUDIO_FRAME = 16  # samples per analysis frame (power of two => exact means)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("rms_f0", T.DoubleType()),
+        T.StructField("rms_f1", T.DoubleType()),
+        T.StructField("rms_f2", T.DoubleType()),
+        T.StructField("rms_f3", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(clips: DataFrame) -> DataFrame:
+    """Audio feature extraction over Arrow batches — the audio member of
+    the multimodal mapInPandas family (images: decode_image_features;
+    video: sample_frames). Input (doc_id long, audio binary); bytes are
+    unsigned 8-bit PCM samples. A real deployment swaps the numpy body
+    for librosa/torchaudio (absent in this container — FIXTURES.md),
+    but the features here are REAL signal measures computed from real
+    bytes, not stubs: peak amplitude, midline zero-crossing count, and
+    RMS energy (clip + 4 frames). Every division is by a power of two
+    and IEEE sqrt is correctly rounded, so the floats are bit-exact
+    cross-engine with no rounding step."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["audio"]):
+                s = np.frombuffer(payload or b"", dtype=np.uint8).astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    rows.append((doc_id, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0))
+                    continue
+                rms = float(np.sqrt(float(int((s * s).sum())) / n))
+                above = s >= 128
+                zc = int((above[1:] != above[:-1]).sum())
+                frames = []
+                for f in range(4):
+                    seg = s[f * AUDIO_FRAME:(f + 1) * AUDIO_FRAME]
+                    frames.append(
+                        float(np.sqrt(float(int((seg * seg).sum())) / len(seg)))
+                    )
+                rows.append(
+                    (doc_id, n, int(s.max()), zc, rms, *frames)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return clips.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# hex-pair -> byte value, via strpos arithmetic (the byte-defined-payload
+# oracle idiom): hex digits of the 4 concatenated md5 blocks
+_AUDIO_HEX = "md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z')"
+_AUDIO_BYTES = (
+    "list_transform(range(1, 65), bi -> "
+    f"(strpos('0123456789abcdef', substr({_AUDIO_HEX}, CAST(2 * bi - 1 AS INT), 1)) - 1) * 16"
+    f" + (strpos('0123456789abcdef', substr({_AUDIO_HEX}, CAST(2 * bi AS INT), 1)) - 1))"
+)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, {_AUDIO_BYTES} AS s FROM documents),
+    f AS (
+        SELECT doc_id, s,
+               CAST(len(s) AS BIGINT) AS n_samples,
+               CAST(list_max(s) AS BIGINT) AS peak,
+               CAST(list_sum(list_transform(range(1, 64), zi ->
+                    CASE WHEN (s[CAST(zi AS INT)] >= 128)
+                              <> (s[CAST(zi + 1 AS INT)] >= 128)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+               SQRT(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                    / 64) AS rms
+        FROM b)
+    SELECT doc_id, n_samples, peak, zero_crossings, rms,
+           SQRT(CAST(list_sum(list_transform(s[1:16], x -> x * x)) AS DOUBLE)
+                / 16) AS rms_f0,
+           SQRT(CAST(list_sum(list_transform(s[17:32], x -> x * x)) AS DOUBLE)
+                / 16) AS rms_f1,
+           SQRT(CAST(list_sum(list_transform(s[33:48], x -> x * x)) AS DOUBLE)
+                / 16) AS rms_f2,
+           SQRT(CAST(list_sum(list_transform(s[49:64], x -> x * x)) AS DOUBLE)
+                / 16) AS rms_f3
+    FROM f ORDER BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269: audio feature extraction — completes the modality set
+    (image decode X4b, video frame-sample X4c, asset dedup X125) with
+    the audio member: synthetic 64-sample 8-bit PCM clips (bytes
+    defined as 4 md5 blocks of the text, so the ORACLE recomputes every
+    sample from hex — the byte-defined-payload idiom), features =
+    peak, midline zero-crossing count, clip RMS and 4 frame RMS values
+    — the standard VAD/segmentation front-end measures. The kernel is
+    a REAL numpy signal computation inside mapInPandas over Arrow
+    batches (librosa/torchaudio would drop in for real codecs); floats
+    are BIT-EXACT cross-engine because every mean divides by a power
+    of two and IEEE sqrt is correctly rounded — no rounding column
+    anywhere. Plan: in-row payload build, one Arrow stage, no shuffle
+    at all; at 100 TB the only knob is records-per-batch for Python
+    peak memory (multimodal.py:107 note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clips = docs.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.md5(F.col("text")),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+                F.md5(F.concat(F.col("text"), F.lit("z"))),
+            )
+        ).alias("audio"),
+    )
+    return extract_audio_features(clips).orderBy("doc_id")

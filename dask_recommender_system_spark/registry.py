@@ -293,6 +293,7 @@ DRIVER_PRIORITY: list[str] = [
     "largest_remainder_apportionment",
     "ngram_novelty_score",
     "sql_interface_q7",
+    "multimodal_audio_features",
 ]
 
 

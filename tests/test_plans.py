@@ -318,6 +318,7 @@ _ARROW_OK = {
     "udtf_order_milestones",  # the declared ArrowEvalPythonUDTF shape
     "hysteresis_alert_flags",  # the declared GROUPED_MAP recurrence shape
     "holt_linear_forecast",  # the declared GROUPED_MAP 2-state recurrence
+    "multimodal_audio_features",  # the audio mapInPandas kernel
 }
 
 
@@ -1588,3 +1589,29 @@ def test_q7_symmetric_nation_pairs(spark, sf_dir):
     assert pairs <= {("NATION_3", "NATION_7"), ("NATION_7", "NATION_3")}
     assert all(r["revenue"] > 0 for r in rows)
     assert all(r["l_year"] in (1996, 1997) for r in rows)
+
+
+def test_audio_features_signal_identities(spark, sf_dir):
+    """multimodal_audio_features: n_samples = 64 everywhere, peak <= 255,
+    zero-crossings in [0, 63], and the Parseval-style identity
+    rms^2 == mean of the four frame rms^2 (frames tile the clip)."""
+    from pyspark.sql import functions as F
+
+    df = q("multimodal_audio_features", spark, sf_dir).persist()
+    assert df.filter(F.col("n_samples") != 64).count() == 0
+    assert df.filter((F.col("peak") < 0) | (F.col("peak") > 255)).count() == 0
+    assert df.filter(
+        (F.col("zero_crossings") < 0) | (F.col("zero_crossings") > 63)
+    ).count() == 0
+    resid = (
+        F.col("rms") * F.col("rms")
+        - (
+            F.col("rms_f0") * F.col("rms_f0")
+            + F.col("rms_f1") * F.col("rms_f1")
+            + F.col("rms_f2") * F.col("rms_f2")
+            + F.col("rms_f3") * F.col("rms_f3")
+        )
+        / 4
+    )
+    assert df.filter(F.abs(resid) > 1e-9).count() == 0
+    df.unpersist()
