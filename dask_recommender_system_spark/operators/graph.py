@@ -453,3 +453,114 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return r.select("node", F.round(F.col("r") * n, 6).alias("ppr_rel"))
+
+
+LPA_ROUNDS = 4  # fixed synchronous rounds (unrolled in the oracle)
+
+
+def _lpa_oracle() -> str:
+    """Deterministic synchronous label propagation as unrolled CTEs
+    (the pagerank_items fixed-unroll idiom): each round every node
+    adopts the neighbor label with the largest co-occurrence weight,
+    ties to the SMALLEST label; isolated nodes keep their label."""
+    parts = [
+        """
+WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+          FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p
+          GROUP BY 1, 2),
+lab0 AS (SELECT DISTINCT p AS node, p AS lab FROM lines)"""
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+votes{r} AS (
+  SELECT e.v AS node, l.lab, CAST(SUM(e.w) AS BIGINT) AS wv
+  FROM edges e JOIN lab{r - 1} l ON e.u = l.node GROUP BY 1, 2),
+win{r} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY wv DESC, lab) AS rn
+    FROM votes{r}) t WHERE rn = 1),
+lab{r} AS (
+  SELECT p.node, COALESCE(w.lab, p.lab) AS lab
+  FROM lab{r - 1} p LEFT JOIN win{r} w ON p.node = w.node)"""
+        )
+    parts.append(
+        f"""
+SELECT l.node, CAST(l.lab AS BIGINT) AS community,
+       CAST(s.sz AS BIGINT) AS community_size
+FROM lab{LPA_ROUNDS} l
+JOIN (SELECT lab, COUNT(*) AS sz FROM lab{LPA_ROUNDS} GROUP BY 1) s
+  ON l.lab = s.lab
+ORDER BY l.node"""
+    )
+    return "".join(parts)
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X270: community detection by label propagation (Raghavan et al.
+    2007) over the item co-purchase graph — the near-linear-time
+    community algorithm behind candidate pools and catalog taxonomy
+    mining; finds DENSE groups, where dedup_clusters' connected
+    components only find reachable ones. Determinism (the classic LPA
+    weakness) is engineered away: synchronous rounds (no visit order),
+    votes weighted by exact integer co-occurrence counts, ties to the
+    smallest label — so both engines propagate identical labels and a
+    fixed {LPA_ROUNDS}-round unroll is value-checkable. Plan: in-order
+    co-occurrence edges once (order-keyed self-join, per-order fanout
+    schema-bounded), then per round ONE u-keyed join + ONE v-keyed
+    vote agg + node-keyed argmax window, with localCheckpoint pinning
+    plan depth O(1) per round (the pagerank_items discipline) — at
+    10⁹ nodes every stage stays hash-partitioned on node id."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select(F.col("o"), F.col("p").alias("u"))
+    b = li.select(F.col("o").alias("o2"), F.col("p").alias("v"))
+    edges = (
+        a.join(b, (a["o"] == b["o2"]) & (a["u"] != b["v"]))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .repartition("v")
+        .localCheckpoint()
+    )
+    labels = li.select(F.col("p").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["u"] == labels["node"])
+            .groupBy(F.col("v").alias("vnode"), "lab")
+            .agg(F.sum("w").alias("wv"))
+        )
+        win = (
+            votes.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vnode").orderBy(F.col("wv").desc(), "lab")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vnode", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(win, labels["node"] == win["vnode"], "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("community_size"))
+    return (
+        labels.join(F.broadcast(sizes), "lab")
+        .select(
+            "node",
+            F.col("lab").alias("community"),
+            "community_size",
+        )
+        .orderBy("node")
+    )

@@ -294,6 +294,7 @@ DRIVER_PRIORITY: list[str] = [
     "ngram_novelty_score",
     "sql_interface_q7",
     "multimodal_audio_features",
+    "label_propagation_communities",
 ]
 
 

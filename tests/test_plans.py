@@ -1615,3 +1615,25 @@ def test_audio_features_signal_identities(spark, sf_dir):
     )
     assert df.filter(F.abs(resid) > 1e-9).count() == 0
     df.unpersist()
+
+
+def test_lpa_communities_shrink(spark, sf_dir):
+    """label_propagation_communities: every item appears exactly once,
+    community ids are item ids (label space preserved), propagation must
+    actually merge labels (communities < nodes), and community_size is
+    consistent with the label counts."""
+    from pyspark.sql import functions as F
+
+    df = q("label_propagation_communities", spark, sf_dir).persist()
+    n = df.count()
+    assert df.select("node").distinct().count() == n
+    n_comm = df.select("community").distinct().count()
+    assert n_comm < n  # labels propagated (fixture graph is dense)
+    bad = (
+        df.groupBy("community")
+        .agg(F.count("*").alias("c"), F.max("community_size").alias("s"))
+        .filter(F.col("c") != F.col("s"))
+        .count()
+    )
+    assert bad == 0
+    df.unpersist()
