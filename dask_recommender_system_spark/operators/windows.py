@@ -1814,3 +1814,159 @@ def recs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+MMR_POOL = 20  # candidate pool per user (global top items by bias)
+MMR_PICKS = 5  # final list length
+MMR_PENALTY = 0.5  # redundancy penalty (dyadic => exact float subtract)
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR selection as unrolled steps (one CTE pair per pick):
+    at step k a candidate's adjusted score is its model score minus
+    {MMR_PENALTY} if its brand is already in the user's selected set
+    (binary max-similarity), and the (adjusted DESC, item_id) argmax
+    joins the selection."""
+    base = f"""
+WITH r AS ({RATINGS_SQL}),
+train AS (SELECT * FROM r WHERE interaction_id % 10 < 7),
+mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM train),
+ub AS (SELECT user_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bu
+       FROM train GROUP BY user_id),
+ib AS (SELECT item_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bi
+       FROM train GROUP BY item_id),
+pool AS (SELECT item_id, bi FROM ib
+         ORDER BY bi DESC, item_id LIMIT {MMR_POOL}),
+cands AS (
+    SELECT u.user_id, p.item_id, pt.p_type AS sim_attr,
+           ROUND((SELECT mu FROM mu) + u.bu + p.bi, 6) AS score
+    FROM (SELECT user_id, bu FROM ub WHERE user_id % 29 = 0) u
+    CROSS JOIN pool p
+    JOIN part pt ON p.item_id = pt.p_partkey),
+sel1 AS (
+    SELECT user_id, item_id, sim_attr, score, score AS adjusted, 1 AS pos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY score DESC, item_id) AS rn FROM cands) t
+    WHERE rn = 1),
+acc1 AS (SELECT * FROM sel1)"""
+    parts = [base]
+    for k in range(2, MMR_PICKS + 1):
+        parts.append(
+            f""",
+adj{k} AS (
+    SELECT c.user_id, c.item_id, c.sim_attr, c.score,
+           c.score - CASE WHEN EXISTS (
+               SELECT 1 FROM acc{k - 1} s
+               WHERE s.user_id = c.user_id AND s.sim_attr = c.sim_attr)
+               THEN {MMR_PENALTY} ELSE 0 END AS adjusted
+    FROM cands c
+    WHERE NOT EXISTS (SELECT 1 FROM acc{k - 1} s
+                      WHERE s.user_id = c.user_id
+                        AND s.item_id = c.item_id)),
+sel{k} AS (
+    SELECT user_id, item_id, sim_attr, score, adjusted, {k} AS pos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY adjusted DESC, item_id) AS rn FROM adj{k}) t
+    WHERE rn = 1),
+acc{k} AS (SELECT * FROM acc{k - 1} UNION ALL SELECT * FROM sel{k})"""
+        )
+    parts.append(
+        f"""
+SELECT user_id, CAST(pos AS BIGINT) AS pos, item_id, sim_attr,
+       score, adjusted
+FROM acc{MMR_PICKS} ORDER BY user_id, pos"""
+    )
+    return "".join(parts)
+
+
+@query("mmr_rerank", oracle=_mmr_oracle())
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X271: Maximal-Marginal-Relevance re-ranking (Carbonell &
+    Goldstein '98) — the diversity stage every production recommender
+    runs between scoring and serving: greedily build the final list,
+    at each step discounting candidates whose part TYPE (6 values — coarse
+    enough that the penalty genuinely binds) is already represented (binary max-similarity, penalty {MMR_PENALTY}). The
+    measurement twins are recs_novelty / recommendation_coverage —
+    this is the OPERATOR that moves those metrics. Determinism: model
+    scores are the shared 6dp-rounded bias model, the penalty is
+    dyadic (exact float subtract), and every argmax carries the
+    item_id tiebreak, so the greedy trajectory cannot fork
+    cross-engine; the oracle unrolls the {MMR_PICKS} picks as CTE
+    pairs. Plan: the candidate pool is the SAME exact containment
+    prune as recommend_top_k (global top-{MMR_POOL} by item bias,
+    broadcast), then per pick one user-keyed anti-join + brand
+    semi-flag + user-keyed argmax window over ≤{MMR_POOL} rows/user —
+    bounded work per user independent of catalog size."""
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    train = r.filter(F.col("interaction_id") % 10 < 7).persist()
+    mu = train.agg(F.round(F.avg("rating"), 6).alias("mu"))
+    ub = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("user_id")
+        .agg(F.round(F.avg("rating") - F.first("mu"), 6).alias("bu"))
+    )
+    ib = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("item_id")
+        .agg(F.round(F.avg("rating") - F.first("mu"), 6).alias("bi"))
+    )
+    pool = ib.orderBy(F.col("bi").desc(), F.col("item_id")).limit(MMR_POOL)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_type").alias("sim_attr")
+    )
+    cands = (
+        ub.filter(F.col("user_id") % 29 == 0)
+        .crossJoin(F.broadcast(pool))
+        .crossJoin(F.broadcast(mu))
+        .join(F.broadcast(part), F.col("item_id") == F.col("p_partkey"))
+        .select(
+            "user_id",
+            "item_id",
+            "sim_attr",
+            F.round(F.col("mu") + F.col("bu") + F.col("bi"), 6).alias("score"),
+        )
+        .localCheckpoint()
+    )
+    w1 = W.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
+    sel = (
+        cands.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "item_id", "sim_attr", "score",
+            F.col("score").alias("adjusted"), F.lit(1).alias("pos"),
+        )
+    )
+    acc = sel
+    for k in range(2, MMR_PICKS + 1):
+        rem = cands.join(
+            acc.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+        )
+        seen = acc.select("user_id", "sim_attr").distinct().withColumn(
+            "seen", F.lit(1)
+        )
+        adj = rem.join(seen, ["user_id", "sim_attr"], "left").select(
+            "user_id",
+            "item_id",
+            "sim_attr",
+            "score",
+            (
+                F.col("score")
+                - F.when(F.col("seen") == 1, F.lit(MMR_PENALTY)).otherwise(0.0)
+            ).alias("adjusted"),
+        )
+        wk = W.partitionBy("user_id").orderBy(F.col("adjusted").desc(), "item_id")
+        pick = (
+            adj.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "item_id", "sim_attr", "score", "adjusted",
+                F.lit(k).alias("pos"),
+            )
+        )
+        acc = acc.unionByName(pick).localCheckpoint()
+    return acc.select(
+        "user_id", F.col("pos").cast("long").alias("pos"),
+        "item_id", "sim_attr", "score", "adjusted",
+    ).orderBy("user_id", "pos")

@@ -295,6 +295,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q7",
     "multimodal_audio_features",
     "label_propagation_communities",
+    "mmr_rerank",
 ]
 
 

@@ -1637,3 +1637,27 @@ def test_lpa_communities_shrink(spark, sf_dir):
     )
     assert bad == 0
     df.unpersist()
+
+
+def test_mmr_diversity_improves(spark, sf_dir):
+    """mmr_rerank: exactly 5 distinct picks per user (positions 1..5),
+    adjusted <= score always, pick 1 is the plain argmax (adjusted ==
+    score); at sf0.01 the redundancy penalty must actually FIRE (a
+    penalized pick is selected) or the greedy loop is a no-op."""
+    from pyspark.sql import functions as F
+
+    df = q("mmr_rerank", spark, sf_dir).persist()
+    per_user = df.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("item_id").alias("ni"),
+    )
+    assert per_user.filter((F.col("n") != 5) | (F.col("ni") != 5)).count() == 0
+    assert df.filter(F.col("adjusted") > F.col("score")).count() == 0
+    assert df.filter((F.col("pos") == 1) & (F.col("adjusted") != F.col("score"))).count() == 0
+    df.unpersist()
+    fired = (
+        q("mmr_rerank", spark, "/root/testdata/sf0.01")
+        .filter(F.col("adjusted") < F.col("score"))
+        .count()
+    )
+    assert fired > 0
