@@ -2361,3 +2361,50 @@ def sql_interface_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "lineitem", "orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q7)
+
+
+# TPC-H Q10 (returned-item reporting): the revenue-concentration pin —
+# fact-side filter (l_returnflag = 'R') + a quarter's order window, per-
+# customer revenue rollup joined wide (name, acctbal, nation) and cut to
+# the top 20. Completes the series with a GROUP BY over MANY grouping
+# columns (the planner must not re-shuffle per column) and a top-k on an
+# exact integer aggregate.
+TPCH_Q10 = """
+    SELECT c_custkey, c_name,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000, 6) AS revenue,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DESC,
+             c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_interface_q10", oracle=TPCH_Q10)
+def sql_interface_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X272: TPC-H Q10 verbatim through `spark.sql` — returned-item
+    reporting (which customers drove Q1-1997 returns), the wide-GROUP-BY
+    + exact-integer top-k pin finishing the Q1/Q3/Q5/Q7/Q18 series.
+    Catalyst pushes the return-flag filter into the lineitem scan and
+    the date window into orders BEFORE the join, broadcasts
+    customer-side dims, and compiles the LIMIT to
+    TakeOrderedAndProject over the EXACT cents×bp sum (ordering on the
+    unrounded integer aggregate with a custkey tiebreak — never on the
+    rounded float output, the weighted_sample_topk trap). Same ANSI
+    text on DuckDB; money leaves as integer cents / one final rounded
+    division."""
+    _utc(spark)
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q10)

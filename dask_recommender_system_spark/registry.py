@@ -296,6 +296,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_features",
     "label_propagation_communities",
     "mmr_rerank",
+    "sql_interface_q10",
 ]
 
 

@@ -1661,3 +1661,22 @@ def test_mmr_diversity_improves(spark, sf_dir):
         .count()
     )
     assert fired > 0
+
+
+def test_q10_pushdown_and_topk(spark, sf_dir):
+    """sql_interface_q10: the return-flag filter must reach the lineitem
+    scan (PushedFilters), the LIMIT must compile to
+    TakeOrderedAndProject, and revenues are positive and descending."""
+    df = q("sql_interface_q10", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_returnflag" in s for s in scans), scans
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    revs = [r["revenue"] for r in rows]
+    assert all(r > 0 for r in revs)
+    assert revs == sorted(revs, reverse=True)
