@@ -2488,3 +2488,119 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in errs[1:]:
         total = total + x
     return e.select(*out, F.round(total, 6).alias("recon_err"))
+
+
+ATTR_PB_LOOKBACK_S = 7 * 86400  # position-based attribution lookback
+ATTR_PB_FIRST_BP = 4000  # U-shape: 40% first, 40% last, 20% middles
+
+
+@query(
+    "attribution_position_based",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS conv_s,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM events WHERE event_type = 'purchase'),
+    touch AS (
+        SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS touch_s
+        FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+        SELECT c.conv_id, c.user_id, c.value_cents,
+               t.touch_id, t.touch_type, t.touch_s,
+               ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.touch_s, t.touch_id) AS rk,
+               COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.touch_s < c.conv_s
+         AND t.touch_s >= c.conv_s - {ATTR_PB_LOOKBACK_S})
+    SELECT conv_id, user_id, touch_id, touch_type,
+           CAST(rk AS BIGINT) AS pos, CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n_touches = 1 THEN 10000
+                     WHEN n_touches = 2 THEN 5000
+                     WHEN rk = 1 OR rk = n_touches THEN {ATTR_PB_FIRST_BP}
+                     ELSE 2000 // (n_touches - 2)
+                          + CASE WHEN rk - 1 <= 2000 % (n_touches - 2)
+                                 THEN 1 ELSE 0 END
+                END AS BIGINT) AS credit_bp,
+           CAST(value_cents * CASE WHEN n_touches = 1 THEN 10000
+                     WHEN n_touches = 2 THEN 5000
+                     WHEN rk = 1 OR rk = n_touches THEN {ATTR_PB_FIRST_BP}
+                     ELSE 2000 // (n_touches - 2)
+                          + CASE WHEN rk - 1 <= 2000 % (n_touches - 2)
+                                 THEN 1 ELSE 0 END
+                END AS BIGINT) AS credit_bp_cents
+    FROM j ORDER BY conv_id, pos
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X273: position-based (U-shaped, 40/20/40) multi-touch attribution
+    — the industry-default middle ground between last-touch (X95) and
+    linear credit: first and last touch in the 7-day lookback each get
+    40%, the middles split 20%. Credit is allocated in EXACT basis
+    points with a largest-remainder tail (earliest middles absorb the
+    2000 mod (n−2) leftover), so Σcredit_bp = 10000 per conversion by
+    construction (test-pinned) and the credited amount ships as the
+    exact integer value_cents·bp — zero float surface anywhere. Plan:
+    both sides prefilter by type BEFORE a user-keyed join bounded by
+    the lookback predicate (per-user touch×conv fanout is
+    window-bounded), then ONE conversion-keyed ranking window — the
+    join and windows all key on user/conversion, so the plan shards at
+    any event volume."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("conv_s"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_timestamp("ts").alias("touch_s"),
+    )
+    j = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_s") < F.col("conv_s"))
+        & (F.col("touch_s") >= F.col("conv_s") - ATTR_PB_LOOKBACK_S),
+    )
+    wr = W.partitionBy("conv_id").orderBy("touch_s", "touch_id")
+    wn = W.partitionBy("conv_id")
+    ranked = j.select(
+        "conv_id",
+        "user_id",
+        "value_cents",
+        "touch_id",
+        "touch_type",
+        F.row_number().over(wr).alias("pos"),
+        F.count("*").over(wn).alias("n_touches"),
+    )
+    credit_bp = (
+        F.when(F.col("n_touches") == 1, 10000)
+        .when(F.col("n_touches") == 2, 5000)
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_touches")),
+            ATTR_PB_FIRST_BP,
+        )
+        .otherwise(
+            F.expr("2000 DIV (n_touches - 2)")
+            + F.when(
+                F.col("pos") - 1 <= F.expr("2000 % (n_touches - 2)"), 1
+            ).otherwise(0)
+        )
+    ).cast("long")
+    return ranked.select(
+        "conv_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        credit_bp.alias("credit_bp"),
+        (F.col("value_cents") * credit_bp).alias("credit_bp_cents"),
+    ).orderBy("conv_id", "pos")

@@ -297,6 +297,7 @@ DRIVER_PRIORITY: list[str] = [
     "label_propagation_communities",
     "mmr_rerank",
     "sql_interface_q10",
+    "attribution_position_based",
 ]
 
 

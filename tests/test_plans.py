@@ -1680,3 +1680,26 @@ def test_q10_pushdown_and_topk(spark, sf_dir):
     revs = [r["revenue"] for r in rows]
     assert all(r > 0 for r in revs)
     assert revs == sorted(revs, reverse=True)
+
+
+def test_position_attribution_conserves_credit(spark, sf_dir):
+    """attribution_position_based: credit_bp must sum to EXACTLY 10000
+    per conversion (the largest-remainder tail conserves), first/last
+    get 4000 whenever n >= 3, and middles never exceed the ends."""
+    from pyspark.sql import functions as F
+
+    df = q("attribution_position_based", spark, sf_dir).persist()
+    bad = (
+        df.groupBy("conv_id")
+        .agg(F.sum("credit_bp").alias("s"))
+        .filter(F.col("s") != 10000)
+        .count()
+    )
+    assert bad == 0
+    big = df.filter(F.col("n_touches") >= 3)
+    assert big.count() > 0  # fixture exercises the U-shape branch
+    ends = big.filter((F.col("pos") == 1) | (F.col("pos") == F.col("n_touches")))
+    assert ends.filter(F.col("credit_bp") != 4000).count() == 0
+    mids = big.filter((F.col("pos") > 1) & (F.col("pos") < F.col("n_touches")))
+    assert mids.filter(F.col("credit_bp") > 4000).count() == 0
+    df.unpersist()
