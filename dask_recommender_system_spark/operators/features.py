@@ -310,3 +310,56 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe"),
         F.round(share_gap * woe, 6).alias("iv_contrib"),
     ).orderBy("bin")
+
+
+@query(
+    "feature_robust_scale",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS med,
+               ROUND(quantile_cont(value, 0.75)
+                     - quantile_cont(value, 0.25), 6) AS iqr
+        FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.med) / s.iqr, 6) AS value_scaled,
+           s.med AS grp_median, s.iqr AS grp_iqr
+    FROM events e JOIN s ON e.event_type = s.event_type
+    ORDER BY e.event_id
+    """,
+)
+def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X274: robust scaling — (x − median) / IQR per event-type group,
+    sklearn RobustScaler's formula: the outlier-immune normalizer that
+    min-max (X230) and z-scores lack (one fat-tailed value moves mean,
+    min and max, but not the quartiles). Completes the feature-prep
+    ladder: winsorize (clamp) → robust-scale (normalize) → binning
+    (discretize). Cross-engine float discipline: the per-group median
+    and IQR are ROUNDED TO 6 DECIMALS BEFORE use (the shared-constant
+    rule — Spark percentile vs DuckDB quantile_cont may differ in the
+    last ulp, but both land on the same 6dp constant; ADVICE r03's
+    trimmed-mean lesson), then the affine map is bit-identical. Plan:
+    one map-combinable per-type quantile agg to |types| rows, broadcast
+    back over the scan — two exchanges at any volume."""
+    from ..data import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("grp_median"),
+        F.round(
+            F.expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6
+        ).alias("grp_iqr"),
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("grp_median")) / F.col("grp_iqr"), 6
+            ).alias("value_scaled"),
+            "grp_median",
+            "grp_iqr",
+        )
+        .orderBy("event_id")
+    )

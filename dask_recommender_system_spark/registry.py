@@ -298,6 +298,7 @@ DRIVER_PRIORITY: list[str] = [
     "mmr_rerank",
     "sql_interface_q10",
     "attribution_position_based",
+    "feature_robust_scale",
 ]
 
 

@@ -1703,3 +1703,22 @@ def test_position_attribution_conserves_credit(spark, sf_dir):
     mids = big.filter((F.col("pos") > 1) & (F.col("pos") < F.col("n_touches")))
     assert mids.filter(F.col("credit_bp") > 4000).count() == 0
     df.unpersist()
+
+
+def test_robust_scale_outlier_immunity(spark, sf_dir):
+    """feature_robust_scale: per group the scaled median is ~0 and the
+    scaled quartiles are ~±something summing to 1 IQR apart; at least
+    half of each group lies in [-0.5, 0.5] + rounding slack (the
+    definitional property min-max scaling lacks)."""
+    from pyspark.sql import functions as F
+
+    df = q("feature_robust_scale", spark, sf_dir).persist()
+    per = df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value_scaled").between(-0.500001, 0.500001).cast("long")).alias(
+            "inside"
+        ),
+    )
+    assert per.filter(F.col("inside") * 2 < F.col("n")).count() == 0
+    assert df.filter(F.col("grp_iqr") <= 0).count() == 0
+    df.unpersist()
