@@ -299,6 +299,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q10",
     "attribution_position_based",
     "feature_robust_scale",
+    "stream_join_left_outer",
 ]
 
 

@@ -1112,3 +1112,96 @@ def stream_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"strm_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(agg, name)
     return spark.table(name)
+
+
+@query(
+    "stream_join_left_outer",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS click_ts
+        FROM events WHERE event_type = 'click'),
+    p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'),
+    wm AS (
+        SELECT LEAST((SELECT MAX(click_ts) FROM c),
+                     (SELECT MAX(purchase_ts) FROM p)) - 7200 AS wm),
+    matched AS (
+        SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + 7200),
+    expired_unmatched AS (
+        SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+               c.click_ts, CAST(NULL AS BIGINT) AS purchase_ts
+        FROM c CROSS JOIN wm
+        WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                  AND p.purchase_ts >= c.click_ts
+                  AND p.purchase_ts <= c.click_ts + 7200)
+          AND c.click_ts + 7200 < wm.wm)
+    SELECT * FROM matched UNION ALL SELECT * FROM expired_unmatched
+    ORDER BY click_id
+    """,
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275: watermarked LEFT OUTER stream-stream join — the semantics
+    corner the inner twin (stream_stream_join) dodges: an unmatched
+    click may only emit its NULL-padded row once the watermark proves
+    no matching purchase can still arrive (window end strictly below
+    the final watermark), and clicks whose window is still open when
+    the stream drains are withheld entirely — so the drained result is
+    NOT the batch left join. The oracle encodes that closed form:
+    batch-matched pairs UNION unmatched clicks with click_ts + 7200 <
+    WM, where WM = min(max click ts, max purchase ts) − delay (Spark's
+    min-across-inputs multipleWatermarkPolicy); the 8 trailing
+    unmatched clicks the stream withholds at sf0.01 are exactly the
+    rows the WM cut removes. Spark's no-data final batch is what
+    flushes the expired state — the semantics this query pins against
+    regressions. State scales like the inner join: user-keyed, evicted
+    at WM past window end."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_seconds(F.unix_timestamp("ts")).alias(f"{alias}_tss"),
+            )
+            .withWatermark(f"{alias}_tss", "2 hours")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_tss") >= F.col("click_tss"))
+        & (
+            F.col("purchase_tss")
+            <= F.col("click_tss") + F.expr("INTERVAL 2 HOURS")
+        ),
+        "left_outer",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("click_tss").alias("click_ts"),
+        F.unix_timestamp("purchase_tss").alias("purchase_ts"),
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("click_id")

@@ -209,3 +209,31 @@ def test_sessionize_timer_boundary_matches_oracle_rule(spark, tmp_path):
     assert (3, 0, 1, T - 3601, T - 3601) in got  # timer strictly below wm
     assert all(u != 2 for (u, *_rest) in got)    # boundary timer held
     assert all(not (u == 1 and s == 1) for (u, s, *_r) in got)  # open tail held
+
+
+def test_stream_left_outer_withholds_open_windows(spark, sf_dir):
+    """stream_join_left_outer: matched rows carry a purchase, null rows
+    are expired-unmatched only, and the stream must emit FEWER rows than
+    there are clicks (open-window clicks withheld at drain — the
+    distinction from a batch left join)."""
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    df = REGISTRY["stream_join_left_outer"].fn(spark, sf_dir).persist()
+    n_clicks = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    n_out = df.count()
+    assert n_out < n_clicks  # the withheld tail is the semantics pin
+    assert df.filter(
+        F.col("purchase_id").isNull() != F.col("purchase_ts").isNull()
+    ).count() == 0
+    matched = df.filter(F.col("purchase_id").isNotNull())
+    assert matched.filter(
+        (F.col("purchase_ts") < F.col("click_ts"))
+        | (F.col("purchase_ts") > F.col("click_ts") + 7200)
+    ).count() == 0
+    df.unpersist()
