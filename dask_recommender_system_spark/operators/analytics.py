@@ -3934,3 +3934,83 @@ def inventory_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("part_key")
     )
     return out
+
+
+L3_MIN_ORDERS = 2  # minimum co-order support for a 3-itemset
+
+
+@query(
+    "frequent_itemsets_l3",
+    oracle=f"""
+    WITH t AS (
+        SELECT DISTINCT a.l_orderkey, a.l_partkey AS x, b.l_partkey AS y,
+               c.l_partkey AS z
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        JOIN lineitem c ON a.l_orderkey = c.l_orderkey
+                       AND b.l_partkey < c.l_partkey),
+    cnt AS (
+        SELECT x AS item_a, y AS item_b, z AS item_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders_together
+        FROM t GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem)
+    SELECT item_a, item_b, item_c, n_orders_together,
+           ROUND(CAST(n_orders_together AS DOUBLE) / n_orders, 6) AS support
+    FROM cnt CROSS JOIN tot
+    WHERE n_orders_together >= {L3_MIN_ORDERS}
+    ORDER BY item_a, item_b, item_c
+    """,
+)
+def frequent_itemsets_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X276: frequent 3-itemsets (the Apriori L3 step past basket_lift's
+    pairs) — "these THREE items sell together", the bundle-mining
+    primitive pair lift can't see (a pair can lift while the triple is
+    noise). The engine NEVER self-joins the fact twice (the oracle's
+    cubic form): baskets collapse to per-order sorted distinct item
+    ARRAYS first (one keyed agg), then every C(k,3) triple generates
+    IN-ROW via nested sequence/transform HOFs — per-basket work is
+    schema-bounded (k ≤ ~7 lines/order ⇒ ≤ 35 triples), so the explode
+    is linear in orders, and ONE triple-keyed count finishes. Support
+    denominates over all orders via a 1-row broadcast. At 100 TB
+    basket size stays schema-bounded, so this plan's cost is one scan
+    + one keyed agg + one keyed count — the Apriori candidate
+    generation without a candidate join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 3)
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(flatten("
+                "transform(sequence(1, size(items) - 2), i -> "
+                "  transform(sequence(i + 1, size(items) - 1), j -> "
+                "    transform(sequence(j + 1, size(items)), k -> "
+                "      struct(items[i - 1] AS item_a, items[j - 1] AS item_b,"
+                "             items[k - 1] AS item_c))))))"
+            )
+        ).alias("t")
+    ).select("t.item_a", "t.item_b", "t.item_c")
+    cnt = (
+        triples.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= L3_MIN_ORDERS)
+    )
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "n_orders_together",
+            F.round(
+                F.col("n_orders_together").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+        )
+        .orderBy("item_a", "item_b", "item_c")
+    )

@@ -300,6 +300,7 @@ DRIVER_PRIORITY: list[str] = [
     "attribution_position_based",
     "feature_robust_scale",
     "stream_join_left_outer",
+    "frequent_itemsets_l3",
 ]
 
 

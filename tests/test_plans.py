@@ -1722,3 +1722,37 @@ def test_robust_scale_outlier_immunity(spark, sf_dir):
     assert per.filter(F.col("inside") * 2 < F.col("n")).count() == 0
     assert df.filter(F.col("grp_iqr") <= 0).count() == 0
     df.unpersist()
+
+
+def test_l3_itemsets_apriori_monotone(spark, sf_dir):
+    """frequent_itemsets_l3: canonical ordering a<b<c, support count >=
+    threshold, and the Apriori property — a triple can never appear in
+    more orders than any of its member pairs (checked at sf0.01 where
+    frequent triples exist)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    df = q("frequent_itemsets_l3", spark, sf).persist()
+    assert df.count() > 0
+    assert df.filter(
+        ~((F.col("item_a") < F.col("item_b")) & (F.col("item_b") < F.col("item_c")))
+    ).count() == 0
+    assert df.filter(F.col("n_orders_together") < 2).count() == 0
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("x"))
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("y"))
+    pairs = (
+        a.join(b, (a["o"] == b["o2"]) & (a["x"] < b["y"]))
+        .groupBy("x", "y")
+        .agg(F.countDistinct("o").alias("pair_n"))
+    )
+    viol = (
+        df.join(
+            pairs,
+            (df["item_a"] == pairs["x"]) & (df["item_b"] == pairs["y"]),
+        )
+        .filter(F.col("n_orders_together") > F.col("pair_n"))
+        .count()
+    )
+    assert viol == 0
+    df.unpersist()
