@@ -1694,3 +1694,100 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PPMI_WINDOW = 2  # co-occurrence window (tokens to the right)
+PPMI_MIN_PAIR = 5  # minimum pair-event count in the output
+
+
+@query(
+    "ppmi_cooccurrence",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+    pos AS (
+        SELECT doc_id, r.i, toks[CAST(r.i AS INT)] AS w
+        FROM t CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) r
+        WHERE r.i <= len(toks)),
+    pairs AS (
+        SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id
+         AND b.i - a.i BETWEEN 1 AND {PPMI_WINDOW}),
+    pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+    m AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS m FROM (
+            SELECT w1 AS w FROM pairs
+            UNION ALL SELECT w2 AS w FROM pairs) u
+        GROUP BY 1)
+    SELECT pc.w1, pc.w2, pc.c AS pair_n,
+           ROUND(GREATEST(
+               LN(CAST(pc.c AS DOUBLE)) + LN(CAST(n.n AS DOUBLE))
+               - LN(CAST(m1.m AS DOUBLE)) - LN(CAST(m2.m AS DOUBLE)),
+               0) , 6) AS ppmi
+    FROM pc
+    JOIN m m1 ON pc.w1 = m1.w
+    JOIN m m2 ON pc.w2 = m2.w
+    CROSS JOIN n
+    WHERE pc.c >= {PPMI_MIN_PAIR}
+    ORDER BY w1, w2
+    """,
+)
+def ppmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277: positive pointwise mutual information over ±{PPMI_WINDOW}-
+    token co-occurrence windows — the count-based word-embedding
+    baseline (Levy & Goldberg 2014: SGNS implicitly factorizes this
+    matrix) and the collocation detector behind phrase mining. Distinct
+    from bigram_lm_logprob (adjacency, directional, smoothed): PPMI is
+    symmetric windowed association. Every log argument is an exact
+    integer count widened once, combined in a fixed 4-term expression,
+    clamped at 0 and rounded — the session_entropy log discipline.
+    Plan: pair events generate IN-ROW (slice+zip-free position pairs,
+    the engine never joins the corpus to itself); counts, the 1-row N
+    and the |vocab| marginals are all keyed map-combinable aggs;
+    scoring joins are keyed on word (vocab-sized, broadcast while they
+    fit). Per-doc work is O(len·window) — scan-speed at corpus
+    scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(toks) - 1), i -> "
+        " transform(sequence(i + 1, least(i + %d, size(toks))), j -> "
+        "   struct(least(toks[i - 1], toks[j - 1]) AS w1,"
+        "          greatest(toks[i - 1], toks[j - 1]) AS w2))))"
+        % PPMI_WINDOW
+    )
+    pairs = d.filter(F.size("toks") >= 2).select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    n = pairs.agg(F.count("*").alias("n"))
+    m = (
+        pairs.select(F.col("w1").alias("w"))
+        .unionAll(pairs.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("m"))
+    )
+    m1 = m.select(F.col("w").alias("w1"), F.col("m").alias("m1"))
+    m2 = m.select(F.col("w").alias("w2"), F.col("m").alias("m2"))
+    ppmi = F.greatest(
+        F.log(F.col("pair_n").cast("double"))
+        + F.log(F.col("n").cast("double"))
+        - F.log(F.col("m1").cast("double"))
+        - F.log(F.col("m2").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        pc.filter(F.col("pair_n") >= PPMI_MIN_PAIR)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "pair_n", F.round(ppmi, 6).alias("ppmi"))
+        .orderBy("w1", "w2")
+    )

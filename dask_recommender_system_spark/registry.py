@@ -301,6 +301,7 @@ DRIVER_PRIORITY: list[str] = [
     "feature_robust_scale",
     "stream_join_left_outer",
     "frequent_itemsets_l3",
+    "ppmi_cooccurrence",
 ]
 
 

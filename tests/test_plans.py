@@ -1756,3 +1756,19 @@ def test_l3_itemsets_apriori_monotone(spark, sf_dir):
     )
     assert viol == 0
     df.unpersist()
+
+
+def test_ppmi_nonnegative_and_symmetric_keys(spark, sf_dir):
+    """ppmi_cooccurrence: canonical pair order w1 <= w2, ppmi >= 0
+    (clamped), counts >= threshold, and no self-pair ever scores above
+    0 count threshold with w1 == w2 unless the token really repeats
+    within the window (repeats allowed — just sanity-check ordering)."""
+    from pyspark.sql import functions as F
+
+    df = q("ppmi_cooccurrence", spark, sf_dir).persist()
+    assert df.filter(F.col("w1") > F.col("w2")).count() == 0
+    assert df.filter(F.col("ppmi") < 0).count() == 0
+    from dask_recommender_system_spark.operators.text import PPMI_MIN_PAIR
+
+    assert df.filter(F.col("pair_n") < PPMI_MIN_PAIR).count() == 0
+    df.unpersist()
