@@ -4014,3 +4014,74 @@ def frequent_itemsets_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b", "item_c")
     )
+
+
+DP_EPSILON_INV = 1  # Laplace scale b = 1/epsilon (epsilon = 1)
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    u AS (
+        SELECT event_type, day, n,
+               CAST(list_sum(list_transform(range(15), i ->
+                   (strpos('0123456789abcdef',
+                           substr(md5(event_type || '|' || CAST(day AS VARCHAR)),
+                                  CAST(i + 1 AS INT), 1)) - 1)
+                   * [{", ".join(str(16 ** (14 - i)) for i in range(15))}][i + 1]))
+                    AS DOUBLE) / 1152921504606846976 AS uni
+        FROM g)
+    SELECT event_type, day, n,
+           ROUND(n + CASE WHEN uni >= 0.5
+                          THEN -{DP_EPSILON_INV} * LN(2 * (1 - uni))
+                          ELSE {DP_EPSILON_INV} * LN(2 * uni) END,
+                 6) AS noisy_n
+    FROM u ORDER BY event_type, day
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X278: differentially-private count release — the Laplace
+    mechanism (Dwork et al. 2006) over per-(event_type, day) counts
+    with sensitivity 1 and ε = 1: the release step a privacy-preserving
+    analytics pipeline runs after pii_pseudonymize / text_pii_redact
+    have cleaned the rows, completing the privacy family with an
+    OUTPUT-side guarantee. The noise draw is the inverse-CDF transform
+    of a DETERMINISTIC portable uniform (h60 of the group key / 2⁶⁰ —
+    the negative_sampling hash-randomness discipline), so the release
+    is reproducible and the oracle recomputes the exact same noise; a
+    production deployment swaps the hash for a sealed RNG, changing
+    nothing in the plan. Plan: one map-combinable keyed agg to
+    |type×day| rows, then in-row scalar noise — the fact scan
+    dominates at any volume. The test pins the mechanism's shape:
+    noise is centered (mean |noisy−n| ≈ b) and no group is dropped or
+    duplicated."""
+    from .dedup import h60_spark
+
+    _utc(spark)
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 86400"
+            ).alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    uni = h60_spark(
+        F.concat(F.col("event_type"), F.lit("|"), F.col("day").cast("string"))
+    ).cast("double") / F.lit(float(2**60))
+    lap = F.when(
+        uni >= 0.5, -DP_EPSILON_INV * F.log(2 * (1 - uni))
+    ).otherwise(DP_EPSILON_INV * F.log(2 * uni))
+    return g.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.col("n") + lap, 6).alias("noisy_n"),
+    ).orderBy("event_type", "day")

@@ -302,6 +302,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_join_left_outer",
     "frequent_itemsets_l3",
     "ppmi_cooccurrence",
+    "dp_noisy_counts",
 ]
 
 

@@ -1772,3 +1772,28 @@ def test_ppmi_nonnegative_and_symmetric_keys(spark, sf_dir):
 
     assert df.filter(F.col("pair_n") < PPMI_MIN_PAIR).count() == 0
     df.unpersist()
+
+
+def test_dp_noise_is_centered_laplace(spark, sf_dir):
+    """dp_noisy_counts: one row per (type, day) group with no drops, the
+    noise is nonzero somewhere (mechanism live), mean |noise| is within
+    a loose factor of the Laplace scale b=1, and both noise signs
+    occur (the uniform actually spans the CDF)."""
+    from pyspark.sql import functions as F
+
+    df = q("dp_noisy_counts", spark, sf_dir).persist()
+    base = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 86400"),
+        )
+        .count()
+    )
+    assert df.count() == base.count()
+    noise = df.select((F.col("noisy_n") - F.col("n")).alias("e"))
+    assert noise.filter(F.col("e") > 0).count() > 0
+    assert noise.filter(F.col("e") < 0).count() > 0
+    mean_abs = noise.agg(F.avg(F.abs("e"))).collect()[0][0]
+    assert 0.2 < mean_abs < 5.0, mean_abs  # b = 1 => E|noise| = 1
+    df.unpersist()
