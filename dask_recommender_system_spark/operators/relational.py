@@ -2408,3 +2408,39 @@ def sql_interface_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q10)
+
+
+# TPC-H Q4 (order-priority checking): the correlated-EXISTS pin — the
+# subquery references the outer row (l_orderkey = o_orderkey) and must
+# decorrelate to a LeftSemi join, never re-execute per row. Distinct
+# from Q18's IN-over-aggregate: no rollup, pure existence.
+TPCH_Q4 = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("sql_interface_q4", oracle=TPCH_Q4)
+def sql_interface_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X279: TPC-H Q4 verbatim through `spark.sql` — the correlated
+    EXISTS pin of the SQL-interface series (Q1 scan-agg, Q3 star top-k,
+    Q5 snowflake, Q7 self-joined dim, Q10 wide rollup, Q18
+    IN-over-aggregate): the subquery references BOTH outer columns
+    (l_orderkey = o_orderkey correlation AND l_shipdate > o_orderdate
+    cross-table predicate), so Catalyst must decorrelate it into ONE
+    LeftSemi join carrying the inequality — re-executing per outer row
+    (the naive reading) would be O(|orders|·|lineitem|). The quarter
+    filter pushes into the orders scan before the semi join. Integer
+    counts only — zero float surface. Same ANSI text on DuckDB."""
+    _utc(spark)
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q4)

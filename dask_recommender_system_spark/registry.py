@@ -303,6 +303,7 @@ DRIVER_PRIORITY: list[str] = [
     "frequent_itemsets_l3",
     "ppmi_cooccurrence",
     "dp_noisy_counts",
+    "sql_interface_q4",
 ]
 
 

@@ -1797,3 +1797,19 @@ def test_dp_noise_is_centered_laplace(spark, sf_dir):
     mean_abs = noise.agg(F.avg(F.abs("e"))).collect()[0][0]
     assert 0.2 < mean_abs < 5.0, mean_abs  # b = 1 => E|noise| = 1
     df.unpersist()
+
+
+def test_q4_decorrelates_to_semi_join(spark, sf_dir):
+    """sql_interface_q4: the correlated EXISTS must compile to a single
+    LeftSemi join (decorrelation), with the quarter filter pushed into
+    the orders scan."""
+    df = q("sql_interface_q4", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("o_orderdate" in s for s in scans), scans
+    rows = df.collect()
+    assert 0 < len(rows) <= 5 and all(r["order_count"] > 0 for r in rows)
