@@ -1441,3 +1441,157 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         "ROUND(CAST(n_captured AS DOUBLE) / n_true, 6) AS recall",
     )
+
+
+FS_FIELDS = ("source", "n_chars", "first_tok", "last_tok")
+
+
+def _fs_oracle() -> str:
+    agree = {
+        "source": "a.source = b.source",
+        "n_chars": "a.n_chars = b.n_chars",
+        "first_tok": "a.first_tok = b.first_tok",
+        "last_tok": "a.last_tok = b.last_tok",
+    }
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN is_m = 1 AND ({agree[f]}) THEN 1 ELSE 0 END) AS BIGINT) AS am_{f},\n"
+        f"               CAST(SUM(CASE WHEN is_m = 0 AND ({agree[f]}) THEN 1 ELSE 0 END) AS BIGINT) AS au_{f}"
+        for f in FS_FIELDS
+    )
+    rows = ", ".join(
+        f"('{f}', am_{f}, au_{f})" for f in FS_FIELDS
+    )
+    return f"""
+    WITH f AS (
+        SELECT doc_id, lang, source, n_chars,
+               n_chars // 50 AS lb,
+               md5(array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))
+                   AS fp,
+               (regexp_split_to_array(trim(lower(text)), '\\s+'))[1]
+                   AS first_tok,
+               (regexp_split_to_array(trim(lower(text)), '\\s+'))[-1]
+                   AS last_tok
+        FROM documents),
+    pairs AS (
+        SELECT a.source, b.source AS source_b, a.n_chars, b.n_chars AS n_chars_b,
+               a.first_tok, b.first_tok AS first_tok_b,
+               a.last_tok, b.last_tok AS last_tok_b,
+               CASE WHEN a.fp = b.fp THEN 1 ELSE 0 END AS is_m
+        FROM f a JOIN f b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id),
+    agg AS (
+        SELECT CAST(SUM(is_m) AS BIGINT) AS n_m,
+               CAST(SUM(1 - is_m) AS BIGINT) AS n_u,
+               {sums.replace('a.source = b.source', 'source = source_b')
+                    .replace('a.n_chars = b.n_chars', 'n_chars = n_chars_b')
+                    .replace('a.first_tok = b.first_tok', 'first_tok = first_tok_b')
+                    .replace('a.last_tok = b.last_tok', 'last_tok = last_tok_b')}
+        FROM pairs),
+    stacked AS (
+        SELECT n_m, n_u, u.* FROM agg,
+        (SELECT UNNEST([{', '.join(f"'{f}'" for f in FS_FIELDS)}]) AS field,
+                UNNEST([{', '.join(f'(SELECT am_{f} FROM agg)' for f in FS_FIELDS)}]) AS agree_m,
+                UNNEST([{', '.join(f'(SELECT au_{f} FROM agg)' for f in FS_FIELDS)}]) AS agree_u) u)
+    SELECT field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs,
+           agree_m, agree_u,
+           ROUND(CAST(agree_m + 1 AS DOUBLE) / (n_m + 2), 6) AS m_prob,
+           ROUND(CAST(agree_u + 1 AS DOUBLE) / (n_u + 2), 6) AS u_prob,
+           ROUND(LOG2(CAST(agree_m + 1 AS DOUBLE)) + LOG2(CAST(n_u + 2 AS DOUBLE))
+                 - LOG2(CAST(n_m + 2 AS DOUBLE)) - LOG2(CAST(agree_u + 1 AS DOUBLE)),
+                 6) AS weight_bits
+    FROM stacked ORDER BY field
+    """
+
+
+@query("record_linkage_fs_weights", oracle=_fs_oracle())
+def record_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X280: Fellegi-Sunter record-linkage parameter estimation — the
+    probabilistic-matching theory under every entity-resolution stack
+    (Splink et al.): for each comparison field, estimate m = P(agree |
+    match) and u = P(agree | non-match) over BLOCKED candidate pairs,
+    and emit the log2 match weight the scoring pass would sum. Labels
+    come from the bag-of-words fingerprint (same sorted token set =
+    match — the text_fingerprint key), so the estimation is fully
+    self-supervised, the EM-free special case. Laplace (+1/+2)
+    smoothing keeps every probability finite; the weight is a 4-term
+    log2 of EXACT integers (session_entropy discipline). Plan: one
+    blocked self-join — candidates only within (lang, length-bucket)
+    blocks, the dedup_sorted_neighborhood containment discipline, never
+    all-pairs — then ONE 9-column conditional aggregate to a single
+    row, unpivoted in-row to |fields| rows. At 100 TB block sizing is
+    the only knob; the agg is map-combinable."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    f = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr("n_chars DIV 50").alias("lb"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
+    b = f.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("n_chars_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("first_tok").alias("first_tok_b"),
+        F.col("last_tok").alias("last_tok_b"),
+    )
+    pairs = f.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("lb") == F.col("lb_b"))
+        & (F.col("doc_id") < F.col("doc_b")),
+    ).select(
+        F.when(F.col("fp") == F.col("fp_b"), 1).otherwise(0).alias("is_m"),
+        *[
+            (F.col(fld) == F.col(f"{fld}_b")).cast("int").alias(f"ag_{fld}")
+            for fld in FS_FIELDS
+        ],
+    )
+    agg = pairs.agg(
+        F.sum("is_m").alias("n_m"),
+        F.sum(1 - F.col("is_m")).alias("n_u"),
+        *[
+            F.sum(F.when(F.col("is_m") == 1, F.col(f"ag_{fld}")).otherwise(0)).alias(
+                f"am_{fld}"
+            )
+            for fld in FS_FIELDS
+        ],
+        *[
+            F.sum(F.when(F.col("is_m") == 0, F.col(f"ag_{fld}")).otherwise(0)).alias(
+                f"au_{fld}"
+            )
+            for fld in FS_FIELDS
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (field, agree_m, agree_u)".format(
+        n=len(FS_FIELDS),
+        args=", ".join(f"'{fld}', am_{fld}, au_{fld}" for fld in FS_FIELDS),
+    )
+    st = agg.select("n_m", "n_u", F.expr(stack_expr))
+    w = (
+        F.log2((F.col("agree_m") + 1).cast("double"))
+        + F.log2((F.col("n_u") + 2).cast("double"))
+        - F.log2((F.col("n_m") + 2).cast("double"))
+        - F.log2((F.col("agree_u") + 1).cast("double"))
+    )
+    return st.select(
+        "field",
+        F.col("n_m").alias("n_match_pairs"),
+        F.col("n_u").alias("n_unmatch_pairs"),
+        "agree_m",
+        "agree_u",
+        F.round((F.col("agree_m") + 1).cast("double") / (F.col("n_m") + 2), 6).alias(
+            "m_prob"
+        ),
+        F.round((F.col("agree_u") + 1).cast("double") / (F.col("n_u") + 2), 6).alias(
+            "u_prob"
+        ),
+        F.round(w, 6).alias("weight_bits"),
+    ).orderBy("field")

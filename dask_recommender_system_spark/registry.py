@@ -304,6 +304,7 @@ DRIVER_PRIORITY: list[str] = [
     "ppmi_cooccurrence",
     "dp_noisy_counts",
     "sql_interface_q4",
+    "record_linkage_fs_weights",
 ]
 
 

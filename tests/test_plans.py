@@ -1813,3 +1813,21 @@ def test_q4_decorrelates_to_semi_join(spark, sf_dir):
     assert any("o_orderdate" in s for s in scans), scans
     rows = df.collect()
     assert 0 < len(rows) <= 5 and all(r["order_count"] > 0 for r in rows)
+
+
+def test_fs_weights_discriminate(spark, sf_dir):
+    """record_linkage_fs_weights: probabilities in (0,1), and the
+    defining FS property — every field agrees MORE among matches than
+    non-matches (m > u, weight_bits > 0) on this fixture, with
+    first/last-token weights the strongest (token-level fields carry
+    more identity signal than metadata)."""
+    from pyspark.sql import functions as F
+
+    rows = {r["field"]: r for r in q("record_linkage_fs_weights", spark, sf_dir).collect()}
+    assert set(rows) == {"source", "n_chars", "first_tok", "last_tok"}
+    for r in rows.values():
+        assert 0 < r["m_prob"] < 1 and 0 < r["u_prob"] < 1
+        assert r["n_match_pairs"] > 0 and r["n_unmatch_pairs"] > 0
+    assert rows["first_tok"]["weight_bits"] > 0
+    assert rows["last_tok"]["weight_bits"] > 0
+    assert rows["first_tok"]["weight_bits"] > rows["source"]["weight_bits"]
