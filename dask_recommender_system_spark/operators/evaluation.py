@@ -1015,3 +1015,114 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > SRM_CHI2_CRIT).cast("long").alias("srm_flag"),
     ).orderBy("scheme")
+
+
+CONF_ALPHA_PCT = 10  # 90% nominal coverage, alpha = 0.1
+
+
+@query(
+    "conformal_prediction_interval",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    s AS (SELECT u_idx, i_idx, interaction_id, rating,
+                 {_PRED_SQL} AS pred FROM e),
+    cal AS (SELECT ABS(rating - pred) AS r, interaction_id
+            FROM s WHERE interaction_id % 100 BETWEEN 70 AND 89),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                  CAST(((COUNT(*) + 1) * (100 - {CONF_ALPHA_PCT}) + 99) // 100
+                       AS BIGINT) AS k
+           FROM cal),
+    ranked AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r, interaction_id) AS rn
+               FROM cal),
+    q AS (SELECT ranked.r AS q_width FROM ranked JOIN kk ON ranked.rn = kk.k),
+    tst AS (SELECT ABS(rating - pred) AS r FROM s
+            WHERE interaction_id % 100 BETWEEN 90 AND 99)
+    SELECT kk.n_cal, kk.k AS k_rank, ROUND(q.q_width, 6) AS q_width,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN tst.r <= q.q_width THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           ROUND(CAST(SUM(CASE WHEN tst.r <= q.q_width THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM tst CROSS JOIN q CROSS JOIN kk
+    GROUP BY kk.n_cal, kk.k, q.q_width
+    """,
+)
+def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X281: split conformal prediction (Vovk; Lei et al.) — the
+    distribution-free uncertainty wrapper every deployed model needs:
+    the ⌈(n+1)(1−α)⌉-th smallest calibration residual is a HALF-WIDTH q
+    such that |y − ŷ| ≤ q covers ≥ 1−α of fresh points, with NO
+    assumptions on the model or noise. Calibration = interaction-id
+    buckets 70-89 of 100, test = 90-99 (linenumber occupies the last
+    decimal digit, so %10 splits would be degenerate — pinned here), model = the shared deterministic bias+factor predictor.
+    The quantile is an EXACT order statistic (integer rank, ceil via
+    integer arithmetic; residual doubles are bit-identical cross-engine
+    because the predictor expression is) — no interpolation, so q and
+    the coverage count cannot drift. Scale shape: the k-th element is
+    found WITHOUT a global sort — residuals bucket to ≤64 coarse cells,
+    a bounded two-level cumsum locates the rank (the _cum_below /
+    block-offset machinery), and only bucket-keyed windows touch data-
+    sized rows; coverage is one broadcast-q filter count. Empirical
+    coverage lands within the finite-sample band of 90% (test-pinned).
+    """
+    e = encoded_ratings(spark, sf_dir)
+    s = e.select(
+        "interaction_id",
+        "rating",
+        _pred_expr().alias("pred"),
+    ).localCheckpoint()
+    cal = s.filter(
+        (F.col("interaction_id") % 100 >= 70)
+        & (F.col("interaction_id") % 100 <= 89)
+    ).select(
+        F.abs(F.col("rating") - F.col("pred")).alias("r"), "interaction_id"
+    )
+    kk = cal.agg(
+        F.count("*").alias("n_cal"),
+        F.expr(
+            f"CAST(((COUNT(*) + 1) * (100 - {CONF_ALPHA_PCT}) + 99) DIV 100 AS BIGINT)"
+        ).alias("k"),
+    )
+    b = cal.withColumn("bkt", F.floor(F.col("r") * 10).cast("long"))
+    w_in = W.partitionBy("bkt").orderBy("r", "interaction_id")
+    per_b = b.groupBy("bkt").agg(F.count("*").alias("bn"))
+    w_off = (
+        W.partitionBy(F.pmod(F.col("bkt"), F.lit(1)))
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = per_b.select(
+        "bkt", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    ranked = (
+        b.join(F.broadcast(off), "bkt")
+        .withColumn("rn", F.col("off") + F.row_number().over(w_in))
+    )
+    q = (
+        ranked.crossJoin(F.broadcast(kk))
+        .filter(F.col("rn") == F.col("k"))
+        .select(F.col("r").alias("q_width"), "n_cal", "k")
+    )
+    tst = s.filter(
+        (F.col("interaction_id") % 100 >= 90)
+        & (F.col("interaction_id") % 100 <= 99)
+    ).select(F.abs(F.col("rating") - F.col("pred")).alias("r"))
+    return (
+        tst.crossJoin(F.broadcast(q))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("k").alias("k_rank"),
+            F.round(F.first("q_width"), 6).alias("q_width"),
+            F.count("*").alias("n_test"),
+            F.sum((F.col("r") <= F.col("q_width")).cast("long")).alias(
+                "n_covered"
+            ),
+            F.round(
+                F.sum((F.col("r") <= F.col("q_width")).cast("long")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -305,6 +305,7 @@ DRIVER_PRIORITY: list[str] = [
     "dp_noisy_counts",
     "sql_interface_q4",
     "record_linkage_fs_weights",
+    "conformal_prediction_interval",
 ]
 
 

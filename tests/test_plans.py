@@ -264,6 +264,7 @@ _NON_EQUI_OK = {
     "largest_remainder_apportionment",  # 1-row total + leftover broadcasts
     "daily_crosscorr_lags",  # 15-row literal lag dim crossJoin (bounded BNLJ)
     "revenue_changepoint_fit",  # 1-row total-sufficient-stats broadcast
+    "conformal_prediction_interval",  # 1-row rank-k + q-width broadcasts
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
     "split_leakage_audit",  # same 1-row cutoff + three 1-row stat broadcasts
     "quality_stratified_sample",  # 1-row decile-cuts broadcast onto docs
@@ -1831,3 +1832,20 @@ def test_fs_weights_discriminate(spark, sf_dir):
     assert rows["first_tok"]["weight_bits"] > 0
     assert rows["last_tok"]["weight_bits"] > 0
     assert rows["first_tok"]["weight_bits"] > rows["source"]["weight_bits"]
+
+
+def test_conformal_coverage_band(spark, sf_dir):
+    """conformal_prediction_interval: empirical coverage must land in
+    the finite-sample band around the nominal 90% (3-sigma binomial
+    slack), q_width positive, and the rank k = ceil(0.9 * (n_cal + 1))
+    exactly."""
+    import math
+
+    row = q("conformal_prediction_interval", spark, sf_dir).collect()[0]
+    n_cal, k = row["n_cal"], row["k_rank"]
+    assert k == math.ceil(0.9 * (n_cal + 1))
+    assert row["q_width"] > 0
+    n, cov = row["n_test"], row["coverage"]
+    sigma = math.sqrt(0.9 * 0.1 / n)
+    assert cov >= 0.9 - 3 * sigma - 1.0 / n, (cov, n)
+    assert row["n_covered"] <= n
