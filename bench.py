@@ -127,6 +127,24 @@ BENCH_QUERIES = [
     "quantile_normalize",
     "similarity_pq_rerank",
     "grouped_ols_2var",
+    # round-4 batch 3 (X258-X281: FIFO matching, winnowing, Holt, k-means
+    # epoch, LPA communities, MMR, novelty, attribution, Apriori L3, PPMI,
+    # linkage weights, audio kernel, outer stream join, TPC-H Q18) —
+    # appended, same order-stability rule
+    "inventory_fifo_matching",
+    "winnowing_fingerprint",
+    "holt_linear_forecast",
+    "kmeans_lloyd_epoch",
+    "label_propagation_communities",
+    "mmr_rerank",
+    "ngram_novelty_score",
+    "attribution_position_based",
+    "frequent_itemsets_l3",
+    "ppmi_cooccurrence",
+    "sql_interface_q18",
+    "record_linkage_fs_weights",
+    "multimodal_audio_features",
+    "stream_join_left_outer",
 ]
 
 FUNK_EPOCHS = 5

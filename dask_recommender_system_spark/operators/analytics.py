@@ -4085,3 +4085,92 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") + lap, 6).alias("noisy_n"),
     ).orderBy("event_type", "day")
+
+
+SEQ_PATTERN = "vc*p"  # view, any clicks, purchase — the funnel as a regex
+
+
+@query(
+    "sequence_regex_match",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+        FROM events),
+    s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY sec, event_id) AS seq
+        FROM e GROUP BY user_id),
+    m AS (
+        SELECT user_id, seq,
+               COALESCE(len(regexp_extract_all(seq, '{SEQ_PATTERN}')), 0)
+                   AS n_matches,
+               regexp_extract(seq, '{SEQ_PATTERN}') AS first_match
+        FROM s)
+    SELECT user_id, CAST(LENGTH(seq) AS BIGINT) AS seq_len,
+           CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS matched,
+           CAST(CASE WHEN n_matches > 0 THEN LENGTH(first_match)
+                     ELSE 0 END AS BIGINT) AS first_match_len,
+           CAST(CASE WHEN n_matches > 0 THEN strpos(seq, first_match)
+                     ELSE 0 END AS BIGINT) AS first_match_pos
+    FROM m ORDER BY user_id
+    """,
+)
+def sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X282: event-sequence pattern matching — MATCH_RECOGNIZE's core
+    (row-pattern matching, SQL:2016) for an engine that lacks it: each
+    user's event stream collapses to a type-initial string in time
+    order, and the behavioral pattern ('{SEQ_PATTERN}' = view, any
+    clicks, then purchase) runs as a REGEX against it — leftmost
+    non-overlapping semantics, identical in both engines. This
+    subsumes funnel_conversion's fixed-stage ordering with full
+    regular-language power (alternation, repetition, negation via
+    classes) at the cost of one per-user string. first-match position
+    via strpos is sound: the regex is anchor-free, so any earlier
+    literal occurrence of the matched text would itself have been the
+    leftmost match. Plan: ONE user-keyed ordered aggregation
+    (array_sort of (sec, event_id, initial) structs → join — no
+    window), then in-row regex — per-user work linear in history, the
+    string bounded by per-user event counts; at 100 TB the monthly
+    partition bound on history length is the only knob."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_timestamp("ts").alias("sec"),
+            F.col("event_id").alias("event_id"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("ev"),
+    )
+    s = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(ev)), x -> x.c)"), ""
+            ).alias("seq")
+        )
+    )
+    m = s.select(
+        "user_id",
+        "seq",
+        F.expr(f"regexp_count(seq, '{SEQ_PATTERN}')").alias("n_matches"),
+        F.regexp_extract("seq", SEQ_PATTERN, 0).alias("first_match"),
+    )
+    matched = (F.col("n_matches") > 0).cast("long")
+    return m.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+        matched.alias("matched"),
+        F.when(F.col("n_matches") > 0, F.length("first_match"))
+        .otherwise(0)
+        .cast("long")
+        .alias("first_match_len"),
+        F.when(F.col("n_matches") > 0, F.instr("seq", F.col("first_match")))
+        .otherwise(0)
+        .cast("long")
+        .alias("first_match_pos"),
+    ).orderBy("user_id")

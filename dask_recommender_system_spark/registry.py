@@ -306,6 +306,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q4",
     "record_linkage_fs_weights",
     "conformal_prediction_interval",
+    "sequence_regex_match",
 ]
 
 

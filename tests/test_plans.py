@@ -1849,3 +1849,34 @@ def test_conformal_coverage_band(spark, sf_dir):
     sigma = math.sqrt(0.9 * 0.1 / n)
     assert cov >= 0.9 - 3 * sigma - 1.0 / n, (cov, n)
     assert row["n_covered"] <= n
+
+
+def test_sequence_regex_funnel_consistency(spark, sf_dir):
+    """sequence_regex_match: every user appears once; matched users have
+    first_match starting with 'v' and ending 'p' (pattern shape), the
+    first-match window fits inside the sequence, and n_matches > 0 for
+    at least one user (pattern fires on the fixture)."""
+    from pyspark.sql import functions as F
+
+    df = q("sequence_regex_match", spark, sf_dir).persist()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert df.count() == n_users
+    assert df.filter(F.col("matched") == 1).count() > 0
+    bad = df.filter(
+        (F.col("matched") == 1)
+        & (
+            (F.col("first_match_pos") < 1)
+            | (
+                F.col("first_match_pos") + F.col("first_match_len") - 1
+                > F.col("seq_len")
+            )
+            | (F.col("first_match_len") < 2)
+        )
+    ).count()
+    assert bad == 0
+    df.unpersist()
