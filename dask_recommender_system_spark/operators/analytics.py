@@ -4174,3 +4174,104 @@ def sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_match_pos"),
     ).orderBy("user_id")
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      MIN({EPOCH_TS}) AS first_s,
+                      MAX({EPOCH_TS}) AS last_s
+               FROM events GROUP BY user_id),
+    m AS (SELECT MAX(last_s) AS max_s FROM u),
+    d AS (SELECT CAST(FLOOR((last_s - first_s) / {KM_UNIT_S}) AS BIGINT) AS t_day,
+                 (last_s >= m.max_s - {KM_CENSOR_WINDOW_S})::INT AS censored
+          FROM u CROSS JOIN m),
+    g AS (SELECT t_day,
+                 CAST(SUM(1 - censored) AS BIGINT) AS d_events,
+                 CAST(SUM(censored) AS BIGINT) AS c_censored
+          FROM d GROUP BY t_day),
+    c AS (SELECT t_day, d_events, c_censored,
+                 (SELECT SUM(d_events + c_censored) FROM g)
+                 - COALESCE(SUM(d_events + c_censored) OVER (ORDER BY t_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_at_risk
+          FROM g)
+    SELECT t_day, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events,
+           ROUND(SUM(CAST(d_events AS DOUBLE) / n_at_risk)
+                 OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW), 6) AS cum_hazard,
+           ROUND(EXP(-SUM(CAST(d_events AS DOUBLE) / n_at_risk)
+                 OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)), 6) AS breslow_survival
+    FROM c WHERE d_events > 0
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X284: Nelson-Aalen cumulative hazard over the same user-lifetime
+    risk table as kaplan_meier_retention — H(t) = Σ_{{s≤t}} d_s/n_s and
+    the Breslow survival exp(−H): the hazard-side view KM's product
+    form hides (hazard is what regression models — Cox — actually fit,
+    and H is additive so the estimator composes over disjoint windows,
+    which matters for incremental maintenance at scale). Cross-engine
+    float parity is ORDER-deterministic: each d/n term is a ratio of
+    exact integers (identical doubles) and the running sum is an
+    ORDERED window over the bounded lifetime-day table — both engines
+    add the same terms in the same order, so the prefix sums are
+    bit-identical before the single ROUND. Same plan shape as KM: two
+    keyed aggs, pmod windows over the bounded day table, one 1-row
+    observation-end broadcast."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("first_s"),
+        F.max(F.unix_timestamp("ts")).alias("last_s"),
+    )
+    m = u.agg(F.max("last_s").alias("max_s"))
+    d = u.crossJoin(F.broadcast(m)).select(
+        F.floor((F.col("last_s") - F.col("first_s")) / KM_UNIT_S)
+        .cast("long")
+        .alias("t_day"),
+        (F.col("last_s") >= F.col("max_s") - KM_CENSOR_WINDOW_S)
+        .cast("int")
+        .alias("censored"),
+    )
+    g = d.groupBy("t_day").agg(
+        F.sum(1 - F.col("censored")).alias("d_events"),
+        F.sum("censored").alias("c_censored"),
+    )
+    tot = g.agg(F.sum(F.col("d_events") + F.col("c_censored")).alias("n_tot"))
+    w_prev = (
+        W.partitionBy(F.pmod(F.col("t_day"), F.lit(1)))
+        .orderBy("t_day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_cum = (
+        W.partitionBy(F.pmod(F.col("t_day"), F.lit(1)))
+        .orderBy("t_day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = g.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        F.col("n_tot")
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+            F.lit(0),
+        ),
+    )
+    haz = F.sum(F.col("d_events").cast("double") / F.col("n_at_risk")).over(
+        w_cum
+    )
+    return (
+        c.withColumn("cum_hazard_raw", haz)
+        .filter(F.col("d_events") > 0)
+        .select(
+            "t_day",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            "d_events",
+            F.round("cum_hazard_raw", 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("cum_hazard_raw")), 6).alias(
+                "breslow_survival"
+            ),
+        )
+    )

@@ -308,6 +308,7 @@ DRIVER_PRIORITY: list[str] = [
     "conformal_prediction_interval",
     "sequence_regex_match",
     "graph_shortest_paths_weighted",
+    "survival_nelson_aalen",
 ]
 
 

@@ -1917,3 +1917,22 @@ def test_bellman_ford_triangle_inequality(spark, sf_dir):
     )
     assert viol == 0
     df.unpersist()
+
+
+def test_nelson_aalen_dominates_km(spark, sf_dir):
+    """survival_nelson_aalen: cumulative hazard is non-decreasing in t,
+    and the Breslow survival exp(−H) dominates the Kaplan-Meier curve
+    at every shared event time (1−x <= e^−x termwise — the classic
+    estimator inequality)."""
+    from pyspark.sql import functions as F
+
+    na = q("survival_nelson_aalen", spark, sf_dir).orderBy("t_day").collect()
+    hs = [r["cum_hazard"] for r in na]
+    assert hs == sorted(hs)
+    km = {
+        r["t_day"]: r["survival"]
+        for r in q("kaplan_meier_retention", spark, sf_dir).collect()
+    }
+    for r in na:
+        if r["t_day"] in km:
+            assert r["breslow_survival"] >= km[r["t_day"]] - 1e-6
