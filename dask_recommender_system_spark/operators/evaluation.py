@@ -1126,3 +1126,132 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("coverage"),
         )
     )
+
+
+@query(
+    "causal_impact_lite",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+               CAST(SUM(CASE WHEN r_name = 'ASIA'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN r_name <> 'ASIA'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1),
+    pre AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        FROM d WHERE day < CAST(FLOOR(epoch(DATE '{DID_CUTOFF}')) AS BIGINT) // 86400),
+    fit AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+        FROM pre)
+    SELECT day, y AS actual_cents,
+           ROUND((a + b * x) / 100, 6) AS predicted_dollars,
+           ROUND((y - (a + b * x)) / 100, 6) AS effect_dollars,
+           ROUND(CAST(SUM(CAST(ROUND((y - (a + b * x)) * 1000) AS BIGINT))
+                 OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE) / 100000, 6)
+               AS cum_effect_dollars
+    FROM d CROSS JOIN fit
+    WHERE day >= CAST(FLOOR(epoch(DATE '{DID_CUTOFF}')) AS BIGINT) // 86400
+    ORDER BY day
+    """,
+)
+def causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X285: counterfactual impact analysis (CausalImpact's core,
+    Brodersen et al. 2015, with an OLS synthetic control instead of the
+    BSTS prior): fit treated ~ control on the PRE period (ASIA daily
+    revenue against rest-of-world daily revenue, the parallel-series
+    assumption diff_in_diff makes in means, here made per-day), then
+    the POST-period counterfactual is the fitted line and the daily +
+    cumulative gaps are the causal-effect series. Completes the causal
+    kit's time-resolved corner (DiD gives one number; this gives the
+    trajectory). Determinism: slope/intercept from exact integer
+    sufficient statistics (HUGEINT/decimal cross-products) in one
+    fixed expression; per-day predictions are identical doubles; the
+    cumulative gap rounds each day to integer MILLI-CENTS first and
+    cumsums the integers — windowed float SUM is segment-tree-ordered
+    in DuckDB, so only an integer cumulative is add-order-free (found
+    by the oracle compare at 1304 post days). Plan:
+    dims broadcast into the fact scan, ONE day-keyed conditional agg,
+    1-row fit broadcast, pmod window over |days| rows."""
+    from ..data import load_table
+    from .relational import _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "r_name")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = (
+        o.join(F.broadcast(dim), o["o_custkey"] == dim["c_custkey"])
+        .groupBy(
+            F.expr(
+                "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.when(F.col("r_name") == "ASIA", cents).otherwise(0)).alias(
+                "y"
+            ),
+            F.sum(F.when(F.col("r_name") != "ASIA", cents).otherwise(0)).alias(
+                "x"
+            ),
+        )
+    )
+    cutoff_day = F.expr(
+        f"CAST(FLOOR(unix_timestamp(CAST('{DID_CUTOFF}' AS TIMESTAMP))) AS BIGINT) DIV 86400"
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    pre = d.filter(F.col("day") < cutoff_day).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((dec("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((dec("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = pre.select(b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"))
+    w_cum = (
+        W.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    post = d.filter(F.col("day") >= cutoff_day).crossJoin(F.broadcast(fit))
+    gap = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    gap_milli = F.round(gap * 1000).cast("long")
+    return post.select(
+        "day",
+        F.col("y").alias("actual_cents"),
+        F.round((F.col("a") + F.col("b") * F.col("x")) / 100, 6).alias(
+            "predicted_dollars"
+        ),
+        F.round(gap / 100, 6).alias("effect_dollars"),
+        # per-day gaps round to integer milli-cents BEFORE the running
+        # sum: windowed float SUM is segment-tree-ordered in DuckDB, so
+        # only an integer cumulative is add-order-free cross-engine
+        F.round(
+            F.sum(gap_milli).over(w_cum).cast("double") / 100000, 6
+        ).alias("cum_effect_dollars"),
+    ).orderBy("day")

@@ -309,6 +309,7 @@ DRIVER_PRIORITY: list[str] = [
     "sequence_regex_match",
     "graph_shortest_paths_weighted",
     "survival_nelson_aalen",
+    "causal_impact_lite",
 ]
 
 

@@ -265,6 +265,7 @@ _NON_EQUI_OK = {
     "daily_crosscorr_lags",  # 15-row literal lag dim crossJoin (bounded BNLJ)
     "revenue_changepoint_fit",  # 1-row total-sufficient-stats broadcast
     "conformal_prediction_interval",  # 1-row rank-k + q-width broadcasts
+    "causal_impact_lite",  # 1-row OLS-fit (a, b) broadcast onto post days
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
     "split_leakage_audit",  # same 1-row cutoff + three 1-row stat broadcasts
     "quality_stratified_sample",  # 1-row decile-cuts broadcast onto docs
@@ -1936,3 +1937,22 @@ def test_nelson_aalen_dominates_km(spark, sf_dir):
     for r in na:
         if r["t_day"] in km:
             assert r["breslow_survival"] >= km[r["t_day"]] - 1e-6
+
+
+def test_causal_impact_counterfactual_consistency(spark, sf_dir):
+    """causal_impact_lite: post-period only, effect = actual − predicted
+    per day (to rounding), and the cumulative series telescopes (each
+    row's cum equals the previous cum + the day's milli-rounded
+    effect)."""
+    rows = q("causal_impact_lite", spark, sf_dir).orderBy("day").collect()
+    assert rows
+    cutoff_day = 10227  # 1998-01-01 as epoch-days
+    assert all(r["day"] >= cutoff_day for r in rows)
+    for r in rows:
+        recomputed = r["actual_cents"] / 100 - r["predicted_dollars"]
+        assert abs(recomputed - r["effect_dollars"]) < 2e-6
+    prev = 0.0
+    for r in rows:
+        step = r["cum_effect_dollars"] - prev
+        assert abs(step - r["effect_dollars"]) < 2e-5, r
+        prev = r["cum_effect_dollars"]
