@@ -1255,3 +1255,97 @@ def causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(gap_milli).over(w_cum).cast("double") / 100000, 6
         ).alias("cum_effect_dollars"),
     ).orderBy("day")
+
+
+@query(
+    "ipw_ate_by_segment",
+    oracle="""
+    WITH rows_l AS (
+        SELECT c_mktsegment AS segment,
+               CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS t,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey),
+    seg AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS n_treat,
+               CAST(SUM(CASE WHEN t = 1 THEN y_cents ELSE 0 END)
+                    AS BIGINT) AS s1_cents,
+               CAST(SUM(CASE WHEN t = 0 THEN y_cents ELSE 0 END)
+                    AS BIGINT) AS s0_cents
+        FROM rows_l GROUP BY 1)
+    SELECT segment, n, n_treat,
+           ROUND(CAST(n_treat AS DOUBLE) / n, 6) AS propensity,
+           ROUND((CAST(s1_cents AS DOUBLE) / n_treat
+                  - CAST(s0_cents AS DOUBLE) / (n - n_treat)) / 100, 6)
+               AS segment_ate_dollars,
+           CAST(ROUND((CAST(s1_cents AS DOUBLE) / n_treat
+                       - CAST(s0_cents AS DOUBLE) / (n - n_treat)) * n * 10)
+                AS BIGINT) AS ate_contrib_deci_cents
+    FROM seg ORDER BY segment
+    """,
+)
+def ipw_ate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X286: inverse-propensity-weighted treatment effect, stratified —
+    the third leg of the causal kit (diff_in_diff: two periods;
+    causal_impact_lite: trajectory; here: confounder adjustment when
+    treatment correlates with a covariate): treatment = ASIA customer,
+    outcome = order value, confounder = market segment. Within a
+    stratum IPW algebra collapses EXACTLY to the difference of treated
+    and control means (y·n/n₁ summed = S₁·n/n₁), so each segment's
+    effect is a fixed expression over four exact integer sums, and the
+    overall ATE = Σ n_s·Δ_s / N telescopes from the emitted integer
+    deci-cent contributions (the add-order-free cumulative discipline;
+    a test recomputes it). Plan: dims broadcast into the fact scan,
+    ONE segment-keyed 4-sum conditional agg to |segments| rows, scalar
+    math — two exchanges at any fact size; the propensity model
+    upgrade path (logistic per fine stratum) keeps the identical
+    shape with more strata."""
+    from ..data import load_table
+    from .relational import _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "c_mktsegment", "r_name")
+    )
+    lab = o.join(F.broadcast(dim), o["o_custkey"] == dim["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y_cents"),
+    )
+    seg = lab.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("n_treat"),
+        F.sum(F.when(F.col("t") == 1, F.col("y_cents")).otherwise(0)).alias(
+            "s1_cents"
+        ),
+        F.sum(F.when(F.col("t") == 0, F.col("y_cents")).otherwise(0)).alias(
+            "s0_cents"
+        ),
+    )
+    delta = F.col("s1_cents").cast("double") / F.col("n_treat") - F.col(
+        "s0_cents"
+    ).cast("double") / (F.col("n") - F.col("n_treat"))
+    return seg.select(
+        "segment",
+        "n",
+        "n_treat",
+        F.round(F.col("n_treat").cast("double") / F.col("n"), 6).alias(
+            "propensity"
+        ),
+        F.round(delta / 100, 6).alias("segment_ate_dollars"),
+        F.round(delta * F.col("n") * 10).cast("long").alias(
+            "ate_contrib_deci_cents"
+        ),
+    ).orderBy("segment")

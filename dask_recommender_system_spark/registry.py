@@ -310,6 +310,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_shortest_paths_weighted",
     "survival_nelson_aalen",
     "causal_impact_lite",
+    "ipw_ate_by_segment",
 ]
 
 

@@ -1956,3 +1956,22 @@ def test_causal_impact_counterfactual_consistency(spark, sf_dir):
         step = r["cum_effect_dollars"] - prev
         assert abs(step - r["effect_dollars"]) < 2e-5, r
         prev = r["cum_effect_dollars"]
+
+
+def test_ipw_stratified_telescopes(spark, sf_dir):
+    """ipw_ate_by_segment: propensity in (0,1) per stratum (overlap
+    holds), each segment's within-stratum effect equals the diff of
+    means to rounding, and the overall ATE recomposed from integer
+    deci-cent contributions matches Σ n_s·Δ_s / N."""
+    from pyspark.sql import functions as F
+
+    rows = q("ipw_ate_by_segment", spark, sf_dir).collect()
+    assert rows
+    N = sum(r["n"] for r in rows)
+    for r in rows:
+        assert 0 < r["propensity"] < 1
+        contrib_dollars = r["ate_contrib_deci_cents"] / 1000.0
+        assert abs(contrib_dollars - r["segment_ate_dollars"] * r["n"]) < 0.01 * r["n"]
+    ate = sum(r["ate_contrib_deci_cents"] for r in rows) / 1000.0 / N
+    weighted = sum(r["segment_ate_dollars"] * r["n"] for r in rows) / N
+    assert abs(ate - weighted) < 1e-3
