@@ -311,6 +311,7 @@ DRIVER_PRIORITY: list[str] = [
     "survival_nelson_aalen",
     "causal_impact_lite",
     "ipw_ate_by_segment",
+    "stream_hysteresis_alerts",
 ]
 
 

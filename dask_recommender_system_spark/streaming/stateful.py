@@ -99,3 +99,57 @@ def apply_sessionization(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- X287: streaming hysteresis (Schmitt-trigger) alerting ---------------
+
+HYST_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, sec long, value double, alert int"
+)
+HYST_STATE_SCHEMA = "alert int"
+_HYST_COLUMNS = ["user_id", "event_id", "sec", "value", "alert"]
+
+
+def hysteresis_with_state(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user Schmitt-trigger recurrence with the alert BIT as the only
+    state — the minimal custom stateful operator: raise > HYST_HI,
+    clear < HYST_LO, hold in between (state carries holds across
+    micro-batches). Emits every event with its alert flag; one int of
+    state per user, no timers (the alert is meaningful forever, unlike
+    a session window — eviction would CHANGE semantics, not save
+    memory, so none is declared)."""
+    from ..operators.grouped import HYST_HI, HYST_LO
+
+    (user_id,) = key
+    alert = state.get[0] if state.exists else 0
+    out: list[tuple[int, int, int, float, int]] = []
+    for pdf in pdfs:
+        block = pdf.sort_values(["sec", "event_id"])
+        for _, row in block.iterrows():
+            v = float(row["value"])
+            if v > HYST_HI:
+                alert = 1
+            elif v < HYST_LO:
+                alert = 0
+            out.append(
+                (user_id, int(row["event_id"]), int(row["sec"]), v, alert)
+            )
+    state.update((alert,))
+    yield pd.DataFrame(out, columns=_HYST_COLUMNS)
+
+
+def apply_hysteresis(events_with_epoch: DataFrame) -> DataFrame:
+    """events_with_epoch: streaming frame with
+    (user_id long, event_id long, sec long, value double)."""
+    ev = events_with_epoch.withColumn(
+        "ts", F.timestamp_seconds("sec")
+    ).withWatermark("ts", WATERMARK_DELAY)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        hysteresis_with_state,
+        outputStructType=HYST_OUTPUT_SCHEMA,
+        stateStructType=HYST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -21,6 +21,8 @@ from pyspark.sql import types as T
 
 from ..registry import query
 from ..operators.windows import window_events_tumbling  # reuse the oracle
+from ..operators import grouped as _grouped  # noqa: F401  (register the
+# batch hysteresis twin before this module reuses its oracle below)
 from ..registry import REGISTRY
 
 # src path -> sniffed parquet schema (see read_events_stream)
@@ -1205,3 +1207,50 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("click_id")
+
+
+@query(
+    "stream_hysteresis_alerts",
+    oracle=REGISTRY["hysteresis_alert_flags"].oracle,
+)
+def stream_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X287: the STREAMING twin of hysteresis_alert_flags — the same
+    Schmitt-trigger recurrence (raise > HI, clear < LO, hold between)
+    run as a custom stateful operator via applyInPandasWithState, with
+    the alert BIT as the entire per-user state
+    (streaming/stateful.py:apply_hysteresis). This is the alerting
+    shape production monitors actually deploy (state survives across
+    micro-batches so a hold after a restart keeps the pinned level),
+    and the simplest possible stateful kernel: one int per user, no
+    timers — eviction would CHANGE semantics (an alert holds
+    indefinitely), not save meaningful memory. Because every event
+    emits exactly one row regardless of watermarks, the drained
+    append-mode output equals the batch recurrence EXACTLY — it shares
+    the batch twin's oracle verbatim, no closed-form adjustment (the
+    strongest stream/batch parity in the streaming family)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .stateful import apply_hysteresis
+
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "value",
+        )
+    )
+    out = apply_hysteresis(ev)
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("user_id", "sec", "event_id")

@@ -237,3 +237,29 @@ def test_stream_left_outer_withholds_open_windows(spark, sf_dir):
         | (F.col("purchase_ts") > F.col("click_ts") + 7200)
     ).count() == 0
     df.unpersist()
+
+
+def test_stream_hysteresis_equals_batch(spark, sf_dir):
+    """stream_hysteresis_alerts: the drained stream must equal the batch
+    recurrence row-for-row (same subset, same order keys) — the
+    strongest stream/batch parity in the family (no watermark
+    adjustment at all)."""
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    s = (
+        REGISTRY["stream_hysteresis_alerts"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "sec", "event_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        REGISTRY["hysteresis_alert_flags"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "sec", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(s) == len(b) > 0
+    for col in ("user_id", "event_id", "sec", "alert"):
+        assert (s[col].values == b[col].values).all(), col
