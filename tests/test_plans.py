@@ -266,6 +266,10 @@ _NON_EQUI_OK = {
     "revenue_changepoint_fit",  # 1-row total-sufficient-stats broadcast
     "conformal_prediction_interval",  # 1-row rank-k + q-width broadcasts
     "causal_impact_lite",  # 1-row OLS-fit (a, b) broadcast onto post days
+    "frequent_itemsets_l3",  # 1-row total-order-count broadcast
+    "ppmi_cooccurrence",  # 1-row pair-event-total broadcast
+    "survival_nelson_aalen",  # 1-row observation-end + total broadcasts
+    "mmr_rerank",  # 20-row candidate-pool + 1-row mu broadcasts (bounded)
     "split_train_test_temporal",  # 1-row percentile-cutoff broadcast
     "split_leakage_audit",  # same 1-row cutoff + three 1-row stat broadcasts
     "quality_stratified_sample",  # 1-row decile-cuts broadcast onto docs
