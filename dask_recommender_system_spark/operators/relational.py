@@ -2444,3 +2444,90 @@ def sql_interface_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q4)
+
+
+# TPC-H Q13 (customer distribution): the preserved-row outer-join pin —
+# customers with ZERO qualifying orders must survive the LEFT OUTER join
+# as c_count = 0 and show up in the histogram; the join-condition filter
+# (the spec's comment NOT LIKE, adapted to the fixture's priority column
+# so zero-order customers exist at every SF)
+# applies to the null-producing side ONLY, never to customer. Two stacked
+# aggregations: per-customer order count, then count-of-counts.
+TPCH_Q13 = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("sql_interface_q13", oracle=TPCH_Q13)
+def sql_interface_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X288: TPC-H Q13 verbatim through `spark.sql` — the preserved-row
+    outer-join pin of the SQL-interface series (Q1 scan-agg, Q3 star
+    top-k, Q4 correlated EXISTS, Q5 snowflake, Q7 self-joined dim, Q10
+    wide rollup, Q18 IN-over-aggregate): LEFT OUTER with a filter in
+    the JOIN CONDITION, not the WHERE clause — Catalyst must push
+    `o_orderpriority = '1-URGENT'` into the orders scan (null-producing
+    side only; pushing it to WHERE would silently drop zero-order
+    customers, the classic outer-join bug) and keep every customer row
+    alive as c_count = 0. COUNT(o_orderkey) counts non-NULL matches
+    exactly as the spec's COUNT over the preserved join. Two stacked
+    hash aggregations follow: |customer| rows, then |distinct counts|
+    rows. Integer-only output — zero float surface; ORDER BY carries
+    the (custdist, c_count) double tiebreak so cross-engine ordering
+    cannot flap. At 100 TB the custkey-keyed join and first rollup
+    share one shuffle (same key), the second rollup is KBs. The spec's
+    comment NOT LIKE '%special%requests%' maps to the fixture's
+    priority column (orders has no comment column; TESTDATA.md)."""
+    _utc(spark)
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q13)
+
+
+# TPC-H Q14 (promotion effect): the conditional-aggregation pin — one
+# CASE'd sum over a month of lineitem joined to the part dim, reported as
+# a percentage. Revenue stays exact integer cents x basis points in BOTH
+# the numerator and denominator; ONE final double division.
+TPCH_Q14 = """
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN cents_bp
+                         ELSE 0 END) AS BIGINT) AS promo_cents_bp,
+           CAST(SUM(cents_bp) AS BIGINT) AS total_cents_bp,
+           ROUND(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN cents_bp
+                               ELSE 0 END) AS DOUBLE) * 100
+                 / SUM(cents_bp), 6) AS promo_revenue_pct
+    FROM (
+        SELECT p_type,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                   AS cents_bp
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-09-01'
+          AND l_shipdate < DATE '1996-10-01') priced
+"""
+
+
+@query("sql_interface_q14", oracle=TPCH_Q14)
+def sql_interface_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X289: TPC-H Q14 verbatim through `spark.sql` — the conditional-
+    aggregation pin of the SQL-interface series: the promo share of one
+    month's revenue, a CASE inside SUM over lineitem ⋈ part. Catalyst
+    pushes the ship-month window into the lineitem scan (PushedFilters
+    asserted), broadcasts the part dim (KBs of (partkey, type) after
+    column pruning), and computes both sums in ONE pass — a naive
+    engine would scan twice, once per sum. Numerator and denominator
+    stay exact integer cents × basis points (BIGINT, add-order-free);
+    the percentage is a single double division of two exact integers,
+    bit-identical cross-engine, emitted next to both raw integers so
+    the oracle checks the division AND its inputs. Single-row output.
+    At 100 TB: one column-pruned fact scan, one broadcast, no shuffle
+    beyond the final 1-row gather — scan-dominated by design."""
+    _utc(spark)
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q14)

@@ -312,6 +312,8 @@ DRIVER_PRIORITY: list[str] = [
     "causal_impact_lite",
     "ipw_ate_by_segment",
     "stream_hysteresis_alerts",
+    "sql_interface_q13",
+    "sql_interface_q14",
 ]
 
 

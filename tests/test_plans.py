@@ -1979,3 +1979,42 @@ def test_ipw_stratified_telescopes(spark, sf_dir):
     ate = sum(r["ate_contrib_deci_cents"] for r in rows) / 1000.0 / N
     weighted = sum(r["segment_ate_dollars"] * r["n"] for r in rows) / N
     assert abs(ate - weighted) < 1e-3
+
+
+def test_q13_preserves_zero_order_customers(spark, sf_dir):
+    """sql_interface_q13: the priority filter must push to the orders
+    (null-producing) side only — zero-order customers survive as
+    c_count = 0 — and the custkey join + first rollup must not plan a
+    cartesian. Cross-checks the histogram total against |customer|."""
+    df = q("sql_interface_q13", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    import re
+
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("o_orderpriority" in s for s in scans), scans
+    rows = df.collect()
+    from dask_recommender_system_spark.data import load_table
+
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert any(r["c_count"] == 0 for r in rows)  # preserved rows exist
+
+
+def test_q14_single_pass_broadcast(spark, sf_dir):
+    """sql_interface_q14: the ship-month window must reach the lineitem
+    scan, the part dim must broadcast, and the percentage must equal
+    the division of the two emitted exact integers."""
+    df = q("sql_interface_q14", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_shipdate" in s for s in scans), scans
+    r = df.collect()[0]
+    assert 0 < r["promo_cents_bp"] < r["total_cents_bp"]
+    assert (
+        abs(r["promo_revenue_pct"] - round(r["promo_cents_bp"] * 100 / r["total_cents_bp"], 6))
+        < 1e-9
+    )
