@@ -1349,3 +1349,126 @@ def ipw_ate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ate_contrib_deci_cents"
         ),
     ).orderBy("segment")
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH e AS ({ENCODED_SQL}),
+    s AS (SELECT {_PRED_SQL} AS pred,
+                 (rating >= {REL_THRESHOLD})::INT AS pos
+          FROM e),
+    b AS (SELECT CAST(FLOOR(pred * {CAL_BIN_SCALE}) AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS s_pos
+          FROM s GROUP BY 1),
+    pre AS (SELECT bin, n, s_pos,
+                   CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                   CAST(SUM(s_pos) OVER (ORDER BY bin) AS BIGINT) AS cs
+            FROM b),
+    pairs AS (
+        SELECT i.bin AS i, j.bin AS j,
+               CAST(j.cs - i.cs + i.s_pos AS DOUBLE)
+                   / (j.cn - i.cn + i.n) AS avg_ij
+        FROM pre i JOIN pre j ON i.bin <= j.bin),
+    mins AS (
+        SELECT k.bin AS k, p.i AS i, MIN(p.avg_ij) AS min_avg
+        FROM b k JOIN pairs p ON p.i <= k.bin AND p.j >= k.bin
+        GROUP BY 1, 2),
+    iso AS (SELECT k, MAX(min_avg) AS iso_val FROM mins GROUP BY 1)
+    SELECT b.bin, b.n, b.s_pos,
+           ROUND(CAST(b.s_pos AS DOUBLE) / b.n, 6) AS raw_rate,
+           ROUND(iso.iso_val, 6) AS iso_rate
+    FROM b JOIN iso ON b.bin = iso.k
+    ORDER BY b.bin
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X291: isotonic calibration — pool-adjacent-violators over the
+    reliability bins (Zadrozny & Elkan 2002; the step-function
+    calibrator sklearn's ``IsotonicRegression`` fits), closing the
+    calibration family: calibration_bins reports miscalibration,
+    this REPAIRS it into the monotone rate the scores imply. PAV is
+    inherently sequential, so the scale formulation splits: the
+    data-sized pass is ONE fixed-width-bin keyed agg (map-side
+    partials, |bins| output rows — calibration_bins' plan); PAV then
+    runs on the BOUNDED bin table via the minimax closed form
+    iso(k) = max_{i<=k} min_{j>=k} mean(s[i..j]) — an O(B^2)
+    pair grid + O(B^3)-bounded triple join over B ~ tens of rows,
+    expressible identically in both engines (no recursion, no driver
+    loop). Every mean is a single double division of exact integer
+    prefix-sum differences, so min/max pick bit-identical values
+    cross-engine; only the final report rounds. Pinned invariants
+    (tests): iso_rate is nondecreasing in bin, pooled mass is
+    conserved (Σ n·iso = Σ s_pos to rounding), and the violator branch
+    fires (raw_rate is non-monotone on the fixture, so iso != raw
+    somewhere). At 100 TB the bin table stays B rows no matter the
+    fact size — the PAV stage costs the same at every scale."""
+    e = encoded_ratings(spark, sf_dir)
+    s = e.select(
+        _pred_expr().alias("pred"),
+        (F.col("rating") >= REL_THRESHOLD).cast("int").alias("pos"),
+    )
+    b = s.groupBy(
+        F.floor(F.col("pred") * CAL_BIN_SCALE).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("pos").cast("long").alias("s_pos"),
+    )
+    # prefix sums over the BOUNDED bin table (pmod window: bounded-table
+    # global order, never a data-sized single partition)
+    w_cum = (
+        W.partitionBy(F.pmod(F.col("bin"), F.lit(1)))
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pre = b.select(
+        "bin",
+        "n",
+        "s_pos",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("s_pos").over(w_cum).alias("cs"),
+    ).localCheckpoint()
+    pi = pre.select(
+        F.col("bin").alias("i"),
+        F.col("n").alias("n_i"),
+        F.col("s_pos").alias("s_i"),
+        F.col("cn").alias("cn_i"),
+        F.col("cs").alias("cs_i"),
+    )
+    pj = pre.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cn_j"),
+        F.col("cs").alias("cs_j"),
+    )
+    pairs = pi.join(F.broadcast(pj), F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cs_j") - F.col("cs_i") + F.col("s_i")).cast("double")
+            / (F.col("cn_j") - F.col("cn_i") + F.col("n_i"))
+        ).alias("avg_ij"),
+    )
+    ks = b.select(F.col("bin").alias("k"))
+    mins = (
+        pairs.join(
+            F.broadcast(ks),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min("avg_ij").alias("min_avg"))
+    )
+    iso = mins.groupBy("k").agg(F.max("min_avg").alias("iso_val"))
+    return (
+        b.join(iso, b["bin"] == iso["k"])
+        .select(
+            "bin",
+            "n",
+            "s_pos",
+            F.round(F.col("s_pos").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso_val"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -1970,3 +1970,137 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("pos").cast("long").alias("pos"),
         "item_id", "sim_attr", "score", "adjusted",
     ).orderBy("user_id", "pos")
+
+
+CM_W = 32  # count-min width (buckets per hash row)
+CM_D = 4  # count-min depth (independent hash rows)
+
+
+@query(
+    "countmin_sketch_rollup",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(user_id AS BIGINT) AS uid, event_type AS etype
+        FROM events),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+    e4 AS (
+        SELECT CAST(gj AS BIGINT) AS j,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('cm' || gj || '|' || uid || ':' || etype), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % {CM_W} AS bucket
+        FROM ev CROSS JOIN (SELECT UNNEST(range({CM_D})) AS gj) g),
+    counters AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e4 GROUP BY 1, 2),
+    truec AS (
+        SELECT uid, etype, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM ev GROUP BY 1, 2),
+    cand AS (
+        SELECT uid, etype, true_cnt, CAST(gj AS BIGINT) AS j,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('cm' || gj || '|' || uid || ':' || etype), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % {CM_W} AS bucket
+        FROM truec CROSS JOIN (SELECT UNNEST(range({CM_D})) AS gj) g),
+    est AS (
+        SELECT uid, etype, MAX(true_cnt) AS true_cnt,
+               MIN(c) AS cm_estimate
+        FROM cand JOIN counters USING (j, bucket) GROUP BY 1, 2)
+    SELECT uid AS user_id, etype AS event_type, true_cnt, cm_estimate,
+           cm_estimate - true_cnt AS over_cnt,
+           (cm_estimate - true_cnt) * {100 * CM_W} <= 272 * n_total
+               AS within_bound,
+           n_total
+    FROM est, tot
+    ORDER BY user_id, event_type
+    """,
+)
+def countmin_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X290: count-min sketch build → merge → point-query, completing
+    the mergeable-sketch family (hll_sketch_rollup: distinct counts;
+    kll_quantile_rollup: quantiles; theta_sketch_set_ops: set algebra;
+    here: frequency estimates — Cormode & Muthukrishnan 2005). Depth
+    {CM_D} × width {CM_W} counters; the hash family is the engine's
+    portable 60-bit md5 (dedup.py h60) salted per row, so the DuckDB
+    oracle recomputes EVERY counter and every point query exactly — the
+    same all-values promotion hll/kll got. Build is two-level to pin
+    mergeability: per-week partial sketches (map-side combine collapses
+    each partition to ≤ {CM_D}·{CM_W} rows before the shuffle) summed
+    into the global sketch — counter-sum associativity IS the merge, and
+    any merge bug lands in the value hash. Query side: every
+    (user, event_type) key joins its {CM_D} counters, estimate = MIN.
+    Pinned invariants (tests): cm_estimate ≥ true_cnt ALWAYS (min of
+    superset sums), and the classical ε = e/w bound as pure-integer
+    arithmetic — over_cnt·100·w ≤ 272·N (both branches fire: ~9% of
+    sf0.001 keys have a collision-free row ⇒ over_cnt = 0, the rest
+    overestimate). At 100 TB: sketch build is ONE bounded-output keyed
+    agg over a {CM_D}×-exploded scan; the query join keys on (j, bucket)
+    against {CM_D * CM_W} broadcast rows — no data-sized shuffle beyond
+    the per-key rollup the exact answer needs anyway."""
+    from .dedup import h60_spark
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 604800").alias("wk"),
+    )
+
+    def cm_hash(j_col, uid_col, etype_col):
+        return F.pmod(
+            h60_spark(
+                F.concat(
+                    F.lit("cm"),
+                    j_col.cast("string"),
+                    F.lit("|"),
+                    uid_col.cast("string"),
+                    F.lit(":"),
+                    etype_col,
+                )
+            ),
+            F.lit(CM_W),
+        )
+
+    e4 = ev.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1)))
+    ).select(
+        "wk",
+        F.col("j").cast("long").alias("j"),
+        cm_hash(F.col("j"), F.col("uid"), F.col("etype")).alias("bucket"),
+    )
+    # per-week partial sketches, then the merge — counter sums are
+    # associative, so the two-level plan equals the one-shot build and
+    # any merge defect shows up in the value hash
+    wk_counters = e4.groupBy("wk", "j", "bucket").agg(F.count("*").alias("c"))
+    counters = wk_counters.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+
+    truec = ev.groupBy("uid", "etype").agg(F.count("*").alias("true_cnt"))
+    n_df = ev.agg(F.count("*").alias("n_total"))
+    cand = truec.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1)))
+    ).select(
+        "uid",
+        "etype",
+        "true_cnt",
+        F.col("j").cast("long").alias("j"),
+        cm_hash(F.col("j"), F.col("uid"), F.col("etype")).alias("bucket"),
+    )
+    est = (
+        cand.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("uid", "etype")
+        .agg(
+            F.max("true_cnt").alias("true_cnt"),
+            F.min("c").alias("cm_estimate"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("uid").alias("user_id"),
+            F.col("etype").alias("event_type"),
+            "true_cnt",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_cnt")).alias("over_cnt"),
+            (
+                (F.col("cm_estimate") - F.col("true_cnt")) * (100 * CM_W)
+                <= 272 * F.col("n_total")
+            ).alias("within_bound"),
+            "n_total",
+        )
+        .orderBy("user_id", "event_type")
+    )

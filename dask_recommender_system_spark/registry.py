@@ -314,6 +314,8 @@ DRIVER_PRIORITY: list[str] = [
     "stream_hysteresis_alerts",
     "sql_interface_q13",
     "sql_interface_q14",
+    "countmin_sketch_rollup",
+    "isotonic_calibration",
 ]
 
 

@@ -314,6 +314,9 @@ _NON_EQUI_OK = {
     "minhash_band_sweep",  # 1-row true-pair-count broadcast onto 3 rows
     "recs_novelty",  # inherits recommend_top_k's 1-row mu broadcasts
     "bigram_lm_logprob",  # 1-row vocab-size broadcast, like unigram's
+    "countmin_sketch_rollup",  # 1-row n_total broadcast onto the key table
+    "isotonic_calibration",  # PAV minimax grid: bounded bin-table
+    # self-joins (i<=j pairs, i<=k<=j triples) — B ~ tens of rows
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2018,3 +2021,36 @@ def test_q14_single_pass_broadcast(spark, sf_dir):
         abs(r["promo_revenue_pct"] - round(r["promo_cents_bp"] * 100 / r["total_cents_bp"], 6))
         < 1e-9
     )
+
+
+def test_countmin_never_underestimates_and_bound(spark, sf_dir):
+    """countmin_sketch_rollup: estimate >= true count for EVERY key (a
+    CM point query mins over superset sums), both error branches fire
+    on the fixture (some collision-free keys, some overestimates), the
+    e/w bound holds for >= 85% of keys, and counter mass conservation:
+    sum over keys of true_cnt == n_total."""
+    rows = q("countmin_sketch_rollup", spark, sf_dir).collect()
+    assert rows
+    n_total = rows[0]["n_total"]
+    assert all(r["cm_estimate"] >= r["true_cnt"] for r in rows)
+    assert any(r["over_cnt"] == 0 for r in rows)
+    assert any(r["over_cnt"] > 0 for r in rows)
+    assert sum(r["true_cnt"] for r in rows) == n_total
+    within = sum(1 for r in rows if r["within_bound"])
+    assert within >= 0.85 * len(rows)
+
+
+def test_isotonic_monotone_and_mass_conserving(spark, sf_dir):
+    """isotonic_calibration: iso_rate nondecreasing in bin, pooled mass
+    conserved (sum n*iso == sum s_pos to rounding), values inside [0,1],
+    and the violator branch fires (iso != raw somewhere — the fixture's
+    raw rates are non-monotone)."""
+    rows = q("isotonic_calibration", spark, sf_dir).orderBy("bin").collect()
+    assert len(rows) > 5
+    for a, b in zip(rows, rows[1:]):
+        assert b["iso_rate"] >= a["iso_rate"] - 1e-9
+    assert all(0.0 <= r["iso_rate"] <= 1.0 for r in rows)
+    mass = sum(r["n"] * r["iso_rate"] for r in rows)
+    true_mass = sum(r["s_pos"] for r in rows)
+    assert abs(mass - true_mass) < 0.01 * true_mass
+    assert any(abs(r["iso_rate"] - r["raw_rate"]) > 1e-6 for r in rows)
