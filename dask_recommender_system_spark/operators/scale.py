@@ -296,3 +296,122 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * HH_K > F.col("_total"))
         .select("key", "cnt")
     )
+
+
+GEO_SPAN = 1_000_000  # synthetic plane: integer micro-units per axis
+GEO_R = 200_000  # search radius (= grid cell size, so 3x3 covers R)
+GEO_K = 3  # neighbors kept per customer
+
+
+@query(
+    "geo_grid_knn",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('gx:' || c_custkey), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % {GEO_SPAN} AS cx,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('gy:' || c_custkey), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % {GEO_SPAN} AS cy
+        FROM customer),
+    s AS (
+        SELECT s_suppkey,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('sx:' || s_suppkey), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % {GEO_SPAN} AS sx,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('sy:' || s_suppkey), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % {GEO_SPAN} AS sy
+        FROM supplier),
+    pairs AS (
+        SELECT c_custkey, s_suppkey,
+               CAST((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+                    AS BIGINT) AS d2
+        FROM c, s
+        WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+              <= CAST({GEO_R} AS BIGINT) * {GEO_R}),
+    r AS (
+        SELECT c_custkey, s_suppkey, d2,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                  ORDER BY d2, s_suppkey) AS rnk
+        FROM pairs)
+    SELECT c_custkey, CAST(rnk AS BIGINT) AS rank, s_suppkey, d2
+    FROM r WHERE rnk <= {GEO_K}
+    ORDER BY c_custkey, rank
+    """,
+)
+def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X292: grid-bucketed spatial k-nearest-neighbors — the third
+    bucketing strategy of the scale family (join_salted: skew,
+    join_bucketed: co-location, here: SPACE). Radius-limited kNN
+    (nearest {GEO_K} suppliers within R of each customer) over a
+    synthetic integer plane whose coordinates derive from the portable
+    h60 hash, so the oracle rebuilds the exact geometry. The scale
+    move: cell size = R, supplier side exploded into its 3x3 cell
+    neighborhood (9 rows), customer side keyed on its ONE cell — an
+    EQUI-join on (cell_x, cell_y) that PROVABLY contains every pair
+    within R (any point at distance <= R lies within one cell step),
+    so the grid join is exact, not approximate — the oracle checks it
+    against the naive all-pairs filter. Distances are exact BIGINT
+    squared micro-units (no sqrt, no float anywhere); ties break on
+    supplier key. Pinned (tests): some customers have ZERO suppliers
+    in range (empty-neighborhood branch fires), per-customer ranks are
+    dense from 1, and every emitted d2 <= R^2. At 100 TB both sides
+    are data-sized: the join stays keyed on cells (shuffle ~9x the
+    supplier side, bounded fan-out), per-customer top-k is a keyed
+    window — the BucketedRandomProjectionLSH shape with exactness the
+    hash family cannot give."""
+    from .dedup import h60_spark
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.pmod(
+            h60_spark(F.concat(F.lit("gx:"), F.col("c_custkey").cast("string"))),
+            F.lit(GEO_SPAN),
+        ).alias("cx"),
+        F.pmod(
+            h60_spark(F.concat(F.lit("gy:"), F.col("c_custkey").cast("string"))),
+            F.lit(GEO_SPAN),
+        ).alias("cy"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.pmod(
+            h60_spark(F.concat(F.lit("sx:"), F.col("s_suppkey").cast("string"))),
+            F.lit(GEO_SPAN),
+        ).alias("sx"),
+        F.pmod(
+            h60_spark(F.concat(F.lit("sy:"), F.col("s_suppkey").cast("string"))),
+            F.lit(GEO_SPAN),
+        ).alias("sy"),
+    )
+    # supplier exploded into its 3x3 cell neighborhood: offset index
+    # o in 0..8 decodes to (o % 3 - 1, o DIV 3 - 1)
+    s9 = supp.withColumn(
+        "o", F.explode(F.sequence(F.lit(0), F.lit(8)))
+    ).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.expr(f"sx DIV {GEO_R}") + (F.col("o") % 3 - 1)).alias("cell_x"),
+        (F.expr(f"sy DIV {GEO_R}") + F.expr("o DIV 3") - 1).alias("cell_y"),
+    )
+    c_cells = cust.select(
+        "c_custkey",
+        "cx",
+        "cy",
+        F.expr(f"cx DIV {GEO_R}").alias("cell_x"),
+        F.expr(f"cy DIV {GEO_R}").alias("cell_y"),
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        c_cells.join(s9, ["cell_x", "cell_y"])
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            d2.cast("long").alias("d2"),
+        )
+        .filter(F.col("d2") <= GEO_R * GEO_R)
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= GEO_K)
+        .select("c_custkey", "rank", "s_suppkey", "d2")
+        .orderBy("c_custkey", "rank")
+    )

@@ -316,6 +316,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q14",
     "countmin_sketch_rollup",
     "isotonic_calibration",
+    "geo_grid_knn",
 ]
 
 

@@ -2054,3 +2054,27 @@ def test_isotonic_monotone_and_mass_conserving(spark, sf_dir):
     true_mass = sum(r["s_pos"] for r in rows)
     assert abs(mass - true_mass) < 0.01 * true_mass
     assert any(abs(r["iso_rate"] - r["raw_rate"]) > 1e-6 for r in rows)
+
+
+def test_geo_grid_knn_exact_and_keyed(spark, sf_dir):
+    """geo_grid_knn: the grid join must stay an EQUI-join on cells (no
+    nested-loop anywhere), ranks are dense from 1 per customer, every
+    emitted distance is within the radius, and the empty-neighborhood
+    branch fires (some customers have no supplier in range)."""
+    from dask_recommender_system_spark.operators.scale import GEO_R
+    from dask_recommender_system_spark.data import load_table
+
+    df = q("geo_grid_knn", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows
+    assert all(r["d2"] <= GEO_R * GEO_R for r in rows)
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["c_custkey"], []).append(r["rank"])
+    for ranks in by_cust.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert len(by_cust) < n_cust  # some customers out of range of all
