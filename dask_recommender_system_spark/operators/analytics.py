@@ -3942,18 +3942,28 @@ L3_MIN_ORDERS = 2  # minimum co-order support for a 3-itemset
 @query(
     "frequent_itemsets_l3",
     oracle=f"""
-    WITH t AS (
-        SELECT DISTINCT a.l_orderkey, a.l_partkey AS x, b.l_partkey AS y,
-               c.l_partkey AS z
-        FROM lineitem a
-        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-                       AND a.l_partkey < b.l_partkey
-        JOIN lineitem c ON a.l_orderkey = c.l_orderkey
-                       AND b.l_partkey < c.l_partkey),
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS items
+        FROM lineitem GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_partkey) >= 3),
+    -- staged per-row index explosion (i < j < k by construction): the
+    -- relational triple self-join form made DuckDB pick a GLOBAL
+    -- piecewise-merge join on the partkey inequality alone — O(n^2) at
+    -- sf0.1 (~50 CPU-minutes); this basket form mirrors the engine's
+    -- in-row HOF generation and stays linear in orders
+    b1 AS (SELECT l_orderkey, items,
+                  UNNEST(range(1, len(items) + 1)) AS gi
+           FROM baskets),
+    b2 AS (SELECT l_orderkey, items, gi,
+                  UNNEST(range(gi + 1, len(items) + 1)) AS gj
+           FROM b1),
+    b3 AS (SELECT l_orderkey, items, gi, gj,
+                  UNNEST(range(gj + 1, len(items) + 1)) AS gk
+           FROM b2),
     cnt AS (
-        SELECT x AS item_a, y AS item_b, z AS item_c,
+        SELECT items[gi] AS item_a, items[gj] AS item_b, items[gk] AS item_c,
                CAST(COUNT(*) AS BIGINT) AS n_orders_together
-        FROM t GROUP BY 1, 2, 3),
+        FROM b3 GROUP BY 1, 2, 3),
     tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
             FROM lineitem)
     SELECT item_a, item_b, item_c, n_orders_together,
