@@ -4285,3 +4285,131 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+MASE_H = 90  # rolling-origin test horizon: the last H observed days
+MASE_SEASON = 7  # seasonal-naive lag
+
+
+@query(
+    "forecast_backtest_mase",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    lagged AS (
+        SELECT day, y,
+               LAG(y, 1) OVER (ORDER BY day) AS lag1,
+               LAG(y, {MASE_SEASON}) OVER (ORDER BY day) AS lag7,
+               MAX(day) OVER () AS mx
+        FROM daily),
+    agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN day <= mx - {MASE_H} AND lag1 IS NOT NULL
+                          THEN ABS(y - lag1) ELSE 0 END) AS BIGINT)
+                AS den_sum,
+            CAST(SUM(CASE WHEN day <= mx - {MASE_H} AND lag1 IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS den_n,
+            CAST(SUM(CASE WHEN day > mx - {MASE_H} AND lag1 IS NOT NULL
+                          THEN ABS(y - lag1) ELSE 0 END) AS BIGINT)
+                AS naive_sum,
+            CAST(SUM(CASE WHEN day > mx - {MASE_H} AND lag1 IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS naive_n,
+            CAST(SUM(CASE WHEN day > mx - {MASE_H} AND lag7 IS NOT NULL
+                          THEN ABS(y - lag7) ELSE 0 END) AS BIGINT)
+                AS snaive_sum,
+            CAST(SUM(CASE WHEN day > mx - {MASE_H} AND lag7 IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS snaive_n
+        FROM lagged)
+    SELECT 'naive' AS method, naive_n AS n_test,
+           naive_sum AS sum_abs_err_cents,
+           ROUND(CAST(naive_sum AS DOUBLE) * den_n / naive_n / den_sum, 6)
+               AS mase
+    FROM agg
+    UNION ALL
+    SELECT 'seasonal_naive', snaive_n, snaive_sum,
+           ROUND(CAST(snaive_sum AS DOUBLE) * den_n / snaive_n / den_sum, 6)
+    FROM agg
+    ORDER BY method
+    """,
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X294: rolling-origin forecast backtest scored by MASE (Hyndman &
+    Koehler 2006) — the scale-free forecast-accuracy report that
+    completes the time-series family (holt_linear_forecast predicts,
+    revenue_changepoint_fit segments, THIS one says whether any of it
+    beats the naive baselines): one-step naive (y[t-1]) and
+    seasonal-naive (y[t-7]) forecasts over the last {MASE_H} observed
+    days, each error scaled by the TRAINING period's in-sample naive
+    MAE — the denominator that makes accuracy comparable across series
+    of different magnitudes. Everything before the final ratio is exact
+    integer cents: daily revenue sums, absolute lag errors, and the
+    four conditional sums collapse in ONE pass over the bounded day
+    table (lags via the pmod window — never an unpartitioned
+    data-sized sort; the day table is calendar-bounded). MASE =
+    (err_sum·den_n)/(n·den_sum) — one double expression over four
+    exact integers, bit-identical cross-engine. Pinned (tests): MASE
+    > 0, the seasonal leg has fewer scored days than the naive leg
+    only when the seasonal lag falls off the series edge, and the
+    naive test MAE recomputes from the emitted sums. At 100 TB the
+    fact scan dominates; the backtest itself is O(|days|)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    w_ord = W.partitionBy(F.pmod(F.col("day"), F.lit(1))).orderBy("day")
+    w_all = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    lagged = daily.select(
+        "day",
+        "y",
+        F.lag("y", 1).over(w_ord).alias("lag1"),
+        F.lag("y", MASE_SEASON).over(w_ord).alias("lag7"),
+        F.max("day").over(w_all).alias("mx"),
+    )
+    is_train = F.col("day") <= F.col("mx") - MASE_H
+    is_test = F.col("day") > F.col("mx") - MASE_H
+    agg = lagged.agg(
+        F.sum(
+            F.when(
+                is_train & F.col("lag1").isNotNull(),
+                F.abs(F.col("y") - F.col("lag1")),
+            ).otherwise(0)
+        ).alias("den_sum"),
+        F.sum(
+            F.when(is_train & F.col("lag1").isNotNull(), 1).otherwise(0)
+        ).alias("den_n"),
+        F.sum(
+            F.when(
+                is_test & F.col("lag1").isNotNull(),
+                F.abs(F.col("y") - F.col("lag1")),
+            ).otherwise(0)
+        ).alias("naive_sum"),
+        F.sum(
+            F.when(is_test & F.col("lag1").isNotNull(), 1).otherwise(0)
+        ).alias("naive_n"),
+        F.sum(
+            F.when(
+                is_test & F.col("lag7").isNotNull(),
+                F.abs(F.col("y") - F.col("lag7")),
+            ).otherwise(0)
+        ).alias("snaive_sum"),
+        F.sum(
+            F.when(is_test & F.col("lag7").isNotNull(), 1).otherwise(0)
+        ).alias("snaive_n"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2, "
+            "'naive', naive_n, naive_sum, "
+            "ROUND(CAST(naive_sum AS DOUBLE) * den_n / naive_n / den_sum, 6), "
+            "'seasonal_naive', snaive_n, snaive_sum, "
+            "ROUND(CAST(snaive_sum AS DOUBLE) * den_n / snaive_n / den_sum, 6)"
+            ") AS (method, n_test, sum_abs_err_cents, mase)"
+        )
+    ).orderBy("method")

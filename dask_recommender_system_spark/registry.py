@@ -318,6 +318,7 @@ DRIVER_PRIORITY: list[str] = [
     "isotonic_calibration",
     "geo_grid_knn",
     "hybrid_search_rrf",
+    "forecast_backtest_mase",
 ]
 
 

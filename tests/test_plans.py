@@ -2105,3 +2105,23 @@ def test_rrf_fusion_recomputes_and_both_legs(spark, sf_dir):
         assert all(
             r["rrf_score"] > 1e-12 for r in both
         )
+
+
+def test_mase_backtest_structure(spark, sf_dir):
+    """forecast_backtest_mase: two methods, positive MASE, test windows
+    bounded by the horizon, and the cross-method MASE ratio equals the
+    cross-method (sum/n) ratio (shared denominator cancels)."""
+    from dask_recommender_system_spark.operators.analytics import MASE_H
+
+    rows = {r["method"]: r for r in q("forecast_backtest_mase", spark, sf_dir).collect()}
+    assert set(rows) == {"naive", "seasonal_naive"}
+    for r in rows.values():
+        assert 0 < r["n_test"] <= MASE_H
+        assert r["sum_abs_err_cents"] > 0
+        assert r["mase"] > 0
+    a, b = rows["naive"], rows["seasonal_naive"]
+    lhs = a["mase"] / b["mase"]
+    rhs = (a["sum_abs_err_cents"] * b["n_test"]) / (
+        b["sum_abs_err_cents"] * a["n_test"]
+    )
+    assert abs(lhs - rhs) < 1e-3
