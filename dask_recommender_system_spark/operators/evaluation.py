@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..models.common import hash_uniform
 from ..registry import query
+from ..data import RATINGS_SQL
 from .linalg import ENCODED_SQL, _init_sql, encoded_ratings
 
 RANK_K = 10  # @k cutoff for the ranking-metrics report
@@ -1471,4 +1472,104 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("iso_val"), 6).alias("iso_rate"),
         )
         .orderBy("bin")
+    )
+
+
+WILSON_MIN_N = 30  # minimum raters for a Wilson-ranked item
+WILSON_TOP = 25  # leaderboard size
+
+
+@query(
+    "wilson_ci_ranking",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    peritem AS (
+        SELECT item_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((rating >= {REL_THRESHOLD})::INT) AS BIGINT) AS pos
+        FROM r GROUP BY 1
+        HAVING COUNT(*) >= {WILSON_MIN_N}),
+    z AS (SELECT CAST(1.96 AS DOUBLE) AS z),
+    scored AS (
+        SELECT item_id, n, pos,
+               CAST(pos AS DOUBLE) / n AS phat,
+               ((CAST(pos AS DOUBLE) / n) + z * z / (2 * n)
+                - z * SQRT((CAST(pos AS DOUBLE) / n)
+                           * (1 - CAST(pos AS DOUBLE) / n) / n
+                           + z * z / (4.0 * n * n)))
+               / (1 + z * z / n) AS wilson_lb
+        FROM peritem, z),
+    ranked AS (
+        SELECT item_id, n, pos,
+               ROUND(phat, 6) AS phat,
+               ROUND(wilson_lb, 6) AS wilson_lb,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(wilson_lb, 6) DESC,
+                                       item_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT rank, item_id, n, pos, phat, wilson_lb
+    FROM ranked WHERE rank <= {WILSON_TOP}
+    ORDER BY rank
+    """,
+)
+def wilson_ci_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X295: leaderboard by the Wilson score lower bound (Wilson 1927;
+    the "how not to sort by average rating" correction) — rank items by
+    the 95% lower confidence bound on their positive-rating proportion
+    instead of the raw mean, so a 5/5 item cannot outrank a 480/520
+    item on sample-size luck. Every input to the bound is an exact
+    integer pair (n, pos) from ONE keyed agg; the bound itself is a
+    fixed double expression tree (z = 1.96) written identically in both
+    engines — division of exact integers, IEEE-correctly-rounded sqrt,
+    no aggregation of floats anywhere — so wilson_lb is bit-identical
+    and the leaderboard orders on ROUND(lb, 6) with an item tiebreak
+    (the rounded-before-use discipline). The global top-{WILSON_TOP}
+    compiles to TakeOrderedAndProject (per-partition top-k + one k-row
+    merge); the rank window then runs on {WILSON_TOP} rows. Pinned
+    (tests): wilson_lb < phat strictly for every item (the bound
+    penalizes), the ranking differs from the raw-phat ranking on the
+    fixture (the lesson the operator exists to teach), and bounds lie
+    in [0, 1]. At 100 TB: one scan, one keyed agg, O(k) after."""
+    from ..data import load_table as _lt, ratings_from_df
+
+    r = ratings_from_df(
+        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "orders")
+    )
+    peritem = (
+        r.groupBy("item_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("rating") >= REL_THRESHOLD).cast("int"))
+            .cast("long")
+            .alias("pos"),
+        )
+        .filter(F.col("n") >= WILSON_MIN_N)
+    )
+    z = F.lit(1.96)
+    phat = F.col("pos").cast("double") / F.col("n")
+    wilson = (
+        phat
+        + z * z / (2 * F.col("n"))
+        - z
+        * F.sqrt(
+            phat * (1 - phat) / F.col("n")
+            + z * z / (F.lit(4.0) * F.col("n") * F.col("n"))
+        )
+    ) / (1 + z * z / F.col("n"))
+    scored = peritem.select(
+        "item_id",
+        "n",
+        "pos",
+        F.round(phat, 6).alias("phat"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )
+    top = scored.orderBy(F.col("wilson_lb").desc(), "item_id").limit(
+        WILSON_TOP
+    )
+    w_b = W.partitionBy(F.pmod(F.col("item_id"), F.lit(1))).orderBy(
+        F.col("wilson_lb").desc(), "item_id"
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w_b).cast("long"))
+        .select("rank", "item_id", "n", "pos", "phat", "wilson_lb")
+        .orderBy("rank")
     )

@@ -319,6 +319,7 @@ DRIVER_PRIORITY: list[str] = [
     "geo_grid_knn",
     "hybrid_search_rrf",
     "forecast_backtest_mase",
+    "wilson_ci_ranking",
 ]
 
 

@@ -2125,3 +2125,16 @@ def test_mase_backtest_structure(spark, sf_dir):
         b["sum_abs_err_cents"] * a["n_test"]
     )
     assert abs(lhs - rhs) < 1e-3
+
+
+def test_wilson_bound_penalizes_and_reorders(spark, sf_dir):
+    """wilson_ci_ranking: the lower bound is strictly below the raw
+    proportion for every item, lies in [0,1], and the leaderboard
+    differs from a raw-phat ordering somewhere (the sample-size
+    correction actually reorders on this fixture)."""
+    rows = q("wilson_ci_ranking", spark, sf_dir).orderBy("rank").collect()
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 0.0 <= r["wilson_lb"] < r["phat"] <= 1.0
+    by_phat = sorted(rows, key=lambda r: (-r["phat"], r["item_id"]))
+    assert [r["item_id"] for r in by_phat] != [r["item_id"] for r in rows]
