@@ -4413,3 +4413,128 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (method, n_test, sum_abs_err_cents, mase)"
         )
     ).orderBy("method")
+
+
+@query(
+    "seasonal_decompose_additive",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    win AS (
+        SELECT day, y,
+               CAST(SUM(y) OVER (ORDER BY day
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS sum7,
+               CAST(COUNT(*) OVER (ORDER BY day
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS cnt7
+        FROM daily),
+    full7 AS (SELECT day, day % 7 AS dow, y, sum7
+              FROM win WHERE cnt7 = 7),
+    seas0 AS (
+        SELECT dow,
+               CAST(SUM(7 * y - sum7) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM full7 GROUP BY 1),
+    seas1 AS (
+        SELECT dow, (num * 10000) // (7 * cnt) AS s_micro FROM seas0),
+    seas AS (
+        SELECT dow,
+               s_micro - (SELECT CAST(SUM(s_micro) AS BIGINT) FROM seas1) // 7
+                   AS seas_micro
+        FROM seas1)
+    SELECT f.day, f.dow, f.y AS y_cents,
+           (f.sum7 * 10000) // 7 AS trend_micro,
+           s.seas_micro,
+           f.y * 10000 - (f.sum7 * 10000) // 7 - s.seas_micro
+               AS resid_micro
+    FROM full7 f JOIN seas s ON f.dow = s.dow
+    ORDER BY f.day
+    """,
+)
+def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296: classical additive seasonal decomposition (the
+    moving-average method behind statsmodels' ``seasonal_decompose``):
+    daily revenue = trend + weekly seasonal + residual, with period 7.
+    Trend is the centered 7-day moving average (defined only where the
+    full window exists), the seasonal component is the per-day-of-week
+    mean of the detrended series centered to (near) zero mean, and the
+    residual closes the identity EXACTLY — because every component is
+    an INTEGER in micro-dollars: trend = (sum7·10⁴) DIV 7, detrended
+    stays 7y − sum7 (never a float mean), seasonal = integer-DIV means
+    re-centered by an integer-DIV grand mean (Spark DIV and DuckDB //
+    both truncate toward zero, verified incl. negatives), residual =
+    y·10⁴ − trend − seasonal. Zero float columns ⇒ zero float-parity
+    surface — the strongest determinism class in the repo. Plan: one
+    fact scan → calendar-bounded day table; the 7-row windowed sum and
+    the 7-row seasonal table are pmod windows / broadcast joins.
+    Pinned (tests): the identity telescopes row-for-row, seasonal
+    takes exactly 7 values keyed by dow, components' magnitudes are
+    sane (|seasonal| << mean revenue on this non-seasonal fixture).
+    At 100 TB the day table stays O(calendar) — decomposition is free
+    after the daily rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    w7 = (
+        W.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    win = daily.select(
+        "day",
+        "y",
+        F.sum("y").over(w7).alias("sum7"),
+        F.count("*").over(w7).alias("cnt7"),
+    )
+    full7 = win.filter(F.col("cnt7") == 7).select(
+        "day", F.pmod(F.col("day"), F.lit(7)).alias("dow"), "y", "sum7"
+    )
+    seas0 = full7.groupBy("dow").agg(
+        F.sum(7 * F.col("y") - F.col("sum7")).alias("num"),
+        F.count("*").alias("cnt"),
+    )
+    seas1 = seas0.select(
+        "dow", F.expr("(num * 10000) DIV (7 * cnt)").alias("s_micro")
+    )
+    w_all = W.partitionBy(F.pmod(F.col("dow"), F.lit(1))).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    seas = seas1.select(
+        "dow",
+        "s_micro",
+        F.sum("s_micro").over(w_all).alias("tot"),
+    ).select(
+        "dow",
+        (F.col("s_micro") - F.expr("tot DIV 7")).alias("seas_micro"),
+    )
+    return (
+        full7.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "dow",
+            F.col("y").alias("y_cents"),
+            F.expr("(sum7 * 10000) DIV 7").alias("trend_micro"),
+            "seas_micro",
+            F.expr(
+                "y * 10000 - (sum7 * 10000) DIV 7"
+            ).cast("long").alias("_tmp_resid"),
+        )
+        .select(
+            "day",
+            "dow",
+            "y_cents",
+            "trend_micro",
+            "seas_micro",
+            (F.col("_tmp_resid") - F.col("seas_micro")).alias("resid_micro"),
+        )
+        .orderBy("day")
+    )

@@ -320,6 +320,7 @@ DRIVER_PRIORITY: list[str] = [
     "hybrid_search_rrf",
     "forecast_backtest_mase",
     "wilson_ci_ranking",
+    "seasonal_decompose_additive",
 ]
 
 

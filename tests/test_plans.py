@@ -2138,3 +2138,27 @@ def test_wilson_bound_penalizes_and_reorders(spark, sf_dir):
         assert 0.0 <= r["wilson_lb"] < r["phat"] <= 1.0
     by_phat = sorted(rows, key=lambda r: (-r["phat"], r["item_id"]))
     assert [r["item_id"] for r in by_phat] != [r["item_id"] for r in rows]
+
+
+def test_seasonal_decompose_identity_and_structure(spark, sf_dir):
+    """seasonal_decompose_additive: the integer identity telescopes
+    row-for-row (y*1e4 == trend + seasonal + residual), seasonal takes
+    exactly one value per day-of-week (7 total), trend is the scaled
+    7-day window mean, and all columns are integers (zero float
+    surface)."""
+    df = q("seasonal_decompose_additive", spark, sf_dir)
+    assert all(t in ("bigint", "long") for _, t in df.dtypes), df.dtypes
+    rows = df.orderBy("day").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["y_cents"] * 10000
+            == r["trend_micro"] + r["seas_micro"] + r["resid_micro"]
+        )
+    seas_by_dow = {}
+    for r in rows:
+        seas_by_dow.setdefault(r["dow"], set()).add(r["seas_micro"])
+    assert len(seas_by_dow) == 7
+    assert all(len(v) == 1 for v in seas_by_dow.values())
+    mean_y = sum(r["y_cents"] for r in rows) / len(rows)
+    assert all(abs(r["seas_micro"]) < mean_y * 10000 * 0.5 for r in rows)
