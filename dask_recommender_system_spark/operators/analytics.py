@@ -4538,3 +4538,153 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+SHAP_JOURNEY_LEN = 5  # journey prefix length defining the channel set
+# channel bit indices (alphabetical, purchase excluded — it's the outcome)
+SHAP_CHANNELS = ("click", "error", "signup", "view")
+# Shapley weight numerators over 24 = 4! for |S| = 0..3 absent-set sizes:
+# w(s) = s!(4-1-s)!/4! -> numerators {6, 2, 2, 6}
+SHAP_W = (6, 2, 2, 6)
+
+
+@query(
+    "shapley_attribution",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    users AS (
+        SELECT user_id,
+               CAST(BIT_OR(CASE WHEN rn <= {SHAP_JOURNEY_LEN}
+                                 AND event_type <> 'purchase'
+                           THEN CASE event_type
+                                WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                                WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                                ELSE 0 END
+                           ELSE 0 END) AS BIGINT) AS mask,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM ev GROUP BY 1),
+    v AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(conv) AS BIGINT) * 1000000) // COUNT(*) AS v_micro
+        FROM users GROUP BY 1),
+    grid AS (SELECT CAST(UNNEST(range(16)) AS BIGINT) AS mask),
+    chans AS (SELECT CAST(UNNEST(range(4)) AS BIGINT) AS c),
+    terms AS (
+        SELECT ch.c,
+               (CASE bit_count(g.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                       WHEN 2 THEN 2 ELSE 6 END)
+               * (COALESCE(vi.v_micro, 0) - COALESCE(v0.v_micro, 0))
+                   AS term
+        FROM grid g
+        JOIN chans ch ON (g.mask & (1 << ch.c)) = 0
+        LEFT JOIN v v0 ON v0.mask = g.mask
+        LEFT JOIN v vi ON vi.mask = (g.mask | (1 << ch.c)))
+    SELECT CASE c WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                  WHEN 2 THEN 'signup' ELSE 'view' END AS channel,
+           CAST(SUM(term) AS BIGINT) AS shapley_micro24,
+           ROUND(CAST(SUM(term) AS DOUBLE) / 24000000, 6) AS shapley
+    FROM terms GROUP BY c
+    ORDER BY channel
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X297: exact Shapley-value channel attribution (Shapley 1953;
+    the data-driven marketing formulation of Zhao et al. 2018) — the
+    game-theoretic member completing the attribution family
+    (last-touch: X95, position-based U-shape: X250s): each channel's
+    credit is its average marginal contribution to conversion over all
+    orderings of the channel coalition. With {len(SHAP_CHANNELS)}
+    channels (the journey prefix's non-purchase event types) the
+    coalition lattice is 16 rows, so the computation is EXACT — no
+    sampling: v(S) = conversion rate of users whose first-
+    {SHAP_JOURNEY_LEN}-event channel set is exactly S (unobserved
+    coalitions impute v = 0, the branch sf0.001 fires), and
+    φ_i = Σ_S w(|S|)(v(S∪i) − v(S)) with factorial weights over 24.
+    Exactness discipline: v is an integer in conversion-MICRO-units
+    ((conv·10⁶) DIV n), weights stay numerators over 24, so every term
+    and every φ is an INTEGER (shapley_micro24) and Shapley's
+    efficiency axiom Σφ = v(grand) − v(∅) holds as an integer identity
+    (test-pinned against an independent pandas replica). The only
+    float is the final display division. Plan: one user-keyed window
+    (journey prefix) + one user rollup + one 16-row mask rollup; the
+    lattice math is joins over 16-row broadcasts — at 100 TB cost is
+    the two keyed passes, the game theory is free."""
+    ev = load_table(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w_u))
+    chan_bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    users = ranked.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(bit_or(CASE WHEN rn <= {SHAP_JOURNEY_LEN} "
+            "AND event_type <> 'purchase' THEN "
+            "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+            "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END "
+            "ELSE 0 END) AS BIGINT)"
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("conv"),
+    )
+    v = users.groupBy("mask").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(conv) AS BIGINT) * 1000000 DIV COUNT(*)").alias(
+            "v_micro"
+        ),
+    )
+    grid = spark.range(16).select(F.col("id").alias("gmask"))
+    chans = spark.range(4).select(F.col("id").alias("c"))
+    pairs = grid.join(
+        F.broadcast(chans),
+        F.expr("(gmask & CAST(shiftleft(1, CAST(c AS INT)) AS BIGINT)) = 0"),
+    )
+    v0 = v.select(F.col("mask").alias("m0"), F.col("v_micro").alias("v0"))
+    vi = v.select(F.col("mask").alias("mi"), F.col("v_micro").alias("vi"))
+    w_num = (
+        F.when(F.expr("bit_count(gmask)") == 0, 6)
+        .when(F.expr("bit_count(gmask)") == 1, 2)
+        .when(F.expr("bit_count(gmask)") == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        pairs.join(F.broadcast(v0), F.col("gmask") == F.col("m0"), "left")
+        .join(
+            F.broadcast(vi),
+            F.expr("gmask | CAST(shiftleft(1, CAST(c AS INT)) AS BIGINT)")
+            == F.col("mi"),
+            "left",
+        )
+        .select(
+            "c",
+            (
+                w_num
+                * (F.coalesce(F.col("vi"), F.lit(0)) - F.coalesce(F.col("v0"), F.lit(0)))
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("c")
+        .agg(F.sum("term").cast("long").alias("shapley_micro24"))
+        .select(
+            F.when(F.col("c") == 0, "click")
+            .when(F.col("c") == 1, "error")
+            .when(F.col("c") == 2, "signup")
+            .otherwise("view")
+            .alias("channel"),
+            "shapley_micro24",
+            F.round(
+                F.col("shapley_micro24").cast("double") / 24000000, 6
+            ).alias("shapley"),
+        )
+        .orderBy("channel")
+    )

@@ -321,6 +321,7 @@ DRIVER_PRIORITY: list[str] = [
     "forecast_backtest_mase",
     "wilson_ci_ranking",
     "seasonal_decompose_additive",
+    "shapley_attribution",
 ]
 
 

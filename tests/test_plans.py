@@ -318,6 +318,7 @@ _NON_EQUI_OK = {
     "isotonic_calibration",  # PAV minimax grid: bounded bin-table
     # self-joins (i<=j pairs, i<=k<=j triples) — B ~ tens of rows
     "hybrid_search_rrf",  # 1-row query-vector broadcast (similarity_topk's shape)
+    "shapley_attribution",  # 16-row coalition lattice x 4 channels BNLJ
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2162,3 +2163,38 @@ def test_seasonal_decompose_identity_and_structure(spark, sf_dir):
     assert all(len(v) == 1 for v in seas_by_dow.values())
     mean_y = sum(r["y_cents"] for r in rows) / len(rows)
     assert all(abs(r["seas_micro"]) < mean_y * 10000 * 0.5 for r in rows)
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """shapley_attribution: the efficiency axiom holds as an integer
+    identity against an independent pandas replica — sum of the four
+    integer Shapley values equals 24*(v(grand coalition) - v(empty)),
+    with v recomputed from raw events in pandas."""
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.analytics import (
+        SHAP_JOURNEY_LEN,
+    )
+
+    rows = q("shapley_attribution", spark, sf_dir).collect()
+    assert len(rows) == 4
+    got_sum = sum(r["shapley_micro24"] for r in rows)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .toPandas()
+    )
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    v_tab = {}
+    for _, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        head = g.head(SHAP_JOURNEY_LEN)
+        mask = 0
+        for t in head["event_type"]:
+            mask |= bits.get(t, 0)
+        conv = int((g["event_type"] == "purchase").any())
+        n, c = v_tab.get(mask, (0, 0))
+        v_tab[mask] = (n + 1, c + conv)
+    v_micro = {m: (c * 1000000) // n for m, (n, c) in v_tab.items()}
+    want = 24 * (v_micro.get(15, 0) - v_micro.get(0, 0))
+    assert got_sum == want
+    assert any(r["shapley_micro24"] != 0 for r in rows)
