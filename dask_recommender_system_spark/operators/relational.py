@@ -2531,3 +2531,45 @@ def sql_interface_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q14)
+
+
+# TPC-H Q6 (forecasting revenue change): THE predicate-pushdown
+# benchmark — three selective filters, no join, no grouping; the entire
+# query should collapse to a filtered scan + one-row aggregate.
+TPCH_Q6 = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents_bp,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(ROUND(l_discount * 100) AS BIGINT))
+                      AS DOUBLE) / 10000, 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6
+      AND l_quantity < 24
+"""
+
+
+@query("sql_interface_q6", oracle=TPCH_Q6)
+def sql_interface_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X298: TPC-H Q6 verbatim through `spark.sql` — the pure
+    predicate-pushdown pin of the SQL-interface series: three selective
+    filters (ship year, discount band, quantity cap), no join, no
+    grouping — the whole query must collapse to a column-pruned
+    filtered scan feeding a one-row partial+final aggregate. The plan
+    test asserts the date and quantity predicates reach PushedFilters
+    and that the scan reads only the four referenced columns
+    (ReadSchema). The discount band compares on the exact integer
+    basis points (CAST(ROUND(d*100)) BETWEEN 4 AND 6) rather than raw
+    float literals — DuckDB parses 0.04 as DECIMAL, and decimal-vs-
+    double comparison semantics are exactly the cross-engine trap the
+    integer form removes. Revenue is Σ cents×bp exact BIGINT with one
+    final display division. At 100 TB this is the query where scan
+    locality is everything: predicate + projection pushdown make it
+    IO-bound on ~4 columns, and the aggregate is map-side-partial to
+    one row."""
+    _utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TPCH_Q6)

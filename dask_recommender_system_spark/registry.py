@@ -322,6 +322,7 @@ DRIVER_PRIORITY: list[str] = [
     "wilson_ci_ranking",
     "seasonal_decompose_additive",
     "shapley_attribution",
+    "sql_interface_q6",
 ]
 
 

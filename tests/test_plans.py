@@ -2198,3 +2198,29 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     want = 24 * (v_micro.get(15, 0) - v_micro.get(0, 0))
     assert got_sum == want
     assert any(r["shapley_micro24"] != 0 for r in rows)
+
+
+def test_q6_scan_collapse(spark, sf_dir):
+    """sql_interface_q6: the whole query must collapse to a filtered,
+    column-pruned scan + one-row aggregate — date and quantity filters
+    in PushedFilters, no join or exchange beyond the final gather, and
+    the ReadSchema limited to the four referenced columns."""
+    df = q("sql_interface_q6", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    import re
+
+    # NB: Spark truncates long PushedFilters lists with "..." before the
+    # closing bracket, so match to end-of-line, not to "]"
+    scans = re.findall(r"PushedFilters: [^\n]*", plan)
+    assert any("l_shipdate" in s and "l_quantity" in s for s in scans), scans
+    schema = re.findall(r"ReadSchema: [^\n]*", plan)
+    assert schema and all(
+        c in schema[0]
+        for c in ("l_shipdate", "l_quantity", "l_discount", "l_extendedprice")
+    )
+    assert not any(
+        c in schema[0] for c in ("l_orderkey", "l_partkey", "l_returnflag")
+    ), schema
+    r = df.collect()[0]
+    assert r["n_lines"] > 0 and r["revenue_cents_bp"] > 0
