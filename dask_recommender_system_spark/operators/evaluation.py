@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..models.common import hash_uniform
 from ..registry import query
-from ..data import RATINGS_SQL
+from ..data import RATINGS_SQL, load_table
 from .linalg import ENCODED_SQL, _init_sql, encoded_ratings
 
 RANK_K = 10  # @k cutoff for the ranking-metrics report
@@ -1572,4 +1572,139 @@ def wilson_ci_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w_b).cast("long"))
         .select("rank", "item_id", "n", "pos", "phat", "wilson_lb")
         .orderBy("rank")
+    )
+
+
+# SPRT constants, pinned as double LITERALS shared by both engines —
+# never ln() evaluated at query time (DuckDB's libm and the JVM's
+# StrictMath may differ in the last ulp): H0 p=0.5 vs H1 p=0.65 on the
+# "conversion came from group B" Bernoulli stream, alpha = beta = 0.1.
+SPRT_C1 = 0.26236426446749106  # ln(0.65 / 0.5), per group-B conversion
+SPRT_C0 = -0.35667494393873245  # ln(0.35 / 0.5), per group-A conversion
+SPRT_UP = 2.1972245773362196  # ln((1-beta)/alpha) = ln(9)
+SPRT_LO = -2.1972245773362196  # ln(beta/(1-alpha))
+
+
+@query(
+    "ab_sequential_sprt",
+    oracle=f"""
+    WITH conv AS (
+        SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('ab:' || user_id), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % 2 AS grp
+        FROM events WHERE event_type = 'purchase'),
+    daily AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM conv GROUP BY 1),
+    cum AS (
+        SELECT day,
+               CAST(SUM(a) OVER (ORDER BY day) AS BIGINT) AS n_a_cum,
+               CAST(SUM(b) OVER (ORDER BY day) AS BIGINT) AS n_b_cum
+        FROM daily),
+    llr AS (
+        SELECT day, n_a_cum, n_b_cum,
+               n_b_cum * {SPRT_C1} + n_a_cum * {SPRT_C0} AS llr
+        FROM cum),
+    sig AS (
+        SELECT *,
+               CASE WHEN llr >= {SPRT_UP} THEN 'accept_h1'
+                    WHEN llr <= {SPRT_LO} THEN 'accept_h0'
+                    ELSE 'continue' END AS signal
+        FROM llr),
+    first_x AS (
+        SELECT COALESCE(MIN(CASE WHEN signal <> 'continue' THEN day END),
+                        9223372036854775807) AS x_day
+        FROM sig)
+    SELECT s.day, s.n_a_cum, s.n_b_cum, ROUND(s.llr, 6) AS llr, s.signal,
+           s.day >= f.x_day AS decided
+    FROM sig s, first_x f
+    ORDER BY s.day
+    """,
+)
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X299: sequential probability ratio test monitoring (Wald 1945) —
+    the sequential member of the A/B kit (ab_power_mde sizes the test,
+    ab_srm_check gates the telemetry, welch/mann-whitney decide at a
+    FIXED horizon; SPRT decides AS DATA ARRIVES with guaranteed
+    error rates, the always-monitoring shape modern experiment
+    platforms deploy). Stream = "did the conversion come from group
+    B?" (deterministic h60 user split), H0 p=.5 vs H1 p=.65,
+    alpha=beta=.1. Determinism: the four log constants are DOUBLE
+    LITERALS shared by both engine texts — ln() is never evaluated at
+    query time (libm vs StrictMath last-ulp risk); the daily LLR is
+    recomputed FROM the exact integer cumulative counts (never a
+    float cumsum), so it is two multiplies and one add — bit-identical
+    — and the threshold comparisons branch identically. Crossing day
+    propagates as a sticky `decided` flag via a min-aggregate over the
+    bounded day table. Pinned (tests): LLR recomputes from the emitted
+    counts, signal matches the thresholds row-for-row, and the
+    null-true fixture drifts to accept_h0 (crossing fires at sf0.01).
+    At 100 TB: one filtered scan → day-keyed counts; everything after
+    is O(|days|)."""
+    from .dedup import h60_spark
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    conv = ev.select(
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 86400").alias(
+            "day"
+        ),
+        F.pmod(
+            h60_spark(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        ).alias("grp"),
+    )
+    daily = conv.groupBy("day").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("b"),
+    )
+    w_cum = (
+        W.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        F.sum("a").over(w_cum).alias("n_a_cum"),
+        F.sum("b").over(w_cum).alias("n_b_cum"),
+    )
+    llr = F.col("n_b_cum") * F.lit(SPRT_C1) + F.col("n_a_cum") * F.lit(
+        SPRT_C0
+    )
+    sig = cum.select(
+        "day",
+        "n_a_cum",
+        "n_b_cum",
+        llr.alias("llr"),
+        F.when(llr >= SPRT_UP, "accept_h1")
+        .when(llr <= SPRT_LO, "accept_h0")
+        .otherwise("continue")
+        .alias("signal"),
+    )
+    w_all = W.partitionBy(F.pmod(F.col("day"), F.lit(1))).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        sig.withColumn(
+            "x_day",
+            F.min(
+                F.when(F.col("signal") != "continue", F.col("day"))
+            ).over(w_all),
+        )
+        .select(
+            "day",
+            "n_a_cum",
+            "n_b_cum",
+            F.round("llr", 6).alias("llr"),
+            "signal",
+            (
+                F.col("day")
+                >= F.coalesce(F.col("x_day"), F.lit(9223372036854775807))
+            ).alias("decided"),
+        )
+        .orderBy("day")
     )

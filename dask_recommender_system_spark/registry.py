@@ -323,6 +323,7 @@ DRIVER_PRIORITY: list[str] = [
     "seasonal_decompose_additive",
     "shapley_attribution",
     "sql_interface_q6",
+    "ab_sequential_sprt",
 ]
 
 

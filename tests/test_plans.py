@@ -2224,3 +2224,32 @@ def test_q6_scan_collapse(spark, sf_dir):
     ), schema
     r = df.collect()[0]
     assert r["n_lines"] > 0 and r["revenue_cents_bp"] > 0
+
+
+def test_sprt_llr_recomputes_and_thresholds(spark, sf_dir):
+    """ab_sequential_sprt: LLR recomputes from the emitted cumulative
+    counts with the pinned literal constants, the signal matches the
+    thresholds row-for-row, cumulative counts are nondecreasing, and
+    `decided` is sticky from the first non-continue day."""
+    from dask_recommender_system_spark.operators.evaluation import (
+        SPRT_C0, SPRT_C1, SPRT_LO, SPRT_UP,
+    )
+
+    rows = q("ab_sequential_sprt", spark, sf_dir).orderBy("day").collect()
+    assert rows
+    prev_a = prev_b = 0
+    first_x = None
+    for r in rows:
+        llr = r["n_b_cum"] * SPRT_C1 + r["n_a_cum"] * SPRT_C0
+        assert abs(r["llr"] - round(llr, 6)) < 1e-9
+        want = (
+            "accept_h1" if llr >= SPRT_UP
+            else "accept_h0" if llr <= SPRT_LO
+            else "continue"
+        )
+        assert r["signal"] == want
+        assert r["n_a_cum"] >= prev_a and r["n_b_cum"] >= prev_b
+        prev_a, prev_b = r["n_a_cum"], r["n_b_cum"]
+        if first_x is None and r["signal"] != "continue":
+            first_x = r["day"]
+        assert r["decided"] == (first_x is not None and r["day"] >= first_x)
