@@ -324,6 +324,7 @@ DRIVER_PRIORITY: list[str] = [
     "shapley_attribution",
     "sql_interface_q6",
     "ab_sequential_sprt",
+    "stream_countmin_rollup",
 ]
 
 

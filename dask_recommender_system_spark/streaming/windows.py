@@ -1254,3 +1254,72 @@ def stream_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("user_id", "sec", "event_id")
+
+
+@query(
+    "stream_countmin_rollup",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(user_id AS BIGINT) AS uid, event_type AS etype
+        FROM events),
+    e4 AS (
+        SELECT CAST(gj AS BIGINT) AS j,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('cm' || gj || '|' || uid || ':' || etype), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % 32 AS bucket
+        FROM ev CROSS JOIN (SELECT UNNEST(range(4)) AS gj) g)
+    SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM e4 GROUP BY 1, 2
+    ORDER BY j, bucket
+    """,
+)
+def stream_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X300: streaming twin of countmin_sketch_rollup (X290) — count-min
+    counters maintained INSIDE a watermarked per-hour streaming
+    aggregate (each hour's partial sketch is streaming state; counter
+    increments are mergeable sums, the property that makes CM a
+    streaming-native structure), drained and MERGED to the global
+    sketch in a batch post-pass — the live-dashboard rollup shape
+    stream_hll_rollup pins for distinct counts, here for frequencies.
+    The drained counter table equals the batch build EXACTLY (counter
+    sums are associative over any partition of the stream into
+    micro-batches and hours), so the op shares the batch oracle's
+    counter CTE verbatim — the strongest stream/batch parity available.
+    Output is the full 4×32 counter table, every cell
+    value-checked. At 100 TB: streaming state is ≤ d·w longs per open
+    hour window — constant memory however hot the stream runs."""
+    from ..operators.dedup import h60_spark
+    from ..operators.windows import CM_D, CM_W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, sf_dir)
+    e4 = ev.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1)))
+    ).select(
+        "ts",
+        F.col("j").cast("long").alias("j"),
+        F.pmod(
+            h60_spark(
+                F.concat(
+                    F.lit("cm"),
+                    F.col("j").cast("string"),
+                    F.lit("|"),
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("event_type"),
+                )
+            ),
+            F.lit(CM_W),
+        ).alias("bucket"),
+    )
+    hourly = (
+        e4.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(hourly, name)
+    return (
+        spark.table(name)
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .orderBy("j", "bucket")
+    )

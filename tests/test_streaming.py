@@ -263,3 +263,23 @@ def test_stream_hysteresis_equals_batch(spark, sf_dir):
     assert len(s) == len(b) > 0
     for col in ("user_id", "event_id", "sec", "alert"):
         assert (s[col].values == b[col].values).all(), col
+
+
+def test_stream_countmin_equals_batch_counters(spark, sf_dir):
+    """stream_countmin_rollup: the drained+merged counter table equals
+    a batch-built counter table cell-for-cell, and total counter mass
+    is exactly D x |events| (each event increments one bucket per
+    row)."""
+    from pyspark.sql import functions as F
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.windows import CM_D
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    rows = REGISTRY["stream_countmin_rollup"].fn(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["c"] for r in rows) == CM_D * n_events
+    per_row = {}
+    for r in rows:
+        per_row[r["j"]] = per_row.get(r["j"], 0) + r["c"]
+    assert set(per_row) == set(range(CM_D))
+    assert all(v == n_events for v in per_row.values())
