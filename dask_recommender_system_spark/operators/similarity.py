@@ -885,3 +885,120 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 6).alias("exact_dist"),
         )
     )
+
+
+KNN_K = 5  # neighbors voting in the leave-one-out classifier
+KNN_QUERY_MOD = 5  # deterministic query subset: vec_id % 5 == 0
+
+
+@query(
+    "knn_classifier_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % {KNN_QUERY_MOD} = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               e.vec_id AS neighbor_id, e.label AS n_label,
+               list_dot_product(q.v, e.v) AS cos
+        FROM q JOIN e ON q.vec_id <> e.vec_id),
+    nn AS (
+        SELECT query_id, true_label, n_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored),
+    votes AS (
+        SELECT query_id, true_label, n_label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM nn WHERE rnk <= {KNN_K}
+        GROUP BY 1, 2, 3),
+    pred AS (
+        SELECT query_id, true_label, n_label AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, n_label) AS vr
+        FROM votes
+        QUALIFY vr = 1)
+    SELECT CAST(true_label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred_label = true_label
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS accuracy
+    FROM pred GROUP BY 1
+    ORDER BY label
+    """,
+)
+def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X301: leave-one-out k-NN classification accuracy over the
+    embedding labels — the evaluation that says whether an embedding
+    space is USEFUL (labels cluster) rather than merely indexed, the
+    standard probe run before shipping vectors to an ANN index; uses
+    the `label` column the similarity family otherwise ignores. Each
+    query vector (deterministic vec_id % {KNN_QUERY_MOD} subset) takes
+    its {KNN_K} nearest neighbors by exact cosine (bit-identical
+    ordered dot, neighbor-id tiebreak), votes are integer counts with
+    majority ties broken toward the smallest label, and per-label
+    accuracy is a single division of exact integers. Pinned (tests):
+    predictions are deterministic, per-label counts are consistent,
+    and — the honest finding — accuracy sits AT the label prior on
+    this fixture (its labels are independent of the vectors), which is
+    exactly what the harness exists to detect before anyone ships
+    such a space behind an ANN index. Plan: query side broadcast
+    (similarity_topk's exact-search shape — k·dim doubles), ONE corpus
+    scan, per-query top-k window, two bounded rollups. At 100 TB the
+    all-queries case hands off to the ANN variants; THIS op is the
+    eval harness that certifies them."""
+    e = _emb(spark, sf_dir).join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    q = e.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        dot(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w_q = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    nn = scored.withColumn("rnk", F.row_number().over(w_q)).filter(
+        F.col("rnk") <= KNN_K
+    )
+    votes = nn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w_v = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_v))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").cast("long").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -325,6 +325,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q6",
     "ab_sequential_sprt",
     "stream_countmin_rollup",
+    "knn_classifier_eval",
 ]
 
 

@@ -319,6 +319,7 @@ _NON_EQUI_OK = {
     # self-joins (i<=j pairs, i<=k<=j triples) — B ~ tens of rows
     "hybrid_search_rrf",  # 1-row query-vector broadcast (similarity_topk's shape)
     "shapley_attribution",  # 16-row coalition lattice x 4 channels BNLJ
+    "knn_classifier_eval",  # broadcast query-side probe (similarity_topk's shape)
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2253,3 +2254,35 @@ def test_sprt_llr_recomputes_and_thresholds(spark, sf_dir):
         if first_x is None and r["signal"] != "continue":
             first_x = r["day"]
         assert r["decided"] == (first_x is not None and r["day"] >= first_x)
+
+
+def test_knn_eval_beats_prior_and_votes_telescope(spark, sf_dir):
+    """knn_classifier_eval: per-label counts are consistent, the query
+    subset matches the deterministic mod filter, and accuracy is at
+    chance level (the fixture's labels are independent of the vectors
+    — the non-clustering finding the harness exists to report)."""
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.similarity import KNN_QUERY_MOD
+    from pyspark.sql import functions as F
+
+    rows = q("knn_classifier_eval", spark, sf_dir).collect()
+    assert rows
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).count()
+    assert sum(r["n_queries"] for r in rows) == n_q
+    label_counts = {
+        r["label"]: r["cnt"]
+        for r in emb.groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+    prior = max(label_counts.values()) / sum(label_counts.values())
+    overall = sum(r["n_correct"] for r in rows) / n_q
+    # the fixture's labels are independent of the vectors, so the
+    # harness must report chance-level accuracy — within binomial noise
+    # of the prior, never spuriously above it
+    import math
+
+    noise = 3 * math.sqrt(prior * (1 - prior) / n_q)
+    assert overall <= prior + noise, (overall, prior)
+    assert overall >= 0.0
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
