@@ -649,3 +649,107 @@ def graph_shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
             .localCheckpoint()
         )
     return dist.orderBy("node")
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+    edges AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM edges e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(x AS BIGINT) * y) AS BIGINT) AS sxy
+        FROM pairs)
+    SELECT m AS n_directed_edges, sx AS sum_deg, sxx AS sum_deg_sq,
+           sxy AS sum_deg_prod,
+           ROUND((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx),
+                 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X302: degree assortativity of the co-purchase graph (Newman
+    2002) — the one-number network-science summary completing the
+    graph family's structural axis (triangles: local clustering, BFS /
+    SSSP: distances, PageRank / communities: importance; THIS: do
+    hubs link to hubs?). Over every directed edge, x = deg(u),
+    y = deg(v); assortativity is Pearson's r of (x, y), which by
+    edge-list symmetry (both orientations present) collapses to
+    (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — every sufficient statistic an
+    EXACT BIGINT from keyed aggregates, the final r one fixed double
+    expression (emitted beside its four raw integers so the oracle
+    checks the division AND its inputs). On this fixture's near-random
+    co-occurrence the coefficient is honestly near ZERO (|r| < 0.05,
+    test-pinned along with r ∈ [−1, 1] and the recomputation of r
+    from the emitted integers) — the neutral baseline real
+    co-purchase graphs deviate from. Plan: in-row basket edge generation
+    (never a fact self-join on Spark's side), one degree rollup, two
+    keyed joins, one scalar agg. At 100 TB degrees can reach 10⁶ ⇒
+    Σx² ≈ 10¹⁸ nears BIGINT range — the documented upgrade is
+    DECIMAL(38,0) sufficient stats, same shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    # in-row pair generation (both orientations), then global distinct:
+    # the same no-self-join discipline as pagerank_items
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, x -> "
+                    "transform(filter(items, y -> y != x), y -> "
+                    "struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    du = deg.select(F.col("node").alias("nu"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("nv"), F.col("d").alias("y"))
+    pairs = (
+        edges.join(du, edges["u"] == du["nu"])
+        .join(dv, edges["v"] == dv["nv"])
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("long") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxx").alias("sum_deg_sq"),
+        F.col("sxy").alias("sum_deg_prod"),
+        F.round(
+            (
+                F.col("m") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / (
+                F.col("m") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            ),
+            6,
+        ).alias("assortativity"),
+    )

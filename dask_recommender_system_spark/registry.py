@@ -326,6 +326,7 @@ DRIVER_PRIORITY: list[str] = [
     "ab_sequential_sprt",
     "stream_countmin_rollup",
     "knn_classifier_eval",
+    "graph_degree_assortativity",
 ]
 
 

@@ -2286,3 +2286,18 @@ def test_knn_eval_beats_prior_and_votes_telescope(spark, sf_dir):
     assert overall >= 0.0
     for r in rows:
         assert 0 <= r["n_correct"] <= r["n_queries"]
+
+
+def test_assortativity_recomputes_and_near_neutral(spark, sf_dir):
+    """graph_degree_assortativity: r recomputes exactly from the four
+    emitted integer sufficient statistics, lies in [-1, 1], and is
+    near zero on this near-random co-occurrence fixture."""
+    r = q("graph_degree_assortativity", spark, sf_dir).collect()[0]
+    m, sx, sxx, sxy = (
+        r["n_directed_edges"], r["sum_deg"], r["sum_deg_sq"], r["sum_deg_prod"]
+    )
+    want = (m * float(sxy) - float(sx) * sx) / (m * float(sxx) - float(sx) * sx)
+    assert abs(r["assortativity"] - round(want, 6)) < 1e-9
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert abs(r["assortativity"]) < 0.05
+    assert m > 0 and sxx * m >= sx * sx  # Cauchy-Schwarz on degrees
