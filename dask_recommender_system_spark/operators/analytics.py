@@ -4688,3 +4688,93 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+BURST_MIN_GAPS = 20  # users with fewer interevent gaps are not reported
+
+
+@query(
+    "burstiness_interevent",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               event_id
+        FROM events),
+    gaps AS (
+        SELECT user_id,
+               sec - LAG(sec) OVER (PARTITION BY user_id
+                                    ORDER BY sec, event_id) AS g
+        FROM ev
+        QUALIFY g IS NOT NULL),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               CAST(SUM(g * g) AS BIGINT) AS sgg
+        FROM gaps GROUP BY 1
+        HAVING COUNT(*) >= {BURST_MIN_GAPS})
+    SELECT user_id, n, sg AS sum_gap_s, sgg AS sum_gap_sq,
+           ROUND(SQRT(CAST(n AS DOUBLE) * sgg - CAST(sg AS DOUBLE) * sg)
+                 / sg, 6) AS cv,
+           ROUND((SQRT(CAST(n AS DOUBLE) * sgg - CAST(sg AS DOUBLE) * sg)
+                  - CAST(sg AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * sgg - CAST(sg AS DOUBLE) * sg)
+                    + CAST(sg AS DOUBLE)), 6) AS burstiness
+    FROM s ORDER BY user_id
+    """,
+)
+def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X303: interevent-time burstiness per user (Goh & Barabási 2008):
+    B = (σ − μ)/(σ + μ) over the gaps between a user's consecutive
+    events — the one-number temporal fingerprint separating periodic
+    (B → −1), Poisson (B ≈ 0) and bursty-human (B → 1) activity; the
+    behavioral-timing member of the events family (session gaps: how
+    long, CUSUM: when the rate shifts, THIS: the rhythm's character).
+    Algebra: with integer-second gaps, σ/μ = sqrt(n·Σg² − (Σg)²)/Σg
+    (population form scaled by n cancels), so both CV and B are fixed
+    double expression trees over three EXACT BIGINTs — one IEEE sqrt,
+    no float aggregation — emitted beside their raw integer inputs.
+    Gaps come from ONE user-keyed ordered window (event-id tiebreak for
+    same-second events). Pinned (tests): B ∈ (−1, 1), B ≈ 0 on this
+    Poisson-like fixture (|median B| < 0.2), B recomputes from the
+    emitted integers, and Σ gaps = last − first timestamp per user.
+    At 100 TB: one keyed window + one keyed agg — shuffle ~ the
+    events table on user_id, the partition key sessionization already
+    uses."""
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("sec"),
+        "event_id",
+    )
+    w_u = W.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("sec") - F.lag("sec").over(w_u)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        )
+        .filter(F.col("n") >= BURST_MIN_GAPS)
+    )
+    sig = F.sqrt(
+        F.col("n").cast("double") * F.col("sgg")
+        - F.col("sg").cast("double") * F.col("sg")
+    )
+    return s.select(
+        "user_id",
+        "n",
+        F.col("sg").alias("sum_gap_s"),
+        F.col("sgg").alias("sum_gap_sq"),
+        F.round(sig / F.col("sg"), 6).alias("cv"),
+        F.round(
+            (sig - F.col("sg").cast("double"))
+            / (sig + F.col("sg").cast("double")),
+            6,
+        ).alias("burstiness"),
+    ).orderBy("user_id")

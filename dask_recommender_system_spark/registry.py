@@ -327,6 +327,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_countmin_rollup",
     "knn_classifier_eval",
     "graph_degree_assortativity",
+    "burstiness_interevent",
 ]
 
 

@@ -2301,3 +2301,23 @@ def test_assortativity_recomputes_and_near_neutral(spark, sf_dir):
     assert -1.0 <= r["assortativity"] <= 1.0
     assert abs(r["assortativity"]) < 0.05
     assert m > 0 and sxx * m >= sx * sx  # Cauchy-Schwarz on degrees
+
+
+def test_burstiness_recomputes_and_poisson_band(spark, sf_dir):
+    """burstiness_interevent: B and CV recompute exactly from the three
+    emitted integers, B in (-1, 1), and the fixture's Poisson-like
+    timing keeps the median |B| small."""
+    import math
+
+    rows = q("burstiness_interevent", spark, sf_dir).collect()
+    assert rows
+    bs = []
+    for r in rows:
+        sig = math.sqrt(r["n"] * float(r["sum_gap_sq"]) - float(r["sum_gap_s"]) ** 2)
+        assert abs(r["cv"] - round(sig / r["sum_gap_s"], 6)) < 1e-9
+        want_b = (sig - r["sum_gap_s"]) / (sig + r["sum_gap_s"])
+        assert abs(r["burstiness"] - round(want_b, 6)) < 1e-9
+        assert -1.0 < r["burstiness"] < 1.0
+        bs.append(r["burstiness"])
+    bs.sort()
+    assert abs(bs[len(bs) // 2]) < 0.2
