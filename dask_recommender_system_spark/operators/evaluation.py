@@ -1708,3 +1708,159 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ratio_metric_delta_method",
+    oracle=f"""
+    WITH u AS (
+        SELECT CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('ab:' || user_id), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % 2 AS grp,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+    g AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM u GROUP BY 1),
+    w AS (
+        SELECT
+            MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+            MAX(CASE WHEN grp = 0 THEN sx END) AS sx0,
+            MAX(CASE WHEN grp = 0 THEN sy END) AS sy0,
+            MAX(CASE WHEN grp = 0 THEN sxx END) AS sxx0,
+            MAX(CASE WHEN grp = 0 THEN syy END) AS syy0,
+            MAX(CASE WHEN grp = 0 THEN sxy END) AS sxy0,
+            MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+            MAX(CASE WHEN grp = 1 THEN sx END) AS sx1,
+            MAX(CASE WHEN grp = 1 THEN sy END) AS sy1,
+            MAX(CASE WHEN grp = 1 THEN sxx END) AS sxx1,
+            MAX(CASE WHEN grp = 1 THEN syy END) AS syy1,
+            MAX(CASE WHEN grp = 1 THEN sxy END) AS sxy1
+        FROM g)
+    SELECT n0, n1, sx0, sy0, sx1, sy1,
+           ROUND(CAST(sx0 AS DOUBLE) / sy0, 6) AS ratio0_cents,
+           ROUND(CAST(sx1 AS DOUBLE) / sy1, 6) AS ratio1_cents,
+           ROUND(CAST(sx1 AS DOUBLE) / sy1 - CAST(sx0 AS DOUBLE) / sy0, 6)
+               AS diff_cents,
+           ROUND(
+             SQRT(
+               (((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0 / n0)
+                 - 2 * (CAST(sx0 AS DOUBLE) / sy0)
+                   * (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sy0 / n0)
+                 + (CAST(sx0 AS DOUBLE) / sy0) * (CAST(sx0 AS DOUBLE) / sy0)
+                   * (CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * sy0 / n0))
+                / (n0 - 1)) / (n0 * (CAST(sy0 AS DOUBLE) / n0)
+                               * (CAST(sy0 AS DOUBLE) / n0))
+               +
+               (((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                 - 2 * (CAST(sx1 AS DOUBLE) / sy1)
+                   * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1 / n1)
+                 + (CAST(sx1 AS DOUBLE) / sy1) * (CAST(sx1 AS DOUBLE) / sy1)
+                   * (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / n1))
+                / (n1 - 1)) / (n1 * (CAST(sy1 AS DOUBLE) / n1)
+                               * (CAST(sy1 AS DOUBLE) / n1))
+             ), 6) AS se_cents
+    FROM w
+    """,
+)
+def ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X304: delta-method inference for a RATIO metric (revenue per
+    event; Deng, Knoblich & Lu 2018 — the experimentation-platform
+    primitive Welch cannot cover: when the metric is a ratio of two
+    user-level sums, user is the randomization unit and naive
+    per-event variance is wrong). Groups = the deterministic h60 user
+    split (ab_sequential_sprt's). Per user: x = purchase revenue
+    cents, y = event count — then EVERYTHING the method needs is six
+    exact BIGINT sufficient statistics per group (n, Σx, Σy, Σx²,
+    Σy², Σxy); the delta-method standard error
+    var(x̄/ȳ) ≈ (Sxx − 2R·Sxy + R²·Syy) / (n·ȳ²) is one fixed double
+    expression tree over them (IEEE sqrt at the end), emitted beside
+    every raw integer so the oracle checks inputs and formula. Pinned
+    (tests): the SE recomputes from the emitted integers via an
+    independent numpy replica, ratios are positive, and the null-true
+    split keeps |diff| within 4 SE. Plan: one user rollup (the
+    randomization unit), one 2-row group rollup, scalar math — two
+    exchanges at any scale."""
+    from .dedup import h60_spark
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # per-user sufficient stats (user = randomization unit), then the
+    # group rollup
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("x"),
+        F.count("*").alias("y"),
+    ).select(
+        F.pmod(
+            h60_spark(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        ).alias("grp"),
+        "x",
+        "y",
+    )
+    g = per_user.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    is0 = F.col("grp") == 0
+    w = g.agg(
+        *[
+            F.max(F.when(cond, F.col(c))).alias(f"{c}{tag}")
+            for cond, tag in ((is0, "0"), (~is0, "1"))
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        ]
+    )
+
+    def var_term(tag: str):
+        n = F.col(f"n{tag}").cast("double")
+        sx = F.col(f"sx{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        sxx = F.col(f"sxx{tag}").cast("double")
+        syy = F.col(f"syy{tag}").cast("double")
+        sxy = F.col(f"sxy{tag}").cast("double")
+        r = sx / sy
+        Sxx = sxx - sx * F.col(f"sx{tag}") / F.col(f"n{tag}")
+        Sxy = sxy - sx * F.col(f"sy{tag}") / F.col(f"n{tag}")
+        Syy = syy - sy * F.col(f"sy{tag}") / F.col(f"n{tag}")
+        ybar = sy / n
+        return ((Sxx - 2 * r * Sxy + r * r * Syy) / (n - 1)) / (
+            n * ybar * ybar
+        )
+
+    return w.select(
+        "n0",
+        "n1",
+        "sx0",
+        "sy0",
+        "sx1",
+        "sy1",
+        F.round(F.col("sx0").cast("double") / F.col("sy0"), 6).alias(
+            "ratio0_cents"
+        ),
+        F.round(F.col("sx1").cast("double") / F.col("sy1"), 6).alias(
+            "ratio1_cents"
+        ),
+        F.round(
+            F.col("sx1").cast("double") / F.col("sy1")
+            - F.col("sx0").cast("double") / F.col("sy0"),
+            6,
+        ).alias("diff_cents"),
+        F.round(F.sqrt(var_term("0") + var_term("1")), 6).alias("se_cents"),
+    )

@@ -328,6 +328,7 @@ DRIVER_PRIORITY: list[str] = [
     "knn_classifier_eval",
     "graph_degree_assortativity",
     "burstiness_interevent",
+    "ratio_metric_delta_method",
 ]
 
 

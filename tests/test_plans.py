@@ -2321,3 +2321,54 @@ def test_burstiness_recomputes_and_poisson_band(spark, sf_dir):
         bs.append(r["burstiness"])
     bs.sort()
     assert abs(bs[len(bs) // 2]) < 0.2
+
+
+def test_delta_method_numpy_replica(spark, sf_dir):
+    """ratio_metric_delta_method: the SE recomputes from the emitted
+    integer sufficient statistics via an independent numpy replica of
+    the delta-method formula, ratios are positive, and the null-true
+    hash split keeps the group difference within 4 SE."""
+    import numpy as np
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.dedup import h60_spark
+    from pyspark.sql import functions as F
+
+    r = q("ratio_metric_delta_method", spark, sf_dir).collect()[0]
+    assert r["ratio0_cents"] > 0 and r["ratio1_cents"] > 0
+    assert abs(r["diff_cents"]) <= 4 * r["se_cents"] + 1e-9
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("x"),
+            F.count("*").alias("y"),
+        )
+        .select(
+            F.pmod(
+                h60_spark(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            ).alias("grp"),
+            "x",
+            "y",
+        )
+        .toPandas()
+    )
+    var_sum = 0.0
+    for gi in (0, 1):
+        g = pu[pu.grp == gi]
+        x, y = g.x.values.astype(float), g.y.values.astype(float)
+        n, R, ybar = len(x), x.sum() / y.sum(), y.mean()
+        cov = np.cov(np.vstack([x, y]), ddof=1)
+        var_r = (cov[0, 0] - 2 * R * cov[0, 1] + R * R * cov[1, 1]) / (
+            n * ybar * ybar
+        )
+        var_sum += var_r
+    assert abs(r["se_cents"] - round(float(np.sqrt(var_sum)), 6)) < 1e-4
