@@ -2573,3 +2573,49 @@ def sql_interface_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(TPCH_Q6)
+
+
+# TPC-H Q19 (discounted revenue): the disjunctive-predicate pin — an OR
+# of three AND-brackets mixing fact (quantity) and dim (brand, size)
+# columns; the planner must evaluate the disjunction AFTER the join
+# without expanding it into a fact blowup, and push what is common
+# (the join key; per-bracket dim prefilters) below. Adapted to the
+# fixture's columns (no p_container): brackets pair brand groups with
+# size and quantity bands exactly in the spec's shape.
+TPCH_Q19 = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000, 6) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30))
+"""
+
+
+@query("sql_interface_q19", oracle=TPCH_Q19)
+def sql_interface_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X305: TPC-H Q19 verbatim through `spark.sql` — the disjunctive-
+    predicate pin of the SQL-interface series: an OR of three AND-
+    brackets that each mix dim columns (brand, size) with a fact
+    column (quantity), so no single bracket can be pushed whole to
+    either scan. Catalyst must (a) keep the equi-join on partkey as
+    the join condition, never fold the OR into it (no cartesian / no
+    fact blowup — plan-asserted), and (b) DERIVE the pushable
+    disjunctions per side: the brand∨brand∨brand and size envelope
+    reach the part scan, the quantity envelope reaches the lineitem
+    scan, with the exact brackets re-checked post-join. Revenue stays
+    exact integer cents × bp. One-row output; same ANSI text on
+    DuckDB (its optimizer does the same common-derivation — the pin
+    certifies OUR plan, values certify both). At 100 TB the derived
+    pushdowns are what keep this scan-bound: without them the join
+    reads every part row for three brands' worth of matches."""
+    _utc(spark)
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q19)

@@ -329,6 +329,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_degree_assortativity",
     "burstiness_interevent",
     "ratio_metric_delta_method",
+    "sql_interface_q19",
 ]
 
 

@@ -2372,3 +2372,21 @@ def test_delta_method_numpy_replica(spark, sf_dir):
         )
         var_sum += var_r
     assert abs(r["se_cents"] - round(float(np.sqrt(var_sum)), 6)) < 1e-4
+
+
+def test_q19_derived_disjunctive_pushdown(spark, sf_dir):
+    """sql_interface_q19: the OR-of-ANDs must stay OUT of the join keys
+    (equi hash join on partkey, no cartesian) while each side's scan
+    receives its DERIVED common disjunction — quantity envelope on
+    lineitem, brand/size disjunction on part."""
+    df = q("sql_interface_q19", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan and "l_partkey" in plan
+    import re
+
+    scans = re.findall(r"PushedFilters: [^\n]*", plan)
+    assert any("l_quantity" in s for s in scans), scans
+    assert any("p_brand" in s for s in scans), scans
+    r = df.collect()[0]
+    assert r["n_lines"] > 0 and r["revenue"] > 0
