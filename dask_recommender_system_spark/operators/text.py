@@ -9,6 +9,8 @@ with the DuckDB oracles: split trimmed text on `\\s+`.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must
+# resolve via function globals (PEP 563 string annotations)
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1941,3 +1943,63 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "pandas_udf_scalar_textfeats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_exact,
+           CAST(LENGTH(text)
+                - LENGTH(REGEXP_REPLACE(text, '[aeiouAEIOU]', '', 'g'))
+                AS BIGINT) AS n_vowels,
+           CAST(LENGTH(text)
+                - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits,
+           CAST(LENGTH(text)
+                - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g'))
+                AS BIGINT) AS n_spaces
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pandas_udf_scalar_textfeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X306: the declared SCALAR Arrow pandas_udf shape — the one
+    vectorized-Python form the UDF family didn't yet pin
+    (grouped_agg_pandas_udf: GROUPED_AGG, map_in_arrow_passthrough:
+    raw Arrow, hysteresis/holt: GROUPED_MAP, multimodal: mapInPandas;
+    here: `@pandas_udf` applied inside a plain `select`, compiling to
+    ArrowEvalPython with batched Arrow transfer — the 10-100× faster
+    path the guide mandates over row-at-a-time Python). The kernel is
+    INTEGER-EXACT on purpose (vowel / digit / space counts via
+    vectorized pandas `.str.count`) so the cross-engine check has zero
+    float surface — the point is pinning the PLUMBING: the plan test
+    asserts ArrowEvalPython appears and BatchEvalPython does NOT, and
+    the oracle recomputes every count through DuckDB regexp arithmetic.
+    At 100 TB a scalar Arrow UDF is scan-speed columnar work per
+    batch; the honest caveat stays in the plan: it breaks whole-stage
+    codegen around itself, so built-ins still win where they exist —
+    which is why these specific counts ALSO exist as pure-JVM
+    expressions in text_stats."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def vowels(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[aeiouAEIOU]").astype("int64")
+
+    @pandas_udf("long")
+    def digits(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[0-9]").astype("int64")
+
+    @pandas_udf("long")
+    def spaces(s: pd.Series) -> pd.Series:
+        return s.str.count(r" ").astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_exact"),
+        vowels(F.col("text")).alias("n_vowels"),
+        digits(F.col("text")).alias("n_digits"),
+        spaces(F.col("text")).alias("n_spaces"),
+    ).orderBy("doc_id")

@@ -330,6 +330,7 @@ DRIVER_PRIORITY: list[str] = [
     "burstiness_interevent",
     "ratio_metric_delta_method",
     "sql_interface_q19",
+    "pandas_udf_scalar_textfeats",
 ]
 
 

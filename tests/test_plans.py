@@ -331,6 +331,7 @@ _ARROW_OK = {
     "hysteresis_alert_flags",  # the declared GROUPED_MAP recurrence shape
     "holt_linear_forecast",  # the declared GROUPED_MAP 2-state recurrence
     "multimodal_audio_features",  # the audio mapInPandas kernel
+    "pandas_udf_scalar_textfeats",  # the declared SCALAR ArrowEvalPython shape
 }
 
 
@@ -2390,3 +2391,19 @@ def test_q19_derived_disjunctive_pushdown(spark, sf_dir):
     assert any("p_brand" in s for s in scans), scans
     r = df.collect()[0]
     assert r["n_lines"] > 0 and r["revenue"] > 0
+
+
+def test_scalar_pandas_udf_is_arrow_not_rowwise(spark, sf_dir):
+    """pandas_udf_scalar_textfeats: the scalar UDFs must compile to
+    ArrowEvalPython (batched Arrow transfer), never BatchEvalPython
+    (row-at-a-time pickling), and the JVM-side n_chars column must
+    agree with Python-side counts (vowels+others <= chars)."""
+    df = q("pandas_udf_scalar_textfeats", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    rows = df.limit(50).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_vowels"] <= r["n_chars_exact"]
+        assert r["n_vowels"] + r["n_digits"] + r["n_spaces"] <= r["n_chars_exact"]
