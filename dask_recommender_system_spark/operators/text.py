@@ -1709,10 +1709,13 @@ PPMI_MIN_PAIR = 5  # minimum pair-event count in the output
         SELECT doc_id,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
         FROM documents),
+    -- data-driven position grid: a fixed range cap silently dropped
+    -- pairs for >99-token docs at sf0.1 (the bounded-grid oracle trap
+    -- ADVICE r03 flagged for timeseries_interpolate)
+    pos0 AS (
+        SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS i FROM t),
     pos AS (
-        SELECT doc_id, r.i, toks[CAST(r.i AS INT)] AS w
-        FROM t CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) r
-        WHERE r.i <= len(toks)),
+        SELECT doc_id, i, toks[CAST(i AS INT)] AS w FROM pos0),
     pairs AS (
         SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2
         FROM pos a JOIN pos b
