@@ -2619,3 +2619,53 @@ def sql_interface_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q19)
+
+
+# TPC-H Q17 (small-quantity-order revenue): the correlated SCALAR-
+# AGGREGATE subquery pin — the per-part average must decorrelate into
+# one grouped aggregate joined back on partkey, never re-execute per
+# outer row. The quantity threshold compares via exact integer
+# cross-multiplication (5*qty*cnt < sum), removing the 0.2*AVG float
+# from the join predicate entirely.
+TPCH_Q17 = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 700, 6) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          * CAST(FLOOR(l_quantity) AS BIGINT) * 5
+          < (SELECT CAST(SUM(CAST(FLOOR(l2.l_quantity) AS BIGINT))
+                         AS BIGINT)
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("sql_interface_q17", oracle=TPCH_Q17)
+def sql_interface_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X307: TPC-H Q17 verbatim through `spark.sql` — the correlated
+    SCALAR-AGGREGATE subquery pin of the SQL-interface series (Q4
+    pinned correlated EXISTS; here the subquery returns a VALUE the
+    outer predicate computes with): revenue lost to small-quantity
+    orders of one brand, where "small" means below 20% of that part's
+    average order quantity. Catalyst must decorrelate BOTH scalar
+    subqueries into one per-partkey aggregate joined back (the plan
+    test asserts a grouped aggregate over lineitem and no cartesian)
+    — naive per-row re-execution is O(|lineitem|²). The spec's
+    `l_quantity < 0.2 * avg(l_quantity)` is algebraically rewritten to
+    exact integer cross-multiplication `cnt·qty·5 < sum` (quantities
+    are integral), so the correlated predicate carries ZERO float —
+    the decimal-literal and division-order traps are gone, and DuckDB
+    decorrelates the identical text. Money stays integer cents with
+    one display division by 700 (the spec's /7.0 in cents). At 100 TB
+    the per-part aggregate is the second scan of lineitem (column-
+    pruned to two columns) and the join is keyed on partkey — the
+    plan the rewrite exists to guarantee."""
+    _utc(spark)
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q17)

@@ -331,6 +331,7 @@ DRIVER_PRIORITY: list[str] = [
     "ratio_metric_delta_method",
     "sql_interface_q19",
     "pandas_udf_scalar_textfeats",
+    "sql_interface_q17",
 ]
 
 

@@ -2407,3 +2407,17 @@ def test_scalar_pandas_udf_is_arrow_not_rowwise(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_vowels"] <= r["n_chars_exact"]
         assert r["n_vowels"] + r["n_digits"] + r["n_spaces"] <= r["n_chars_exact"]
+
+
+def test_q17_decorrelates_scalar_aggregate(spark, sf_dir):
+    """sql_interface_q17: both correlated scalar subqueries must
+    decorrelate into a grouped per-partkey aggregate joined back —
+    never per-row re-execution — with no cartesian product."""
+    df = q("sql_interface_q17", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # the decorrelated per-part rollup groups lineitem by its partkey
+    assert "l_partkey" in plan
+    r = df.collect()[0]
+    assert r["n_lines"] > 0 and r["sum_price_cents"] > 0
