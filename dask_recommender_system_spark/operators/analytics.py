@@ -4778,3 +4778,112 @@ def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness"),
     ).orderBy("user_id")
+
+
+EQD_B = 8  # equi-depth histogram buckets per group
+
+
+@query(
+    "histogram_equi_depth",
+    oracle=f"""
+    WITH src AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    hist AS (
+        SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM src GROUP BY 1, 2),
+    cum AS (
+        SELECT grp, cents, c,
+               CAST(SUM(c) OVER (PARTITION BY grp ORDER BY cents)
+                    AS BIGINT) AS cm,
+               CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM hist),
+    ks AS (SELECT CAST(UNNEST(range(1, {EQD_B} + 1)) AS BIGINT) AS k),
+    bounds AS (
+        SELECT grp, k, MIN(cents) AS ub_cents
+        FROM cum JOIN ks ON cm >= (k * n + {EQD_B} - 1) // {EQD_B}
+        GROUP BY 1, 2),
+    assigned AS (
+        SELECT h.grp, h.cents, h.c,
+               MIN(b.k) AS bucket
+        FROM hist h JOIN bounds b
+          ON h.grp = b.grp AND b.ub_cents >= h.cents
+        GROUP BY 1, 2, 3)
+    SELECT a.grp AS grp, a.bucket AS bucket, b.ub_cents,
+           CAST(SUM(a.c) AS BIGINT) AS n_bucket,
+           CAST(COUNT(*) AS BIGINT) AS ndv_bucket
+    FROM assigned a
+    JOIN bounds b ON a.grp = b.grp AND a.bucket = b.k
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X308: equi-depth (equi-height) histogram per group — the
+    statistic cost-based optimizers actually store (Spark's own ANALYZE
+    ... FOR COLUMNS builds exactly this; selectivity estimation reads
+    it), completing the stats family next to schema_profile (shape),
+    key_skew_profile (hot keys) and percentile_disc_exact (point
+    quantiles — whose value-histogram + integer-rank machinery this op
+    generalizes from {{PDISC_PCTS}} points to a full {EQD_B}-bucket
+    partition). Boundaries are EXACT discrete order statistics: bucket
+    k's upper bound is the smallest real value whose cumulative count
+    reaches ⌈k·n/{EQD_B}⌉ (integer ceiling arithmetic — never p·n
+    through doubles); each distinct value then lands in the first
+    bucket whose bound covers it via a bounded bounds-table join, and
+    per-bucket row counts + NDVs are exact BIGINTs — the two numbers
+    selectivity estimation divides. Pinned (tests): Σ n_bucket = n per
+    group, bounds strictly nondecreasing with the last = group max,
+    every bucket's cumulative reach ≥ its target rank, and NDVs sum to
+    the group's distinct-value count. Plan: one combine-friendly
+    value-histogram shuffle, group-keyed windows over
+    compression-bounded histogram rows, a 40-row bounds broadcast. At
+    100 TB this is exactly how ANALYZE scales — the histogram rows,
+    not the raw rows, carry the window."""
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = src.groupBy("grp", "cents").agg(F.count("*").alias("c"))
+    w_cum = W.partitionBy("grp").orderBy("cents")
+    w_all = W.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    ks = spark.range(1, EQD_B + 1).select(F.col("id").alias("k"))
+    bounds = (
+        cum.join(
+            F.broadcast(ks),
+            F.col("cm") >= F.expr(f"(k * n + {EQD_B} - 1) DIV {EQD_B}"),
+        )
+        .groupBy("grp", "k")
+        .agg(F.min("cents").alias("ub_cents"))
+    )
+    b_for_assign = bounds.select(
+        F.col("grp").alias("bg"), "k", F.col("ub_cents").alias("ub")
+    )
+    assigned = (
+        hist.join(
+            F.broadcast(b_for_assign),
+            (F.col("grp") == F.col("bg")) & (F.col("ub") >= F.col("cents")),
+        )
+        .groupBy("grp", "cents", "c")
+        .agg(F.min("k").alias("bucket"))
+    )
+    return (
+        assigned.join(
+            F.broadcast(bounds.withColumnRenamed("k", "bucket")),
+            ["grp", "bucket"],
+        )
+        .groupBy("grp", "bucket", "ub_cents")
+        .agg(
+            F.sum("c").alias("n_bucket"),
+            F.count("*").alias("ndv_bucket"),
+        )
+        .orderBy("grp", "bucket")
+    )

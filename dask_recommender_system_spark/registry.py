@@ -332,6 +332,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q19",
     "pandas_udf_scalar_textfeats",
     "sql_interface_q17",
+    "histogram_equi_depth",
 ]
 
 

@@ -320,6 +320,7 @@ _NON_EQUI_OK = {
     "hybrid_search_rrf",  # 1-row query-vector broadcast (similarity_topk's shape)
     "shapley_attribution",  # 16-row coalition lattice x 4 channels BNLJ
     "knn_classifier_eval",  # broadcast query-side probe (similarity_topk's shape)
+    "histogram_equi_depth",  # 40-row bounds-table range join (bounded BNLJ)
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2421,3 +2422,43 @@ def test_q17_decorrelates_scalar_aggregate(spark, sf_dir):
     assert "l_partkey" in plan
     r = df.collect()[0]
     assert r["n_lines"] > 0 and r["sum_price_cents"] > 0
+
+
+def test_equi_depth_histogram_invariants(spark, sf_dir):
+    """histogram_equi_depth: per group the bucket counts sum to n, NDVs
+    sum to the distinct-value count, bounds are nondecreasing with the
+    last equal to the group max, and every bucket's cumulative count
+    reaches its integer target rank."""
+    from dask_recommender_system_spark.data import load_table
+    from dask_recommender_system_spark.operators.analytics import EQD_B
+    from pyspark.sql import functions as F
+
+    rows = q("histogram_equi_depth", spark, sf_dir).collect()
+    assert rows
+    truth = {
+        r["grp"]: (r["n"], r["ndv"], r["mx"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("ndv"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mx"),
+        )
+        .collect()
+    }
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["bucket"])
+        n, ndv, mx = truth[grp]
+        assert sum(r["n_bucket"] for r in rs) == n
+        assert sum(r["ndv_bucket"] for r in rs) == ndv
+        ubs = [r["ub_cents"] for r in rs]
+        assert ubs == sorted(ubs) and ubs[-1] == mx
+        cum = 0
+        for r in rs:
+            cum += r["n_bucket"]
+            assert cum >= (r["bucket"] * n + EQD_B - 1) // EQD_B
