@@ -2669,3 +2669,67 @@ def sql_interface_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q17)
+
+
+# TPC-H Q8 (national market share): the largest join graph in the
+# series — 7 tables (lineitem at the center; part, supplier, orders,
+# customer, nation x2 via region) — with a conditional share: of all
+# ECONOMY-part revenue sold into EUROPE customers in 1996-1997, what
+# fraction was supplied from NATION_3, per year.
+TPCH_Q8 = """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents_bp
+                    ELSE 0 END) AS BIGINT) AS nation_cents_bp,
+           CAST(SUM(vol_cents_bp) AS BIGINT) AS total_cents_bp,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                          THEN vol_cents_bp ELSE 0 END) AS DOUBLE)
+                 / SUM(vol_cents_bp), 6) AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                   AS vol_cents_bp,
+               n2.n_name AS supp_nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND s_nationkey = n2.n_nationkey
+          AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+          AND p_type = 'ECONOMY') all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query("sql_interface_q8", oracle=TPCH_Q8)
+def sql_interface_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X309: TPC-H Q8 verbatim through `spark.sql` — the JOIN-GRAPH pin
+    of the SQL-interface series: seven tables around the lineitem
+    fact, with nation joined twice in DIFFERENT roles (customer's
+    nation routes through region to the EUROPE filter; supplier's
+    nation becomes the grouping attribute) — the planner must order
+    the graph so every dim broadcasts into the fact spine
+    (part→lineitem, supplier→lineitem, customer/nation/region→orders)
+    and the only data-sized shuffle is lineitem⋈orders. The market
+    share is the conditional-aggregation discipline at its sharpest:
+    numerator and denominator are the SAME exact integer cents×bp
+    column under a CASE, summed in one pass, divided once. Catalyst's
+    join reordering is what is under test (the plan asserts no
+    cartesian and a single data-sized exchange); DuckDB runs the
+    identical text. Both the raw integers and the rounded share are
+    emitted, so the oracle checks the inputs AND the division. At
+    100 TB this is the query where dim broadcast ordering decides
+    whether you read 100 TB once or shuffle it three times."""
+    _utc(spark)
+    for t in (
+        "part", "supplier", "lineitem", "orders", "customer", "nation",
+        "region",
+    ):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q8)

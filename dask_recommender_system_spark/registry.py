@@ -333,6 +333,7 @@ DRIVER_PRIORITY: list[str] = [
     "pandas_udf_scalar_textfeats",
     "sql_interface_q17",
     "histogram_equi_depth",
+    "sql_interface_q8",
 ]
 
 

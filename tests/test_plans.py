@@ -2462,3 +2462,23 @@ def test_equi_depth_histogram_invariants(spark, sf_dir):
         for r in rs:
             cum += r["n_bucket"]
             assert cum >= (r["bucket"] * n + EQD_B - 1) // EQD_B
+
+
+def test_q8_join_graph_broadcasts(spark, sf_dir):
+    """sql_interface_q8: the seven-table graph must resolve to dim
+    broadcasts around the fact spine — no cartesian, at least five
+    broadcast joins, and at most two data-sized hash exchanges (the
+    fact join + the year rollup)."""
+    df = q("sql_interface_q8", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("Exchange hashpartitioning") <= 2
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["nation_cents_bp"] <= r["total_cents_bp"]
+        assert abs(
+            r["mkt_share"]
+            - round(r["nation_cents_bp"] / r["total_cents_bp"], 6)
+        ) < 1e-9
