@@ -2733,3 +2733,58 @@ def sql_interface_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q8)
+
+
+# TPC-H Q22 (global sales opportunity): the global-scalar-subquery +
+# anti-join pin — wealthy customers (balance above the pool average)
+# who never placed an urgent order, counted per country code. Adapted:
+# country code = nationkey (customer has no phone column); "never
+# ordered" = no 1-URGENT order (every fixture customer has SOME order).
+# The average comparison is exact integer cross-multiplication
+# (cents*n > sum_cents) — no float in any predicate.
+TPCH_Q22 = """
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_nationkey IN (3, 7, 9, 11, 13, 17, 19) AND c_acctbal > 0),
+    avgb AS (
+        SELECT CAST(SUM(bal_cents) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pool)
+    SELECT c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM pool, avgb
+    WHERE bal_cents * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+"""
+
+
+@query("sql_interface_q22", oracle=TPCH_Q22)
+def sql_interface_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X310: TPC-H Q22 verbatim through `spark.sql` — the global-
+    scalar-subquery + ANTI-join pin closing the subquery trilogy (Q4:
+    correlated EXISTS → LeftSemi; Q17: correlated scalar aggregate →
+    grouped join-back; here: an UNcorrelated scalar aggregate that
+    must compute ONCE and broadcast into the filter, plus a NOT EXISTS
+    that must compile to LeftAnti with its priority filter pushed to
+    the orders scan — both plan-asserted). The spec's
+    `c_acctbal > AVG(c_acctbal)` runs as exact integer
+    cross-multiplication (bal_cents·n > sum_cents), so no predicate
+    anywhere in the query touches a float; balances aggregate as
+    integer cents. Adapted to the fixture: country code = nationkey
+    (no phone column), "never ordered" = no urgent order (TESTDATA's
+    customers all have some order — the urgent variant keeps the
+    anti-join branch populated at every SF). At 100 TB the 1-row
+    average broadcasts, the anti-join is keyed on custkey, and orders
+    is scanned once with the priority filter — the same two-exchange
+    budget as the rest of the series."""
+    _utc(spark)
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q22)

@@ -334,6 +334,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q17",
     "histogram_equi_depth",
     "sql_interface_q8",
+    "sql_interface_q22",
 ]
 
 

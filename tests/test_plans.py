@@ -321,6 +321,7 @@ _NON_EQUI_OK = {
     "shapley_attribution",  # 16-row coalition lattice x 4 channels BNLJ
     "knn_classifier_eval",  # broadcast query-side probe (similarity_topk's shape)
     "histogram_equi_depth",  # 40-row bounds-table range join (bounded BNLJ)
+    "sql_interface_q22",  # 1-row global-average broadcast (the spec's scalar subquery)
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2482,3 +2483,19 @@ def test_q8_join_graph_broadcasts(spark, sf_dir):
             r["mkt_share"]
             - round(r["nation_cents_bp"] / r["total_cents_bp"], 6)
         ) < 1e-9
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """sql_interface_q22: the NOT EXISTS must compile to LeftAnti with
+    the priority filter pushed to the orders scan, and the global
+    average must not trigger a cartesian (1-row broadcast)."""
+    df = q("sql_interface_q22", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    scans = re.findall(r"PushedFilters: [^\n]*", plan)
+    assert any("o_orderpriority" in s for s in scans), scans
+    rows = df.collect()
+    assert rows and all(r["numcust"] > 0 for r in rows)
