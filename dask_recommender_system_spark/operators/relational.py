@@ -2788,3 +2788,51 @@ def sql_interface_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q22)
+
+
+# TPC-H Q15 (top supplier): the aggregate-reuse pin — a revenue rollup
+# CTE consumed TWICE (as the join input and inside the scalar MAX
+# subquery); equality against the max is exact because revenue is an
+# integer cents x bp sum.
+TPCH_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS total_rev_cents_bp
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev_cents_bp
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_rev_cents_bp = (SELECT MAX(total_rev_cents_bp)
+                                FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@query("sql_interface_q15", oracle=TPCH_Q15)
+def sql_interface_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X311: TPC-H Q15 verbatim through `spark.sql` — the aggregate-
+    reuse pin finishing the series' subquery coverage (correlated
+    EXISTS, correlated scalar, uncorrelated scalar — and now a scalar
+    over a CTE the outer query ALSO consumes): the quarter's
+    per-supplier revenue rollup feeds both the equality filter's MAX
+    and the join to supplier names. Because revenue is an exact
+    integer cents×bp sum, `total_rev = MAX(total_rev)` is an integer
+    equality — the spec's float-equality footgun (the reason Q15 is
+    notorious in float engines) simply disappears. The plan test
+    asserts the rollup appears as a grouped aggregate, the scalar MAX
+    broadcasts (no cartesian), and ties would ALL be returned
+    (equality, not LIMIT 1 — the spec's semantics). At 100 TB the
+    rollup is one keyed agg over the quarter's scan; computing it
+    twice (Spark may not reuse the CTE across the scalar subquery
+    boundary) costs a second column-pruned scan, which the docstring
+    flags as the known trade — materializing the CTE via cache() is
+    the documented manual override when the scan dominates."""
+    _utc(spark)
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q15)

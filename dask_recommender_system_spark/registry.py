@@ -335,6 +335,7 @@ DRIVER_PRIORITY: list[str] = [
     "histogram_equi_depth",
     "sql_interface_q8",
     "sql_interface_q22",
+    "sql_interface_q15",
 ]
 
 

@@ -2499,3 +2499,35 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert any("o_orderpriority" in s for s in scans), scans
     rows = df.collect()
     assert rows and all(r["numcust"] > 0 for r in rows)
+
+
+def test_q15_max_equality_returns_all_ties(spark, sf_dir):
+    """sql_interface_q15: the revenue rollup is a grouped aggregate, the
+    scalar MAX does not cartesian, and the returned supplier(s) carry
+    exactly the maximum revenue recomputed independently."""
+    from pyspark.sql import functions as F
+    from dask_recommender_system_spark.data import load_table
+
+    df = q("sql_interface_q15", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    rows = df.collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    true_max = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev")
+        )
+        .agg(F.max("rev"))
+        .collect()[0][0]
+    )
+    assert all(r["total_rev_cents_bp"] == true_max for r in rows)
