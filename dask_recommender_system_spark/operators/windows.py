@@ -2104,3 +2104,93 @@ def countmin_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+def _ild_oracle() -> str:
+    from ..registry import REGISTRY as _REG
+
+    recs = _REG["recommend_top_k"].oracle
+    return f"""
+    WITH recs AS ({recs}),
+    attr AS (
+        SELECT recs.user_id, p.p_brand, p.p_type
+        FROM recs JOIN part p ON recs.item_id = p.p_partkey),
+    per_brand AS (
+        SELECT user_id, p_brand, CAST(COUNT(*) AS BIGINT) AS c
+        FROM attr GROUP BY 1, 2),
+    per_type AS (
+        SELECT user_id, p_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM attr GROUP BY 1, 2),
+    u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM attr GROUP BY 1),
+    sb AS (SELECT user_id, CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS same_b
+           FROM per_brand GROUP BY 1),
+    st AS (SELECT user_id, CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS same_t
+           FROM per_type GROUP BY 1)
+    SELECT u.user_id, u.n AS n_items,
+           u.n * (u.n - 1) / 2 AS total_pairs,
+           sb.same_b AS same_brand_pairs,
+           st.same_t AS same_type_pairs,
+           ROUND(1 - CAST(sb.same_b AS DOUBLE) / (u.n * (u.n - 1) / 2), 6)
+               AS ild_brand,
+           ROUND(1 - CAST(st.same_t AS DOUBLE) / (u.n * (u.n - 1) / 2), 6)
+               AS ild_type
+    FROM u JOIN sb ON u.user_id = sb.user_id
+    JOIN st ON u.user_id = st.user_id
+    ORDER BY u.user_id
+    """
+
+
+@query("recs_intra_list_diversity", oracle=_ild_oracle())
+def recs_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X312: intra-list diversity of the recommend_top_k lists — the
+    third beyond-accuracy audit, completing the triad
+    (recommendation_coverage: catalog/popularity bias; recs_novelty:
+    unexpectedness; HERE: within-list variety, Ziegler 2005's ILD in
+    its categorical form): 1 − (same-attribute pairs / all pairs) per
+    user list, over both brand and type attributes. mmr_rerank
+    OPTIMIZES this quantity; this op MEASURES it, so the two compose
+    into the standard diversify-then-audit loop. Pure integer
+    combinatorics: per-attribute counts c give same-pairs Σ C(c,2)
+    against C(n,2) totals — the only float is the final rounded
+    ratio, emitted beside all four raw integers. Composes the X5
+    oracle verbatim (both engines audit the SAME lists). Pinned
+    (tests): pair conservation (same + cross = C(n,2) via independent
+    recount), ILD ∈ [0,1], and brand-ILD ≥ type-ILD on this fixture
+    (25 brands vs 6 types — finer attributes diversify more). Plan:
+    recs (bounded user sample × k) join a broadcast part dim, three
+    bounded keyed aggs — free next to the recs query itself."""
+    from ..registry import REGISTRY as _REG
+
+    recs = _REG["recommend_top_k"].fn(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id"), "p_brand", "p_type"
+    )
+    attr = recs.join(F.broadcast(p), "item_id").select(
+        "user_id", "p_brand", "p_type"
+    )
+    u = attr.groupBy("user_id").agg(F.count("*").alias("n_items"))
+    same = {}
+    for col, alias in (("p_brand", "same_b"), ("p_type", "same_t")):
+        per = attr.groupBy("user_id", col).agg(F.count("*").alias("c"))
+        same[alias] = per.groupBy("user_id").agg(
+            F.sum(F.expr("c * (c - 1) DIV 2")).alias(alias)
+        )
+    total_pairs = F.expr("n_items * (n_items - 1) DIV 2")
+    return (
+        u.join(same["same_b"], "user_id")
+        .join(same["same_t"], "user_id")
+        .select(
+            "user_id",
+            "n_items",
+            total_pairs.alias("total_pairs"),
+            F.col("same_b").alias("same_brand_pairs"),
+            F.col("same_t").alias("same_type_pairs"),
+            F.round(
+                1 - F.col("same_b").cast("double") / total_pairs, 6
+            ).alias("ild_brand"),
+            F.round(
+                1 - F.col("same_t").cast("double") / total_pairs, 6
+            ).alias("ild_type"),
+        )
+        .orderBy("user_id")
+    )

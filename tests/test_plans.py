@@ -313,6 +313,7 @@ _NON_EQUI_OK = {
     "funnel_step_deadlines",  # three 1-row step-count aggs crossJoined
     "minhash_band_sweep",  # 1-row true-pair-count broadcast onto 3 rows
     "recs_novelty",  # inherits recommend_top_k's 1-row mu broadcasts
+    "recs_intra_list_diversity",  # same inheritance (composes the X5 query)
     "bigram_lm_logprob",  # 1-row vocab-size broadcast, like unigram's
     "countmin_sketch_rollup",  # 1-row n_total broadcast onto the key table
     "isotonic_calibration",  # PAV minimax grid: bounded bin-table
@@ -2531,3 +2532,21 @@ def test_q15_max_equality_returns_all_ties(spark, sf_dir):
         .collect()[0][0]
     )
     assert all(r["total_rev_cents_bp"] == true_max for r in rows)
+
+
+def test_ild_pair_conservation_and_attribute_ordering(spark, sf_dir):
+    """recs_intra_list_diversity: per user, same-pairs never exceed
+    total pairs, ILD in [0,1], the totals equal C(n,2), and the finer
+    attribute (25 brands) diversifies at least as much as the coarser
+    one (6 types) on average."""
+    rows = q("recs_intra_list_diversity", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["n_items"]
+        assert r["total_pairs"] == n * (n - 1) // 2
+        assert 0 <= r["same_brand_pairs"] <= r["total_pairs"]
+        assert 0 <= r["same_type_pairs"] <= r["total_pairs"]
+        assert 0.0 <= r["ild_brand"] <= 1.0 and 0.0 <= r["ild_type"] <= 1.0
+    avg_b = sum(r["ild_brand"] for r in rows) / len(rows)
+    avg_t = sum(r["ild_type"] for r in rows) / len(rows)
+    assert avg_b >= avg_t
