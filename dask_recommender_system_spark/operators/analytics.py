@@ -4887,3 +4887,77 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "bucket")
     )
+
+
+@query(
+    "bayes_beta_binomial",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+    g AS (
+        SELECT c_nationkey AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS s
+        FROM per_cust GROUP BY 1)
+    SELECT nation, n, s,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS raw_rate,
+           ROUND(CAST(s + 1 AS DOUBLE) / (n + 2), 6) AS post_mean,
+           ROUND(CAST(s + 1 AS DOUBLE) * (n - s + 1)
+                 / ((CAST(n AS DOUBLE) + 2) * (n + 2) * (n + 3)), 6)
+               AS post_var
+    FROM g ORDER BY nation
+    """,
+)
+def bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X313: Beta-Binomial posterior conversion rates per nation — the
+    Bayesian member of the rate-reporting family (wilson_ci_ranking:
+    frequentist lower bound; HERE: the conjugate posterior under a
+    uniform Beta(1,1) prior, the Laplace rule of succession): posterior
+    mean (s+1)/(n+2) and closed-form posterior variance
+    αβ/((α+β)²(α+β+1)) per group. Conversion = customer ever placed an
+    urgent order (the LEFT JOIN keeps zero-order customers as
+    failures — Q13's preserved-row discipline). Everything is a ratio
+    of EXACT integers: one customer rollup, one nation rollup, fixed
+    double expressions, raw (n, s) emitted beside every rounded
+    output. Pinned (tests): shrinkage toward the uniform prior's 1/2
+    (|post − ½| ≤ |raw − ½| for every group, strict where raw ≠ ½),
+    posterior variance positive and < 1/4·1/(n+3), and the recompute
+    from (n, s). At 100 TB: two keyed aggs — nothing else."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv")
+        )
+    )
+    g = per_cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").alias("n"), F.sum("conv").alias("s")
+    )
+    n, s = F.col("n"), F.col("s")
+    return g.select(
+        "nation",
+        "n",
+        "s",
+        F.round(s.cast("double") / n, 6).alias("raw_rate"),
+        F.round((s + 1).cast("double") / (n + 2), 6).alias("post_mean"),
+        F.round(
+            (s + 1).cast("double")
+            * (n - s + 1)
+            / ((n.cast("double") + 2) * (n + 2) * (n + 3)),
+            6,
+        ).alias("post_var"),
+    ).orderBy("nation")

@@ -337,6 +337,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q22",
     "sql_interface_q15",
     "recs_intra_list_diversity",
+    "bayes_beta_binomial",
 ]
 
 

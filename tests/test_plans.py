@@ -2550,3 +2550,19 @@ def test_ild_pair_conservation_and_attribute_ordering(spark, sf_dir):
     avg_b = sum(r["ild_brand"] for r in rows) / len(rows)
     avg_t = sum(r["ild_type"] for r in rows) / len(rows)
     assert avg_b >= avg_t
+
+
+def test_beta_binomial_shrinks_toward_prior(spark, sf_dir):
+    """bayes_beta_binomial: posterior mean shrinks toward the uniform
+    prior's 1/2 for every group (strictly when raw != 1/2), variance is
+    positive and bounded, and both recompute from the emitted (n, s)."""
+    rows = q("bayes_beta_binomial", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, s = r["n"], r["s"]
+        assert abs(r["raw_rate"] - round(s / n, 6)) < 1e-9
+        assert abs(r["post_mean"] - round((s + 1) / (n + 2), 6)) < 1e-9
+        assert abs(r["post_mean"] - 0.5) <= abs(r["raw_rate"] - 0.5) + 1e-9
+        if abs(r["raw_rate"] - 0.5) > 1e-6:
+            assert abs(r["post_mean"] - 0.5) < abs(r["raw_rate"] - 0.5)
+        assert 0 < r["post_var"] < 0.25 / (n + 3) + 1e-9
