@@ -622,3 +622,103 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return daily.groupBy("n_name").applyInPandas(holt, schema=HOLT_SCHEMA)
+
+
+TB_CAP = 3  # token-bucket capacity
+TB_REFILL_S = 86400  # one token per day (matches the fixture's event rate)
+
+TB_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("sec", T.LongType()),
+        T.StructField("allowed", T.IntegerType()),
+        T.StructField("tokens_after", T.LongType()),
+    ]
+)
+
+
+@query(
+    "rate_limit_token_bucket",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // {TB_REFILL_S} AS tick,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                           event_id) AS rn
+        FROM events),
+    st(user_id, event_id, sec, tick, rn, allowed, tokens_after) AS (
+        SELECT user_id, event_id, sec, tick, rn,
+               1, CAST({TB_CAP} - 1 AS BIGINT)
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.sec, e.tick, e.rn,
+               CASE WHEN LEAST({TB_CAP}, st.tokens_after
+                               + (e.tick - st.tick)) >= 1
+                    THEN 1 ELSE 0 END,
+               LEAST({TB_CAP}, st.tokens_after + (e.tick - st.tick))
+               - CASE WHEN LEAST({TB_CAP}, st.tokens_after
+                               + (e.tick - st.tick)) >= 1
+                      THEN 1 ELSE 0 END
+        FROM e JOIN st ON e.user_id = st.user_id AND e.rn = st.rn + 1)
+    SELECT user_id, event_id, sec, CAST(allowed AS INT) AS allowed,
+           tokens_after
+    FROM st
+    ORDER BY user_id, sec, event_id
+    """,
+)
+def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X314: token-bucket rate limiting over each user's event stream —
+    THE production admission-control recurrence (API gateways, ingest
+    quotas): a bucket of {TB_CAP} tokens refills one per
+    {TB_REFILL_S}-second tick, each admitted event spends one, empty
+    bucket denies. Like hysteresis_alert_flags the state is genuinely
+    recursive (the capacity clamp is non-linear — no window/prefix
+    closed form), so the batch form is GROUPED_MAP applyInPandas: one
+    shuffle on user_id, a bounded per-group recurrence in the kernel
+    (numpy over each group's ~dozens of rows; the Arrow transfer is
+    batched regardless). ALL state is integer (tokens, day ticks) —
+    zero float anywhere — and refill accrues on absolute tick
+    boundaries, so the recurrence depends only on (tick_i − tick_{{i-1}})
+    integer differences the oracle's recursive CTE replays exactly.
+    Pinned (tests): tokens_after ∈ [0, {TB_CAP}], denials fire on this
+    fixture (bursty days outrun the refill), an admitted event always
+    had ≥1 token, and per-user admitted count ≤ {TB_CAP} + elapsed
+    ticks + 1 (the bucket's defining throughput bound). The streaming
+    twin is applyInPandasWithState with (tokens, tick) as the one
+    struct of state — stream_hysteresis_alerts' shape."""
+    ev = load_table_events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("sec"),
+    )
+
+    def bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["sec", "event_id"], ignore_index=True)
+        ticks = (pdf["sec"].to_numpy() // TB_REFILL_S).astype("int64")
+        n = len(pdf)
+        allowed = np.zeros(n, dtype="int32")
+        after = np.zeros(n, dtype="int64")
+        tokens = TB_CAP
+        prev_tick = ticks[0] if n else 0
+        for i in range(n):
+            tokens = min(TB_CAP, tokens + (ticks[i] - prev_tick))
+            prev_tick = ticks[i]
+            if tokens >= 1:
+                allowed[i] = 1
+                tokens -= 1
+            after[i] = tokens
+        pdf["allowed"] = allowed
+        pdf["tokens_after"] = after
+        return pdf[["user_id", "event_id", "sec", "allowed", "tokens_after"]]
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(bucket, schema=TB_SCHEMA)
+        .orderBy("user_id", "sec", "event_id")
+    )

@@ -338,6 +338,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q15",
     "recs_intra_list_diversity",
     "bayes_beta_binomial",
+    "rate_limit_token_bucket",
 ]
 
 

@@ -332,6 +332,7 @@ _ARROW_OK = {
     "map_in_arrow_passthrough",  # the declared raw-Arrow mapInArrow shape
     "udtf_order_milestones",  # the declared ArrowEvalPythonUDTF shape
     "hysteresis_alert_flags",  # the declared GROUPED_MAP recurrence shape
+    "rate_limit_token_bucket",  # GROUPED_MAP clamp recurrence (no closed form)
     "holt_linear_forecast",  # the declared GROUPED_MAP 2-state recurrence
     "multimodal_audio_features",  # the audio mapInPandas kernel
     "pandas_udf_scalar_textfeats",  # the declared SCALAR ArrowEvalPython shape
@@ -2566,3 +2567,31 @@ def test_beta_binomial_shrinks_toward_prior(spark, sf_dir):
         if abs(r["raw_rate"] - 0.5) > 1e-6:
             assert abs(r["post_mean"] - 0.5) < abs(r["raw_rate"] - 0.5)
         assert 0 < r["post_var"] < 0.25 / (n + 3) + 1e-9
+
+
+def test_token_bucket_invariants(spark, sf_dir):
+    """rate_limit_token_bucket: tokens stay in [0, CAP], every admitted
+    event had a token, denials fire on the fixture, and each user's
+    admitted count respects the bucket's throughput bound
+    (CAP + elapsed ticks + 1)."""
+    from dask_recommender_system_spark.operators.grouped import (
+        TB_CAP, TB_REFILL_S,
+    )
+
+    rows = q("rate_limit_token_bucket", spark, sf_dir).collect()
+    assert rows
+    assert any(r["allowed"] == 0 for r in rows)  # denial branch fires
+    by_user = {}
+    for r in rows:
+        assert 0 <= r["tokens_after"] <= TB_CAP
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["sec"], r["event_id"]))
+        admitted = sum(r["allowed"] for r in rs)
+        ticks = rs[-1]["sec"] // TB_REFILL_S - rs[0]["sec"] // TB_REFILL_S
+        assert admitted <= TB_CAP + ticks + 1
+        for prev, cur in zip(rs, rs[1:]):
+            # an admitted event implies >= 1 token at arrival:
+            # tokens_after = tokens_at_arrival - 1 >= 0 is the invariant
+            if cur["allowed"]:
+                assert cur["tokens_after"] >= 0
