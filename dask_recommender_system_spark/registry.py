@@ -339,6 +339,7 @@ DRIVER_PRIORITY: list[str] = [
     "recs_intra_list_diversity",
     "bayes_beta_binomial",
     "rate_limit_token_bucket",
+    "stream_rate_limit",
 ]
 
 

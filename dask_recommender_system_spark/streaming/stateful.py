@@ -153,3 +153,63 @@ def apply_hysteresis(events_with_epoch: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TB_COLUMNS = ["user_id", "event_id", "sec", "allowed", "tokens_after"]
+
+TB_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, sec long, allowed int, tokens_after long"
+)
+TB_STATE_SCHEMA = "tokens long, tick long"
+
+
+def token_bucket_with_state(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user token-bucket admission control with (tokens, last tick)
+    as the state struct — the rate-limit shape gateways deploy. Refill
+    accrues on absolute tick boundaries (integer arithmetic only), so
+    state carried across micro-batches reproduces the batch recurrence
+    exactly; like hysteresis, every event emits one row and the state
+    is meaningful forever — no timers declared."""
+    from ..operators.grouped import TB_CAP, TB_REFILL_S
+
+    (user_id,) = key
+    if state.exists:
+        tokens, prev_tick = state.get
+        first = False
+    else:
+        tokens, prev_tick, first = TB_CAP, 0, True
+    out: list[tuple[int, int, int, int, int]] = []
+    for pdf in pdfs:
+        block = pdf.sort_values(["sec", "event_id"])
+        for _, row in block.iterrows():
+            sec = int(row["sec"])
+            tick = sec // TB_REFILL_S
+            if first:
+                prev_tick = tick
+                first = False
+            tokens = min(TB_CAP, tokens + (tick - prev_tick))
+            prev_tick = tick
+            allowed = 1 if tokens >= 1 else 0
+            tokens -= allowed
+            out.append(
+                (user_id, int(row["event_id"]), sec, allowed, tokens)
+            )
+    state.update((tokens, prev_tick))
+    yield pd.DataFrame(out, columns=_TB_COLUMNS)
+
+
+def apply_token_bucket(events_with_epoch: DataFrame) -> DataFrame:
+    """events_with_epoch: streaming frame with
+    (user_id long, event_id long, sec long)."""
+    ev = events_with_epoch.withColumn(
+        "ts", F.timestamp_seconds("sec")
+    ).withWatermark("ts", WATERMARK_DELAY)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        token_bucket_with_state,
+        outputStructType=TB_OUTPUT_SCHEMA,
+        stateStructType=TB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1323,3 +1323,45 @@ def stream_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("c"))
         .orderBy("j", "bucket")
     )
+
+
+def _tb_oracle() -> str:
+    return REGISTRY["rate_limit_token_bucket"].oracle
+
+
+@query("stream_rate_limit", oracle=_tb_oracle())
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X315: the STREAMING twin of rate_limit_token_bucket — the same
+    integer token-bucket recurrence run as a custom stateful operator
+    via applyInPandasWithState, with (tokens, last tick) as the state
+    struct (streaming/stateful.py:apply_token_bucket). This is the
+    admission-control deployment shape: the bucket survives
+    micro-batch boundaries and restarts, so a client's quota cannot
+    reset by reconnecting. Every event emits exactly one row
+    regardless of watermarks, so the drained append-mode output equals
+    the batch recurrence EXACTLY and shares its recursive-CTE oracle
+    VERBATIM — the hysteresis-grade stream/batch parity, now for a
+    TWO-field state struct (the next rung up from the alert bit). No
+    timers: unlike a session window the bucket state is meaningful
+    forever; at 100 TB state is two longs per active user."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .stateful import apply_token_bucket
+
+    ev = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    out = apply_token_bucket(ev)
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("user_id", "sec", "event_id")

@@ -283,3 +283,26 @@ def test_stream_countmin_equals_batch_counters(spark, sf_dir):
         per_row[r["j"]] = per_row.get(r["j"], 0) + r["c"]
     assert set(per_row) == set(range(CM_D))
     assert all(v == n_events for v in per_row.values())
+
+
+def test_stream_rate_limit_equals_batch(spark, sf_dir):
+    """stream_rate_limit: the drained stateful output equals the batch
+    GROUPED_MAP recurrence row-for-row (hysteresis-grade parity, here
+    with a two-field state struct)."""
+    from dask_recommender_system_spark.registry import REGISTRY
+
+    got = (
+        REGISTRY["stream_rate_limit"].fn(spark, sf_dir)
+        .orderBy("user_id", "sec", "event_id")
+        .collect()
+    )
+    want = (
+        REGISTRY["rate_limit_token_bucket"].fn(spark, sf_dir)
+        .orderBy("user_id", "sec", "event_id")
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (
+            g["user_id"], g["event_id"], g["allowed"], g["tokens_after"]
+        ) == (w["user_id"], w["event_id"], w["allowed"], w["tokens_after"])
