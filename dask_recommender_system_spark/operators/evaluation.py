@@ -1604,7 +1604,8 @@ SPRT_LO = -2.1972245773362196  # ln(beta/(1-alpha))
         FROM daily),
     llr AS (
         SELECT day, n_a_cum, n_b_cum,
-               n_b_cum * {SPRT_C1} + n_a_cum * {SPRT_C0} AS llr
+               n_b_cum * CAST({SPRT_C1} AS DOUBLE)
+                   + n_a_cum * CAST({SPRT_C0} AS DOUBLE) AS llr
         FROM cum),
     sig AS (
         SELECT *,
@@ -1863,4 +1864,134 @@ def ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("diff_cents"),
         F.round(F.sqrt(var_term("0") + var_term("1")), 6).alias("se_cents"),
+    )
+
+
+@query(
+    "qini_uplift_deciles",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('t:' || user_id), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % 2 AS t,
+               CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('q:' || user_id), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % 10 AS decile,
+               CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) >= 14
+                         THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events GROUP BY user_id),
+    d AS (
+        SELECT decile,
+               CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN t = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS conv_t,
+               CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN t = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS conv_c
+        FROM u GROUP BY 1),
+    terms AS (
+        SELECT *,
+               CAST(ROUND((conv_t - CASE WHEN n_c > 0
+                           THEN CAST(conv_c AS DOUBLE) * n_t / n_c
+                           ELSE 0 END) * 1000000) AS BIGINT) AS term_micro
+        FROM d)
+    SELECT decile, n_t, conv_t, n_c, conv_c,
+           ROUND(CASE WHEN n_t > 0 THEN CAST(conv_t AS DOUBLE) / n_t
+                      ELSE 0 END
+                 - CASE WHEN n_c > 0 THEN CAST(conv_c AS DOUBLE) / n_c
+                        ELSE 0 END, 6) AS uplift_rate,
+           ROUND(CAST(CAST(SUM(term_micro) OVER (ORDER BY decile)
+                           AS BIGINT) AS DOUBLE) / 1000000, 6)
+               AS qini_cum
+    FROM terms
+    ORDER BY decile
+    """,
+)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X316: Qini uplift table by score decile (Radcliffe 2007) — the
+    uplift-modeling twin of decile_lift_table: instead of ranking by
+    response, rank by a putative uplift score and report, per decile,
+    treated vs control conversion and the cumulative Qini value
+    q(k) = Σ_{{d<=k}} (conv_t − conv_c·n_t/n_c) — the area under which
+    is THE uplift-model selection metric. Conversion = per-user
+    purchase count >= 14 (near the fixture's Poisson mean, so both
+    converters and non-converters exist in every arm); scores and
+    treatment come from independent h60 hashes (a null uplift model
+    on null-true data), so the honest reading is a FLAT Qini curve — the no-signal
+    baseline real models must clear, pinned within noise in the test.
+    Determinism: per-decile terms are fixed double expressions over
+    four exact integers, ROUNDED TO INTEGER MICRO-UNITS before the
+    cumulative sum (windowed float sums are segment-tree-ordered in
+    DuckDB — only integer cumulatives are add-order-free), the
+    established causal_impact discipline. Plan: one user rollup, one
+    10-row decile rollup, a pmod window over 10 rows."""
+    from .dedup import h60_spark
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hq = F.pmod(
+        h60_spark(F.concat(F.lit("q:"), F.col("user_id").cast("string"))),
+        F.lit(10),
+    )
+    ht = F.pmod(
+        h60_spark(F.concat(F.lit("t:"), F.col("user_id").cast("string"))),
+        F.lit(2),
+    )
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        ).cast("long").alias("conv")
+    ).select(ht.alias("t"), hq.alias("decile"), "conv")
+    d = u.groupBy("decile").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("t") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_t"
+        ),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("t") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_c"
+        ),
+    )
+    # empty-arm guard: tiny fixtures can leave a decile without one arm
+    term_micro = F.round(
+        (
+            F.col("conv_t")
+            - F.when(
+                F.col("n_c") > 0,
+                F.col("conv_c").cast("double") * F.col("n_t") / F.col("n_c"),
+            ).otherwise(0.0)
+        )
+        * 1000000
+    ).cast("long")
+    w_cum = (
+        W.partitionBy(F.pmod(F.col("decile"), F.lit(1)))
+        .orderBy("decile")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn("term_micro", term_micro)
+        .select(
+            "decile",
+            "n_t",
+            "conv_t",
+            "n_c",
+            "conv_c",
+            F.round(
+                F.when(
+                    F.col("n_t") > 0,
+                    F.col("conv_t").cast("double") / F.col("n_t"),
+                ).otherwise(0.0)
+                - F.when(
+                    F.col("n_c") > 0,
+                    F.col("conv_c").cast("double") / F.col("n_c"),
+                ).otherwise(0.0),
+                6,
+            ).alias("uplift_rate"),
+            F.round(
+                F.sum("term_micro").over(w_cum).cast("double") / 1000000, 6
+            ).alias("qini_cum"),
+        )
+        .orderBy("decile")
     )

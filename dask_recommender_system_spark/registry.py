@@ -340,6 +340,7 @@ DRIVER_PRIORITY: list[str] = [
     "bayes_beta_binomial",
     "rate_limit_token_bucket",
     "stream_rate_limit",
+    "qini_uplift_deciles",
 ]
 
 

@@ -2595,3 +2595,28 @@ def test_token_bucket_invariants(spark, sf_dir):
             # tokens_after = tokens_at_arrival - 1 >= 0 is the invariant
             if cur["allowed"]:
                 assert cur["tokens_after"] >= 0
+
+
+def test_qini_null_model_is_flat(spark, sf_dir):
+    """qini_uplift_deciles: uplift recomputes from the emitted integers,
+    the cumulative telescopes, and the null score on null-true data
+    yields a near-flat Qini curve (|final qini| small relative to the
+    treated population)."""
+    rows = q("qini_uplift_deciles", spark, sf_dir).orderBy("decile").collect()
+    # tiny fixtures can leave hash-deciles empty; present ones are 0..9
+    assert 1 <= len(rows) <= 10
+    assert all(0 <= r["decile"] <= 9 for r in rows)
+    assert len({r["decile"] for r in rows}) == len(rows)
+    cum = 0.0
+    n_treated = sum(r["n_t"] for r in rows)
+    for r in rows:
+        rt = r["conv_t"] / r["n_t"] if r["n_t"] else 0.0
+        rc = r["conv_c"] / r["n_c"] if r["n_c"] else 0.0
+        assert abs(r["uplift_rate"] - round(rt - rc, 6)) < 1e-9
+        term = round(
+            (r["conv_t"] - (r["conv_c"] * r["n_t"] / r["n_c"] if r["n_c"] else 0.0))
+            * 1e6
+        ) / 1e6
+        cum += term
+        assert abs(r["qini_cum"] - round(cum, 6)) < 2e-6
+    assert abs(rows[-1]["qini_cum"]) < 0.25 * max(n_treated, 1)
