@@ -4961,3 +4961,150 @@ def bayes_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("post_var"),
     ).orderBy("nation")
+
+
+@query(
+    "dau_mau_stickiness",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day
+        FROM events),
+    grid AS (
+        SELECT CAST(UNNEST(range((SELECT MIN(day) FROM p),
+                                 (SELECT MAX(day) FROM p) + 1)) AS BIGINT)
+               AS day),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY 1),
+    wau AS (
+        SELECT g.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM grid g JOIN p ON p.day BETWEEN g.day - 6 AND g.day
+        GROUP BY 1),
+    mau AS (
+        SELECT g.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS mau
+        FROM grid g JOIN p ON p.day BETWEEN g.day - 27 AND g.day
+        GROUP BY 1)
+    SELECT g.day,
+           CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(w.wau, 0) AS BIGINT) AS wau,
+           CAST(COALESCE(m.mau, 0) AS BIGINT) AS mau,
+           ROUND(CASE WHEN COALESCE(w.wau, 0) > 0
+                      THEN CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau
+                      ELSE 0 END, 6) AS stickiness_7d,
+           ROUND(CASE WHEN COALESCE(m.mau, 0) > 0
+                      THEN CAST(COALESCE(d.dau, 0) AS DOUBLE) / m.mau
+                      ELSE 0 END, 6) AS stickiness_28d
+    FROM grid g
+    LEFT JOIN dau d USING (day)
+    LEFT JOIN wau w USING (day)
+    LEFT JOIN mau m USING (day)
+    ORDER BY g.day
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X317: DAU / WAU / MAU and the stickiness ratios (DAU/WAU,
+    DAU/MAU) per calendar day — THE engagement headline every product
+    team computes over exactly this events table. The naive plan is a
+    trailing COUNT(DISTINCT user) window per day (28 distinct scans, or
+    a day×user range join that explodes at scale); the scale path here
+    is interval stabbing: dedup to user-day presence (one keyed
+    shuffle), merge each user's presence days into coverage islands
+    (presence day p covers MAU days [p, p+27]; runs merge while the
+    next presence is <= prev + 28) with a user-keyed lag window, then
+    emit +1 at island start / -1 past island end and prefix-sum the
+    deltas over the CALENDAR-BOUNDED day grid (the
+    `cumulative_unique_users` pmod idiom — |days| rows at any data
+    scale). MAU(d) falls out as a running sum, never a distinct-count:
+    work is O(presence) + O(days), both shuffles keyed. Day numbers are
+    tz-free integers; ratios are single divisions of exact BIGINTs,
+    rounded 6. The DuckDB oracle computes the same quantities the naive
+    way (day×presence band join + COUNT DISTINCT), so hash equality
+    proves the island algebra, not just the plumbing."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+
+    span = p.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+
+    def coverage_counts(width: int, out: str) -> DataFrame:
+        # presence day p covers days [p, p+width-1]; runs merge while
+        # the next presence day starts before the previous coverage
+        # ends (+1 for adjacency)
+        wu = W.partitionBy("user_id").orderBy("day")
+        isl = (
+            p.withColumn("prev", F.lag("day").over(wu))
+            .withColumn(
+                "new_isl",
+                (
+                    F.col("prev").isNull()
+                    | (F.col("day") > F.col("prev") + width)
+                ).cast("long"),
+            )
+            .withColumn(
+                "isl_id",
+                F.sum("new_isl").over(
+                    wu.rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("user_id", "isl_id")
+            .agg(
+                F.min("day").alias("start"),
+                (F.max("day") + width).alias("stop"),  # exclusive
+            )
+        )
+        deltas = isl.select(
+            F.col("start").alias("day"), F.lit(1).alias("delta")
+        ).unionAll(
+            isl.select(
+                F.col("stop").alias("day"), F.lit(-1).alias("delta")
+            )
+        )
+        dsum = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+        wg = (
+            W.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+            .orderBy("day")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return (
+            grid.join(dsum, "day", "left")
+            .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+            .withColumn(out, F.sum("delta").over(wg).cast("long"))
+            .select("day", out)
+        )
+
+    dau = p.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    wau = coverage_counts(7, "wau")
+    mau = coverage_counts(28, "mau")
+    out = (
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .join(mau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.coalesce("mau", F.lit(0)).cast("long").alias("mau"),
+        )
+    )
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.when(
+            F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+        ).otherwise(0.0),
+        6,
+    )
+    return out.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        ratio("dau", "wau").alias("stickiness_7d"),
+        ratio("dau", "mau").alias("stickiness_28d"),
+    ).orderBy("day")

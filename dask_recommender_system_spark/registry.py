@@ -341,6 +341,7 @@ DRIVER_PRIORITY: list[str] = [
     "rate_limit_token_bucket",
     "stream_rate_limit",
     "qini_uplift_deciles",
+    "dau_mau_stickiness",
 ]
 
 

@@ -2620,3 +2620,19 @@ def test_qini_null_model_is_flat(spark, sf_dir):
         cum += term
         assert abs(r["qini_cum"] - round(cum, 6)) < 2e-6
     assert abs(rows[-1]["qini_cum"]) < 0.25 * max(n_treated, 1)
+
+
+def test_dau_mau_invariants(spark, sf_dir):
+    """dau_mau_stickiness: the island prefix-sum must reproduce the
+    set-theoretic containment DAU(d) <= WAU(d) <= MAU(d) on every day,
+    ratios live in [0, 1], and the grid is gap-free."""
+    rows = q("dau_mau_stickiness", spark, sf_dir).orderBy("day").collect()
+    assert rows
+    days = [r["day"] for r in rows]
+    assert days == list(range(days[0], days[-1] + 1))
+    for r in rows:
+        assert 0 <= r["dau"] <= r["wau"] <= r["mau"]
+        assert 0.0 <= r["stickiness_7d"] <= 1.0
+        assert 0.0 <= r["stickiness_28d"] <= 1.0
+    # at least one day has a full 28-day trailing window with churn
+    assert any(r["mau"] > r["dau"] for r in rows)
