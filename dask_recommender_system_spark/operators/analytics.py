@@ -5108,3 +5108,122 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio("dau", "wau").alias("stickiness_7d"),
         ratio("dau", "mau").alias("stickiness_28d"),
     ).orderBy("day")
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    grid AS (
+        SELECT CAST(UNNEST(range((SELECT MIN(day) FROM cents),
+                                 (SELECT MAX(day) FROM cents) + 1))
+                    AS BIGINT) AS day),
+    x AS (
+        SELECT g.day,
+               (COALESCE(c.cents, 0) + 50) // 100 AS dollars
+        FROM grid g LEFT JOIN cents c USING (day)),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               (SUM(dollars) + COUNT(*) // 2) // COUNT(*) AS mean_d
+        FROM x),
+    dev AS (
+        SELECT day, dollars - (SELECT mean_d FROM m) AS d FROM x),
+    den AS (
+        SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev),
+    pairs AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.d * b.d) AS BIGINT) AS num
+        FROM (SELECT CAST(UNNEST(range(1, 8)) AS BIGINT) AS lag) l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.day = a.day + l.lag
+        GROUP BY 1)
+    SELECT p.lag, p.n_pairs, p.num,
+           (SELECT den FROM den) AS den,
+           ROUND(CASE WHEN (SELECT den FROM den) > 0
+                      THEN CAST(p.num AS DOUBLE) / (SELECT den FROM den)
+                      ELSE 0 END, 6) AS acf
+    FROM pairs p
+    ORDER BY p.lag
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X318: autocorrelation function of daily purchase revenue at lags
+    1..7 — the first diagnostic fitted before any forecast
+    (seasonal_decompose/holt pick their periods off exactly this
+    readout). Float ACF is a cross-engine trap twice over (mean is a
+    division; numerator/denominator are big dot products whose add
+    order differs), so the series is defined integer end-to-end: daily
+    exact cents -> whole dollars by integer half-up division
+    ((cents+50) DIV 100 — Spark DIV and DuckDB // both truncate toward
+    zero, verified), mean rounded to the nearest dollar by the same
+    integer division, deviations/products/sums all BIGINT (deviations
+    are O(daily std), so n*Σd² stays far from the 2^63 line the n²-
+    scaled textbook form would cross). The single float is the final
+    num/den division, rounded 6. Plan: one day rollup, gap days zero-
+    filled off the calendar grid, lags by a 7-way explode joined back
+    KEYED on day+lag (no window per lag, no cartesian); mean/den are
+    1-row scalar broadcasts. Scales as O(days) after the first rollup."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    grid = cents.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    x = grid.join(cents, "day", "left").select(
+        "day",
+        F.expr("(COALESCE(cents, 0) + 50) DIV 100").alias("dollars"),
+    )
+    m = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("(SUM(dollars) + COUNT(*) DIV 2) DIV COUNT(*)").alias(
+            "mean_d"
+        ),
+    )
+    dev = x.crossJoin(F.broadcast(m)).select(
+        "day", (F.col("dollars") - F.col("mean_d")).alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = dev.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day") + F.col("lag")).alias("jday"), F.col("d").alias("da")
+    )
+    pairs = (
+        a.join(dev.select(F.col("day").alias("jday"), F.col("d").alias("db")), "jday")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("da") * F.col("db")).cast("long").alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            "num",
+            "den",
+            F.round(
+                F.when(
+                    F.col("den") > 0,
+                    F.col("num").cast("double") / F.col("den"),
+                ).otherwise(0.0),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

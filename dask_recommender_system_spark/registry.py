@@ -342,6 +342,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_rate_limit",
     "qini_uplift_deciles",
     "dau_mau_stickiness",
+    "acf_daily_revenue",
 ]
 
 

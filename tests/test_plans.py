@@ -323,6 +323,7 @@ _NON_EQUI_OK = {
     "knn_classifier_eval",  # broadcast query-side probe (similarity_topk's shape)
     "histogram_equi_depth",  # 40-row bounds-table range join (bounded BNLJ)
     "sql_interface_q22",  # 1-row global-average broadcast (the spec's scalar subquery)
+    "acf_daily_revenue",  # 1-row mean/den broadcasts + 7-row literal lag dim
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2636,3 +2637,17 @@ def test_dau_mau_invariants(spark, sf_dir):
         assert 0.0 <= r["stickiness_28d"] <= 1.0
     # at least one day has a full 28-day trailing window with churn
     assert any(r["mau"] > r["dau"] for r in rows)
+
+
+def test_acf_lag_structure(spark, sf_dir):
+    """acf_daily_revenue: lags 1..7 each present once, n_pairs = n - lag,
+    |acf| <= 1 (Cauchy-Schwarz on the shared-mean deviations holds up to
+    the integer-mean rounding, checked with slack), den constant."""
+    rows = q("acf_daily_revenue", spark, sf_dir).orderBy("lag").collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    dens = {r["den"] for r in rows}
+    assert len(dens) == 1 and dens.pop() > 0
+    n = rows[0]["n_pairs"] + 1
+    for r in rows:
+        assert r["n_pairs"] == n - r["lag"]
+        assert abs(r["acf"]) <= 1.0 + 1e-6
