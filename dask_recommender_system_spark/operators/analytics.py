@@ -5227,3 +5227,115 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "spearman_corr_grouped",
+    oracle="""
+    WITH per AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100)
+                                      AS BIGINT)), 0) AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    r AS (
+        SELECT nation,
+               2 * RANK() OVER (PARTITION BY nation ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY nation, x) - 1 AS a,
+               2 * RANK() OVER (PARTITION BY nation ORDER BY y)
+                   + COUNT(*) OVER (PARTITION BY nation, y) - 1 AS b
+        FROM per),
+    s AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a * b) AS BIGINT) AS sab,
+               CAST(SUM(a * a) AS BIGINT) AS saa,
+               CAST(SUM(b * b) AS BIGINT) AS sbb
+        FROM r GROUP BY 1)
+    SELECT nation, n,
+           CAST(n * sab - sa * sb AS BIGINT) AS num,
+           CAST(n * saa - sa * sa AS BIGINT) AS da,
+           CAST(n * sbb - sb * sb AS BIGINT) AS db,
+           ROUND(CASE WHEN n * saa - sa * sa > 0
+                       AND n * sbb - sb * sb > 0
+                      THEN CAST(n * sab - sa * sb AS DOUBLE)
+                           / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                              * SQRT(CAST(n * sbb - sb * sb AS DOUBLE)))
+                      ELSE 0 END, 6) AS spearman
+    FROM s ORDER BY nation
+    """,
+)
+def spearman_corr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X319: Spearman rank correlation per nation between a customer's
+    order count and their total spend — the monotone-association
+    readout analysts reach for when Pearson (corr_matrix, X50) is
+    distorted by heavy-tailed spend. Tie handling is the textbook
+    average-rank, made integer-exact by DOUBLING: avg rank of a tie
+    run = (rank_min + rank_max)/2, so 2*avg = 2*RANK() + tie_count - 1
+    is a BIGINT in both engines (RANK + an unordered per-(nation,value)
+    COUNT window, both nation-keyed). Spearman = Pearson on the doubled
+    ranks (the factor 2 cancels): numerator n*Sab - Sa*Sb and the two
+    variance terms are exact BIGINTs (ranks <= 2n keeps n*Sab ~ 4n^4
+    far under 2^63 at any per-group cardinality a broadcastable dim
+    implies); the only floats are two correctly-rounded SQRTs and one
+    division, same IEEE expression tree both engines, rounded 6.
+    Constant-variance groups emit 0 by the guard. Plan: one keyed
+    rollup to |customers|, two nation-keyed windows, one keyed rollup
+    to |nations| — no global sort, no unpartitioned window."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("x"),
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+
+    def dbl_rank(col: str) -> F.Column:
+        wr = W.partitionBy("nation").orderBy(col)
+        wt = W.partitionBy("nation", col)
+        return 2 * F.rank().over(wr) + F.count("*").over(wt) - 1
+
+    r = per.select(
+        "nation", dbl_rank("x").alias("a"), dbl_rank("y").alias("b")
+    )
+    s = r.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    num = (n * F.col("sab") - sa * sb).cast("long")
+    da = (n * F.col("saa") - sa * sa).cast("long")
+    db = (n * F.col("sbb") - sb * sb).cast("long")
+    return s.select(
+        "nation",
+        "n",
+        num.alias("num"),
+        da.alias("da"),
+        db.alias("db"),
+        F.round(
+            F.when(
+                (da > 0) & (db > 0),
+                num.cast("double")
+                / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+            ).otherwise(0.0),
+            6,
+        ).alias("spearman"),
+    ).orderBy("nation")

@@ -343,6 +343,7 @@ DRIVER_PRIORITY: list[str] = [
     "qini_uplift_deciles",
     "dau_mau_stickiness",
     "acf_daily_revenue",
+    "spearman_corr_grouped",
 ]
 
 

@@ -2651,3 +2651,22 @@ def test_acf_lag_structure(spark, sf_dir):
     for r in rows:
         assert r["n_pairs"] == n - r["lag"]
         assert abs(r["acf"]) <= 1.0 + 1e-6
+
+
+def test_spearman_bounds_and_selfcheck(spark, sf_dir):
+    """spearman_corr_grouped: rho in [-1, 1]; recomputing rho from the
+    emitted exact integers reproduces the rounded column; positive
+    association expected between order count and total spend."""
+    import math
+
+    rows = q("spearman_corr_grouped", spark, sf_dir).collect()
+    assert len(rows) == 25
+    pos = 0
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["spearman"] <= 1.0 + 1e-9
+        if r["da"] > 0 and r["db"] > 0:
+            rho = r["num"] / (math.sqrt(r["da"]) * math.sqrt(r["db"]))
+            assert abs(r["spearman"] - round(rho, 6)) < 1e-9
+        pos += r["spearman"] > 0
+    # spend is the sum of per-order prices: more orders => more spend
+    assert pos >= 20
