@@ -5339,3 +5339,105 @@ def spearman_corr_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman"),
     ).orderBy("nation")
+
+
+@query(
+    "herfindahl_concentration",
+    oracle="""
+    WITH per AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey,
+               (COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)),
+                         0) + 50) // 100 AS dollars
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    s AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(dollars) AS BIGINT) AS total_dollars,
+               CAST(SUM(dollars * dollars) AS BIGINT) AS sum_sq,
+               CAST(MAX(dollars) AS BIGINT) AS max_dollars
+        FROM per GROUP BY 1)
+    SELECT nation, n_customers, total_dollars, sum_sq,
+           ROUND(CASE WHEN total_dollars > 0
+                      THEN CAST(sum_sq AS DOUBLE)
+                           / (CAST(total_dollars AS DOUBLE)
+                              * CAST(total_dollars AS DOUBLE))
+                      ELSE 0 END, 6) AS hhi,
+           ROUND(CASE WHEN total_dollars > 0 AND n_customers > 1
+                      THEN (CAST(sum_sq AS DOUBLE)
+                            / (CAST(total_dollars AS DOUBLE)
+                               * CAST(total_dollars AS DOUBLE))
+                            - 1.0 / n_customers)
+                           / (1.0 - 1.0 / n_customers)
+                      ELSE 0 END, 6) AS hhi_norm,
+           ROUND(CASE WHEN total_dollars > 0
+                      THEN CAST(max_dollars AS DOUBLE) / total_dollars
+                      ELSE 0 END, 6) AS top_share
+    FROM s ORDER BY nation
+    """,
+)
+def herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X320: Herfindahl-Hirschman revenue concentration per nation —
+    the antitrust/portfolio readout: HHI = sum of squared customer
+    revenue shares, plus the size-corrected normalized HHI and the
+    top-1 share. Shares are divisions, so the float is confined to the
+    LAST step: per-customer revenue collapses to exact integer DOLLARS
+    ((cents+50) DIV 100 — identical truncating division both engines;
+    dollars keep sum_sq = Sigma c_i^2 far under 2^63 where cents^2
+    would not), and HHI = sum_sq / (T*T) is evaluated as one double
+    expression over two exact BIGINTs (T*T as a DOUBLE product, never
+    an integer square that could overflow), same IEEE tree in DuckDB,
+    rounded 6. Emitting (n, total, sum_sq) beside the ratios makes the
+    row self-verifying. Plan: two keyed rollups (|customers| then
+    |nations|), zero windows, zero broadcasts — scan-bound at any
+    scale."""
+    _utc(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.expr(
+                "(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)),"
+                " 0) + 50) DIV 100"
+            ).alias("dollars")
+        )
+    )
+    s = per.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("dollars").cast("long").alias("total_dollars"),
+        F.sum(F.col("dollars") * F.col("dollars"))
+        .cast("long")
+        .alias("sum_sq"),
+        F.max("dollars").cast("long").alias("max_dollars"),
+    )
+    t = F.col("total_dollars")
+    hhi = F.col("sum_sq").cast("double") / (
+        t.cast("double") * t.cast("double")
+    )
+    nc = F.col("n_customers")
+    return s.select(
+        "nation",
+        "n_customers",
+        "total_dollars",
+        "sum_sq",
+        F.round(F.when(t > 0, hhi).otherwise(0.0), 6).alias("hhi"),
+        F.round(
+            F.when(
+                (t > 0) & (nc > 1),
+                (hhi - F.lit(1.0) / nc) / (F.lit(1.0) - F.lit(1.0) / nc),
+            ).otherwise(0.0),
+            6,
+        ).alias("hhi_norm"),
+        F.round(
+            F.when(
+                t > 0, F.col("max_dollars").cast("double") / t
+            ).otherwise(0.0),
+            6,
+        ).alias("top_share"),
+    ).orderBy("nation")

@@ -344,6 +344,7 @@ DRIVER_PRIORITY: list[str] = [
     "dau_mau_stickiness",
     "acf_daily_revenue",
     "spearman_corr_grouped",
+    "herfindahl_concentration",
 ]
 
 

@@ -2670,3 +2670,19 @@ def test_spearman_bounds_and_selfcheck(spark, sf_dir):
         pos += r["spearman"] > 0
     # spend is the sum of per-order prices: more orders => more spend
     assert pos >= 20
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """herfindahl_concentration: 1/n <= HHI <= 1 (up to the 1e-6
+    rounding), normalized HHI in [0, 1], top-1 share bounds HHI below,
+    and HHI recomputes from the emitted exact integers."""
+    rows = q("herfindahl_concentration", spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        n, t, ss = r["n_customers"], r["total_dollars"], r["sum_sq"]
+        assert t > 0 and n > 1
+        assert 1.0 / n - 1e-6 <= r["hhi"] <= 1.0 + 1e-6
+        assert -1e-6 <= r["hhi_norm"] <= 1.0 + 1e-6
+        # sum of squares >= max share squared => hhi >= top_share^2
+        assert r["hhi"] >= r["top_share"] ** 2 - 1e-6
+        assert abs(r["hhi"] - round(ss / (float(t) * float(t)), 6)) < 1e-9
