@@ -1995,3 +1995,209 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+PERM_R = 200  # randomization replicates
+
+
+def _perm_diff_micro_sql(s1: str, n1: str, s0: str, n0: str) -> str:
+    """Exact-integer-fed mean difference rounded to BIGINT micro-cents —
+    one division per arm over exact integers, correctly rounded IEEE both
+    engines, then an integer round (the shared-rounded-constant move that
+    makes the >= comparison below an INTEGER compare)."""
+    return (
+        f"CAST(ROUND((CASE WHEN {n1} > 0 THEN CAST({s1} AS DOUBLE) / {n1} "
+        f"ELSE 0 END - CASE WHEN {n0} > 0 THEN CAST({s0} AS DOUBLE) / {n0} "
+        f"ELSE 0 END) * 1000000) AS BIGINT)"
+    )
+
+
+@query(
+    "permutation_test_diff",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               {{h_t}} % 2 AS t
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN t = 1 THEN cents ELSE 0 END) AS BIGINT)
+                   AS s1,
+               CAST(SUM(CASE WHEN t = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN t = 0 THEN cents ELSE 0 END) AS BIGINT)
+                   AS s0,
+               CAST(SUM(CASE WHEN t = 0 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n0
+        FROM u),
+    reps AS (
+        SELECT r.r,
+               CAST(SUM(CASE WHEN {{h_r}} % 2 = 1
+                             THEN u.cents ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN {{h_r}} % 2 = 1
+                             THEN u.cnt ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN {{h_r}} % 2 = 0
+                             THEN u.cents ELSE 0 END) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN {{h_r}} % 2 = 0
+                             THEN u.cnt ELSE 0 END) AS BIGINT) AS n0
+        FROM u, (SELECT CAST(UNNEST(range({PERM_R})) AS BIGINT) AS r) r
+        GROUP BY 1),
+    od AS (
+        SELECT n_users,
+               {_perm_diff_micro_sql('s1', 'n1', 's0', 'n0')}
+                   AS diff_obs_micro
+        FROM obs),
+    rd AS (
+        SELECT r, {_perm_diff_micro_sql('s1', 'n1', 's0', 'n0')}
+                   AS diff_micro
+        FROM reps)
+    SELECT od.n_users,
+           od.diff_obs_micro,
+           CAST({PERM_R} AS BIGINT) AS n_replicates,
+           CAST(SUM(CASE WHEN ABS(rd.diff_micro) >= ABS(od.diff_obs_micro)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           ROUND((1.0 + SUM(CASE WHEN ABS(rd.diff_micro)
+                                      >= ABS(od.diff_obs_micro)
+                                 THEN 1 ELSE 0 END))
+                 / (1.0 + {PERM_R}), 6) AS p_value
+    FROM rd, od
+    GROUP BY 1, 2
+    """.format(
+        h_t="CAST(list_sum(list_transform(range(15), i -> "
+        "(strpos('0123456789abcdef', substr(md5('t:' || user_id), "
+        "CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, "
+        "4503599627370496, 281474976710656, 17592186044416, "
+        "1099511627776, 68719476736, 4294967296, 268435456, 16777216, "
+        "1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT)",
+        h_r="CAST(list_sum(list_transform(range(15), gi -> "
+        "(strpos('0123456789abcdef', substr(md5('perm:' || r.r || ':' || "
+        "u.user_id), CAST(gi + 1 AS INT), 1)) - 1) * [72057594037927936, "
+        "4503599627370496, 281474976710656, 17592186044416, "
+        "1099511627776, 68719476736, 4294967296, 268435456, 16777216, "
+        "1048576, 65536, 4096, 256, 16, 1][gi + 1])) AS BIGINT)",
+    ),
+)
+def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X321: cluster-randomization test for the difference in mean
+    purchase value between two user cohorts — the nonparametric
+    companion to welch_ttest (X100) that makes NO normality assumption:
+    re-randomize the treatment label at the USER level R={PERM_R} times
+    and count replicates whose |mean diff| reaches the observed one;
+    p = (1 + n_ge)/(1 + R) (the add-one randomization-test estimator).
+    Scale shape: the corpus collapses ONCE to per-user sufficient stats
+    (cents, count) — the replicate explosion multiplies |users| x R
+    collapsed rows, never events — then one keyed agg to R rows.
+    Determinism: assignments are h60 md5 hashes (observed 't:user',
+    replicate 'perm:r:user' — the qini/bootstrap discipline), arm sums
+    are exact BIGINTs, each replicate's mean diff is rounded to integer
+    MICRO-cents before the tail comparison, so |diff_r| >= |diff_obs|
+    is an INTEGER compare in both engines — no float boundary can flip
+    a count. Null-true by construction (labels independent of value):
+    the test gates p against degenerate extremes."""
+    from .dedup import h60_spark
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .select(
+            "user_id",
+            "cents",
+            "cnt",
+            F.pmod(
+                h60_spark(
+                    F.concat(F.lit("t:"), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            ).alias("t"),
+        )
+    )
+
+    def arm_sums(df, flag):
+        one = F.when(flag == 1, F.col("cents")).otherwise(0)
+        zero = F.when(flag == 0, F.col("cents")).otherwise(0)
+        onec = F.when(flag == 1, F.col("cnt")).otherwise(0)
+        zeroc = F.when(flag == 0, F.col("cnt")).otherwise(0)
+        return [
+            F.sum(one).cast("long").alias("s1"),
+            F.sum(onec).cast("long").alias("n1"),
+            F.sum(zero).cast("long").alias("s0"),
+            F.sum(zeroc).cast("long").alias("n0"),
+        ]
+
+    def diff_micro() -> F.Column:
+        mean = lambda s, n: F.when(  # noqa: E731
+            F.col(n) > 0, F.col(s).cast("double") / F.col(n)
+        ).otherwise(0.0)
+        return (
+            F.round((mean("s1", "n1") - mean("s0", "n0")) * 1000000)
+            .cast("long")
+        )
+
+    obs = u.agg(
+        F.count("*").cast("long").alias("n_users"), *arm_sums(u, F.col("t"))
+    ).select("n_users", diff_micro().alias("diff_obs_micro"))
+
+    x = u.select(
+        "user_id",
+        "cents",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_R - 1))).alias("r"),
+    )
+    hr = F.pmod(
+        h60_spark(
+            F.concat(
+                F.lit("perm:"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        ),
+        F.lit(2),
+    )
+    reps = (
+        x.withColumn("g", hr)
+        .groupBy("r")
+        .agg(*arm_sums(x, F.col("g")))
+        .select("r", diff_micro().alias("diff_micro"))
+    )
+    return (
+        reps.crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("n_users").alias("n_users"),
+            F.first("diff_obs_micro").alias("diff_obs_micro"),
+            F.lit(PERM_R).cast("long").alias("n_replicates"),
+            F.sum(
+                (
+                    F.abs(F.col("diff_micro"))
+                    >= F.abs(F.col("diff_obs_micro"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_ge"),
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        (
+                            F.abs(F.col("diff_micro"))
+                            >= F.abs(F.col("diff_obs_micro"))
+                        ).cast("long")
+                    )
+                )
+                / F.lit(1.0 + PERM_R),
+                6,
+            ).alias("p_value"),
+        )
+    )

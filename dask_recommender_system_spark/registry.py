@@ -345,6 +345,7 @@ DRIVER_PRIORITY: list[str] = [
     "acf_daily_revenue",
     "spearman_corr_grouped",
     "herfindahl_concentration",
+    "permutation_test_diff",
 ]
 
 

@@ -324,6 +324,7 @@ _NON_EQUI_OK = {
     "histogram_equi_depth",  # 40-row bounds-table range join (bounded BNLJ)
     "sql_interface_q22",  # 1-row global-average broadcast (the spec's scalar subquery)
     "acf_daily_revenue",  # 1-row mean/den broadcasts + 7-row literal lag dim
+    "permutation_test_diff",  # 1-row observed-diff broadcast onto R replicate rows
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2686,3 +2687,16 @@ def test_hhi_bounds(spark, sf_dir):
         # sum of squares >= max share squared => hhi >= top_share^2
         assert r["hhi"] >= r["top_share"] ** 2 - 1e-6
         assert abs(r["hhi"] - round(ss / (float(t) * float(t)), 6)) < 1e-9
+
+
+def test_permutation_test_null_calibration(spark, sf_dir):
+    """permutation_test_diff: labels are independent of value by
+    construction (null true), so p must not be degenerate-small; the
+    estimator algebra ties p to n_ge exactly."""
+    r = q("permutation_test_diff", spark, sf_dir).collect()[0]
+    assert r["n_replicates"] == 200
+    assert 0 <= r["n_ge"] <= 200
+    assert abs(r["p_value"] - round((1 + r["n_ge"]) / 201.0, 6)) < 1e-9
+    # under the null a p below 1/201 is impossible; below ~0.02 is a
+    # 2%-probability event — gate at the estimator floor
+    assert r["p_value"] >= round(1 / 201.0, 6)
