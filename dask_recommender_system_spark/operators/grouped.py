@@ -722,3 +722,123 @@ def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(bucket, schema=TB_SCHEMA)
         .orderBy("user_id", "sec", "event_id")
     )
+
+
+BP_CAP = 300  # container capacity in quantity units
+
+BP_SCHEMA = T.StructType(
+    [
+        T.StructField("custkey", T.LongType()),
+        T.StructField("orderkey", T.LongType()),
+        T.StructField("day", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("bin_idx", T.LongType()),
+        T.StructField("rem_after", T.LongType()),
+    ]
+)
+
+
+@query(
+    "bin_pack_next_fit",
+    oracle=f"""
+    WITH RECURSIVE it AS (
+        SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+               CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS day,
+               LEAST(q.qty, {BP_CAP}) AS size,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY CAST(epoch(o.o_orderdate) AS BIGINT) // 86400,
+                            o.o_orderkey) AS rn
+        FROM orders o
+        JOIN (SELECT l_orderkey,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+                          AS BIGINT) AS qty
+              FROM lineitem GROUP BY 1) q
+          ON q.l_orderkey = o.o_orderkey),
+    st(custkey, orderkey, day, size, rn, bin_idx, rem_after) AS (
+        SELECT custkey, orderkey, day, size, rn,
+               CAST(1 AS BIGINT), CAST({BP_CAP} AS BIGINT) - size
+        FROM it WHERE rn = 1
+        UNION ALL
+        SELECT i.custkey, i.orderkey, i.day, i.size, i.rn,
+               CASE WHEN i.size <= st.rem_after THEN st.bin_idx
+                    ELSE st.bin_idx + 1 END,
+               CASE WHEN i.size <= st.rem_after
+                    THEN st.rem_after - i.size
+                    ELSE {BP_CAP} - i.size END
+        FROM it i
+        JOIN st ON i.custkey = st.custkey AND i.rn = st.rn + 1)
+    SELECT custkey, orderkey, day, size, bin_idx, rem_after
+    FROM st
+    ORDER BY custkey, day, orderkey
+    """,
+)
+def bin_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X322: NEXT-FIT bin packing of each customer's order stream into
+    fixed-capacity containers — the shipment-consolidation primitive
+    (items arrive in time order; the open container closes the moment
+    one doesn't fit; you never reopen). Item size = the order's total
+    lineitem quantity clamped to the {BP_CAP}-unit capacity. The state
+    (open-bin index, remaining space) resets non-linearly on overflow —
+    like the token bucket there is NO window/prefix closed form, so the
+    declared batch shape is GROUPED_MAP applyInPandas: ONE shuffle on
+    custkey, a bounded integer recurrence per group (numpy over each
+    customer's ~dozens of orders). ALL state is BIGINT — zero float —
+    so the oracle's recursive CTE replays the recurrence exactly.
+    Pinned (tests): 0 <= rem_after < {BP_CAP}, bin_idx is nondecreasing
+    per customer starting at 1, each bin's contents sum <= {BP_CAP},
+    and next-fit's defining guarantee: two CONSECUTIVE bins always sum
+    > {BP_CAP} (else the second would have fit in the first), which
+    bounds bins used < 2x optimal. At 100 TB: parallelism = number of
+    customers; per-group work linear in their orders."""
+    from .relational import _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").cast("long").alias("orderkey"))
+        .agg(
+            F.least(
+                F.sum(F.floor(F.col("l_quantity")).cast("long")),
+                F.lit(BP_CAP),
+            )
+            .cast("long")
+            .alias("size")
+        )
+    )
+    it = o.join(li, "orderkey")
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["day", "orderkey"], ignore_index=True)
+        sizes = pdf["size"].to_numpy()
+        n = len(pdf)
+        bins = [0] * n
+        rems = [0] * n
+        bin_idx, rem = 1, BP_CAP
+        for i in range(n):
+            s = int(sizes[i])
+            if s <= rem:
+                rem -= s
+            else:
+                bin_idx += 1
+                rem = BP_CAP - s
+            bins[i] = bin_idx
+            rems[i] = rem
+        pdf["bin_idx"] = bins
+        pdf["rem_after"] = rems
+        return pdf[
+            ["custkey", "orderkey", "day", "size", "bin_idx", "rem_after"]
+        ]
+
+    return (
+        it.groupBy("custkey")
+        .applyInPandas(pack, schema=BP_SCHEMA)
+        .orderBy("custkey", "day", "orderkey")
+    )

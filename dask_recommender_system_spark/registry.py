@@ -346,6 +346,7 @@ DRIVER_PRIORITY: list[str] = [
     "spearman_corr_grouped",
     "herfindahl_concentration",
     "permutation_test_diff",
+    "bin_pack_next_fit",
 ]
 
 

@@ -336,6 +336,7 @@ _ARROW_OK = {
     "hysteresis_alert_flags",  # the declared GROUPED_MAP recurrence shape
     "rate_limit_token_bucket",  # GROUPED_MAP clamp recurrence (no closed form)
     "holt_linear_forecast",  # the declared GROUPED_MAP 2-state recurrence
+    "bin_pack_next_fit",  # the declared GROUPED_MAP next-fit recurrence
     "multimodal_audio_features",  # the audio mapInPandas kernel
     "pandas_udf_scalar_textfeats",  # the declared SCALAR ArrowEvalPython shape
 }
@@ -2700,3 +2701,44 @@ def test_permutation_test_null_calibration(spark, sf_dir):
     # under the null a p below 1/201 is impossible; below ~0.02 is a
     # 2%-probability event — gate at the estimator floor
     assert r["p_value"] >= round(1 / 201.0, 6)
+
+
+def test_bin_pack_next_fit_invariants(spark, sf_dir):
+    """bin_pack_next_fit: remaining space in [0, CAP); bin indices start
+    at 1 and are nondecreasing; per-bin content sums <= CAP; and the
+    next-fit 2-approximation witness — consecutive bins overfill CAP."""
+    from dask_recommender_system_spark.operators.grouped import BP_CAP
+
+    rows = (
+        q("bin_pack_next_fit", spark, sf_dir)
+        .orderBy("custkey", "day", "orderkey")
+        .collect()
+    )
+    assert rows
+    by_cust = {}
+    for r in rows:
+        assert 0 <= r["rem_after"] < BP_CAP
+        assert 1 <= r["size"] <= BP_CAP
+        by_cust.setdefault(r["custkey"], []).append(r)
+    overfull_pairs = 0
+    for items in by_cust.values():
+        assert items[0]["bin_idx"] == 1
+        bin_sums = {}
+        prev = 0
+        for r in items:
+            assert r["bin_idx"] >= prev
+            assert r["bin_idx"] - prev <= 1  # next-fit never skips a bin
+            prev = r["bin_idx"]
+            bin_sums[r["bin_idx"]] = bin_sums.get(r["bin_idx"], 0) + r["size"]
+        for b, s in bin_sums.items():
+            assert s <= BP_CAP
+            if b + 1 in bin_sums:
+                assert s + items[-1]["size"] >= 0  # structural sanity
+                # the item that OPENED bin b+1 did not fit in b:
+                # sum(b) + first(b+1) > CAP
+                first_next = next(
+                    r["size"] for r in items if r["bin_idx"] == b + 1
+                )
+                assert s + first_next > BP_CAP
+                overfull_pairs += 1
+    assert overfull_pairs > 0  # fixture actually exercises overflow
