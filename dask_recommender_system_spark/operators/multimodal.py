@@ -416,3 +416,134 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("audio"),
     )
     return extract_audio_features(clips).orderBy("doc_id")
+
+
+AHASH_T = 2  # max Hamming distance for a near-dup pair
+
+# 16-bit weights, MSB first
+_AHASH_W = [1 << (15 - i) for i in range(16)]
+
+
+@query(
+    "multimodal_image_ahash",
+    # Oracle recomputes the perceptual hash from the payload bytes (the
+    # multimodal_decode technique), then finds near-dup pairs the naive-
+    # but-banded way: three band equi-joins UNIONed (never an OR-join,
+    # which would nested-loop at sf0.1), exact popcount verify on the
+    # XOR. The bit rule is the INTEGER compare 16*px > sum(px) — no
+    # float mean anywhere, so the hash is engine-exact by construction.
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               [ (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1)
+                 * 16
+                 + (strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)
+                 FOR i IN range(16) ] AS px
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               CAST(list_sum(
+                   [ CASE WHEN 16 * px[gi + 1] > list_sum(px)
+                          THEN {_AHASH_W} [gi + 1] ELSE 0 END
+                     FOR gi IN range(16) ]) AS BIGINT) AS ahash
+        FROM b),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM h a JOIN h b
+          ON a.ahash // 1024 = b.ahash // 1024 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM h a JOIN h b
+          ON (a.ahash // 32) % 32 = (b.ahash // 32) % 32
+         AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM h a JOIN h b
+          ON a.ahash % 32 = b.ahash % 32 AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           ha.ahash AS hash_a, hb.ahash AS hash_b,
+           CAST(bit_count(xor(ha.ahash, hb.ahash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN h ha ON ha.doc_id = c.doc_a
+    JOIN h hb ON hb.doc_id = c.doc_b
+    WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {AHASH_T}
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X323: perceptual average-hash near-duplicate detection over the
+    image payload column — the IMAGE member of the dedup ladder
+    (dedup_simhash_verified's move, one modality over): aHash bit i =
+    [pixel_i > mean], hashes within Hamming distance {AHASH_T} are
+    near-dups. Two determinism moves make this value-exact: (1) the
+    mean compare is the INTEGER cross-multiplication 16*px_i > sum(px)
+    — no float mean can straddle an ULP; (2) candidates come from
+    3-band LSH on the 16-bit hash (6/5/5 bits — pigeonhole: any pair
+    within distance 2 has its differing bits in at most 2 bands, so
+    some band matches EXACTLY; 3 bands > {AHASH_T} errors is the
+    banding guarantee), then the exact popcount on the XOR verifies —
+    recall is structurally total, proven by hash-equality with the
+    oracle's pair set. Plan: hash built in one narrow JVM pass over the
+    payload bytes (md5-hex arithmetic, no UDF), three band equi-joins
+    (keyed, bucket-bounded) + union-distinct + two hash-joins back for
+    the verify. At 100 TB: band buckets bound pair work exactly as in
+    text MinHash; a real deployment swaps the byte source for decoded
+    thumbnails and keeps every plan edge."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "hx", F.md5("text")
+    )
+    # materialize the 16 pixel bytes and their sum as NAMED columns so
+    # the bit expressions below reference them instead of inlining the
+    # conv/md5 subtree 16x (keeps the codegen'd task binary small)
+    pxd = d.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("hx", 2 * i + 1, 2), 16, 10)
+            .cast("long")
+            .alias(f"px{i}")
+            for i in range(16)
+        ],
+    ).withColumn(
+        "total", sum(F.col(f"px{i}") for i in range(16)).cast("long")
+    )
+    ahash = F.lit(0)
+    for i in range(16):
+        ahash = ahash + F.when(
+            F.col(f"px{i}") * 16 > F.col("total"), F.lit(_AHASH_W[i])
+        ).otherwise(0)
+    h = pxd.select("doc_id", ahash.cast("long").alias("ahash"))
+
+    def band_pairs(expr: str) -> DataFrame:
+        a = h.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("ahash").alias("hash_a"),
+            F.expr(expr.format(c="ahash")).alias("band"),
+        )
+        b = h.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("ahash").alias("hash_b"),
+            F.expr(expr.format(c="ahash")).alias("band"),
+        )
+        return a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+
+    cand = (
+        band_pairs("{c} DIV 1024")
+        .unionAll(band_pairs("({c} DIV 32) % 32"))
+        .unionAll(band_pairs("{c} % 32"))
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("hash_a"))
+    hb = h.select(F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hash_b"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(hash_a ^ hash_b)").cast("long"),
+        )
+        .filter(F.col("hamming") <= AHASH_T)
+        .select("doc_a", "doc_b", "hash_a", "hash_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -347,6 +347,7 @@ DRIVER_PRIORITY: list[str] = [
     "herfindahl_concentration",
     "permutation_test_diff",
     "bin_pack_next_fit",
+    "multimodal_image_ahash",
 ]
 
 

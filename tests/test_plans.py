@@ -2742,3 +2742,50 @@ def test_bin_pack_next_fit_invariants(spark, sf_dir):
                 assert s + first_next > BP_CAP
                 overfull_pairs += 1
     assert overfull_pairs > 0  # fixture actually exercises overflow
+
+
+def test_image_ahash_banding_recall(spark, sf_dir):
+    """multimodal_image_ahash: every emitted pair is within the Hamming
+    threshold, pairs are canonical (a < b, unique), and the 3-band
+    candidate generation has TOTAL recall — verified by recomputing the
+    exact pair set from the per-doc hashes in-process."""
+    from dask_recommender_system_spark.operators.multimodal import AHASH_T
+
+    df = q("multimodal_image_ahash", spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    seen = set()
+    hashes = {}
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        key = (r["doc_a"], r["doc_b"])
+        assert key not in seen
+        seen.add(key)
+        assert bin(r["hash_a"] ^ r["hash_b"]).count("1") == r["hamming"]
+        assert r["hamming"] <= AHASH_T
+        hashes[r["doc_a"]] = r["hash_a"]
+        hashes[r["doc_b"]] = r["hash_b"]
+    # total recall: brute-force the full pair set from all doc hashes
+    import hashlib
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    all_h = []
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        px = hashlib.md5(text.encode()).digest()
+        total = sum(px)
+        h = 0
+        for i, b in enumerate(px):
+            if 16 * b > total:
+                h |= 1 << (15 - i)
+        all_h.append((doc_id, h))
+    brute = {
+        (a_id, b_id)
+        for (a_id, ah), (b_id, bh) in itertools.combinations(sorted(all_h), 2)
+        if bin(ah ^ bh).count("1") <= AHASH_T
+    }
+    assert brute == seen
