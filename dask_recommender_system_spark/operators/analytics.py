@@ -5441,3 +5441,170 @@ def herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_share"),
     ).orderBy("nation")
+
+
+HAMPEL_HALF_W = 3  # +-3 days around the center
+
+
+@query(
+    "hampel_outlier_filter",
+    oracle=f"""
+    WITH daily AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS day,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    span AS (
+        SELECT nation, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY 1),
+    grid AS (
+        SELECT nation, CAST(UNNEST(range(d0, d1 + 1)) AS BIGINT) AS day
+        FROM span),
+    x AS (
+        SELECT g.nation, g.day, COALESCE(d.cents, 0) AS cents
+        FROM grid g LEFT JOIN daily d USING (nation, day)),
+    nb AS (
+        SELECT g.nation, g.day,
+               list_sort(list(n.cents)) AS win
+        FROM x g
+        JOIN x n ON n.nation = g.nation
+                AND n.day BETWEEN g.day - {HAMPEL_HALF_W}
+                              AND g.day + {HAMPEL_HALF_W}
+        GROUP BY 1, 2),
+    med AS (
+        SELECT nation, day,
+               CAST(CASE WHEN len(win) % 2 = 1
+                         THEN 2 * win[(len(win) + 1) // 2]
+                         ELSE win[len(win) // 2] + win[len(win) // 2 + 1]
+                    END AS BIGINT) AS c2
+        FROM nb),
+    devw AS (
+        SELECT m.nation, m.day, m.c2,
+               list_sort(list(ABS(2 * n.cents - m.c2))) AS dwin
+        FROM med m
+        JOIN x n ON n.nation = m.nation
+                AND n.day BETWEEN m.day - {HAMPEL_HALF_W}
+                              AND m.day + {HAMPEL_HALF_W}
+        GROUP BY 1, 2, 3),
+    mad AS (
+        SELECT nation, day, c2,
+               CAST(CASE WHEN len(dwin) % 2 = 1
+                         THEN 2 * dwin[(len(dwin) + 1) // 2]
+                         ELSE dwin[len(dwin) // 2]
+                              + dwin[len(dwin) // 2 + 1]
+                    END AS BIGINT) AS m2d
+        FROM devw)
+    SELECT v.nation, v.day, v.cents, a.c2, a.m2d,
+           CAST(CASE WHEN 2 * ABS(2 * v.cents - a.c2) > 3 * a.m2d
+                     THEN 1 ELSE 0 END AS INT) AS is_outlier,
+           CAST(CASE WHEN 2 * ABS(2 * v.cents - a.c2) > 3 * a.m2d
+                     THEN a.c2 ELSE 2 * v.cents END AS BIGINT)
+               AS replaced2
+    FROM x v JOIN mad a USING (nation, day)
+    ORDER BY v.nation, v.day
+    """,
+)
+def hampel_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X324: Hampel filter over each nation's daily revenue — the
+    robust time-series cleaner (rolling median +- 3*MAD replaces
+    spikes the mean-based anomaly_zscore, X41, gets dragged toward).
+    Everything is integer-exact via DOUBLING (the spearman move, twice):
+    c2 = 2*rolling-median of exact cents (odd window: 2*mid; even:
+    sum of the two mids), per-neighbor deviations d = |2x - c2| are
+    2*|x - median|, m2d = 2*median(d) = 4*MAD, and the Hampel rule
+    |x - med| > 3*MAD becomes the INTEGER compare 2*d_center > 3*m2d —
+    no float exists anywhere in the query. Rolling windows come from a
+    +-{HAMPEL_HALF_W}-day banded self-join realized as a 7-offset
+    explode joined KEYED on (nation, day) — never a non-equi range
+    join — and medians are element extractions from sort_array'd
+    collected windows (window size <= 7 rows, bounded by construction).
+    Replaced series ships in DOUBLED cents (replaced2) to stay
+    integer. At 100 TB the plan is two keyed rollups + two keyed
+    7-fanout joins over the |nations|x|days| grid — calendar-bounded."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    daily = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    grid = (
+        daily.groupBy("nation")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("nation", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    x = grid.join(daily, ["nation", "day"], "left").select(
+        "nation", "day", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    offs = F.explode(
+        F.sequence(F.lit(-HAMPEL_HALF_W), F.lit(HAMPEL_HALF_W))
+    ).alias("off")
+    # neighbor fanout: each value row feeds the 7 centers it belongs to
+    fan = x.select("nation", "day", "cents", offs).withColumn(
+        "cday", F.col("day") + F.col("off")
+    )
+    half = lambda c: ((c) / 2).cast("int")  # noqa: E731
+    m2 = lambda arr: F.when(  # noqa: E731
+        F.size(arr) % 2 == 1,
+        2 * F.element_at(arr, half(F.size(arr) + 1)),
+    ).otherwise(
+        F.element_at(arr, half(F.size(arr)))
+        + F.element_at(arr, half(F.size(arr)) + 1)
+    )
+    med = (
+        fan.join(
+            grid.select("nation", F.col("day").alias("cday")),
+            ["nation", "cday"],
+        )
+        .groupBy("nation", F.col("cday").alias("day"))
+        .agg(F.sort_array(F.collect_list("cents")).alias("win"))
+        .select(
+            "nation", "day", m2(F.col("win")).cast("long").alias("c2")
+        )
+    )
+    devw = (
+        fan.join(
+            med.select("nation", F.col("day").alias("cday"), "c2"),
+            ["nation", "cday"],
+        )
+        .groupBy("nation", F.col("cday").alias("day"), "c2")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.abs(2 * F.col("cents") - F.col("c2")))
+            ).alias("dwin")
+        )
+        .select(
+            "nation",
+            "day",
+            "c2",
+            m2(F.col("dwin")).cast("long").alias("m2d"),
+        )
+    )
+    flag = 2 * F.abs(2 * F.col("cents") - F.col("c2")) > 3 * F.col("m2d")
+    return (
+        x.join(devw, ["nation", "day"])
+        .select(
+            "nation",
+            "day",
+            "cents",
+            "c2",
+            "m2d",
+            flag.cast("int").alias("is_outlier"),
+            F.when(flag, F.col("c2"))
+            .otherwise(2 * F.col("cents"))
+            .cast("long")
+            .alias("replaced2"),
+        )
+        .orderBy("nation", "day")
+    )

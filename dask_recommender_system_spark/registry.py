@@ -348,6 +348,7 @@ DRIVER_PRIORITY: list[str] = [
     "permutation_test_diff",
     "bin_pack_next_fit",
     "multimodal_image_ahash",
+    "hampel_outlier_filter",
 ]
 
 

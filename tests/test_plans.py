@@ -2789,3 +2789,25 @@ def test_image_ahash_banding_recall(spark, sf_dir):
         if bin(ah ^ bh).count("1") <= AHASH_T
     }
     assert brute == seen
+
+
+def test_hampel_filter_invariants(spark, sf_dir):
+    """hampel_outlier_filter: the doubled-median algebra holds row-wise —
+    c2/m2d parity with window size, the rule reproduces is_outlier, and
+    replaced2 switches between 2x and the rolling median exactly."""
+    rows = (
+        q("hampel_outlier_filter", spark, sf_dir)
+        .orderBy("nation", "day")
+        .collect()
+    )
+    assert rows
+    n_out = 0
+    for r in rows:
+        flag = 1 if 2 * abs(2 * r["cents"] - r["c2"]) > 3 * r["m2d"] else 0
+        assert r["is_outlier"] == flag
+        assert r["m2d"] >= 0
+        expect = r["c2"] if flag else 2 * r["cents"]
+        assert r["replaced2"] == expect
+        n_out += flag
+    # the zero-filled gap days + bursty order days must trip the rule
+    assert 0 < n_out < len(rows)
