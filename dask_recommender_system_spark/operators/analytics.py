@@ -5608,3 +5608,142 @@ def hampel_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "day")
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    grid AS (
+        SELECT CAST(UNNEST(range((SELECT MIN(day) FROM cents),
+                                 (SELECT MAX(day) FROM cents) + 1))
+                    AS BIGINT) AS day),
+    x AS (
+        SELECT g.day, (COALESCE(c.cents, 0) + 50) // 100 AS v
+        FROM grid g LEFT JOIN cents c USING (day)),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(ROUND(2 * quantile_cont(
+                   CAST(ROUND(CAST(b.v - a.v AS DOUBLE) * 1000000
+                              / (b.day - a.day)) AS BIGINT), 0.5))
+                    AS BIGINT) AS sen2_micro
+        FROM x a JOIN x b ON b.day > a.day),
+    ties AS (
+        SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM x GROUP BY v)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x)
+    SELECT nn.n AS n_days, p.s_stat, p.n_pairs,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie18 AS BIGINT)
+               AS var18,
+           p.sen2_micro,
+           ROUND(CASE
+               WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie18 <= 0
+                   THEN 0
+               WHEN p.s_stat > 0 THEN (p.s_stat - 1)
+                   / SQRT((nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie18)
+                          / 18.0)
+               WHEN p.s_stat < 0 THEN (p.s_stat + 1)
+                   / SQRT((nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie18)
+                          / 18.0)
+               ELSE 0 END, 6) AS z_stat
+    FROM pairs p, ties t, nn
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X325: Mann-Kendall trend test + Sen's slope over the daily
+    revenue series — the distribution-free is-it-trending gate run
+    before holt/seasonal forecasts (S = sum of pairwise sign
+    differences; tie-corrected variance; Sen = median pairwise slope,
+    the robust trend magnitude). The day table is CALENDAR-BOUNDED, so
+    the O(days^2) pair self-join is bounded by declaration at any data
+    scale (the isotonic_calibration argument — years of days is
+    thousands of rows, pairs are millions, constant in the DATA size);
+    everything upstream is one keyed day rollup. Determinism: the
+    series is integer dollars ((cents+50) DIV 100), S and the tie term
+    are BIGINTs; each pairwise slope is rounded to integer MICRO-
+    dollars/day ((xb-xa)*1e6 exact in double, one correctly-rounded
+    division), and the median ships DOUBLED (2*median of integers =
+    mid-sum, exact) — the hampel/spearman discipline; z is one shared
+    IEEE expression over exact integers (emitted beside it), rounded 6.
+    The variance ships as var18 = 18*Var(S) to stay integer."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.groupBy(
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    grid = cents.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    x = grid.join(cents, "day", "left").select(
+        "day", F.expr("(COALESCE(cents, 0) + 50) DIV 100").alias("v")
+    )
+    a = x.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = x.select(F.col("day").alias("db"), F.col("v").alias("vb"))
+    slope_micro = F.round(
+        (F.col("vb") - F.col("va")).cast("double")
+        * 1000000
+        / (F.col("db") - F.col("da"))
+    ).cast("long")
+    pairs = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .withColumn("sm", slope_micro)
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(2 * F.expr("percentile(sm, 0.5)"))
+            .cast("long")
+            .alias("sen2_micro"),
+        )
+    )
+    ties = (
+        x.groupBy("v")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    nn = x.agg(F.count("*").cast("long").alias("n"))
+    n, s = F.col("n"), F.col("s_stat")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie18")).cast("long")
+    zden = F.sqrt(var18.cast("double") / 18.0)
+    return (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            n.alias("n_days"),
+            "s_stat",
+            "n_pairs",
+            var18.alias("var18"),
+            "sen2_micro",
+            F.round(
+                F.when(var18 <= 0, 0.0)
+                .when(s > 0, (s - 1).cast("double") / zden)
+                .when(s < 0, (s + 1).cast("double") / zden)
+                .otherwise(0.0),
+                6,
+            ).alias("z_stat"),
+        )
+    )

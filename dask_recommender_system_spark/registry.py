@@ -349,6 +349,7 @@ DRIVER_PRIORITY: list[str] = [
     "bin_pack_next_fit",
     "multimodal_image_ahash",
     "hampel_outlier_filter",
+    "mann_kendall_trend",
 ]
 
 

@@ -325,6 +325,7 @@ _NON_EQUI_OK = {
     "sql_interface_q22",  # 1-row global-average broadcast (the spec's scalar subquery)
     "acf_daily_revenue",  # 1-row mean/den broadcasts + 7-row literal lag dim
     "permutation_test_diff",  # 1-row observed-diff broadcast onto R replicate rows
+    "mann_kendall_trend",  # calendar-bounded O(days^2) pair self-join by declaration
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2811,3 +2812,23 @@ def test_hampel_filter_invariants(spark, sf_dir):
         n_out += flag
     # the zero-filled gap days + bursty order days must trip the rule
     assert 0 < n_out < len(rows)
+
+
+def test_mann_kendall_algebra(spark, sf_dir):
+    """mann_kendall_trend: n_pairs = n(n-1)/2; |S| <= n_pairs; var18
+    below the untied ceiling n(n-1)(2n+5); z recomputes from the
+    emitted integers."""
+    import math
+
+    r = q("mann_kendall_trend", spark, sf_dir).collect()[0]
+    n = r["n_days"]
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert abs(r["s_stat"]) <= r["n_pairs"]
+    assert 0 < r["var18"] <= n * (n - 1) * (2 * n + 5)
+    s = r["s_stat"]
+    z = (
+        0.0
+        if s == 0
+        else (s - (1 if s > 0 else -1)) / math.sqrt(r["var18"] / 18.0)
+    )
+    assert abs(r["z_stat"] - round(z, 6)) < 1e-9
