@@ -350,6 +350,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_image_ahash",
     "hampel_outlier_filter",
     "mann_kendall_trend",
+    "stream_bin_pack",
 ]
 
 

@@ -213,3 +213,68 @@ def apply_token_bucket(events_with_epoch: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_BP_COLUMNS = ["custkey", "orderkey", "day", "size", "bin_idx", "rem_after"]
+
+BP_OUTPUT_SCHEMA = (
+    "custkey long, orderkey long, day long, size long, "
+    "bin_idx long, rem_after long"
+)
+BP_STATE_SCHEMA = "bin_idx long, rem long"
+
+
+def bin_pack_with_state(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-customer NEXT-FIT packing with (open bin index, remaining
+    space) as the state struct — the consolidation service shape: the
+    open container persists across micro-batches, so a shipment stream
+    packs identically whether it arrived in one batch or many. Integer
+    state only; initial state (bin 1, CAP remaining) makes the first
+    item follow the same fits/overflows rule as every later one, so
+    the drained output IS the batch recurrence."""
+    from ..operators.grouped import BP_CAP
+
+    (custkey,) = key
+    if state.exists:
+        bin_idx, rem = state.get
+    else:
+        bin_idx, rem = 1, BP_CAP
+    out: list[tuple[int, int, int, int, int, int]] = []
+    for pdf in pdfs:
+        block = pdf.sort_values(["day", "orderkey"])
+        for _, row in block.iterrows():
+            size = int(row["size"])
+            if size <= rem:
+                rem -= size
+            else:
+                bin_idx += 1
+                rem = BP_CAP - size
+            out.append(
+                (
+                    custkey,
+                    int(row["orderkey"]),
+                    int(row["day"]),
+                    size,
+                    bin_idx,
+                    rem,
+                )
+            )
+    state.update((bin_idx, rem))
+    yield pd.DataFrame(out, columns=_BP_COLUMNS)
+
+
+def apply_bin_pack(items: DataFrame) -> DataFrame:
+    """items: streaming frame with (custkey long, orderkey long,
+    day long, size long)."""
+    it = items.withColumn(
+        "ts", F.timestamp_seconds(F.col("day") * 86400)
+    ).withWatermark("ts", WATERMARK_DELAY)
+    return it.groupBy("custkey").applyInPandasWithState(
+        bin_pack_with_state,
+        outputStructType=BP_OUTPUT_SCHEMA,
+        stateStructType=BP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

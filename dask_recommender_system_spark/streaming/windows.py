@@ -1365,3 +1365,79 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("user_id", "sec", "event_id")
+
+
+def _bp_oracle() -> str:
+    return REGISTRY["bin_pack_next_fit"].oracle
+
+
+@query("stream_bin_pack", oracle=_bp_oracle())
+def stream_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X326: the STREAMING twin of bin_pack_next_fit — the same integer
+    next-fit recurrence as a custom stateful operator via
+    applyInPandasWithState with (open bin, remaining space) as the
+    state struct (streaming/stateful.py:apply_bin_pack). This is the
+    consolidation-service deployment shape: a customer's open container
+    persists across micro-batches and restarts. The ORDER stream is a
+    file-source parquet stream; item sizes come from a STREAM-STATIC
+    join against the batch lineitem rollup (the stream_static_enrich
+    pattern — the dimension side is loaded per micro-batch, the stream
+    stays append-only). Every order emits exactly one row regardless
+    of watermarks, so the drained output equals the batch recurrence
+    and shares its recursive-CTE oracle VERBATIM — token-bucket-grade
+    parity for a 2-field packing state. At 100 TB: state is two longs
+    per active customer."""
+    import hashlib
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .stateful import apply_bin_pack
+
+    src = f"{sf_dir}/orders.parquet"
+    schema = _SNIFFED_SCHEMA.get(src)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+        _SNIFFED_SCHEMA[src] = schema
+    stage = (
+        f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/orders.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    o = spark.readStream.schema(schema).parquet(stage).select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day"),
+    )
+    from ..data import load_table
+    from ..operators.grouped import BP_CAP
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").cast("long").alias("orderkey"))
+        .agg(
+            F.least(
+                F.sum(F.floor(F.col("l_quantity")).cast("long")),
+                F.lit(BP_CAP),
+            )
+            .cast("long")
+            .alias("size")
+        )
+    )
+    items = o.join(li, "orderkey")
+    out = apply_bin_pack(items)
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("custkey", "day", "orderkey")

@@ -2832,3 +2832,22 @@ def test_mann_kendall_algebra(spark, sf_dir):
         else (s - (1 if s > 0 else -1)) / math.sqrt(r["var18"] / 18.0)
     )
     assert abs(r["z_stat"] - round(z, 6)) < 1e-9
+
+
+def test_stream_bin_pack_matches_batch(spark, sf_dir):
+    """stream_bin_pack: the drained stateful-streaming output equals the
+    batch GROUPED_MAP recurrence row-for-row (token-bucket-grade
+    parity for the 2-field packing state)."""
+    batch = [
+        tuple(r)
+        for r in q("bin_pack_next_fit", spark, sf_dir)
+        .orderBy("custkey", "day", "orderkey")
+        .collect()
+    ]
+    stream = [
+        tuple(r)
+        for r in q("stream_bin_pack", spark, sf_dir)
+        .orderBy("custkey", "day", "orderkey")
+        .collect()
+    ]
+    assert batch == stream
