@@ -5747,3 +5747,101 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_stat"),
         )
     )
+
+
+@query(
+    "xyz_variability_classes",
+    oracle="""
+    WITH wk AS (
+        SELECT l_partkey AS partkey,
+               CAST(epoch(l_shipdate) AS BIGINT) // 604800 AS week,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2),
+    w AS (
+        SELECT CAST(COUNT(DISTINCT week) AS BIGINT) AS n_weeks FROM wk),
+    per AS (
+        SELECT partkey,
+               CAST(SUM(q) AS BIGINT) AS s_qty,
+               CAST(SUM(q * q) AS BIGINT) AS s_qty2
+        FROM wk GROUP BY 1),
+    c AS (
+        SELECT p.partkey, w.n_weeks, p.s_qty, p.s_qty2,
+               CAST(w.n_weeks * p.s_qty2 - p.s_qty * p.s_qty AS BIGINT)
+                   AS cv2_num
+        FROM per p, w)
+    SELECT partkey, n_weeks, s_qty, s_qty2, cv2_num,
+           CASE WHEN s_qty <= 0 THEN 'Z'
+                WHEN 4 * cv2_num <= 49 * s_qty * s_qty THEN 'X'
+                WHEN 4 * cv2_num <= 81 * s_qty * s_qty THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           ROUND(CASE WHEN s_qty > 0
+                      THEN SQRT(CAST(cv2_num AS DOUBLE)) / s_qty
+                      ELSE 0 END, 6) AS cv
+    FROM c ORDER BY partkey
+    """,
+)
+def xyz_variability_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X327: XYZ demand-variability classification per part — the
+    planning companion to abc_classification (X170): X = steady demand
+    (CV <= 0.5, forecastable), Y = variable (CV <= 1.0), Z = erratic;
+    together they form the ABC-XYZ inventory matrix. CV is computed
+    over the part's WEEKLY demand with zero weeks included — and the
+    key algebraic move is that zero weeks contribute nothing to S or
+    Sum(q^2), so the dense part-x-week scaffold is never materialized:
+    n is the single GLOBAL distinct-week count (1-row broadcast) and
+    CV^2 = (n*Sq2 - S^2)/S^2 comes from the observed rows alone. The
+    class boundaries are INTEGER cross-multiplications (X iff
+    4*(n*Sq2 - S^2) <= cut_x^2 * S^2, Y iff <= cut_y^2 * S^2) — no
+    float threshold can straddle an engine ULP. The cuts are 3.5/4.5
+    — the same rule as the industry 0.5/1.0, recalibrated to this
+    fixture's CV range (sparse weekly demand puts every part's CV in
+    ~2.9-7.1 at every SF; the test pins that all three classes fire);
+    a deployment sets its own cuts. The reported cv is one correctly-rounded
+    SQRT + division over the emitted exact integers, rounded 6. Plan:
+    two keyed rollups + a 1-row broadcast — scan-bound at 100 TB."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(l_shipdate)) AS BIGINT) DIV 604800"
+        ).alias("week"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("q")
+    )
+    w = wk.agg(
+        F.countDistinct("week").cast("long").alias("n_weeks")
+    )
+    per = wk.groupBy("partkey").agg(
+        F.sum("q").cast("long").alias("s_qty"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s_qty2"),
+    )
+    c = per.crossJoin(F.broadcast(w)).withColumn(
+        "cv2_num",
+        (
+            F.col("n_weeks") * F.col("s_qty2")
+            - F.col("s_qty") * F.col("s_qty")
+        ).cast("long"),
+    )
+    s2 = F.col("s_qty") * F.col("s_qty")
+    return c.select(
+        "partkey",
+        "n_weeks",
+        "s_qty",
+        "s_qty2",
+        "cv2_num",
+        F.when(F.col("s_qty") <= 0, "Z")
+        .when(4 * F.col("cv2_num") <= 49 * s2, "X")
+        .when(4 * F.col("cv2_num") <= 81 * s2, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        F.round(
+            F.when(
+                F.col("s_qty") > 0,
+                F.sqrt(F.col("cv2_num").cast("double")) / F.col("s_qty"),
+            ).otherwise(0.0),
+            6,
+        ).alias("cv"),
+    ).orderBy("partkey")

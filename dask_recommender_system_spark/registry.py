@@ -351,6 +351,7 @@ DRIVER_PRIORITY: list[str] = [
     "hampel_outlier_filter",
     "mann_kendall_trend",
     "stream_bin_pack",
+    "xyz_variability_classes",
 ]
 
 

@@ -326,6 +326,7 @@ _NON_EQUI_OK = {
     "acf_daily_revenue",  # 1-row mean/den broadcasts + 7-row literal lag dim
     "permutation_test_diff",  # 1-row observed-diff broadcast onto R replicate rows
     "mann_kendall_trend",  # calendar-bounded O(days^2) pair self-join by declaration
+    "xyz_variability_classes",  # 1-row global week-count broadcast onto parts
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2851,3 +2852,32 @@ def test_stream_bin_pack_matches_batch(spark, sf_dir):
         .collect()
     ]
     assert batch == stream
+
+
+def test_xyz_classes_thresholds(spark, sf_dir):
+    """xyz_variability_classes: class matches the integer rule, cv
+    recomputes from the emitted integers, all three classes fire."""
+    import math
+
+    rows = q("xyz_variability_classes", spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        s2 = r["s_qty"] * r["s_qty"]
+        assert r["cv2_num"] == r["n_weeks"] * r["s_qty2"] - s2
+        if r["s_qty"] <= 0:
+            want = "Z"
+        elif 4 * r["cv2_num"] <= 49 * s2:
+            want = "X"
+        elif 4 * r["cv2_num"] <= 81 * s2:
+            want = "Y"
+        else:
+            want = "Z"
+        assert r["xyz_class"] == want
+        if r["s_qty"] > 0:
+            assert (
+                abs(r["cv"] - round(math.sqrt(r["cv2_num"]) / r["s_qty"], 6))
+                < 1e-9
+            )
+        seen.add(r["xyz_class"])
+    assert seen == {"X", "Y", "Z"}
