@@ -352,6 +352,7 @@ DRIVER_PRIORITY: list[str] = [
     "mann_kendall_trend",
     "stream_bin_pack",
     "xyz_variability_classes",
+    "stream_dau_daily",
 ]
 
 

@@ -1441,3 +1441,68 @@ def stream_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("custkey", "day", "orderkey")
+
+
+@query(
+    "stream_dau_daily",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS max_s FROM events)
+    SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)
+               AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events
+    GROUP BY 1
+    HAVING (day + 1) * 86400 <= (SELECT max_s - 3600 FROM mx)
+    ORDER BY 1
+    """,
+)
+def stream_dau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X328: streaming DAU — the live engagement counter behind
+    dau_mau_stickiness (X317), built from TWO CHAINED STATEFUL
+    OPERATORS (supported since Spark 3.4): dropDuplicatesWithinWatermark
+    on (user_id, day) evicts each day's seen-set once the watermark
+    passes, then a watermarked 1-day tumbling aggregate counts the
+    survivors — COUNT(DISTINCT) is not a streaming aggregate, but
+    dedup-then-COUNT(*) is its incremental decomposition, and because
+    the dedup key CONTAINS the window key the composition equals the
+    batch distinct count exactly on the drained stream. State: one key
+    per (user, day) inside the watermark horizon + one counter per open
+    day — both bounded, the property that lets this run forever at
+    100 TB/day. Append mode emits a day only once the watermark seals
+    it, and the final no-data batch advances the watermark to
+    max(ts) - 1h — so the drained output has the CLOSED FORM "batch
+    DAU for every day whose end <= max(ts) - 3600" (the
+    stream_sessionize promotion move), which is exactly the DuckDB
+    oracle: a full value verdict, not rows-only."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "day"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").cast("long").alias("dau"))
+        .select(
+            F.floor(F.unix_timestamp("w.start") / 86400)
+            .cast("long")
+            .alias("day"),
+            "dau",
+        )
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("day")

@@ -2881,3 +2881,22 @@ def test_xyz_classes_thresholds(spark, sf_dir):
             )
         seen.add(r["xyz_class"])
     assert seen == {"X", "Y", "Z"}
+
+
+def test_stream_dau_matches_batch_sealed_days(spark, sf_dir):
+    """stream_dau_daily: the drained chained-stateful output equals the
+    batch dau_mau_stickiness DAU column on every sealed day, and seals
+    all but the watermark-open tail."""
+    batch = {
+        r["day"]: r["dau"]
+        for r in q("dau_mau_stickiness", spark, sf_dir).collect()
+        if r["dau"] > 0
+    }
+    stream = {
+        r["day"]: r["dau"] for r in q("stream_dau_daily", spark, sf_dir).collect()
+    }
+    assert stream  # at least the first days seal
+    for day, dau in stream.items():
+        assert batch[day] == dau
+    # the open tail is at most the last day plus a possible boundary day
+    assert len(batch) - len(stream) <= 2
