@@ -5845,3 +5845,108 @@ def xyz_variability_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv"),
     ).orderBy("partkey")
+
+
+@query(
+    "slo_burn_alerts",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(FLOOR({EPOCH_TS} / 3600) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1),
+    grid AS (
+        SELECT CAST(UNNEST(range((SELECT MIN(hour) FROM h),
+                                 (SELECT MAX(hour) FROM h) + 1))
+                    AS BIGINT) AS hour),
+    x AS (
+        SELECT g.hour, COALESCE(h.t, 0) AS t, COALESCE(h.e, 0) AS e
+        FROM grid g LEFT JOIN h USING (hour)),
+    w6 AS (
+        SELECT c.hour,
+               CAST(SUM(n.t) AS BIGINT) AS t6,
+               CAST(SUM(n.e) AS BIGINT) AS e6
+        FROM x c JOIN x n ON n.hour BETWEEN c.hour - 5 AND c.hour
+        GROUP BY 1)
+    SELECT x.hour, x.e AS e_1h, x.t AS t_1h, w.e6 AS e_6h, w.t6 AS t_6h,
+           ROUND(CASE WHEN x.t > 0
+                      THEN 100.0 * x.e / x.t ELSE 0 END, 6) AS burn_1h,
+           ROUND(CASE WHEN w.t6 > 0
+                      THEN 100.0 * w.e6 / w.t6 ELSE 0 END, 6) AS burn_6h,
+           CAST(CASE WHEN 1000 * x.e > 144 * x.t AND x.t > 0
+                      AND 100 * w.e6 > 6 * w.t6
+                     THEN 1 ELSE 0 END AS INT) AS page_alert,
+           CAST(CASE WHEN 100 * w.e6 > 3 * w.t6 AND w.t6 > 0
+                     THEN 1 ELSE 0 END AS INT) AS ticket_alert
+    FROM x JOIN w6 w USING (hour)
+    ORDER BY x.hour
+    """,
+)
+def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X329: multi-window multi-burn-rate SLO alerting (the Google SRE
+    workbook rule) over the event error stream — per hour, the error
+    budget burn rate against a 99%-availability SLO on the trailing 1h
+    and 6h windows; PAGE when the fast window burns > 14.4x budget AND
+    the slow window confirms (> 6x, filters blips); TICKET on a
+    sustained slow burn (> 3x). Every threshold is an INTEGER
+    cross-multiplication over exact counts (burn_1h > 14.4 with budget
+    1/100 <=> 1000*e > 144*t; the 6x and 3x rules likewise), so no
+    float ratio decides an alert; the reported burn rates are single
+    divisions of the emitted integers, rounded 6. Trailing 6h windows
+    come from a 6-offset explode joined KEYED on hour (the hampel
+    move), gap hours zero-filled off the calendar grid. Plan: one hour
+    rollup + one keyed 6-fanout join over the HOUR-BOUNDED grid —
+    calendar-bounded at any data scale."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+    )
+    grid = h.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1")).select(
+        F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    x = grid.join(h, "hour", "left").select(
+        "hour",
+        F.coalesce("t", F.lit(0)).alias("t"),
+        F.coalesce("e", F.lit(0)).alias("e"),
+    )
+    fan = x.select(
+        "t",
+        "e",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("off"),
+        (F.col("hour") + F.col("off")).alias("chour"),
+    )
+    w6 = (
+        fan.join(grid.select(F.col("hour").alias("chour")), "chour")
+        .groupBy(F.col("chour").alias("hour"))
+        .agg(
+            F.sum("t").cast("long").alias("t6"),
+            F.sum("e").cast("long").alias("e6"),
+        )
+    )
+    j = x.join(w6, "hour")
+    e, t, e6, t6 = F.col("e"), F.col("t"), F.col("e6"), F.col("t6")
+    burn = lambda ec, tc: F.round(  # noqa: E731
+        F.when(tc > 0, 100.0 * ec.cast("double") / tc).otherwise(0.0), 6
+    )
+    return j.select(
+        "hour",
+        e.alias("e_1h"),
+        t.alias("t_1h"),
+        e6.alias("e_6h"),
+        t6.alias("t_6h"),
+        burn(e, t).alias("burn_1h"),
+        burn(e6, t6).alias("burn_6h"),
+        (
+            (1000 * e > 144 * t) & (t > 0) & (100 * e6 > 6 * t6)
+        )
+        .cast("int")
+        .alias("page_alert"),
+        ((100 * e6 > 3 * t6) & (t6 > 0)).cast("int").alias("ticket_alert"),
+    ).orderBy("hour")

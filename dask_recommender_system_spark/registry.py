@@ -353,6 +353,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_bin_pack",
     "xyz_variability_classes",
     "stream_dau_daily",
+    "slo_burn_alerts",
 ]
 
 

@@ -2900,3 +2900,26 @@ def test_stream_dau_matches_batch_sealed_days(spark, sf_dir):
         assert batch[day] == dau
     # the open tail is at most the last day plus a possible boundary day
     assert len(batch) - len(stream) <= 2
+
+
+def test_slo_burn_rules_fire(spark, sf_dir):
+    """slo_burn_alerts: integer rules reproduce the flags; both alert
+    kinds fire somewhere on the fixture (error rate ~20% >> the 99%
+    budget) and the page rule implies the 6h confirmation."""
+    rows = q("slo_burn_alerts", spark, sf_dir).collect()
+    assert rows
+    pages = tickets = 0
+    for r in rows:
+        page = int(
+            1000 * r["e_1h"] > 144 * r["t_1h"]
+            and r["t_1h"] > 0
+            and 100 * r["e_6h"] > 6 * r["t_6h"]
+        )
+        ticket = int(100 * r["e_6h"] > 3 * r["t_6h"] and r["t_6h"] > 0)
+        assert r["page_alert"] == page
+        assert r["ticket_alert"] == ticket
+        if page:
+            assert 100 * r["e_6h"] > 6 * r["t_6h"]
+        pages += page
+        tickets += ticket
+    assert pages > 0 and tickets > 0
