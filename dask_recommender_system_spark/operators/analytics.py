@@ -5950,3 +5950,173 @@ def slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("page_alert"),
         ((100 * e6 > 3 * t6) & (t6 > 0)).cast("int").alias("ticket_alert"),
     ).orderBy("hour")
+
+
+def _cramers_sql(src: str, a: str, b: str, label: str) -> str:
+    """One pair's Cramér's V CTE chain (DuckDB side). Per-cell chi2
+    terms obs^2*n/(r*c) are evaluated on ONE fixed double expression
+    tree and rounded to integer MICRO-units BEFORE the sum (order-free
+    integer cumulation — the causal_impact discipline), so the pair's
+    chi2 is engine-exact by construction."""
+    return f"""
+        SELECT '{label}' AS pair,
+               n_tot AS n,
+               r_cnt, c_cnt,
+               CAST(LEAST(r_cnt - 1, c_cnt - 1) AS BIGINT) AS df,
+               CAST(SUM(term_micro) - 1000000 * n_tot AS BIGINT)
+                   AS chi2_micro,
+               ROUND(SQRT(GREATEST(
+                   CAST(SUM(term_micro) - 1000000 * n_tot AS DOUBLE)
+                   / 1000000 / (n_tot * LEAST(r_cnt - 1, c_cnt - 1)),
+                   0)), 6) AS cramers_v
+        FROM (
+            SELECT o.obs, rm.r_n, cm.c_n,
+                   CAST(ROUND(CAST(t.n_tot AS DOUBLE) * o.obs * o.obs
+                              * 1000000 / (rm.r_n * cm.c_n))
+                        AS BIGINT) AS term_micro,
+                   t.n_tot, t.r_cnt, t.c_cnt
+            FROM (SELECT {a} AS a, {b} AS b,
+                         CAST(COUNT(*) AS BIGINT) AS obs
+                  FROM {src} GROUP BY 1, 2) o
+            JOIN (SELECT {a} AS a, CAST(SUM(cnt) AS BIGINT) AS r_n
+                  FROM (SELECT {a}, COUNT(*) AS cnt FROM {src}
+                        GROUP BY {a}, {b})
+                  GROUP BY 1) rm ON o.a = rm.a
+            JOIN (SELECT {b} AS b, CAST(SUM(cnt) AS BIGINT) AS c_n
+                  FROM (SELECT {a}, {b}, COUNT(*) AS cnt FROM {src}
+                        GROUP BY {a}, {b})
+                  GROUP BY 1) cm ON o.b = cm.b
+            CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+                               CAST(COUNT(DISTINCT {a}) AS BIGINT) AS r_cnt,
+                               CAST(COUNT(DISTINCT {b}) AS BIGINT) AS c_cnt
+                        FROM {src}) t)
+        GROUP BY n_tot, r_cnt, c_cnt
+    """
+
+
+@query(
+    "cramers_v_matrix",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT) % 7
+                    AS VARCHAR) AS dow
+        FROM events),
+    cust AS (
+        SELECT c_mktsegment, CAST(c_nationkey AS VARCHAR) AS nk
+        FROM customer)
+    SELECT * FROM (
+        {{p1}}
+        UNION ALL
+        {{p2}}
+        UNION ALL
+        {{p3}}
+    ) ORDER BY pair
+    """.format(
+        p1=_cramers_sql("ev", "event_type", "dow", "event_type_x_dow"),
+        p2=_cramers_sql(
+            "orders", "o_orderpriority", "o_orderstatus",
+            "priority_x_status",
+        ),
+        p3=_cramers_sql("cust", "c_mktsegment", "nk", "segment_x_nation"),
+    ),
+)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X330: Cramér's V association matrix over three categorical pairs
+    from three tables (event type x day-of-week, order priority x
+    status, market segment x nation) — the EFFECT-SIZE companion to
+    chi2_independence (X73 reports per-cell terms; V normalizes the
+    statistic to [0,1] so pairs of different dimensions compare). The
+    float trap is the chi2 SUM over cells (add-order differs across
+    engines): each cell's term obs^2*n/(r*c) is evaluated on one fixed
+    double expression tree (every input an exact BIGINT) and rounded to
+    integer MICRO-units BEFORE the sum, so the accumulation is
+    order-free integer addition; V is one shared
+    SQRT(chi2/(n*min(r-1,c-1))) tree over the emitted integers. Null-
+    true pairs (independent columns) read V ~ 0; the segment x nation
+    pair too (uniform synth) — the test pins V in [0,1] and chi2 >= 0
+    up to micro-rounding. Plan per pair: one contingency rollup
+    (localCheckpoint'ed, the X73 move), marginals broadcast back, one
+    1-row reduce; three pairs union to a 3-row table."""
+    _utc(spark)
+
+    def one_pair(df: DataFrame, a: str, b: str, label: str) -> DataFrame:
+        o = (
+            df.groupBy(F.col(a).alias("a"), F.col(b).alias("b"))
+            .agg(F.count("*").cast("long").alias("obs"))
+            .localCheckpoint(eager=True)
+        )
+        rm = o.groupBy("a").agg(F.sum("obs").cast("long").alias("r_n"))
+        cm = o.groupBy("b").agg(F.sum("obs").cast("long").alias("c_n"))
+        t = o.agg(
+            F.sum("obs").cast("long").alias("n_tot"),
+            F.count_distinct(F.col("a")).cast("long").alias("r_cnt"),
+            F.count_distinct(F.col("b")).cast("long").alias("c_cnt"),
+        )
+        cells = (
+            o.join(F.broadcast(rm), "a")
+            .join(F.broadcast(cm), "b")
+            .crossJoin(F.broadcast(t))
+            .withColumn(
+                "term_micro",
+                F.round(
+                    F.col("n_tot").cast("double")
+                    * F.col("obs")
+                    * F.col("obs")
+                    * 1000000
+                    / (F.col("r_n") * F.col("c_n"))
+                ).cast("long"),
+            )
+        )
+        df_c = F.least(F.col("r_cnt") - 1, F.col("c_cnt") - 1)
+        return (
+            cells.groupBy("n_tot", "r_cnt", "c_cnt")
+            .agg(
+                (F.sum("term_micro") - 1000000 * F.col("n_tot"))
+                .cast("long")
+                .alias("chi2_micro")
+            )
+            .select(
+                F.lit(label).alias("pair"),
+                F.col("n_tot").alias("n"),
+                "r_cnt",
+                "c_cnt",
+                df_c.cast("long").alias("df"),
+                "chi2_micro",
+                F.round(
+                    F.sqrt(
+                        F.greatest(
+                            F.col("chi2_micro").cast("double")
+                            / 1000000
+                            / (F.col("n_tot") * df_c),
+                            F.lit(0.0),
+                        )
+                    ),
+                    6,
+                ).alias("cramers_v"),
+            )
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7)
+        .cast("string")
+        .alias("dow"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_nationkey").cast("string").alias("nk")
+    )
+    return (
+        one_pair(ev, "event_type", "dow", "event_type_x_dow")
+        .unionAll(
+            one_pair(
+                orders, "o_orderpriority", "o_orderstatus",
+                "priority_x_status",
+            )
+        )
+        .unionAll(one_pair(cust, "c_mktsegment", "nk", "segment_x_nation"))
+        .orderBy("pair")
+    )

@@ -354,6 +354,7 @@ DRIVER_PRIORITY: list[str] = [
     "xyz_variability_classes",
     "stream_dau_daily",
     "slo_burn_alerts",
+    "cramers_v_matrix",
 ]
 
 

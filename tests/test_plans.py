@@ -327,6 +327,7 @@ _NON_EQUI_OK = {
     "permutation_test_diff",  # 1-row observed-diff broadcast onto R replicate rows
     "mann_kendall_trend",  # calendar-bounded O(days^2) pair self-join by declaration
     "xyz_variability_classes",  # 1-row global week-count broadcast onto parts
+    "cramers_v_matrix",  # three 1-row contingency-total broadcasts (X73's shape)
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2923,3 +2924,20 @@ def test_slo_burn_rules_fire(spark, sf_dir):
         pages += page
         tickets += ticket
     assert pages > 0 and tickets > 0
+
+
+def test_cramers_v_bounds(spark, sf_dir):
+    """cramers_v_matrix: V in [0,1], chi2 >= 0 up to micro-rounding, df
+    matches dims, and V recomputes from the emitted integers."""
+    import math
+
+    rows = q("cramers_v_matrix", spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["df"] == min(r["r_cnt"] - 1, r["c_cnt"] - 1)
+        assert r["chi2_micro"] >= -len(rows) * 500  # micro-rounding slack
+        assert 0.0 <= r["cramers_v"] <= 1.0
+        v = math.sqrt(
+            max(r["chi2_micro"] / 1e6 / (r["n"] * r["df"]), 0.0)
+        )
+        assert abs(r["cramers_v"] - round(v, 6)) < 1e-9
