@@ -6120,3 +6120,176 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one_pair(cust, "c_mktsegment", "nk", "segment_x_nation"))
         .orderBy("pair")
     )
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR({EPOCH_TS} / 604800) AS BIGINT) AS week
+        FROM events),
+    fw AS (
+        SELECT user_id, MIN(week) AS first_week FROM p GROUP BY 1),
+    grid AS (
+        SELECT CAST(UNNEST(range((SELECT MIN(week) FROM p),
+                                 (SELECT MAX(week) FROM p) + 1))
+                    AS BIGINT) AS week),
+    cur AS (
+        SELECT p.week, p.user_id, f.first_week,
+               CASE WHEN prev.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS was_active
+        FROM p
+        JOIN fw f USING (user_id)
+        LEFT JOIN p prev ON prev.user_id = p.user_id
+                        AND prev.week = p.week - 1),
+    per AS (
+        SELECT week,
+               CAST(SUM(CASE WHEN first_week = week THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN first_week < week AND was_active = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(SUM(CASE WHEN first_week < week AND was_active = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM cur GROUP BY 1),
+    churn AS (
+        SELECT a.week + 1 AS week, CAST(COUNT(*) AS BIGINT) AS churned
+        FROM p a LEFT JOIN p b ON b.user_id = a.user_id
+                              AND b.week = a.week + 1
+        WHERE b.user_id IS NULL
+        GROUP BY 1)
+    SELECT g.week,
+           COALESCE(pr.new_users, 0) AS new_users,
+           COALESCE(pr.retained, 0) AS retained,
+           COALESCE(pr.resurrected, 0) AS resurrected,
+           CASE WHEN g.week <= (SELECT MAX(week) FROM p)
+                THEN COALESCE(ch.churned, 0) ELSE 0 END AS churned,
+           COALESCE(pr.new_users, 0) + COALESCE(pr.retained, 0)
+               + COALESCE(pr.resurrected, 0) AS active,
+           ROUND(CASE WHEN COALESCE(ch.churned, 0) > 0
+                      THEN CAST(COALESCE(pr.new_users, 0)
+                                + COALESCE(pr.resurrected, 0) AS DOUBLE)
+                           / ch.churned
+                      ELSE 0 END, 6) AS quick_ratio
+    FROM grid g
+    LEFT JOIN per pr ON pr.week = g.week
+    LEFT JOIN churn ch ON ch.week = g.week
+    ORDER BY g.week
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X331: weekly growth accounting — the NEW / RETAINED /
+    RESURRECTED / CHURNED user decomposition (the Social-Capital MAU
+    framework) every growth team reports, plus the quick ratio
+    (new+resurrected)/churned. The decomposition is pure set algebra
+    on user-week presence: new = first week, retained = active this
+    week AND last, resurrected = active this week, inactive last,
+    seen before; churned(w) = active w-1, inactive w. All four are
+    keyed equi-joins of the deduped presence table with itself at
+    lag 1 plus a first-week rollup — no window over users, no
+    distinct-count windows; every count is an exact BIGINT and the
+    identity active = new + retained + resurrected is structural
+    (test-pinned, with conservation: active(w) = active(w-1) + new +
+    resurrected - churned). The only float is the quick ratio, one
+    division of emitted integers. Calendar-bounded week grid zero-
+    fills silent weeks. At 100 TB: presence dedup is the one
+    data-sized shuffle; everything after is |users x weeks| keyed."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).distinct()
+    fw = p.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    grid = p.agg(
+        F.min("week").alias("w0"), F.max("week").alias("w1")
+    ).select(F.explode(F.sequence("w0", "w1")).alias("week"))
+    prev = p.select(
+        "user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("was")
+    )
+    cur = (
+        p.join(fw, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            "first_week",
+            F.coalesce("was", F.lit(0)).alias("was_active"),
+        )
+    )
+    per = cur.groupBy("week").agg(
+        F.sum(
+            F.when(F.col("first_week") == F.col("week"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            F.when(
+                (F.col("first_week") < F.col("week"))
+                & (F.col("was_active") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("first_week") < F.col("week"))
+                & (F.col("was_active") == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    churn = (
+        p.select("user_id", (F.col("week") + 1).alias("week"))
+        .join(
+            p.select("user_id", "week", F.lit(1).alias("still")),
+            ["user_id", "week"],
+            "left",
+        )
+        .filter(F.col("still").isNull())
+        .groupBy("week")
+        .agg(F.count("*").cast("long").alias("churned"))
+    )
+    wmax = p.agg(F.max("week").alias("wmax"))
+    out = (
+        grid.join(per, "week", "left")
+        .join(churn, "week", "left")
+        .crossJoin(F.broadcast(wmax))
+        .select(
+            "week",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained"),
+            F.coalesce("resurrected", F.lit(0))
+            .cast("long")
+            .alias("resurrected"),
+            F.when(
+                F.col("week") <= F.col("wmax"),
+                F.coalesce("churned", F.lit(0)),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("churned"),
+        )
+        .withColumn(
+            "active",
+            (
+                F.col("new_users") + F.col("retained") + F.col("resurrected")
+            ).cast("long"),
+        )
+        .withColumn(
+            "quick_ratio",
+            F.round(
+                F.when(
+                    F.col("churned") > 0,
+                    (F.col("new_users") + F.col("resurrected")).cast(
+                        "double"
+                    )
+                    / F.col("churned"),
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+    )
+    return out.orderBy("week")

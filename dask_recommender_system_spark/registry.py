@@ -355,6 +355,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_dau_daily",
     "slo_burn_alerts",
     "cramers_v_matrix",
+    "growth_accounting_weekly",
 ]
 
 

@@ -328,6 +328,7 @@ _NON_EQUI_OK = {
     "mann_kendall_trend",  # calendar-bounded O(days^2) pair self-join by declaration
     "xyz_variability_classes",  # 1-row global week-count broadcast onto parts
     "cramers_v_matrix",  # three 1-row contingency-total broadcasts (X73's shape)
+    "growth_accounting_weekly",  # 1-row max-week broadcast onto the week grid
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2941,3 +2942,30 @@ def test_cramers_v_bounds(spark, sf_dir):
             max(r["chi2_micro"] / 1e6 / (r["n"] * r["df"]), 0.0)
         )
         assert abs(r["cramers_v"] - round(v, 6)) < 1e-9
+
+
+def test_growth_accounting_conservation(spark, sf_dir):
+    """growth_accounting_weekly: the growth-accounting identity holds —
+    active(w) = active(w-1) + new + resurrected - churned(w) (churned
+    is stamped on the week the user went missing), first week is all
+    new, and the quick ratio recomputes."""
+    rows = q("growth_accounting_weekly", spark, sf_dir).orderBy("week").collect()
+    assert rows
+    first = rows[0]
+    assert first["retained"] == first["resurrected"] == 0
+    assert first["active"] == first["new_users"] > 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert (
+            cur["active"]
+            == prev["active"]
+            + cur["new_users"]
+            + cur["resurrected"]
+            - cur["churned"]
+        )
+        if cur["churned"] > 0:
+            assert abs(
+                cur["quick_ratio"]
+                - round(
+                    (cur["new_users"] + cur["resurrected"]) / cur["churned"], 6
+                )
+            ) < 1e-9
