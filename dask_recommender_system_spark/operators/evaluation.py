@@ -2201,3 +2201,206 @@ def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+from .relational import ORACLE_EPOCH as _OE
+
+EPOCH_TS = _OE.format(col="ts")
+
+_CUPED_H = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "(strpos('0123456789abcdef', substr(md5('t:' || user_id), "
+    "CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, "
+    "4503599627370496, 281474976710656, 17592186044416, 1099511627776, "
+    "68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, "
+    "4096, 256, 16, 1][i + 1])) AS BIGINT) % 2"
+)
+
+
+@query(
+    "ab_cuped_adjustment",
+    oracle=f"""
+    WITH span AS (
+        SELECT MIN(CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT)) AS d0,
+               MAX(CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT)) AS d1
+        FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT)
+                                  < (SELECT (d0 + d1 + 1) // 2 FROM span)
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND CAST(FLOOR({EPOCH_TS} / 86400) AS BIGINT)
+                                  >= (SELECT (d0 + d1 + 1) // 2 FROM span)
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y,
+               {_CUPED_H} AS t
+        FROM events GROUP BY user_id),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN t = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS sx1,
+               CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy1,
+               CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(SUM(CASE WHEN t = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS sx0,
+               CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy0
+        FROM u)
+    SELECT n, n1, n0,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2,
+           CAST(n * sxx - sx * sx AS BIGINT) AS varx_n2,
+           CAST(n * syy - sy * sy AS BIGINT) AS vary_n2,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx)
+                      ELSE 0 END, 6) AS theta,
+           ROUND(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0, 6)
+               AS raw_diff_cents,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (CAST(sy1 AS DOUBLE) / n1
+                            - CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (n * sxx - sx * sx) * sx1 / n1)
+                           - (CAST(sy0 AS DOUBLE) / n0
+                              - CAST(n * sxy - sx * sy AS DOUBLE)
+                                / (n * sxx - sx * sx) * sx0 / n0)
+                      ELSE CAST(sy1 AS DOUBLE) / n1
+                           - CAST(sy0 AS DOUBLE) / n0
+                 END, 6) AS adj_diff_cents,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                           * (n * sxy - sx * sy)
+                           / (n * sxx - sx * sx)
+                           / (n * syy - sy * sy)
+                      ELSE 0 END, 6) AS var_reduction
+    FROM s
+    """,
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X332: CUPED variance reduction (Deng et al. 2013, WSDM) — THE
+    modern A/B-test adjustment: regress each user's experiment-period
+    spend Y on their PRE-period spend X (theta = cov/var), report the
+    covariate-adjusted treatment effect and the variance reduction
+    rho^2 the adjustment buys. Pre/post split at the integer midpoint
+    day ((d0+d1+1) DIV 2); treatment is the h60 null-true assignment
+    (labels independent of spend, so the honest readout is adj_diff ~
+    raw_diff ~ 0 while var_reduction is driven by the real X-Y
+    user-level correlation). Determinism: the corpus collapses to
+    per-user (x, y) exact cents, then ONE reduce to the 12 sufficient
+    statistics; cov/var ship as the exact BIGINTs n*Sxy-SxSy etc.
+    (emitted, so theta/adj_diff/var_reduction all recompute from the
+    row), and every float column is one shared IEEE tree over those
+    integers, rounded 6. Plan: one user rollup + one 1-row reduce —
+    scan-bound; the midpoint is a 1-row broadcast."""
+    from .dedup import h60_spark
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.expr(
+            "(MIN(CAST(FLOOR(unix_timestamp(ts) / 86400) AS BIGINT))"
+            " + MAX(CAST(FLOOR(unix_timestamp(ts) / 86400) AS BIGINT))"
+            " + 1) DIV 2"
+        ).alias("mid")
+    )
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(is_p & (day < F.col("mid")), cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(is_p & (day >= F.col("mid")), cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            F.pmod(
+                h60_spark(
+                    F.concat(F.lit("t:"), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            ).alias("t"),
+        )
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("t") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx1"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy1"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("t") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx0"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy0"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("long")
+    varx = (n * F.col("sxx") - sx * sx).cast("long")
+    vary = (n * F.col("syy") - sy * sy).cast("long")
+    theta = cov.cast("double") / varx
+    mean = lambda sc, nc: F.col(sc).cast("double") / F.col(nc)  # noqa: E731
+    raw = mean("sy1", "n1") - mean("sy0", "n0")
+    adj = (
+        mean("sy1", "n1")
+        - theta * F.col("sx1") / F.col("n1")
+    ) - (
+        mean("sy0", "n0")
+        - theta * F.col("sx0") / F.col("n0")
+    )
+    return s.select(
+        "n",
+        "n1",
+        "n0",
+        cov.alias("cov_n2"),
+        varx.alias("varx_n2"),
+        vary.alias("vary_n2"),
+        F.round(F.when(varx > 0, theta).otherwise(0.0), 6).alias("theta"),
+        F.round(raw, 6).alias("raw_diff_cents"),
+        F.round(F.when(varx > 0, adj).otherwise(raw), 6).alias(
+            "adj_diff_cents"
+        ),
+        F.round(
+            F.when(
+                (varx > 0) & (vary > 0),
+                cov.cast("double") * cov / varx / vary,
+            ).otherwise(0.0),
+            6,
+        ).alias("var_reduction"),
+    )

@@ -356,6 +356,7 @@ DRIVER_PRIORITY: list[str] = [
     "slo_burn_alerts",
     "cramers_v_matrix",
     "growth_accounting_weekly",
+    "ab_cuped_adjustment",
 ]
 
 

@@ -329,6 +329,7 @@ _NON_EQUI_OK = {
     "xyz_variability_classes",  # 1-row global week-count broadcast onto parts
     "cramers_v_matrix",  # three 1-row contingency-total broadcasts (X73's shape)
     "growth_accounting_weekly",  # 1-row max-week broadcast onto the week grid
+    "ab_cuped_adjustment",  # 1-row midpoint-day broadcast onto events
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -2969,3 +2970,22 @@ def test_growth_accounting_conservation(spark, sf_dir):
                     (cur["new_users"] + cur["resurrected"]) / cur["churned"], 6
                 )
             ) < 1e-9
+
+
+def test_cuped_recomputes_and_reduces_variance(spark, sf_dir):
+    """ab_cuped_adjustment: theta/adjusted-diff/variance-reduction all
+    recompute from the emitted exact integers; rho^2 in [0,1]; on this
+    fixture pre- and post-period spend correlate (per-user rates
+    persist), so the adjustment must buy real variance reduction."""
+    r = q("ab_cuped_adjustment", spark, sf_dir).collect()[0]
+    assert r["n"] == r["n1"] + r["n0"]
+    cov, vx, vy = r["cov_n2"], r["varx_n2"], r["vary_n2"]
+    assert vx > 0 and vy > 0
+    assert abs(r["theta"] - round(cov / vx, 6)) < 1e-9
+    vr = cov * cov / vx / vy
+    assert abs(r["var_reduction"] - round(vr, 6)) < 1e-9
+    assert 0.0 <= r["var_reduction"] <= 1.0
+    # per-user purchase rates persist across halves, but half-period
+    # value sums are noisy at the test SF — gate that the correlation
+    # is real, not that it is large
+    assert r["var_reduction"] > 0.005
