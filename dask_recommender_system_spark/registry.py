@@ -357,6 +357,7 @@ DRIVER_PRIORITY: list[str] = [
     "cramers_v_matrix",
     "growth_accounting_weekly",
     "ab_cuped_adjustment",
+    "stream_slo_burn",
 ]
 
 

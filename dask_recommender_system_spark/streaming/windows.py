@@ -1506,3 +1506,128 @@ def stream_dau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("day")
+
+
+@query(
+    "stream_slo_burn",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS max_s FROM events),
+    h AS (
+        SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600)
+                    AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1
+        HAVING (hour + 1) * 3600 <= (SELECT max_s - 3600 FROM mx)),
+    grid AS (
+        SELECT CAST(UNNEST(range((SELECT MIN(hour) FROM h),
+                                 (SELECT MAX(hour) FROM h) + 1))
+                    AS BIGINT) AS hour),
+    x AS (
+        SELECT g.hour, COALESCE(h.t, 0) AS t, COALESCE(h.e, 0) AS e
+        FROM grid g LEFT JOIN h USING (hour)),
+    w6 AS (
+        SELECT c.hour,
+               CAST(SUM(n.t) AS BIGINT) AS t6,
+               CAST(SUM(n.e) AS BIGINT) AS e6
+        FROM x c JOIN x n ON n.hour BETWEEN c.hour - 5 AND c.hour
+        GROUP BY 1)
+    SELECT x.hour, x.e AS e_1h, x.t AS t_1h, w.e6 AS e_6h, w.t6 AS t_6h,
+           CAST(CASE WHEN 1000 * x.e > 144 * x.t AND x.t > 0
+                      AND 100 * w.e6 > 6 * w.t6
+                     THEN 1 ELSE 0 END AS INT) AS page_alert,
+           CAST(CASE WHEN 100 * w.e6 > 3 * w.t6 AND w.t6 > 0
+                     THEN 1 ELSE 0 END AS INT) AS ticket_alert
+    FROM x JOIN w6 w USING (hour)
+    ORDER BY x.hour
+    """,
+)
+def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X333: the STREAMING deployment of slo_burn_alerts (X329) — the
+    alert rule a live SRE dashboard actually runs: per-hour (errors,
+    total) counters are MERGEABLE SUMS maintained by a watermarked
+    1-hour tumbling aggregate (the stream_hll_rollup shape), drained in
+    append mode, then the trailing-6h windows and the integer
+    cross-multiplied page/ticket rules run as a batch post-pass over
+    the sealed hours. Append emits an hour only once the watermark
+    seals it, so the drained set has the closed form "hours with end <=
+    max(ts) - 1h" — the oracle is the batch rule restricted to exactly
+    those hours: a full value verdict. Burn-rate floats are omitted
+    here (the batch twin reports them); alerts are pure integers.
+    At 100 TB: streaming state is two longs per open hour."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("t"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("e"),
+        )
+        .select(
+            F.floor(F.unix_timestamp("w.start") / 3600)
+            .cast("long")
+            .alias("hour"),
+            "t",
+            "e",
+        )
+    )
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    h = spark.table(name)
+    grid = h.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1")).select(
+        F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    x = grid.join(h, "hour", "left").select(
+        "hour",
+        F.coalesce("t", F.lit(0)).alias("t"),
+        F.coalesce("e", F.lit(0)).alias("e"),
+    )
+    fan = x.select(
+        "t",
+        "e",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("off"),
+        (F.col("hour") + F.col("off")).alias("chour"),
+    )
+    w6 = (
+        fan.join(grid.select(F.col("hour").alias("chour")), "chour")
+        .groupBy(F.col("chour").alias("hour"))
+        .agg(
+            F.sum("t").cast("long").alias("t6"),
+            F.sum("e").cast("long").alias("e6"),
+        )
+    )
+    e, t = F.col("e"), F.col("t")
+    e6, t6 = F.col("e6"), F.col("t6")
+    return (
+        x.join(w6, "hour")
+        .select(
+            "hour",
+            e.alias("e_1h"),
+            t.alias("t_1h"),
+            e6.alias("e_6h"),
+            t6.alias("t_6h"),
+            ((1000 * e > 144 * t) & (t > 0) & (100 * e6 > 6 * t6))
+            .cast("int")
+            .alias("page_alert"),
+            ((100 * e6 > 3 * t6) & (t6 > 0)).cast("int").alias(
+                "ticket_alert"
+            ),
+        )
+        .orderBy("hour")
+    )

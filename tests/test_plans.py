@@ -2989,3 +2989,24 @@ def test_cuped_recomputes_and_reduces_variance(spark, sf_dir):
     # value sums are noisy at the test SF — gate that the correlation
     # is real, not that it is large
     assert r["var_reduction"] > 0.005
+
+
+def test_stream_slo_burn_matches_batch_sealed_hours(spark, sf_dir):
+    """stream_slo_burn: drained counters + post-pass flags equal the
+    batch slo_burn_alerts on every sealed hour."""
+    batch = {
+        r["hour"]: (r["e_1h"], r["t_1h"], r["e_6h"], r["t_6h"],
+                    r["page_alert"], r["ticket_alert"])
+        for r in q("slo_burn_alerts", spark, sf_dir).collect()
+    }
+    stream = q("stream_slo_burn", spark, sf_dir).collect()
+    assert stream
+    for r in stream:
+        b = batch[r["hour"]]
+        got = (r["e_1h"], r["t_1h"], r["e_6h"], r["t_6h"],
+               r["page_alert"], r["ticket_alert"])
+        # 6h windows at the sealed-range head differ only if the batch
+        # grid starts earlier; both grids start at the same min hour,
+        # so every sealed row must agree exactly
+        assert got == b
+    assert len(batch) - len(stream) <= 2
