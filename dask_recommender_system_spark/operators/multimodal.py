@@ -547,3 +547,77 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hash_a", "hash_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "multimodal_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+        SELECT doc_id,
+               [ (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1)
+                 * 16
+                 + (strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)
+                 FOR i IN range(16) ] AS px
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               CAST(list_sum(
+                   [ CASE WHEN 16 * px[gi + 1] > list_sum(px)
+                          THEN {_AHASH_W} [gi + 1] ELSE 0 END
+                     FOR gi IN range(16) ]) AS BIGINT) AS ahash
+        FROM b),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM h a JOIN h b
+          ON a.ahash // 1024 = b.ahash // 1024 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM h a JOIN h b
+          ON (a.ahash // 32) % 32 = (b.ahash // 32) % 32
+         AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM h a JOIN h b
+          ON a.ahash % 32 = b.ahash % 32 AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN h ha ON ha.doc_id = c.doc_a
+        JOIN h hb ON hb.doc_id = c.doc_b
+        WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {AHASH_T}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+           (node = MIN(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X334: duplicate-cluster resolution for the IMAGE modality — the
+    stage after multimodal_image_ahash (X323) pair generation, closing
+    the image dedup ladder the way dedup_clusters closes the text one:
+    near-dup pairs -> connected components (iterative min-label
+    propagation, per-round localCheckpoint, label-sum fixpoint) -> one
+    canonical payload per cluster (min doc_id). Perceptual near-dup is
+    not transitive, so clustering is a POLICY decision this operator
+    makes explicit — the cluster is the union-find closure of the
+    Hamming<= {AHASH_T} relation, exactly what the recursive-CTE oracle
+    computes. At 100 TB the component rounds ship |V|+|E| rows each
+    (O(diameter) rounds; near-dup clusters are almost-cliques); pair
+    generation stays band-bounded upstream."""
+    from .dedup import min_label_components
+
+    pairs = multimodal_image_ahash(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    return min_label_components(pairs, nodes).select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )

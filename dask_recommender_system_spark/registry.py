@@ -358,6 +358,7 @@ DRIVER_PRIORITY: list[str] = [
     "growth_accounting_weekly",
     "ab_cuped_adjustment",
     "stream_slo_burn",
+    "multimodal_dup_clusters",
 ]
 
 

@@ -3010,3 +3010,37 @@ def test_stream_slo_burn_matches_batch_sealed_hours(spark, sf_dir):
         # so every sealed row must agree exactly
         assert got == b
     assert len(batch) - len(stream) <= 2
+
+
+def test_multimodal_dup_clusters_closure(spark, sf_dir):
+    """multimodal_dup_clusters: labels are a valid union-find closure of
+    the ahash pair relation — every pair shares a cluster, every label
+    is the component min, singletons are canonical."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q("multimodal_image_ahash", spark, sf_dir).collect()
+    ]
+    lbl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q("multimodal_dup_clusters", spark, sf_dir).collect()
+    }
+    # union-find replica
+    parent = {d: d for d in lbl}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for d in lbl:
+        comp.setdefault(find(d), []).append(d)
+    for root, members in comp.items():
+        m = min(members)
+        for d in members:
+            assert lbl[d] == m
