@@ -842,3 +842,159 @@ def bin_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, schema=BP_SCHEMA)
         .orderBy("custkey", "day", "orderkey")
     )
+
+
+HW_SCHEMA = T.StructType(
+    [T.StructField("n_name", T.StringType()),
+     T.StructField("n_days", T.LongType()),
+     T.StructField("level_cents", T.DoubleType()),
+     T.StructField("trend_cents", T.DoubleType())]
+    + [T.StructField(f"s{i}", T.DoubleType()) for i in range(7)]
+)
+
+
+@query(
+    "holt_winters_additive",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT n_name,
+               CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+    span AS (
+        SELECT n_name, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY 1),
+    x AS (
+        SELECT g.n_name, g.day - s.d0 AS rn,
+               CAST(COALESCE(d.cents, 0) AS DOUBLE) AS y
+        FROM (SELECT n_name, CAST(UNNEST(range(d0, d1 + 1)) AS BIGINT)
+                     AS day
+              FROM span) g
+        JOIN span s USING (n_name)
+        LEFT JOIN daily d ON d.n_name = g.n_name AND d.day = g.day),
+    st(n_name, rn, l, b, s) AS (
+        SELECT n_name, CAST(0 AS BIGINT), y, CAST(0 AS DOUBLE),
+               [CAST(0 AS DOUBLE) FOR gi IN range(7)]
+        FROM x WHERE rn = 0
+        UNION ALL
+        SELECT x.n_name, x.rn,
+               0.5 * (x.y - st.s[CAST(x.rn % 7 AS INT) + 1])
+                   + 0.5 * (st.l + st.b),
+               0.25 * ((0.5 * (x.y - st.s[CAST(x.rn % 7 AS INT) + 1])
+                        + 0.5 * (st.l + st.b)) - st.l) + 0.75 * st.b,
+               [CASE WHEN gi = CAST(x.rn % 7 AS INT)
+                     THEN 0.5 * (x.y
+                                 - (0.5 * (x.y
+                                           - st.s[CAST(x.rn % 7 AS INT)
+                                                  + 1])
+                                    + 0.5 * (st.l + st.b)))
+                          + 0.5 * st.s[CAST(x.rn % 7 AS INT) + 1]
+                     ELSE st.s[gi + 1] END
+                FOR gi IN range(7)]
+        FROM x JOIN st ON x.n_name = st.n_name AND x.rn = st.rn + 1)
+    SELECT st.n_name,
+           CAST(m.mrn + 1 AS BIGINT) AS n_days,
+           st.l AS level_cents, st.b AS trend_cents,
+           st.s[1] AS s0, st.s[2] AS s1, st.s[3] AS s2, st.s[4] AS s3,
+           st.s[5] AS s4, st.s[6] AS s5, st.s[7] AS s6
+    FROM st
+    JOIN (SELECT n_name, MAX(rn) AS mrn FROM x GROUP BY 1) m
+      ON st.n_name = m.n_name AND st.rn = m.mrn
+    ORDER BY st.n_name
+    """,
+)
+def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X335: Holt-Winters ADDITIVE triple exponential smoothing (level +
+    trend + weekly seasonal) over each nation's zero-filled daily
+    revenue — the seasonal rung above holt_linear_forecast (X262),
+    closing the classical smoothing ladder (EWMA -> Holt -> HW). The
+    state is (l, b, s[7]): genuinely 9-dimensional and non-linear in
+    its indexing (the seasonal slot rotates with day mod 7), so no
+    window/prefix form exists — the declared GROUPED_MAP shape, one
+    shuffle on nation, sequential recurrence per series. Determinism is
+    BIT-EXACT by construction (the holt discipline, extended to LIST
+    state): alpha=0.5, beta=0.25, gamma=0.5 are dyadic, inputs exact
+    integer cents widened once, gap days are true zeros off the
+    calendar grid (seasonality needs contiguous day indexing, unlike
+    Holt), and the numpy loop evaluates literally the oracle CTE's
+    expression tree — l' = 0.5(y - s_p) + 0.5(l+b); b' = 0.25(l'-l) +
+    0.75b; s_p' = 0.5(y - l') + 0.5 s_p — so IEEE-754 gives identical
+    bits and the output ships UNROUNDED doubles (level, trend, all 7
+    seasonal slots). Init: l=y_0, b=0, s=0 (documented spec; t=0 does
+    no seasonal update). At 100 TB parallelism = number of series."""
+    from .relational import _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(
+            F.broadcast(
+                c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            ).select("c_custkey", "n_name"),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    grid = (
+        daily.groupBy("n_name")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "n_name",
+            "d0",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    x = (
+        grid.join(daily, ["n_name", "day"], "left")
+        .select(
+            "n_name",
+            (F.col("day") - F.col("d0")).alias("rn"),
+            F.coalesce("cents", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("rn", ignore_index=True)
+        y = pdf["y"].to_numpy()
+        l = y[0]
+        b = 0.0
+        s = np.zeros(7)
+        for t in range(1, len(y)):
+            p = t % 7
+            sp = s[p]
+            l_new = 0.5 * (y[t] - sp) + 0.5 * (l + b)
+            b = 0.25 * (l_new - l) + 0.75 * b
+            s[p] = 0.5 * (y[t] - l_new) + 0.5 * sp
+            l = l_new
+        row = {
+            "n_name": pdf["n_name"].iloc[0],
+            "n_days": len(y),
+            "level_cents": l,
+            "trend_cents": b,
+        }
+        for i in range(7):
+            row[f"s{i}"] = s[i]
+        return pd.DataFrame([row])
+
+    return (
+        x.groupBy("n_name")
+        .applyInPandas(hw, schema=HW_SCHEMA)
+        .orderBy("n_name")
+    )

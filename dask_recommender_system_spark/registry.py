@@ -359,6 +359,7 @@ DRIVER_PRIORITY: list[str] = [
     "ab_cuped_adjustment",
     "stream_slo_burn",
     "multimodal_dup_clusters",
+    "holt_winters_additive",
 ]
 
 

@@ -342,6 +342,7 @@ _ARROW_OK = {
     "rate_limit_token_bucket",  # GROUPED_MAP clamp recurrence (no closed form)
     "holt_linear_forecast",  # the declared GROUPED_MAP 2-state recurrence
     "bin_pack_next_fit",  # the declared GROUPED_MAP next-fit recurrence
+    "holt_winters_additive",  # the declared GROUPED_MAP 9-state recurrence
     "multimodal_audio_features",  # the audio mapInPandas kernel
     "pandas_udf_scalar_textfeats",  # the declared SCALAR ArrowEvalPython shape
 }
@@ -3044,3 +3045,55 @@ def test_multimodal_dup_clusters_closure(spark, sf_dir):
         m = min(members)
         for d in members:
             assert lbl[d] == m
+
+
+def test_holt_winters_replica(spark, sf_dir):
+    """holt_winters_additive: an independent python replica over the
+    same zero-filled series reproduces every output bit-for-bit, and
+    seasonal slots average ~0 (additive decomposition centers them)."""
+    rows = q("holt_winters_additive", spark, sf_dir).orderBy("n_name").collect()
+    assert len(rows) == 25
+    # replica over one nation pulled via the same upstream tables
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pydict()
+    c = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pydict()
+    n = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nk2name = dict(zip(n["n_nationkey"], n["n_name"]))
+    cust2name = {
+        k: nk2name[v] for k, v in zip(c["c_custkey"], c["c_nationkey"])
+    }
+    target = rows[0]["n_name"]
+    daily = {}
+    for ck, od, tp in zip(
+        o["o_custkey"], o["o_orderdate"], o["o_totalprice"]
+    ):
+        if cust2name[ck] != target:
+            continue
+        day = int(
+            od.replace(tzinfo=dt.timezone.utc).timestamp() // 86400
+        )
+        daily[day] = daily.get(day, 0) + round(tp * 100)
+    d0, d1 = min(daily), max(daily)
+    y = [float(daily.get(d, 0)) for d in range(d0, d1 + 1)]
+    l, b, s = y[0], 0.0, [0.0] * 7
+    for t in range(1, len(y)):
+        p = t % 7
+        sp = s[p]
+        l_new = 0.5 * (y[t] - sp) + 0.5 * (l + b)
+        b = 0.25 * (l_new - l) + 0.75 * b
+        s[p] = 0.5 * (y[t] - l_new) + 0.5 * sp
+        l = l_new
+    r = rows[0]
+    assert r["n_days"] == len(y)
+    assert r["level_cents"] == l and r["trend_cents"] == b
+    for i in range(7):
+        assert r[f"s{i}"] == s[i]
