@@ -415,3 +415,113 @@ def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "rank", "s_suppkey", "d2")
         .orderBy("c_custkey", "rank")
     )
+
+
+@query(
+    "user_segment_bitmaps",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS buyer,
+               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS err,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS signup
+        FROM events GROUP BY 1),
+    words AS (
+        SELECT user_id // 63 AS word_idx,
+               CAST(SUM(CASE WHEN buyer = 1
+                             THEN (CAST(1 AS BIGINT) << (user_id % 63))
+                             ELSE 0 END) AS BIGINT) AS w_buyer,
+               CAST(SUM(CASE WHEN err = 1
+                             THEN (CAST(1 AS BIGINT) << (user_id % 63))
+                             ELSE 0 END) AS BIGINT) AS w_err,
+               CAST(SUM(CASE WHEN signup = 1
+                             THEN (CAST(1 AS BIGINT) << (user_id % 63))
+                             ELSE 0 END) AS BIGINT) AS w_signup
+        FROM seg GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(bit_count(w_buyer)) AS BIGINT) AS buyers,
+           CAST(SUM(bit_count(w_err)) AS BIGINT) AS erroring,
+           CAST(SUM(bit_count(w_signup)) AS BIGINT) AS signups,
+           CAST(SUM(bit_count(w_buyer & w_err)) AS BIGINT)
+               AS buyer_and_err,
+           CAST(SUM(bit_count(w_buyer | w_err)) AS BIGINT)
+               AS buyer_or_err,
+           CAST(SUM(bit_count(w_buyer & w_signup)) AS BIGINT)
+               AS buyer_and_signup,
+           CAST(SUM(bit_count(xor(w_buyer, w_err))) AS BIGINT)
+               AS buyer_xor_err,
+           ROUND(CAST(SUM(bit_count(w_buyer & w_err)) AS DOUBLE)
+                 / SUM(bit_count(w_buyer | w_err)), 6)
+               AS jaccard_buyer_err
+    FROM words
+    """,
+)
+def user_segment_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X336: bitmap-index segment algebra — the audience-overlap
+    technique OLAP engines (Druid/Pinot/ClickHouse) use at scale:
+    encode each behavioral segment as a bitmap over the user-id space
+    (63 users per BIGINT word — bit 63 is the sign bit, and DuckDB
+    refuses 1<<63 on signed integers while Spark would wrap silently,
+    so both engines stay in the 0..62 shift range; word_idx = uid DIV
+    63, bit = uid MOD 63), then set operations become BITWISE
+    AND/OR/XOR on co-keyed
+    words and cardinalities become popcounts — segment intersection
+    never touches user rows again. Everything is integer (shifts,
+    masks, bit_count); the single float is the final Jaccard division,
+    rounded 6. Plan: one user rollup -> one word_idx rollup (63x
+    compression) -> one popcount reduce; at 100 TB the bitmap table is
+    |users|/63 rows co-partitioned on word_idx, and ANY boolean
+    audience query over the registered segments is a map-side bitwise
+    expression over it — the point of the structure. The oracle
+    rebuilds the same words in DuckDB (identical shift
+    semantics for shifts <= 62)."""
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("buyer"),
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("signup"),
+    )
+    bit = F.expr("SHIFTLEFT(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    words = seg.groupBy(
+        F.expr("user_id DIV 63").alias("word_idx")
+    ).agg(
+        F.sum(F.when(F.col("buyer") == 1, bit).otherwise(0))
+        .cast("long")
+        .alias("w_buyer"),
+        F.sum(F.when(F.col("err") == 1, bit).otherwise(0))
+        .cast("long")
+        .alias("w_err"),
+        F.sum(F.when(F.col("signup") == 1, bit).otherwise(0))
+        .cast("long")
+        .alias("w_signup"),
+    )
+    pc = lambda e: F.expr(f"bit_count({e})")  # noqa: E731
+    return words.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(pc("w_buyer")).cast("long").alias("buyers"),
+        F.sum(pc("w_err")).cast("long").alias("erroring"),
+        F.sum(pc("w_signup")).cast("long").alias("signups"),
+        F.sum(pc("w_buyer & w_err")).cast("long").alias("buyer_and_err"),
+        F.sum(pc("w_buyer | w_err")).cast("long").alias("buyer_or_err"),
+        F.sum(pc("w_buyer & w_signup"))
+        .cast("long")
+        .alias("buyer_and_signup"),
+        F.sum(pc("w_buyer ^ w_err")).cast("long").alias("buyer_xor_err"),
+        F.round(
+            F.sum(pc("w_buyer & w_err")).cast("double")
+            / F.sum(pc("w_buyer | w_err")),
+            6,
+        ).alias("jaccard_buyer_err"),
+    )

@@ -360,6 +360,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_slo_burn",
     "multimodal_dup_clusters",
     "holt_winters_additive",
+    "user_segment_bitmaps",
 ]
 
 

@@ -3097,3 +3097,17 @@ def test_holt_winters_replica(spark, sf_dir):
     assert r["level_cents"] == l and r["trend_cents"] == b
     for i in range(7):
         assert r[f"s{i}"] == s[i]
+
+
+def test_segment_bitmap_identities(spark, sf_dir):
+    """user_segment_bitmaps: popcount algebra — |A∩B| + |A∪B| = |A| + |B|,
+    |A xor B| = |A∪B| - |A∩B|, jaccard recomputes, and intersections
+    are nonempty on the fixture (every active user mixes event types)."""
+    r = q("user_segment_bitmaps", spark, sf_dir).collect()[0]
+    assert r["buyer_and_err"] + r["buyer_or_err"] == r["buyers"] + r["erroring"]
+    assert r["buyer_xor_err"] == r["buyer_or_err"] - r["buyer_and_err"]
+    assert r["buyer_and_err"] > 0 and r["buyer_and_signup"] > 0
+    assert abs(
+        r["jaccard_buyer_err"]
+        - round(r["buyer_and_err"] / r["buyer_or_err"], 6)
+    ) < 1e-9
