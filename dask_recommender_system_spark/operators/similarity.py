@@ -1002,3 +1002,107 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embedding_outlier_flags",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id, label,
+               UNNEST(range(len(embedding))) AS pos,
+               CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings),
+    cen AS (
+        SELECT label, pos,
+               CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+        FROM u GROUP BY 1, 2),
+    d AS (
+        SELECT u.vec_id, u.label,
+               CAST(SUM((u.q - cen.c) * (u.q - cen.c)) AS BIGINT)
+                   AS dist_sq
+        FROM u JOIN cen ON u.label = cen.label AND u.pos = cen.pos
+        GROUP BY 1, 2),
+    g AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dist_sq) AS BIGINT) AS sum_dist_sq
+        FROM d GROUP BY 1)
+    SELECT d.vec_id, d.label, d.dist_sq, g.n, g.sum_dist_sq,
+           CAST(CASE WHEN g.n * d.dist_sq > 4 * g.sum_dist_sq
+                     THEN 1 ELSE 0 END AS INT) AS is_outlier,
+           ROUND(CASE WHEN g.sum_dist_sq > 0
+                      THEN CAST(g.n AS DOUBLE) * d.dist_sq / g.sum_dist_sq
+                      ELSE 0 END, 6) AS dist_ratio
+    FROM d JOIN g USING (label)
+    ORDER BY d.vec_id
+    """,
+)
+def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X337: embedding-space outlier detection — flag vectors far from
+    their label's centroid (the mislabeled-example / corrupted-payload
+    screen an embedding-curation pipeline runs before training). The
+    float trap is double: centroids are divisions and distances are
+    64-term float sums whose add order differs across engines — so the
+    whole query is INTEGER: components quantize to micro-units
+    (round(v*1e6) — float32 widens to double exactly, one correctly-
+    rounded multiply, identical BIGINT both engines), centroids are
+    truncated integer means (S DIV n — toward-zero in both engines,
+    including negatives), and dist^2 = Sigma (q-c)^2 is an exact
+    BIGINT (order-free). The outlier rule is the integer cross-
+    multiplication n*dist^2 > 4*sum(dist^2) (i.e. 4x the label's mean
+    squared distance); dist_ratio is the one float, a division of
+    emitted integers rounded 6. Plan: one posexplode (64x narrow
+    rows), one (label,pos)-keyed centroid agg joined back (25-row
+    broadcast x 64 dims), one vec-keyed reduce, one 10-row label agg.
+    At 100 TB every shuffle is keyed; the centroid table is
+    |labels|x|dims| — broadcast-sized by construction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    u = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    cen = u.groupBy("label", "pos").agg(
+        F.expr("SUM(q) DIV COUNT(*)").alias("c")
+    )
+    d = (
+        u.join(F.broadcast(cen), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .cast("long")
+            .alias("dist_sq")
+        )
+    )
+    g = d.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dist_sq").cast("long").alias("sum_dist_sq"),
+    )
+    return (
+        d.join(F.broadcast(g), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist_sq",
+            "n",
+            "sum_dist_sq",
+            (F.col("n") * F.col("dist_sq") > 4 * F.col("sum_dist_sq"))
+            .cast("int")
+            .alias("is_outlier"),
+            F.round(
+                F.when(
+                    F.col("sum_dist_sq") > 0,
+                    F.col("n").cast("double")
+                    * F.col("dist_sq")
+                    / F.col("sum_dist_sq"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dist_ratio"),
+        )
+        .orderBy("vec_id")
+    )

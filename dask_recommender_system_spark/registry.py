@@ -361,6 +361,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_dup_clusters",
     "holt_winters_additive",
     "user_segment_bitmaps",
+    "embedding_outlier_flags",
 ]
 
 

@@ -3111,3 +3111,28 @@ def test_segment_bitmap_identities(spark, sf_dir):
         r["jaccard_buyer_err"]
         - round(r["buyer_and_err"] / r["buyer_or_err"], 6)
     ) < 1e-9
+
+
+def test_embedding_outlier_rule(spark, sf_dir):
+    """embedding_outlier_flags: flag matches the integer rule, per-label
+    sums reconcile, the ratio recomputes, and outliers are a strict
+    minority (Markov: at most 1/4 of rows can exceed 4x the mean)."""
+    rows = q("embedding_outlier_flags", spark, sf_dir).collect()
+    assert rows
+    by_label = {}
+    n_out = 0
+    for r in rows:
+        assert r["is_outlier"] == int(
+            r["n"] * r["dist_sq"] > 4 * r["sum_dist_sq"]
+        )
+        assert abs(
+            r["dist_ratio"]
+            - round(r["n"] * r["dist_sq"] / r["sum_dist_sq"], 6)
+        ) < 1e-9
+        by_label.setdefault(r["label"], [0, 0, r["n"], r["sum_dist_sq"]])
+        by_label[r["label"]][0] += 1
+        by_label[r["label"]][1] += r["dist_sq"]
+        n_out += r["is_outlier"]
+    for cnt, s, n, tot in by_label.values():
+        assert cnt == n and s == tot
+    assert n_out <= len(rows) // 4
