@@ -1106,3 +1106,102 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+TRUNC_DIM = 16
+
+
+@query(
+    "embedding_truncation_overlap",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    full_r AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, e.v) DESC, e.vec_id)
+                   AS rnk
+        FROM q JOIN e ON q.vec_id <> e.vec_id),
+    trunc_r AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v[1:{TRUNC_DIM}],
+                                             e.v[1:{TRUNC_DIM}]) DESC,
+                            e.vec_id) AS rnk
+        FROM q JOIN e ON q.vec_id <> e.vec_id),
+    f AS (SELECT query_id, neighbor_id FROM full_r WHERE rnk <= {TOPK}),
+    t AS (SELECT query_id, neighbor_id FROM trunc_r WHERE rnk <= {TOPK}),
+    o AS (
+        SELECT f.query_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS overlap
+        FROM f LEFT JOIN t ON f.query_id = t.query_id
+                          AND f.neighbor_id = t.neighbor_id
+        GROUP BY 1)
+    SELECT query_id, overlap,
+           CAST({TOPK} AS BIGINT) AS k,
+           ROUND(CAST(overlap AS DOUBLE) / {TOPK}, 6) AS recall_at_k
+    FROM o ORDER BY query_id
+    """,
+)
+def embedding_truncation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X338: Matryoshka-truncation retrieval evaluation — how much of
+    the exact top-{TOPK} survives when the 64-dim embedding is
+    truncated to its first {TRUNC_DIM} dims (the MRL deployment
+    question: can the cheap prefix serve first-stage retrieval?).
+    Recall@k per query = |top-k(full) ∩ top-k(truncated)| / k. Both
+    rankings are exact brute-force over the broadcast query subset
+    (similarity_topk's shape, twice — the truncated leg's dot product
+    runs on array slices, still native higher-order functions, no
+    UDF); ranks break ties on neighbor_id so both engines sort
+    identically; the overlap is an INTEGER count from a keyed set
+    join, and recall is its division by k, rounded 6. On the synthetic
+    gaussian-ish fixture truncation destroys most of the ranking
+    (prefix dims carry 1/4 of the norm) — the test pins recall
+    strictly below 1 on average but above the random-chance floor.
+    At 100 TB: the expensive legs are the same broadcast-probe scans
+    as X2; the eval itself is |queries|x k rows."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def topk(score) -> DataFrame:
+        scored = e.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), score.alias("s")
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("s").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(dot(F.col("qv"), F.col("v")))
+    trunc = topk(
+        dot(
+            F.slice(F.col("qv"), 1, TRUNC_DIM),
+            F.slice(F.col("v"), 1, TRUNC_DIM),
+        )
+    )
+    o = (
+        full.join(
+            trunc.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("overlap"))
+    )
+    return o.select(
+        "query_id",
+        "overlap",
+        F.lit(TOPK).cast("long").alias("k"),
+        F.round(F.col("overlap").cast("double") / TOPK, 6).alias(
+            "recall_at_k"
+        ),
+    ).orderBy("query_id")

@@ -362,6 +362,7 @@ DRIVER_PRIORITY: list[str] = [
     "holt_winters_additive",
     "user_segment_bitmaps",
     "embedding_outlier_flags",
+    "embedding_truncation_overlap",
 ]
 
 

@@ -251,6 +251,7 @@ def test_salted_join_preserves_single_agg_shuffle(spark, sf_dir):
 # BroadcastNestedLoopJoin (bounded: one side is the broadcast query/dim set)
 _NON_EQUI_OK = {
     "similarity_topk", "recommend_top_k",
+    "embedding_truncation_overlap",  # X2's broadcast query-side probe, twice
     # exact-IVF probes a 16-row broadcast centroid dim (bounded BNLJ);
     # the data-sized joins are keyed on cell
     "similarity_ann_ivf",
@@ -3136,3 +3137,20 @@ def test_embedding_outlier_rule(spark, sf_dir):
     for cnt, s, n, tot in by_label.values():
         assert cnt == n and s == tot
     assert n_out <= len(rows) // 4
+
+
+def test_truncation_overlap_consistency(spark, sf_dir):
+    """embedding_truncation_overlap: overlap in [0, k], recall
+    recomputes, one row per X2 query, and truncation to a quarter of
+    the dims genuinely degrades the ranking (mean recall well below 1)."""
+    rows = q("embedding_truncation_overlap", spark, sf_dir).collect()
+    queries = {
+        r["query_id"] for r in q("similarity_topk", spark, sf_dir).collect()
+    }
+    assert {r["query_id"] for r in rows} == queries
+    tot = 0.0
+    for r in rows:
+        assert 0 <= r["overlap"] <= r["k"] == 5
+        assert abs(r["recall_at_k"] - round(r["overlap"] / 5, 6)) < 1e-9
+        tot += r["recall_at_k"]
+    assert tot / len(rows) < 0.9
