@@ -2604,3 +2604,112 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         credit_bp.alias("credit_bp"),
         (F.col("value_cents") * credit_bp).alias("credit_bp_cents"),
     ).orderBy("conv_id", "pos")
+
+
+ATTR_DECAY_WINDOW_D = 30  # touches eligible within 30 days before conversion
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+    conv AS (
+        SELECT event_id AS conv_id, user_id, ts_s AS conv_s, cents
+        FROM ev WHERE event_type = 'purchase'),
+    touch AS (
+        SELECT event_id AS touch_id, user_id, event_type AS channel,
+               ts_s AS touch_s
+        FROM ev WHERE event_type IN ('click', 'view', 'signup')),
+    pairs AS (
+        SELECT t.channel, c.cents,
+               0.5 ** ((c.conv_s - t.touch_s) // 604800) AS w
+        FROM conv c
+        JOIN touch t ON t.user_id = c.user_id
+                    AND t.touch_s <= c.conv_s
+                    AND t.touch_s > c.conv_s - {ATTR_DECAY_WINDOW_D} * 86400),
+    per AS (
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(w) AS credit,
+               SUM(w * cents) AS credit_cents
+        FROM pairs GROUP BY 1),
+    tot AS (SELECT SUM(credit) AS total FROM per)
+    SELECT p.channel, p.n_pairs, p.credit, p.credit_cents,
+           ROUND(p.credit / t.total, 6) AS credit_share
+    FROM per p, tot t
+    ORDER BY p.channel
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X339: time-decay multi-touch attribution — every purchase spreads
+    credit over ALL the user's touches (click/view/signup) in the prior
+    {ATTR_DECAY_WINDOW_D} days with a 7-day half-life, completing the
+    attribution family (last-touch X95, position-based X273, Shapley
+    X297). The half-life weight is the DYADIC 0.5^(Δ DIV 604800) —
+    Δdays under 30 keeps the exponent <= 4, so every weight has at most
+    4 fractional bits, every product weight*cents and every partial sum
+    is EXACTLY representable in double, and the float SUMs are
+    order-free by exactness (no rounding ever happens) — bit-identical
+    across engines without rounding discipline; the one inexact float
+    is the final share division, rounded 6. Pair generation is a
+    user-keyed equi-join band-limited by the window (per-user touches x
+    conversions, the asof family's cost envelope, linear after the
+    user shuffle at 100 TB). Exponent is integer DIV on epoch
+    seconds."""
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_s").alias("conv_s"), "cents"
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts_s").alias("touch_s"),
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("touch_s") <= F.col("conv_s"))
+        & (
+            F.col("touch_s")
+            > F.col("conv_s") - ATTR_DECAY_WINDOW_D * 86400
+        )
+    ).select(
+        "channel",
+        "cents",
+        F.pow(
+            F.lit(0.5),
+            F.expr("(conv_s - touch_s) DIV 604800").cast("double"),
+        ).alias("w"),
+    )
+    per = pairs.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("w").alias("credit"),
+        F.sum(F.col("w") * F.col("cents")).alias("credit_cents"),
+    )
+    tot = per.agg(F.sum("credit").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_pairs",
+            "credit",
+            "credit_cents",
+            F.round(F.col("credit") / F.col("total"), 6).alias(
+                "credit_share"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -363,6 +363,7 @@ DRIVER_PRIORITY: list[str] = [
     "user_segment_bitmaps",
     "embedding_outlier_flags",
     "embedding_truncation_overlap",
+    "attribution_time_decay",
 ]
 
 

@@ -331,6 +331,7 @@ _NON_EQUI_OK = {
     "cramers_v_matrix",  # three 1-row contingency-total broadcasts (X73's shape)
     "growth_accounting_weekly",  # 1-row max-week broadcast onto the week grid
     "ab_cuped_adjustment",  # 1-row midpoint-day broadcast onto events
+    "attribution_time_decay",  # 1-row total-credit broadcast onto 3 channels
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3154,3 +3155,19 @@ def test_truncation_overlap_consistency(spark, sf_dir):
         assert abs(r["recall_at_k"] - round(r["overlap"] / 5, 6)) < 1e-9
         tot += r["recall_at_k"]
     assert tot / len(rows) < 0.9
+
+
+def test_time_decay_attribution_exactness(spark, sf_dir):
+    """attribution_time_decay: credits are exact dyadics (credit*16 is
+    an integer), shares sum to 1 within rounding, all three channels
+    credited."""
+    rows = q("attribution_time_decay", spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} == {"click", "view", "signup"}
+    share = 0.0
+    for r in rows:
+        assert r["n_pairs"] > 0
+        # 7-day half-life over a <=30-day window: <= 4 fractional bits
+        assert (r["credit"] * 16) == int(r["credit"] * 16)
+        assert (r["credit_cents"] * 16) == int(r["credit_cents"] * 16)
+        share += r["credit_share"]
+    assert abs(share - 1.0) < 5e-6
