@@ -2194,3 +2194,107 @@ def recs_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+FUNNEL_WF_T = 3600  # the whole funnel must fit in this many seconds
+
+
+@query(
+    "funnel_within_window",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+        FROM events),
+    users AS (SELECT DISTINCT user_id FROM ev),
+    v AS (SELECT user_id, s FROM ev WHERE event_type = 'view'),
+    c AS (SELECT user_id, s FROM ev WHERE event_type = 'click'),
+    p AS (SELECT user_id, s FROM ev WHERE event_type = 'purchase'),
+    d1 AS (SELECT DISTINCT user_id FROM v),
+    vc AS (
+        SELECT DISTINCT v.user_id, v.s AS v_s, c.s AS c_s
+        FROM v JOIN c ON c.user_id = v.user_id
+                     AND c.s >= v.s AND c.s <= v.s + {FUNNEL_WF_T}),
+    d2 AS (SELECT DISTINCT user_id FROM vc),
+    d3 AS (
+        SELECT DISTINCT vc.user_id
+        FROM vc JOIN p ON p.user_id = vc.user_id
+                      AND p.s >= vc.c_s AND p.s <= vc.v_s + {FUNNEL_WF_T})
+    SELECT u.user_id,
+           CAST(CASE WHEN d3.user_id IS NOT NULL THEN 3
+                     WHEN d2.user_id IS NOT NULL THEN 2
+                     WHEN d1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS max_depth
+    FROM users u
+    LEFT JOIN d1 USING (user_id)
+    LEFT JOIN d2 USING (user_id)
+    LEFT JOIN d3 USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X340: windowFunnel semantics (the ClickHouse operator): per user,
+    the deepest prefix of view -> click -> purchase completed with the
+    WHOLE chain inside {FUNNEL_WF_T}s of its first step — the
+    time-boxed funnel that funnel_conversion (X37, session-scoped) and
+    funnel_time_to_convert (X128) don't express. Depth k is an EXISTS
+    over ordered k-tuples, so the plan is progressive semi-join
+    pruning, never a k-way enumeration kept around: the (view, click)
+    band pairs are built once (user-keyed join, band-limited to the
+    window), depth-3 semi-joins purchases against them, and each depth
+    collapses to DISTINCT users immediately. All comparisons are
+    integer epoch seconds — no floats anywhere. At 100 TB the joins
+    are user-keyed with window-banded fanout (the asof family's cost
+    envelope); type prefilters cut each side before any shuffle."""
+    from .relational import _utc
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("s"),
+    )
+    users = ev.select("user_id").distinct()
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "s")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("s").alias("c_s")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("s").alias("p_s")
+    )
+    d1 = v.select("user_id").distinct().withColumn("d1", F.lit(1))
+    vc = (
+        v.join(c, "user_id")
+        .filter(
+            (F.col("c_s") >= F.col("s"))
+            & (F.col("c_s") <= F.col("s") + FUNNEL_WF_T)
+        )
+        .select("user_id", F.col("s").alias("v_s"), "c_s")
+        .distinct()
+    )
+    d2 = vc.select("user_id").distinct().withColumn("d2", F.lit(1))
+    d3 = (
+        vc.join(p, "user_id")
+        .filter(
+            (F.col("p_s") >= F.col("c_s"))
+            & (F.col("p_s") <= F.col("v_s") + FUNNEL_WF_T)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("d3", F.lit(1))
+    )
+    return (
+        users.join(d1, "user_id", "left")
+        .join(d2, "user_id", "left")
+        .join(d3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("d3") == 1, 3)
+            .when(F.col("d2") == 1, 2)
+            .when(F.col("d1") == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("max_depth"),
+        )
+        .orderBy("user_id")
+    )

@@ -364,6 +364,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_outlier_flags",
     "embedding_truncation_overlap",
     "attribution_time_decay",
+    "funnel_within_window",
 ]
 
 

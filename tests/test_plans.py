@@ -3171,3 +3171,48 @@ def test_time_decay_attribution_exactness(spark, sf_dir):
         assert (r["credit_cents"] * 16) == int(r["credit_cents"] * 16)
         share += r["credit_share"]
     assert abs(share - 1.0) < 5e-6
+
+
+def test_funnel_within_window_depths(spark, sf_dir):
+    """funnel_within_window: depth is monotone-consistent with the raw
+    per-user event sets (python replica on a sample of users)."""
+    from dask_recommender_system_spark.operators.windows import FUNNEL_WF_T
+    from dask_recommender_system_spark.data import load_table
+
+    rows = {r["user_id"]: r["max_depth"] for r in
+            q("funnel_within_window", spark, sf_dir).collect()}
+    assert rows and set(rows.values()) <= {0, 1, 2, 3}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", "event_type",
+            "CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) AS s",
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], {"view": [], "click": [],
+                                          "purchase": []})
+        if r["event_type"] in ("view", "click", "purchase"):
+            by_user[r["user_id"]][r["event_type"]].append(r["s"])
+    for uid in list(rows)[:25]:
+        e = by_user[uid]
+        depth = 0
+        if e["view"]:
+            depth = 1
+            vc = [
+                (v, c)
+                for v in e["view"]
+                for c in e["click"]
+                if v <= c <= v + FUNNEL_WF_T
+            ]
+            if vc:
+                depth = 2
+                if any(
+                    c <= p <= v + FUNNEL_WF_T
+                    for v, c in vc
+                    for p in e["purchase"]
+                ):
+                    depth = 3
+        assert rows[uid] == depth
