@@ -6293,3 +6293,123 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("week")
+
+
+@query(
+    "metric_change_contribution",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS day,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    span AS (
+        SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM o),
+    per AS (
+        SELECT nation,
+               CAST(SUM(CASE WHEN day < (SELECT mid FROM span)
+                             THEN cents ELSE 0 END) AS BIGINT) AS rev_a,
+               CAST(SUM(CASE WHEN day >= (SELECT mid FROM span)
+                             THEN cents ELSE 0 END) AS BIGINT) AS rev_b
+        FROM o GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(rev_a) AS BIGINT) AS tot_a,
+               CAST(SUM(rev_b) AS BIGINT) AS tot_b
+        FROM per)
+    SELECT p.nation, p.rev_a, p.rev_b,
+           CAST(p.rev_b - p.rev_a AS BIGINT) AS delta_cents,
+           ROUND(CASE WHEN t.tot_b - t.tot_a <> 0
+                      THEN CAST(p.rev_b - p.rev_a AS DOUBLE)
+                           / (t.tot_b - t.tot_a)
+                      ELSE 0 END, 6) AS contribution,
+           ROUND(CAST(p.rev_b AS DOUBLE) / t.tot_b
+                 - CAST(p.rev_a AS DOUBLE) / t.tot_a, 6) AS share_shift,
+           CAST(RANK() OVER (ORDER BY ABS(p.rev_b - p.rev_a) DESC,
+                                      p.nation) AS BIGINT) AS impact_rank
+    FROM per p, tot t
+    ORDER BY p.nation
+    """,
+)
+def metric_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X341: root-cause contribution analysis (the Adtributor shape) —
+    when the headline metric moves period-over-period, decompose the
+    delta by dimension segment: each nation's contribution to the total
+    revenue change, its mix-shift (share_b - share_a), and an impact
+    rank by |delta|. Periods split at the integer midpoint day; revenue
+    is exact integer cents per (nation, period), so delta and the rank
+    key |delta| are BIGINTs (rank ties break on nation — both engines
+    sort identically); contribution and share_shift are single
+    divisions of emitted integers, rounded 6. Contributions sum to 1
+    across segments by construction (test-pinned). Plan: one keyed
+    rollup to |nations| x 2, a 1-row totals broadcast, and a rank
+    window over the 25-row segment table (pmod-bounded). The dimension
+    generalizes: any categorical column slots into the same plan."""
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation"), "day", "cents"
+    )
+    span = j.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("mid")
+    )
+    per = (
+        j.crossJoin(F.broadcast(span))
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("mid"), F.col("cents")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("rev_a"),
+            F.sum(
+                F.when(
+                    F.col("day") >= F.col("mid"), F.col("cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev_b"),
+        )
+    )
+    tot = per.agg(
+        F.sum("rev_a").cast("long").alias("tot_a"),
+        F.sum("rev_b").cast("long").alias("tot_b"),
+    )
+    delta = (F.col("rev_b") - F.col("rev_a")).cast("long")
+    wr = W.partitionBy(F.pmod(F.col("nation"), F.lit(1))).orderBy(
+        F.abs(F.col("rev_b") - F.col("rev_a")).desc(), "nation"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "rev_a",
+            "rev_b",
+            delta.alias("delta_cents"),
+            F.round(
+                F.when(
+                    F.col("tot_b") - F.col("tot_a") != 0,
+                    delta.cast("double")
+                    / (F.col("tot_b") - F.col("tot_a")),
+                ).otherwise(0.0),
+                6,
+            ).alias("contribution"),
+            F.round(
+                F.col("rev_b").cast("double") / F.col("tot_b")
+                - F.col("rev_a").cast("double") / F.col("tot_a"),
+                6,
+            ).alias("share_shift"),
+            F.rank().over(wr).cast("long").alias("impact_rank"),
+        )
+        .orderBy("nation")
+    )

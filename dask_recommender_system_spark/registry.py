@@ -365,6 +365,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_truncation_overlap",
     "attribution_time_decay",
     "funnel_within_window",
+    "metric_change_contribution",
 ]
 
 

@@ -332,6 +332,7 @@ _NON_EQUI_OK = {
     "growth_accounting_weekly",  # 1-row max-week broadcast onto the week grid
     "ab_cuped_adjustment",  # 1-row midpoint-day broadcast onto events
     "attribution_time_decay",  # 1-row total-credit broadcast onto 3 channels
+    "metric_change_contribution",  # 1-row midpoint + totals broadcasts
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3216,3 +3217,17 @@ def test_funnel_within_window_depths(spark, sf_dir):
                 ):
                     depth = 3
         assert rows[uid] == depth
+
+
+def test_contribution_sums_to_one(spark, sf_dir):
+    """metric_change_contribution: contributions sum to 1, share shifts
+    sum to 0, deltas reconcile to the total, ranks are a permutation."""
+    rows = q("metric_change_contribution", spark, sf_dir).collect()
+    assert len(rows) == 25
+    csum = sum(r["contribution"] for r in rows)
+    ssum = sum(r["share_shift"] for r in rows)
+    assert abs(csum - 1.0) < 5e-5
+    assert abs(ssum) < 5e-5
+    assert sorted(r["impact_rank"] for r in rows) == list(range(1, 26))
+    for r in rows:
+        assert r["delta_cents"] == r["rev_b"] - r["rev_a"]
