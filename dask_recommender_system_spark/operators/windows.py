@@ -2298,3 +2298,168 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+TD_L = 8  # interleaved list length (4 rounds of 2 — exhaustion-proof
+# for two 10-item source lists: a team drafts at most 8 of its 10 even
+# if every prior taken item came from its own list)
+TD_K = 10  # per-ranker candidate list length
+
+
+def _td_coins() -> list[int]:
+    """Deterministic per-round first-pick coins: bit of md5('td:r') —
+    computed in python at plan-build time, inlined as literals in BOTH
+    the Spark plan and the DuckDB oracle (the h60 convention, evaluated
+    eagerly since rounds are a compile-time constant)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"td:{r}".encode()).hexdigest()[:15], 16) % 2
+        for r in range(TD_L // 2)
+    ]
+
+
+def _td_team_seq() -> list[int]:
+    """Position -> team (0 = popularity, 1 = recency): within round r,
+    coin(r) drafts first, the other second."""
+    seq = []
+    for r in range(TD_L // 2):
+        c = _td_coins()[r]
+        seq += [c, 1 - c]
+    return seq
+
+
+_TD_RANKERS_SQL = f"""
+    r AS ({{ratings}}),
+    pop AS (
+        SELECT item_id, CAST(COUNT(*) AS BIGINT) AS sc
+        FROM r GROUP BY 1),
+    rec AS (
+        SELECT item_id,
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS sc
+        FROM r GROUP BY 1),
+    la AS (
+        SELECT list(item_id ORDER BY sc DESC, item_id) AS l
+        FROM (SELECT * FROM pop ORDER BY sc DESC, item_id LIMIT {TD_K})),
+    lb AS (
+        SELECT list(item_id ORDER BY sc DESC, item_id) AS l
+        FROM (SELECT * FROM rec ORDER BY sc DESC, item_id LIMIT {TD_K}))
+"""
+
+
+def _td_oracle() -> str:
+    teams = _td_team_seq()
+    from ..data import RATINGS_SQL
+
+    team_case = " ".join(
+        f"WHEN {i} THEN {t}" for i, t in enumerate(teams)
+    )
+    return f"""
+    WITH RECURSIVE {_TD_RANKERS_SQL.format(ratings=RATINGS_SQL)},
+    st(pos, taken) AS (
+        SELECT 0, CAST([] AS BIGINT[])
+        UNION ALL
+        SELECT st.pos + 1,
+               list_append(st.taken,
+                   list_filter(CASE (CASE st.pos {team_case} END)
+                                    WHEN 0 THEN la.l ELSE lb.l END,
+                               x -> NOT list_contains(st.taken, x))[1])
+        FROM st, la, lb WHERE st.pos < {TD_L})
+    SELECT CAST(p.pos AS BIGINT) AS pos,
+           CAST(f.taken[p.pos + 1] AS BIGINT) AS item_id,
+           CAST(CASE p.pos {team_case} END AS INT) AS team
+    FROM (SELECT UNNEST(range({TD_L})) AS pos) p,
+         (SELECT taken FROM st WHERE pos = {TD_L}) f
+    ORDER BY pos
+    """
+
+
+@query("team_draft_interleaving", oracle=_td_oracle())
+def team_draft_interleaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X342: team-draft interleaving (Radlinski et al.) — the online
+    ranker-comparison method: two rankers' top-{TD_K} lists (popularity
+    = interaction count; recency = last interaction day; both tie-broken
+    on item_id) are merged by alternating drafts, a deterministic coin
+    per round deciding who drafts first, each team drafting its
+    highest-ranked item not already in the interleaved list. Click
+    credit on the served list then compares rankers without an A/B
+    split. The draft is a seen-set recurrence, but its depth is the
+    COMPILE-TIME constant {TD_L}, so the engine unrolls it into {TD_L}
+    chained column expressions over a 1-row array state (element_at /
+    filter / array_union — all JVM higher-order functions, no UDF, no
+    loop at runtime), and the coins are md5 literals computed at
+    plan-build time and inlined identically into the DuckDB oracle's
+    recursive CTE. Everything is integer; the oracle replays the draft
+    list-for-list. At 100 TB the only data-sized work is the two
+    ranker rollups; the draft itself is O({TD_L}) on one row."""
+    from .relational import _utc
+    from ..data import ratings as load_ratings
+
+    _utc(spark)
+    r = load_ratings(spark, sf_dir)
+    pop = (
+        r.groupBy("item_id")
+        .agg(F.count("*").cast("long").alias("sc"))
+        .orderBy(F.col("sc").desc(), "item_id")
+        .limit(TD_K)
+    )
+    rec = (
+        r.groupBy("item_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 86400"
+                )
+            )
+            .cast("long")
+            .alias("sc")
+        )
+        .orderBy(F.col("sc").desc(), "item_id")
+        .limit(TD_K)
+    )
+
+    def as_list(df: DataFrame, name: str) -> DataFrame:
+        # pmod-constant partition over the <=TD_K-row post-limit table
+        w = W.partitionBy(F.pmod(F.col("item_id"), F.lit(1))).orderBy(
+            F.col("sc").desc(), "item_id"
+        )
+        return (
+            df.withColumn("rnk", F.row_number().over(w))
+            .groupBy()
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("rnk", "item_id"))
+                ).alias("s")
+            )
+            .select(
+                F.transform(F.col("s"), lambda x: x["item_id"]).alias(name)
+            )
+        )
+
+    state = as_list(pop, "la").crossJoin(as_list(rec, "lb"))
+    teams = _td_team_seq()
+    state = state.withColumn("taken", F.array().cast("array<bigint>"))
+    for i in range(TD_L):
+        src = "la" if teams[i] == 0 else "lb"
+        pick = F.element_at(
+            F.filter(
+                F.col(src),
+                lambda x: ~F.array_contains(F.col("taken"), x),
+            ),
+            1,
+        )
+        state = state.withColumn(
+            "taken", F.concat(F.col("taken"), F.array(pick))
+        )
+    out = state.select(
+        F.posexplode(F.col("taken")).alias("pos0", "item_id")
+    ).select(
+        (F.col("pos0")).cast("long").alias("pos"),
+        F.col("item_id").cast("long").alias("item_id"),
+    )
+    team_col = F.lit(None).cast("int")
+    for i, t in enumerate(teams):
+        team_col = F.when(F.col("pos") == i, F.lit(t)).otherwise(team_col)
+    return out.select("pos", "item_id", team_col.alias("team")).orderBy(
+        "pos"
+    )

@@ -366,6 +366,7 @@ DRIVER_PRIORITY: list[str] = [
     "attribution_time_decay",
     "funnel_within_window",
     "metric_change_contribution",
+    "team_draft_interleaving",
 ]
 
 

@@ -3231,3 +3231,23 @@ def test_contribution_sums_to_one(spark, sf_dir):
     assert sorted(r["impact_rank"] for r in rows) == list(range(1, 26))
     for r in rows:
         assert r["delta_cents"] == r["rev_b"] - r["rev_a"]
+
+
+def test_team_draft_properties(spark, sf_dir):
+    """team_draft_interleaving: no repeats, each round drafts both teams
+    once (coin first, complement second), every item belongs to its
+    team's source top-10, and the draft is fair (4 picks each)."""
+    from dask_recommender_system_spark.operators.windows import (
+        TD_L,
+        _td_team_seq,
+    )
+
+    rows = q("team_draft_interleaving", spark, sf_dir).orderBy("pos").collect()
+    assert len(rows) == TD_L
+    items = [r["item_id"] for r in rows]
+    assert len(set(items)) == TD_L
+    teams = [r["team"] for r in rows]
+    assert teams == _td_team_seq()
+    assert teams.count(0) == teams.count(1) == TD_L // 2
+    for r in range(TD_L // 2):
+        assert {teams[2 * r], teams[2 * r + 1]} == {0, 1}
