@@ -525,3 +525,73 @@ def user_segment_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard_buyer_err"),
     )
+
+
+JCE_MOD = 16  # 1/16 deterministic sample on the JOIN KEY
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle=f"""
+    WITH lk AS (
+        SELECT l_orderkey AS k FROM lineitem),
+    ok AS (
+        SELECT o_orderkey AS k FROM orders),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM lk JOIN ok USING (k)),
+    sl AS (SELECT k FROM lk WHERE k % {JCE_MOD} = 0),
+    so AS (SELECT k FROM ok WHERE k % {JCE_MOD} = 0),
+    samp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM sl JOIN so USING (k))
+    SELECT e.n AS exact_rows,
+           s.n AS sampled_rows,
+           CAST(s.n * {JCE_MOD} AS BIGINT) AS estimate,
+           ROUND(ABS(CAST(s.n * {JCE_MOD} - e.n AS DOUBLE)) / e.n, 6)
+               AS rel_error
+    FROM exact e, samp s
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X343: join-cardinality estimation by correlated key sampling —
+    the planner technique behind join reordering decisions, pinned as a
+    checkable query: sample BOTH sides on the SAME key predicate
+    (k % {JCE_MOD} = 0 — correlated sampling keeps matching pairs
+    together, unlike independent row sampling which breaks joins), join
+    the samples, scale by {JCE_MOD} (one factor, not squared, because
+    key-correlated sampling thins the key domain once). For an
+    FK-PK join the estimate is EXACT on expectation and its error is
+    the key-domain sampling noise (the test gates rel_error). All
+    counts exact BIGINT; the one float is the relative error, rounded
+    6. At 100 TB this runs on a fraction 1/{JCE_MOD} of the shuffle a
+    real join would pay — the point of the technique; the hash
+    predicate pushes to both scans (no full-table read, plan-visible
+    PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    exact = li.join(o, "k").agg(
+        F.count("*").cast("long").alias("exact_rows")
+    )
+    samp = (
+        li.filter(F.col("k") % JCE_MOD == 0)
+        .join(o.filter(F.col("k") % JCE_MOD == 0), "k")
+        .agg(F.count("*").cast("long").alias("sampled_rows"))
+    )
+    return exact.crossJoin(F.broadcast(samp)).select(
+        "exact_rows",
+        "sampled_rows",
+        (F.col("sampled_rows") * JCE_MOD).cast("long").alias("estimate"),
+        F.round(
+            F.abs(
+                (F.col("sampled_rows") * JCE_MOD - F.col("exact_rows"))
+                .cast("double")
+            )
+            / F.col("exact_rows"),
+            6,
+        ).alias("rel_error"),
+    )

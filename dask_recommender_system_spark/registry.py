@@ -367,6 +367,7 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_within_window",
     "metric_change_contribution",
     "team_draft_interleaving",
+    "join_cardinality_estimate",
 ]
 
 

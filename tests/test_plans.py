@@ -333,6 +333,7 @@ _NON_EQUI_OK = {
     "ab_cuped_adjustment",  # 1-row midpoint-day broadcast onto events
     "attribution_time_decay",  # 1-row total-credit broadcast onto 3 channels
     "metric_change_contribution",  # 1-row midpoint + totals broadcasts
+    "join_cardinality_estimate",  # two 1-row count tables crossJoined
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3251,3 +3252,17 @@ def test_team_draft_properties(spark, sf_dir):
     assert teams.count(0) == teams.count(1) == TD_L // 2
     for r in range(TD_L // 2):
         assert {teams[2 * r], teams[2 * r + 1]} == {0, 1}
+
+
+def test_join_cardinality_estimate_quality(spark, sf_dir):
+    """join_cardinality_estimate: estimate = sampled * MOD exactly, and
+    correlated key sampling keeps the FK-PK estimate within 25% on the
+    fixture (independent row sampling would be off by ~MOD x)."""
+    r = q("join_cardinality_estimate", spark, sf_dir).collect()[0]
+    assert r["estimate"] == r["sampled_rows"] * 16
+    assert r["exact_rows"] > 0 and r["sampled_rows"] > 0
+    assert abs(r["estimate"] - r["exact_rows"]) / r["exact_rows"] < 0.25
+    assert abs(
+        r["rel_error"]
+        - round(abs(r["estimate"] - r["exact_rows"]) / r["exact_rows"], 6)
+    ) < 1e-9
