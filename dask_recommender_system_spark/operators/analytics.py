@@ -6413,3 +6413,106 @@ def metric_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+LATE_BLOCK = 10000  # dense event_id block width for the prefix-max scan
+
+
+@query(
+    "event_lateness_profile",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, {EPOCH_TS} AS s,
+               event_id + CAST(list_sum(list_transform(range(15), i -> (strpos('0123456789abcdef', substr(md5('j:' || event_id), CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, 4503599627370496, 281474976710656, 17592186044416, 1099511627776, 68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1][i + 1])) AS BIGINT) % 101 - 50 AS aseq
+        FROM events),
+    rm AS (
+        SELECT event_id, s,
+               MAX(s) OVER (ORDER BY aseq, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS run_max
+        FROM e),
+    lat AS (
+        SELECT run_max - s AS late FROM rm)
+    SELECT CAST(LENGTH(bin(late + 1)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(late) AS BIGINT) AS max_late_s
+    FROM lat
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X344: event-lateness profile — the distribution of how far
+    behind the running max-event-time each event arrives (arrival
+    order = event_id), bucketed into an HDR-style log2 histogram. This
+    is THE measurement that sizes a streaming watermark: the bucket
+    where the tail mass ends is the delay bound below which
+    withWatermark would drop data. The interesting part is the
+    RUNNING MAX over arrival order — a global prefix scan Spark must
+    never do with one unpartitioned window. Because arrival sequence
+    numbers are near-dense, the scan decomposes into contiguous VALUE
+    blocks (block = aseq DIV {LATE_BLOCK}): a block-keyed running max + an
+    EXCLUSIVE prefix max over the bounded block table, combined with
+    GREATEST — the two-pass block-offset scheme (encode_sorted_rank's
+    discipline) applied to a prefix MAX instead of a rank. All
+    quantities are integer epoch seconds; the log2 bucket is the
+    binary-string length (no libm). The DuckDB oracle runs the naive
+    global window — hash equality proves the block decomposition."""
+    from .dedup import h60_spark
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("s"),
+    ).withColumn(
+        "aseq",
+        F.col("event_id")
+        + F.pmod(
+            h60_spark(
+                F.concat(F.lit("j:"), F.col("event_id").cast("string"))
+            ),
+            F.lit(101),
+        )
+        - 50,
+    )
+    blocked = ev.withColumn(
+        "blk", F.expr(f"aseq DIV {LATE_BLOCK}")
+    )
+    w_in = (
+        W.partitionBy("blk")
+        .orderBy("aseq", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = blocked.withColumn("in_max", F.max("s").over(w_in))
+    blk_max = blocked.groupBy("blk").agg(F.max("s").alias("bmax"))
+    w_blk = (
+        W.partitionBy(F.pmod(F.col("blk"), F.lit(1)))
+        .orderBy("blk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = blk_max.withColumn("prev_max", F.max("bmax").over(w_blk)).select(
+        "blk", "prev_max"
+    )
+    lat = (
+        within.join(F.broadcast(prev), "blk")
+        .withColumn(
+            "run_max",
+            F.greatest(
+                F.col("in_max"),
+                F.coalesce(F.col("prev_max"), F.lit(0)),
+            ),
+        )
+        .select((F.col("run_max") - F.col("s")).alias("late"))
+    )
+    bucket = (
+        F.length(F.conv((F.col("late") + 1).cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        lat.select(bucket.alias("log2_bucket"), "late")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("late").cast("long").alias("max_late_s"),
+        )
+        .orderBy("log2_bucket")
+    )

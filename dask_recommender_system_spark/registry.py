@@ -368,6 +368,7 @@ DRIVER_PRIORITY: list[str] = [
     "metric_change_contribution",
     "team_draft_interleaving",
     "join_cardinality_estimate",
+    "event_lateness_profile",
 ]
 
 

@@ -3266,3 +3266,36 @@ def test_join_cardinality_estimate_quality(spark, sf_dir):
         r["rel_error"]
         - round(abs(r["estimate"] - r["exact_rows"]) / r["exact_rows"], 6)
     ) < 1e-9
+
+
+def test_lateness_profile_blocks_match_naive(spark, sf_dir):
+    """event_lateness_profile: the block-decomposed prefix max equals a
+    naive in-process replay, buckets partition all events, lateness
+    tail is real (multiple buckets fire)."""
+    from dask_recommender_system_spark.data import load_table
+    import hashlib
+
+    rows = q("event_lateness_profile", spark, sf_dir).collect()
+    assert len(rows) >= 3
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_id", "CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) AS s"
+        )
+        .collect()
+    )
+    seq = []
+    for r in ev:
+        j = int(
+            hashlib.md5(f"j:{r['event_id']}".encode()).hexdigest()[:15], 16
+        ) % 101 - 50
+        seq.append((r["event_id"] + j, r["event_id"], r["s"]))
+    seq.sort()
+    run, hist = -1, {}
+    for _, _, s in seq:
+        run = max(run, s)
+        late = run - s
+        b = (late + 1).bit_length() - 1
+        hist[b] = hist.get(b, 0) + 1
+    assert {r["log2_bucket"]: r["n"] for r in rows} == hist
+    assert sum(hist.values()) == len(ev)
