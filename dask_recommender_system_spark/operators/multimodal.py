@@ -621,3 +621,90 @@ def multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         (F.col("node") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+SCENE_T = 1000  # L1 byte-distance threshold for a scene cut
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("l1_dist", T.LongType()),
+        T.StructField("is_cut", T.IntegerType()),
+    ]
+)
+
+
+@query(
+    "multimodal_scene_change",
+    # Oracle recomputes the frame differ from the payload bytes: frame f
+    # of the sha256-derived video is hex digits [16f+1, 16f+16]; the L1
+    # distance sums |b_i - b'_i| over the 8 aligned bytes of consecutive
+    # frames — pure integer strpos arithmetic (the multimodal_decode
+    # technique), so the mapInPandas kernel gets a full value verdict.
+    oracle=f"""
+    WITH fb AS (
+        SELECT doc_id, fi,
+               [ (strpos('0123456789abcdef',
+                         substr(sha256(text), fi * 16 + 2 * i + 1, 1)) - 1)
+                 * 16
+                 + (strpos('0123456789abcdef',
+                           substr(sha256(text), fi * 16 + 2 * i + 2, 1)) - 1)
+                 FOR i IN range(8) ] AS px
+        FROM documents, (SELECT UNNEST(range({N_FRAMES})) AS fi)),
+    d AS (
+        SELECT a.doc_id, b.fi AS frame_idx,
+               CAST(list_sum([ABS(a.px[i + 1] - b.px[i + 1])
+                              FOR i IN range(8)]) AS BIGINT) AS l1_dist
+        FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND b.fi = a.fi + 1)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, l1_dist,
+           CAST(CASE WHEN l1_dist > {SCENE_T} THEN 1 ELSE 0 END AS INT)
+               AS is_cut
+    FROM d
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X345: scene-change detection over the video payload column — the
+    frame-differencing stage of every video-curation pipeline (shot
+    segmentation before frame dedup/captioning): consecutive sampled
+    frames are compared by L1 byte distance and a cut fires above a
+    threshold. The kernel runs INSIDE the same mapInPandas flat-map as
+    the frame sampler (bytes never leave the executor, one Arrow pass
+    emits N-1 comparison rows per video); on real data the byte
+    distance is computed on decoded thumbnails — here the byte-defined
+    synthetic format (sha256-derived frames, the X4c contract) makes
+    every distance an exact INTEGER the SQL oracle recomputes from the
+    payload hex, so the whole kernel is value-checked, not stubbed.
+    At 100 TB: payload-local computation, zero shuffle (the groupless
+    map shape); threshold comparisons are integer."""
+    d = load_table(spark, sf_dir, "documents")
+    videos = d.select(
+        "doc_id", F.unhex(F.sha2(F.col("text"), 256)).alias("video")
+    )
+
+    def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[int, int, int, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["video"]):
+                payload = payload or b""
+                step = max(len(payload) // N_FRAMES, 1)
+                frames = [
+                    payload[f * step : (f + 1) * step]
+                    for f in range(N_FRAMES)
+                ]
+                for f in range(1, N_FRAMES):
+                    l1 = sum(
+                        abs(a - b) for a, b in zip(frames[f - 1], frames[f])
+                    )
+                    out.append(
+                        (int(doc_id), f, l1, 1 if l1 > SCENE_T else 0)
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "l1_dist", "is_cut"]
+            )
+
+    return (
+        videos.mapInPandas(diff, schema=SCENE_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )

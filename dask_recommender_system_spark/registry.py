@@ -369,6 +369,7 @@ DRIVER_PRIORITY: list[str] = [
     "team_draft_interleaving",
     "join_cardinality_estimate",
     "event_lateness_profile",
+    "multimodal_scene_change",
 ]
 
 

@@ -348,6 +348,7 @@ _ARROW_OK = {
     "bin_pack_next_fit",  # the declared GROUPED_MAP next-fit recurrence
     "holt_winters_additive",  # the declared GROUPED_MAP 9-state recurrence
     "multimodal_audio_features",  # the audio mapInPandas kernel
+    "multimodal_scene_change",  # the video frame-differ mapInPandas kernel
     "pandas_udf_scalar_textfeats",  # the declared SCALAR ArrowEvalPython shape
 }
 
@@ -3299,3 +3300,35 @@ def test_lateness_profile_blocks_match_naive(spark, sf_dir):
         hist[b] = hist.get(b, 0) + 1
     assert {r["log2_bucket"]: r["n"] for r in rows} == hist
     assert sum(hist.values()) == len(ev)
+
+
+def test_scene_change_kernel(spark, sf_dir):
+    """multimodal_scene_change: N-1 comparisons per doc, distances match
+    a python replay on the sha256 bytes, both cut outcomes occur."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from dask_recommender_system_spark.operators.multimodal import (
+        N_FRAMES,
+        SCENE_T,
+    )
+
+    rows = q("multimodal_scene_change", spark, sf_dir).collect()
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    by_doc = {}
+    cuts = set()
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        cuts.add(r["is_cut"])
+        payload = hashlib.sha256(texts[r["doc_id"]].encode()).digest()
+        step = len(payload) // N_FRAMES
+        f = r["frame_idx"]
+        a = payload[(f - 1) * step : f * step]
+        b = payload[f * step : (f + 1) * step]
+        l1 = sum(abs(x - y) for x, y in zip(a, b))
+        assert r["l1_dist"] == l1
+        assert r["is_cut"] == (1 if l1 > SCENE_T else 0)
+    assert all(len(v) == N_FRAMES - 1 for v in by_doc.values())
+    assert cuts == {0, 1}
