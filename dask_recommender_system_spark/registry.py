@@ -370,6 +370,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_cardinality_estimate",
     "event_lateness_profile",
     "multimodal_scene_change",
+    "k_anonymity_audit",
 ]
 
 

@@ -334,6 +334,7 @@ _NON_EQUI_OK = {
     "attribution_time_decay",  # 1-row total-credit broadcast onto 3 channels
     "metric_change_contribution",  # 1-row midpoint + totals broadcasts
     "join_cardinality_estimate",  # two 1-row count tables crossJoined
+    "k_anonymity_audit",  # 1-row totals broadcast onto the class table
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3332,3 +3333,25 @@ def test_scene_change_kernel(spark, sf_dir):
         assert r["is_cut"] == (1 if l1 > SCENE_T else 0)
     assert all(len(v) == N_FRAMES - 1 for v in by_doc.values())
     assert cuts == {0, 1}
+
+
+def test_k_anonymity_accounting(spark, sf_dir):
+    """k_anonymity_audit: class sizes sum to the customer count,
+    suppress_rows is consistent with meets_k, the at-risk share
+    recomputes, and the fixture has both safe and at-risk classes."""
+    rows = q("k_anonymity_audit", spark, sf_dir).collect()
+    assert rows
+    total = rows[0]["total_rows"]
+    assert sum(r["class_size"] for r in rows) == total
+    risk = 0
+    flags = set()
+    for r in rows:
+        if r["meets_k"]:
+            assert r["class_size"] >= 5 and r["suppress_rows"] == 0
+        else:
+            assert r["class_size"] < 5 and r["suppress_rows"] == r["class_size"]
+            risk += r["class_size"]
+        flags.add(r["meets_k"])
+        assert abs(r["at_risk_share"] - round(risk and risk / total or 0, 6)) < 1.0
+    assert flags == {0, 1}
+    assert abs(rows[0]["at_risk_share"] - round(risk / total, 6)) < 1e-9
