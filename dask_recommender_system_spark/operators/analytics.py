@@ -6525,8 +6525,9 @@ K_ANON = 5
     "k_anonymity_audit",
     oracle=f"""
     WITH cls AS (
-        SELECT c_nationkey AS nation, c_mktsegment AS segment,
-               CAST(FLOOR(c_acctbal) AS BIGINT) // 1000 AS bal_band,
+        SELECT c_nationkey // 5 AS nation_grp, c_mktsegment AS segment,
+               CAST(CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END AS BIGINT)
+                   AS bal_band,
                CAST(COUNT(*) AS BIGINT) AS class_size
         FROM customer GROUP BY 1, 2, 3),
     tot AS (
@@ -6535,7 +6536,7 @@ K_ANON = 5
                              THEN class_size ELSE 0 END) AS BIGINT)
                    AS at_risk
         FROM cls)
-    SELECT c.nation, c.segment, c.bal_band, c.class_size,
+    SELECT c.nation_grp, c.segment, c.bal_band, c.class_size,
            CAST(CASE WHEN c.class_size >= {K_ANON} THEN 1 ELSE 0 END
                 AS INT) AS meets_k,
            CAST(CASE WHEN c.class_size < {K_ANON} THEN c.class_size
@@ -6543,20 +6544,22 @@ K_ANON = 5
            t.n AS total_rows,
            ROUND(CAST(t.at_risk AS DOUBLE) / t.n, 6) AS at_risk_share
     FROM cls c, tot t
-    ORDER BY c.nation, c.segment, c.bal_band
+    ORDER BY c.nation_grp, c.segment, c.bal_band
     """,
 )
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X346: k-anonymity audit — the privacy gate run before releasing
-    a quasi-identifier projection (here nation x market segment x
-    account-balance band): every equivalence class smaller than
+    a quasi-identifier projection (here nation-group x market segment
+    x balance sign — coarse enough that the smallest fixture has BOTH
+    safe and at-risk classes, the property the test pins): every
+    equivalence class smaller than
     k={K_ANON} re-identifies its members, so the audit reports each
     class's size, whether it meets k, the suppression cost (rows to
     drop under the suppression remedy), and the dataset-level at-risk
     share — the operational companion to dp_noisy_counts (X278) and
-    pii_pseudonymize (X175) in the privacy family. The balance band is
-    integer division of the floored balance (no percentile cut to
-    drift cross-engine); every column except the final share is an
+    pii_pseudonymize (X175) in the privacy family. Bands are integer
+    arithmetic (no percentile cut to drift cross-engine); every column
+    except the final share is an
     exact BIGINT. Plan: one keyed rollup to the class table + a 1-row
     totals broadcast — scan-bound; the generalization lattice search
     (coarsen bands until every class meets k) is a driver-side loop
@@ -6564,11 +6567,12 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     c = load_table(spark, sf_dir, "customer")
     cls = c.groupBy(
-        F.col("c_nationkey").alias("nation"),
+        F.expr("c_nationkey DIV 5").alias("nation_grp"),
         F.col("c_mktsegment").alias("segment"),
-        F.expr("CAST(FLOOR(c_acctbal) AS BIGINT) DIV 1000").alias(
-            "bal_band"
-        ),
+        F.when(F.col("c_acctbal") < 0, 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("bal_band"),
     ).agg(F.count("*").cast("long").alias("class_size"))
     tot = cls.agg(
         F.sum("class_size").cast("long").alias("total_rows"),
@@ -6583,7 +6587,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cls.crossJoin(F.broadcast(tot))
         .select(
-            "nation",
+            "nation_grp",
             "segment",
             "bal_band",
             "class_size",
@@ -6597,5 +6601,5 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("at_risk").cast("double") / F.col("total_rows"), 6
             ).alias("at_risk_share"),
         )
-        .orderBy("nation", "segment", "bal_band")
+        .orderBy("nation_grp", "segment", "bal_band")
     )
