@@ -6603,3 +6603,138 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_grp", "segment", "bal_band")
     )
+
+
+@query(
+    "price_volume_mix_bridge",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey * 1000 + l_suppkey AS sku,
+               CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS day,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+    span AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM li),
+    per AS (
+        SELECT sku,
+               CAST(SUM(CASE WHEN day < (SELECT mid FROM span)
+                             THEN qty ELSE 0 END) AS BIGINT) AS q0,
+               CAST(SUM(CASE WHEN day < (SELECT mid FROM span)
+                             THEN cents ELSE 0 END) AS BIGINT) AS r0,
+               CAST(SUM(CASE WHEN day >= (SELECT mid FROM span)
+                             THEN qty ELSE 0 END) AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN day >= (SELECT mid FROM span)
+                             THEN cents ELSE 0 END) AS BIGINT) AS r1
+        FROM li GROUP BY 1)
+    SELECT sku, q0, r0, q1, r1,
+           CASE WHEN q0 = 0 AND q1 > 0 THEN 'new'
+                WHEN q1 = 0 AND q0 > 0 THEN 'discontinued'
+                WHEN q0 > 0 AND q1 > 0 THEN 'continuing'
+                ELSE 'inactive' END AS part_class,
+           CAST(CASE WHEN q0 > 0 AND q1 > 0
+                     THEN CAST(ROUND((CAST(r1 AS DOUBLE) / q1
+                                      - CAST(r0 AS DOUBLE) / q0) * q1)
+                          AS BIGINT)
+                     ELSE 0 END AS BIGINT) AS price_effect_cents,
+           CAST(CASE WHEN q0 > 0 AND q1 > 0
+                     THEN CAST(ROUND((q1 - q0)
+                                     * (CAST(r0 AS DOUBLE) / q0))
+                          AS BIGINT)
+                     ELSE 0 END AS BIGINT) AS volume_effect_cents,
+           CAST(CASE WHEN q0 = 0 THEN r1
+                     WHEN q1 = 0 THEN -r0
+                     ELSE 0 END AS BIGINT) AS mix_effect_cents
+    FROM per
+    ORDER BY sku
+    """,
+)
+def price_volume_mix_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X347: price-volume-mix revenue bridge — the FP&A decomposition
+    of a period-over-period revenue change into what CFOs actually ask:
+    did we sell at different PRICES (price effect, valued at current
+    volume), different VOLUMES (volume effect, valued at old price), or
+    a different MIX (new / discontinued parts carry their full delta)?
+    For continuing parts the two-factor identity (p1-p0)q1 + (q1-q0)p0
+    = r1 - r0 holds ALGEBRAICALLY, so the per-part effects reconcile to
+    the exact revenue delta (test-pinned within the one-rounding slack).
+    Determinism: realized unit prices are rationals r/q, so each effect
+    is ONE shared double expression over four exact BIGINTs rounded to
+    integer CENTS at the part level (the causal_impact discipline);
+    totals are order-free integer sums of those. Periods split at the
+    integer midpoint ship-day. Plan: one keyed SKU rollup + a 1-row
+    midpoint broadcast — scan-bound at 100 TB. The bridge grain is the
+    (part, supplier) SKU — sparse enough that every fixture SF has
+    new, discontinued AND continuing SKUs (test-pinned); coarser
+    dimensions (part, brand, nation) swap in by changing the rollup
+    key."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 1000 + F.col("l_suppkey")).alias("sku"),
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(l_shipdate)) AS BIGINT) DIV 86400"
+        ).alias("day"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    span = li.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("mid"))
+    per = (
+        li.crossJoin(F.broadcast(span))
+        .groupBy("sku")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("mid"), F.col("qty")).otherwise(0)
+            )
+            .cast("long")
+            .alias("q0"),
+            F.sum(
+                F.when(F.col("day") < F.col("mid"), F.col("cents")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("r0"),
+            F.sum(
+                F.when(F.col("day") >= F.col("mid"), F.col("qty")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("q1"),
+            F.sum(
+                F.when(
+                    F.col("day") >= F.col("mid"), F.col("cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("r1"),
+        )
+    )
+    q0, r0, q1, r1 = (F.col(c) for c in ("q0", "r0", "q1", "r1"))
+    cont = (q0 > 0) & (q1 > 0)
+    p1 = r1.cast("double") / q1
+    p0 = r0.cast("double") / q0
+    return per.select(
+        "sku",
+        "q0",
+        "r0",
+        "q1",
+        "r1",
+        F.when((q0 == 0) & (q1 > 0), "new")
+        .when((q1 == 0) & (q0 > 0), "discontinued")
+        .when(cont, "continuing")
+        .otherwise("inactive")
+        .alias("part_class"),
+        F.when(cont, F.round((p1 - p0) * q1).cast("long"))
+        .otherwise(0)
+        .cast("long")
+        .alias("price_effect_cents"),
+        F.when(cont, F.round((q1 - q0) * p0).cast("long"))
+        .otherwise(0)
+        .cast("long")
+        .alias("volume_effect_cents"),
+        F.when(q0 == 0, r1)
+        .when(q1 == 0, -r0)
+        .otherwise(0)
+        .cast("long")
+        .alias("mix_effect_cents"),
+    ).orderBy("sku")

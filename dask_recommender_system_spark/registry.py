@@ -371,6 +371,7 @@ DRIVER_PRIORITY: list[str] = [
     "event_lateness_profile",
     "multimodal_scene_change",
     "k_anonymity_audit",
+    "price_volume_mix_bridge",
 ]
 
 

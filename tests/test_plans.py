@@ -335,6 +335,7 @@ _NON_EQUI_OK = {
     "metric_change_contribution",  # 1-row midpoint + totals broadcasts
     "join_cardinality_estimate",  # two 1-row count tables crossJoined
     "k_anonymity_audit",  # 1-row totals broadcast onto the class table
+    "price_volume_mix_bridge",  # 1-row midpoint-day broadcast onto lineitem
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3355,3 +3356,34 @@ def test_k_anonymity_accounting(spark, sf_dir):
         assert abs(r["at_risk_share"] - round(risk and risk / total or 0, 6)) < 1.0
     assert flags == {0, 1}
     assert abs(rows[0]["at_risk_share"] - round(risk / total, 6)) < 1e-9
+
+
+def test_pvm_bridge_reconciles(spark, sf_dir):
+    """price_volume_mix_bridge: per continuing part the two-factor
+    identity reconciles to the exact delta within the one-cent
+    rounding of each effect; new/discontinued carry their full delta;
+    all classes fire; totals bridge the whole revenue change."""
+    rows = q("price_volume_mix_bridge", spark, sf_dir).collect()
+    assert len({r["sku"] for r in rows}) == len(rows)
+    classes = set()
+    total_delta = total_effects = 0
+    slack = 0
+    for r in rows:
+        classes.add(r["part_class"])
+        delta = r["r1"] - r["r0"]
+        eff = (
+            r["price_effect_cents"]
+            + r["volume_effect_cents"]
+            + r["mix_effect_cents"]
+        )
+        if r["part_class"] == "continuing":
+            assert abs(eff - delta) <= 1  # two roundings of half a cent
+            slack += abs(eff - delta)
+        elif r["part_class"] in ("new", "discontinued"):
+            assert eff == delta
+        else:
+            assert eff == delta == 0
+        total_delta += delta
+        total_effects += eff
+    assert {"new", "discontinued", "continuing"} <= classes
+    assert abs(total_effects - total_delta) <= len(rows)
