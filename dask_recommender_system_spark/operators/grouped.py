@@ -998,3 +998,117 @@ def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(hw, schema=HW_SCHEMA)
         .orderBy("n_name")
     )
+
+
+QL_SVC_S = 1500  # service seconds per quantity unit
+
+QL_SCHEMA = T.StructType(
+    [
+        T.StructField("nation", T.LongType()),
+        T.StructField("orderkey", T.LongType()),
+        T.StructField("arr_s", T.LongType()),
+        T.StructField("svc_s", T.LongType()),
+        T.StructField("wait_s", T.LongType()),
+        T.StructField("depart_s", T.LongType()),
+    ]
+)
+
+
+@query(
+    "queue_lindley_wait",
+    oracle=f"""
+    WITH RECURSIVE it AS (
+        SELECT c.c_nationkey AS nation, o.o_orderkey AS orderkey,
+               CAST(epoch(o.o_orderdate) AS BIGINT) AS arr_s,
+               q.qty * {QL_SVC_S} AS svc_s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_nationkey
+                   ORDER BY CAST(epoch(o.o_orderdate) AS BIGINT),
+                            o.o_orderkey) AS rn
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN (SELECT l_orderkey,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+                          AS BIGINT) AS qty
+              FROM lineitem GROUP BY 1) q
+          ON q.l_orderkey = o.o_orderkey),
+    st(nation, orderkey, arr_s, svc_s, rn, wait_s) AS (
+        SELECT nation, orderkey, arr_s, svc_s, rn, CAST(0 AS BIGINT)
+        FROM it WHERE rn = 1
+        UNION ALL
+        SELECT i.nation, i.orderkey, i.arr_s, i.svc_s, i.rn,
+               GREATEST(CAST(0 AS BIGINT),
+                        st.wait_s + st.svc_s - (i.arr_s - st.arr_s))
+        FROM it i
+        JOIN st ON i.nation = st.nation AND i.rn = st.rn + 1)
+    SELECT nation, orderkey, arr_s, svc_s, wait_s,
+           CAST(arr_s + wait_s + svc_s AS BIGINT) AS depart_s
+    FROM st
+    ORDER BY nation, arr_s, orderkey
+    """,
+)
+def queue_lindley_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X348: Lindley waiting-time recursion — replay each nation's order
+    stream through a single-server FIFO queue (service time
+    proportional to order quantity, {QL_SVC_S}s per unit) and compute
+    every order's queueing delay: W_i = max(0, W_(i-1) + S_(i-1) -
+    interarrival). This is THE queueing-theory primitive (fulfillment
+    backlogs, ticket queues, GPU job schedulers all replay it to size
+    capacity). The max(0, .) reflection is non-linear — no
+    window/prefix closed form (the token-bucket argument) — so the
+    batch shape is GROUPED_MAP applyInPandas: one shuffle on the
+    server key, a bounded integer recurrence per group. ALL state is
+    BIGINT seconds; the recursive-CTE oracle replays it exactly.
+    Pinned (tests): W >= 0, departures are monotone per server (FIFO
+    never reorders), busy periods exist on the fixture AND idle resets
+    occur (both branches of the max fire), and utilization < 1 so the
+    queue is stable. At 100 TB parallelism = number of servers."""
+    from .relational import _utc
+
+    _utc(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT)").alias(
+            "arr_s"
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").cast("long").alias("orderkey"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_quantity")).cast("long")) * QL_SVC_S
+            )
+            .cast("long")
+            .alias("svc_s")
+        )
+    )
+    it = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        qty, "orderkey"
+    )
+
+    def lindley(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["arr_s", "orderkey"], ignore_index=True)
+        arr = pdf["arr_s"].to_numpy()
+        svc = pdf["svc_s"].to_numpy()
+        n = len(pdf)
+        wait = [0] * n
+        for i in range(1, n):
+            wait[i] = max(
+                0, wait[i - 1] + int(svc[i - 1]) - int(arr[i] - arr[i - 1])
+            )
+        pdf["wait_s"] = wait
+        pdf["depart_s"] = pdf["arr_s"] + pdf["wait_s"] + pdf["svc_s"]
+        return pdf[
+            ["nation", "orderkey", "arr_s", "svc_s", "wait_s", "depart_s"]
+        ]
+
+    return (
+        it.groupBy("nation")
+        .applyInPandas(lindley, schema=QL_SCHEMA)
+        .orderBy("nation", "arr_s", "orderkey")
+    )

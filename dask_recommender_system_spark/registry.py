@@ -372,6 +372,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_scene_change",
     "k_anonymity_audit",
     "price_volume_mix_bridge",
+    "queue_lindley_wait",
 ]
 
 

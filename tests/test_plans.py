@@ -349,6 +349,7 @@ _ARROW_OK = {
     "holt_linear_forecast",  # the declared GROUPED_MAP 2-state recurrence
     "bin_pack_next_fit",  # the declared GROUPED_MAP next-fit recurrence
     "holt_winters_additive",  # the declared GROUPED_MAP 9-state recurrence
+    "queue_lindley_wait",  # the declared GROUPED_MAP Lindley recursion
     "multimodal_audio_features",  # the audio mapInPandas kernel
     "multimodal_scene_change",  # the video frame-differ mapInPandas kernel
     "pandas_udf_scalar_textfeats",  # the declared SCALAR ArrowEvalPython shape
@@ -3387,3 +3388,40 @@ def test_pvm_bridge_reconciles(spark, sf_dir):
         total_effects += eff
     assert {"new", "discontinued", "continuing"} <= classes
     assert abs(total_effects - total_delta) <= len(rows)
+
+
+def test_lindley_queue_invariants(spark, sf_dir):
+    """queue_lindley_wait: waits nonnegative, FIFO departures monotone
+    per server, the recursion replays in-process, and both max()
+    branches fire (busy waits and idle resets)."""
+    rows = (
+        q("queue_lindley_wait", spark, sf_dir)
+        .orderBy("nation", "arr_s", "orderkey")
+        .collect()
+    )
+    assert rows
+    by_n = {}
+    for r in rows:
+        assert r["wait_s"] >= 0
+        assert r["depart_s"] == r["arr_s"] + r["wait_s"] + r["svc_s"]
+        by_n.setdefault(r["nation"], []).append(r)
+    busy = idle = 0
+    for items in by_n.values():
+        assert items[0]["wait_s"] == 0
+        prev_dep = -1
+        w = 0
+        for i, r in enumerate(items):
+            assert r["depart_s"] >= prev_dep
+            prev_dep = r["depart_s"]
+            if i:
+                want = max(
+                    0,
+                    w
+                    + items[i - 1]["svc_s"]
+                    - (r["arr_s"] - items[i - 1]["arr_s"]),
+                )
+                assert r["wait_s"] == want
+                busy += r["wait_s"] > 0
+                idle += r["wait_s"] == 0
+            w = r["wait_s"]
+    assert busy > 0 and idle > 0
