@@ -373,6 +373,7 @@ DRIVER_PRIORITY: list[str] = [
     "k_anonymity_audit",
     "price_volume_mix_bridge",
     "queue_lindley_wait",
+    "stream_queue_lindley",
 ]
 
 

@@ -278,3 +278,57 @@ def apply_bin_pack(items: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_QL_COLUMNS = ["nation", "orderkey", "arr_s", "svc_s", "wait_s", "depart_s"]
+
+QL_OUTPUT_SCHEMA = (
+    "nation long, orderkey long, arr_s long, svc_s long, "
+    "wait_s long, depart_s long"
+)
+QL_STATE_SCHEMA = "wait_s long, arr_s long, svc_s long"
+
+
+def lindley_with_state(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-server Lindley recursion with (last wait, last arrival, last
+    service) as the state struct — a live backlog monitor: the queue
+    carries across micro-batches, so the reported delay of the next
+    arrival is exact however the stream was chopped. Integer seconds
+    only; drained output equals the batch recurrence."""
+    (nation,) = key
+    if state.exists:
+        w, pa, ps = state.get
+        first = False
+    else:
+        w, pa, ps, first = 0, 0, 0, True
+    out: list[tuple[int, int, int, int, int, int]] = []
+    for pdf in pdfs:
+        block = pdf.sort_values(["arr_s", "orderkey"])
+        for _, row in block.iterrows():
+            a, s = int(row["arr_s"]), int(row["svc_s"])
+            if first:
+                w = 0
+                first = False
+            else:
+                w = max(0, w + ps - (a - pa))
+            pa, ps = a, s
+            out.append((nation, int(row["orderkey"]), a, s, w, a + w + s))
+    state.update((w, pa, ps))
+    yield pd.DataFrame(out, columns=_QL_COLUMNS)
+
+
+def apply_lindley(items: DataFrame) -> DataFrame:
+    """items: streaming frame with (nation long, orderkey long,
+    arr_s long, svc_s long)."""
+    it = items.withColumn(
+        "ts", F.timestamp_seconds(F.col("arr_s"))
+    ).withWatermark("ts", WATERMARK_DELAY)
+    return it.groupBy("nation").applyInPandasWithState(
+        lindley_with_state,
+        outputStructType=QL_OUTPUT_SCHEMA,
+        stateStructType=QL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

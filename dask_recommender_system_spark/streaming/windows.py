@@ -1631,3 +1631,79 @@ def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+def _ql_oracle() -> str:
+    return REGISTRY["queue_lindley_wait"].oracle
+
+
+@query("stream_queue_lindley", oracle=_ql_oracle())
+def stream_queue_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X349: the STREAMING twin of queue_lindley_wait — the live
+    backlog monitor: each nation's order stream replayed through the
+    Lindley recursion as a custom stateful operator
+    (streaming/stateful.py:apply_lindley) with (last wait, last
+    arrival, last service) as the state struct. The order stream is
+    the file-source parquet stream; service times come from the
+    STREAM-STATIC join against the batch lineitem quantity rollup (the
+    stream_bin_pack shape). Every arrival emits exactly one row, so
+    the drained output equals the batch recurrence and shares its
+    recursive-CTE oracle VERBATIM. At 100 TB: three longs of state per
+    active server."""
+    import hashlib
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .stateful import apply_lindley
+    from ..data import load_table
+    from ..operators.grouped import QL_SVC_S
+
+    src = f"{sf_dir}/orders.parquet"
+    schema = _SNIFFED_SCHEMA.get(src)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+        _SNIFFED_SCHEMA[src] = schema
+    stage = (
+        f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/orders.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    o = spark.readStream.schema(schema).parquet(stage).select(
+        "o_custkey",
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT)").alias(
+            "arr_s"
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").cast("long").alias("orderkey"))
+        .agg(
+            (F.sum(F.floor(F.col("l_quantity")).cast("long")) * QL_SVC_S)
+            .cast("long")
+            .alias("svc_s")
+        )
+    )
+    items = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(qty, "orderkey")
+        .select("nation", "orderkey", "arr_s", "svc_s")
+    )
+    out = apply_lindley(items)
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("nation", "arr_s", "orderkey")

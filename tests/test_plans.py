@@ -3425,3 +3425,21 @@ def test_lindley_queue_invariants(spark, sf_dir):
                 idle += r["wait_s"] == 0
             w = r["wait_s"]
     assert busy > 0 and idle > 0
+
+
+def test_stream_lindley_matches_batch(spark, sf_dir):
+    """stream_queue_lindley: drained stateful output equals the batch
+    Lindley recursion row-for-row."""
+    batch = [
+        tuple(r)
+        for r in q("queue_lindley_wait", spark, sf_dir)
+        .orderBy("nation", "arr_s", "orderkey")
+        .collect()
+    ]
+    stream = [
+        tuple(r)
+        for r in q("stream_queue_lindley", spark, sf_dir)
+        .orderBy("nation", "arr_s", "orderkey")
+        .collect()
+    ]
+    assert batch == stream
