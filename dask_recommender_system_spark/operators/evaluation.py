@@ -2404,3 +2404,85 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_reduction"),
     )
+
+
+@query(
+    "expected_calibration_error",
+    oracle=f"""
+    WITH e AS ({{enc}}),
+    s AS (SELECT {{pred}} AS pred,
+                 (rating >= {REL_THRESHOLD})::INT AS pos
+          FROM e),
+    m AS (SELECT CAST(FLOOR(pred * 100) AS BIGINT) AS bin,
+                 CAST(FLOOR(pred * 1000) AS BIGINT) AS pred_milli,
+                 pos
+          FROM s),
+    b AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(pred_milli) AS BIGINT) AS sum_milli
+        FROM m GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM b)
+    SELECT b.bin, b.n, b.n_pos, b.sum_milli,
+           ROUND(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS acc,
+           ROUND(CAST(b.sum_milli AS DOUBLE) / 1000 / b.n, 6) AS conf,
+           CAST(ROUND(1000000 * (CAST(b.n AS DOUBLE) / t.n_total)
+                      * ABS(CAST(b.n_pos AS DOUBLE) / b.n
+                            - CAST(b.sum_milli AS DOUBLE) / 1000 / b.n))
+                AS BIGINT) AS ece_term_micro
+    FROM b, t
+    ORDER BY b.bin
+    """.format(enc=ENCODED_SQL, pred=_PRED_SQL),
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X350: expected calibration error — the headline scalar of the
+    reliability diagram (calibration_bins, X99): ECE = Sigma_b
+    (n_b/N) * |accuracy_b - confidence_b| over fixed-width score bins
+    (centi-bins — the hash-init model's scores live in ~[0.005, 0.04],
+    so decile bins would collapse to one), the
+    number quoted when a model's probabilities are audited. The float
+    trap is confidence: AVG(pred) is an order-dependent float sum, so
+    confidence aggregates the INTEGER milli-quantization floor(pred *
+    1000) (exact BIGINT sums, the same quantile-free discipline as
+    X99's fixed-width bins) and every per-bin ECE term is ONE shared
+    double expression over four exact integers, rounded to BIGINT
+    MICRO-units — the dataset ECE is their order-free integer sum
+    (test-pinned against the emitted columns). Plan: one keyed bin
+    rollup + a 1-row total broadcast — scan-bound."""
+    e = encoded_ratings(spark, sf_dir)
+    m = e.select(
+        _pred_expr().alias("pred"),
+        (F.col("rating") >= REL_THRESHOLD).cast("int").alias("pos"),
+    ).select(
+        F.floor(F.col("pred") * 100).cast("long").alias("bin"),
+        F.floor(F.col("pred") * 1000).cast("long").alias("pred_milli"),
+        "pos",
+    )
+    b = m.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("pred_milli").cast("long").alias("sum_milli"),
+    )
+    t = b.agg(F.sum("n").cast("long").alias("n_total"))
+    acc = F.col("n_pos").cast("double") / F.col("n")
+    conf = F.col("sum_milli").cast("double") / 1000 / F.col("n")
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "sum_milli",
+            F.round(acc, 6).alias("acc"),
+            F.round(conf, 6).alias("conf"),
+            F.round(
+                1000000
+                * (F.col("n").cast("double") / F.col("n_total"))
+                * F.abs(acc - conf)
+            )
+            .cast("long")
+            .alias("ece_term_micro"),
+        )
+        .orderBy("bin")
+    )

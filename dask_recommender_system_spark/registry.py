@@ -374,6 +374,7 @@ DRIVER_PRIORITY: list[str] = [
     "price_volume_mix_bridge",
     "queue_lindley_wait",
     "stream_queue_lindley",
+    "expected_calibration_error",
 ]
 
 

@@ -336,6 +336,7 @@ _NON_EQUI_OK = {
     "join_cardinality_estimate",  # two 1-row count tables crossJoined
     "k_anonymity_audit",  # 1-row totals broadcast onto the class table
     "price_volume_mix_bridge",  # 1-row midpoint-day broadcast onto lineitem
+    "expected_calibration_error",  # 1-row bin-total broadcast (X99's shape)
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3443,3 +3444,22 @@ def test_stream_lindley_matches_batch(spark, sf_dir):
         .collect()
     ]
     assert batch == stream
+
+
+def test_ece_terms_recompute(spark, sf_dir):
+    """expected_calibration_error: each term recomputes from the emitted
+    integers, the dataset ECE (integer-micro sum) is in [0, 1e6], and
+    bins partition all ratings."""
+    rows = q("expected_calibration_error", spark, sf_dir).collect()
+    assert len(rows) >= 2
+    n_total = sum(r["n"] for r in rows)
+    ece = 0
+    for r in rows:
+        acc = r["n_pos"] / r["n"]
+        conf = r["sum_milli"] / 1000 / r["n"]
+        term = round(1e6 * (r["n"] / n_total) * abs(acc - conf))
+        assert r["ece_term_micro"] == term
+        assert abs(r["acc"] - round(acc, 6)) < 1e-9
+        assert abs(r["conf"] - round(conf, 6)) < 1e-9
+        ece += term
+    assert 0 <= ece <= 1_000_000
