@@ -6738,3 +6738,94 @@ def price_volume_mix_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mix_effect_cents"),
     ).orderBy("sku")
+
+
+ROP_LEAD_WEEKS = 2
+ROP_Z_MILLI = 1645  # z(95%) in milli-units — a literal, same both engines
+
+
+@query(
+    "reorder_point_policy",
+    oracle=f"""
+    WITH wk AS (
+        SELECT l_partkey AS partkey,
+               CAST(epoch(l_shipdate) AS BIGINT) // 604800 AS week,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2),
+    w AS (SELECT CAST(COUNT(DISTINCT week) AS BIGINT) AS n_weeks FROM wk),
+    per AS (
+        SELECT partkey,
+               CAST(SUM(q) AS BIGINT) AS s_qty,
+               CAST(SUM(q * q) AS BIGINT) AS s_qty2
+        FROM wk GROUP BY 1)
+    SELECT p.partkey, w.n_weeks, p.s_qty, p.s_qty2,
+           ROUND(CAST(p.s_qty AS DOUBLE) / w.n_weeks
+                 * {ROP_LEAD_WEEKS}, 6) AS lead_demand,
+           ROUND({ROP_Z_MILLI} * SQRT({ROP_LEAD_WEEKS}
+                     * GREATEST(CAST(w.n_weeks * p.s_qty2
+                                     - p.s_qty * p.s_qty AS DOUBLE)
+                       / w.n_weeks / w.n_weeks, 0)) / 1000, 6)
+               AS safety_stock,
+           ROUND(CAST(p.s_qty AS DOUBLE) / w.n_weeks * {ROP_LEAD_WEEKS}
+                 + {ROP_Z_MILLI} * SQRT({ROP_LEAD_WEEKS}
+                       * GREATEST(CAST(w.n_weeks * p.s_qty2
+                                       - p.s_qty * p.s_qty AS DOUBLE)
+                         / w.n_weeks / w.n_weeks, 0)) / 1000, 6)
+               AS reorder_point
+    FROM per p, w
+    ORDER BY p.partkey
+    """,
+)
+def reorder_point_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X351: reorder-point policy per part — the inventory-control
+    output the ABC/XYZ/FIFO family feeds: with lead time L =
+    {ROP_LEAD_WEEKS} weeks and a 95% service level, ROP = L*mean
+    weekly demand + z*sqrt(L*var) (safety stock against demand
+    variability during replenishment). Demand statistics reuse the XYZ
+    sufficient-statistics discipline (exact BIGINT S, S2 over weekly
+    buckets with zero weeks contributing nothing; population variance
+    = (n*S2 - S^2)/n^2); z ships as the integer literal
+    {ROP_Z_MILLI} milli-units so the only floats are one shared IEEE
+    tree per row (divisions + one correctly-rounded SQRT) over the
+    emitted exact integers, rounded 6. Plan: two keyed rollups + a
+    1-row week-count broadcast — scan-bound at any scale."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(l_shipdate)) AS BIGINT) DIV 604800"
+        ).alias("week"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("q")
+    )
+    w = wk.agg(F.countDistinct("week").cast("long").alias("n_weeks"))
+    per = wk.groupBy("partkey").agg(
+        F.sum("q").cast("long").alias("s_qty"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s_qty2"),
+    )
+    j = per.crossJoin(F.broadcast(w))
+    nw = F.col("n_weeks")
+    mean_lead = F.col("s_qty").cast("double") / nw * ROP_LEAD_WEEKS
+    var_pop = F.greatest(
+        (nw * F.col("s_qty2") - F.col("s_qty") * F.col("s_qty")).cast(
+            "double"
+        )
+        / nw
+        / nw,
+        F.lit(0.0),
+    )
+    safety = (
+        ROP_Z_MILLI * F.sqrt(F.lit(float(ROP_LEAD_WEEKS)) * var_pop) / 1000
+    )
+    return j.select(
+        "partkey",
+        "n_weeks",
+        "s_qty",
+        "s_qty2",
+        F.round(mean_lead, 6).alias("lead_demand"),
+        F.round(safety, 6).alias("safety_stock"),
+        F.round(mean_lead + safety, 6).alias("reorder_point"),
+    ).orderBy("partkey")

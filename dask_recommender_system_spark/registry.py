@@ -375,6 +375,7 @@ DRIVER_PRIORITY: list[str] = [
     "queue_lindley_wait",
     "stream_queue_lindley",
     "expected_calibration_error",
+    "reorder_point_policy",
 ]
 
 

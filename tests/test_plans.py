@@ -337,6 +337,7 @@ _NON_EQUI_OK = {
     "k_anonymity_audit",  # 1-row totals broadcast onto the class table
     "price_volume_mix_bridge",  # 1-row midpoint-day broadcast onto lineitem
     "expected_calibration_error",  # 1-row bin-total broadcast (X99's shape)
+    "reorder_point_policy",  # 1-row week-count broadcast onto parts
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3463,3 +3464,22 @@ def test_ece_terms_recompute(spark, sf_dir):
         assert abs(r["conf"] - round(conf, 6)) < 1e-9
         ece += term
     assert 0 <= ece <= 1_000_000
+
+
+def test_reorder_point_recomputes(spark, sf_dir):
+    """reorder_point_policy: ROP = lead demand + safety stock exactly
+    (rounded pieces), safety stock nonnegative and recomputable from
+    the emitted integers."""
+    import math
+
+    rows = q("reorder_point_policy", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        nw, s, s2 = r["n_weeks"], r["s_qty"], r["s_qty2"]
+        mean_lead = s / nw * 2
+        var_pop = max((nw * s2 - s * s) / nw / nw, 0.0)
+        safety = 1645 * math.sqrt(2 * var_pop) / 1000
+        assert abs(r["lead_demand"] - round(mean_lead, 6)) < 1e-9
+        assert abs(r["safety_stock"] - round(safety, 6)) < 1e-9
+        assert abs(r["reorder_point"] - round(mean_lead + safety, 6)) < 1e-9
+        assert r["safety_stock"] >= 0
