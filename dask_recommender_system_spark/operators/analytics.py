@@ -6829,3 +6829,126 @@ def reorder_point_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(safety, 6).alias("safety_stock"),
         F.round(mean_lead + safety, 6).alias("reorder_point"),
     ).orderBy("partkey")
+
+
+@query(
+    "net_revenue_retention",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id,
+               CAST(FLOOR({EPOCH_TS} / (86400 * 7)) AS BIGINT) AS period,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+    pair AS (
+        SELECT a.period + 1 AS period,
+               CAST(SUM(a.cents) AS BIGINT) AS base_cents,
+               CAST(SUM(COALESCE(b.cents, 0)) AS BIGINT) AS nrr_cents,
+               CAST(SUM(LEAST(a.cents, COALESCE(b.cents, 0))) AS BIGINT)
+                   AS grr_cents,
+               CAST(SUM(CASE WHEN COALESCE(b.cents, 0) > a.cents
+                             THEN COALESCE(b.cents, 0) - a.cents
+                             ELSE 0 END) AS BIGINT) AS expansion_cents,
+               CAST(SUM(CASE WHEN COALESCE(b.cents, 0) < a.cents
+                             THEN a.cents - COALESCE(b.cents, 0)
+                             ELSE 0 END) AS BIGINT) AS contraction_cents
+        FROM m a
+        LEFT JOIN m b ON b.user_id = a.user_id
+                     AND b.period = a.period + 1
+        GROUP BY 1)
+    SELECT period, base_cents, grr_cents, nrr_cents,
+           expansion_cents, contraction_cents,
+           ROUND(CAST(grr_cents AS DOUBLE) / base_cents, 6) AS grr,
+           ROUND(CAST(nrr_cents AS DOUBLE) / base_cents, 6) AS nrr
+    FROM pair
+    WHERE base_cents > 0
+    ORDER BY period
+    """,
+)
+def net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X352: gross / net revenue retention per weekly period — the SaaS
+    board metric: of last period's revenue base, how much survived
+    (GRR caps each user at their PRIOR spend — churn and contraction
+    only) and how much the same users generate now including expansion
+    (NRR). The per-user cap is the part a naive period-total ratio
+    gets wrong: GRR = Sigma_u min(prev_u, cur_u) / Sigma_u prev_u
+    needs the USER-level join, one keyed lag-join of the user-period
+    revenue table with itself (the growth_accounting shape carrying
+    cents instead of presence). Expansion/contraction decompose the
+    NRR-GRR gap and reconcile exactly: nrr = grr + expansion, base =
+    grr + contraction (both identities test-pinned — all five sums
+    are exact BIGINT cents; the two ratios are single divisions,
+    rounded 6). At 100 TB: one user-period rollup + one user-keyed
+    lag join + one period rollup."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / (86400 * 7))
+            .cast("long")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    nxt = m.select(
+        "user_id",
+        (F.col("period") - 1).alias("period"),
+        F.col("cents").alias("next_cents"),
+    )
+    pair = (
+        m.join(nxt, ["user_id", "period"], "left")
+        .select(
+            (F.col("period") + 1).alias("period"),
+            F.col("cents").alias("prev"),
+            F.coalesce("next_cents", F.lit(0)).alias("cur"),
+        )
+        .groupBy("period")
+        .agg(
+            F.sum("prev").cast("long").alias("base_cents"),
+            F.sum("cur").cast("long").alias("nrr_cents"),
+            F.sum(F.least(F.col("prev"), F.col("cur")))
+            .cast("long")
+            .alias("grr_cents"),
+            F.sum(
+                F.when(
+                    F.col("cur") > F.col("prev"),
+                    F.col("cur") - F.col("prev"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("expansion_cents"),
+            F.sum(
+                F.when(
+                    F.col("cur") < F.col("prev"),
+                    F.col("prev") - F.col("cur"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("contraction_cents"),
+        )
+    )
+    return (
+        pair.filter(F.col("base_cents") > 0)
+        .select(
+            "period",
+            "base_cents",
+            "grr_cents",
+            "nrr_cents",
+            "expansion_cents",
+            "contraction_cents",
+            F.round(
+                F.col("grr_cents").cast("double") / F.col("base_cents"), 6
+            ).alias("grr"),
+            F.round(
+                F.col("nrr_cents").cast("double") / F.col("base_cents"), 6
+            ).alias("nrr"),
+        )
+        .orderBy("period")
+    )

@@ -376,6 +376,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_queue_lindley",
     "expected_calibration_error",
     "reorder_point_policy",
+    "net_revenue_retention",
 ]
 
 

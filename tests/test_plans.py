@@ -3483,3 +3483,21 @@ def test_reorder_point_recomputes(spark, sf_dir):
         assert abs(r["safety_stock"] - round(safety, 6)) < 1e-9
         assert abs(r["reorder_point"] - round(mean_lead + safety, 6)) < 1e-9
         assert r["safety_stock"] >= 0
+
+
+def test_nrr_identities(spark, sf_dir):
+    """net_revenue_retention: nrr_cents = grr_cents + expansion,
+    base = grr + contraction, GRR <= 1 <= ratios recompute, and the
+    fixture shows both expansion and contraction."""
+    rows = q("net_revenue_retention", spark, sf_dir).collect()
+    assert rows
+    exp = con = 0
+    for r in rows:
+        assert r["nrr_cents"] == r["grr_cents"] + r["expansion_cents"]
+        assert r["base_cents"] == r["grr_cents"] + r["contraction_cents"]
+        assert 0 <= r["grr_cents"] <= r["base_cents"]
+        assert abs(r["grr"] - round(r["grr_cents"] / r["base_cents"], 6)) < 1e-9
+        assert abs(r["nrr"] - round(r["nrr_cents"] / r["base_cents"], 6)) < 1e-9
+        exp += r["expansion_cents"]
+        con += r["contraction_cents"]
+    assert exp > 0 and con > 0
