@@ -13,7 +13,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1001,6 +1001,9 @@ def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QL_SVC_S = 1500  # service seconds per quantity unit
+QL_REPLAY = 240  # replay window: first N orders per server (bounds the
+# recursion depth — and the oracle's recursive-CTE iteration count — at
+# any SF; backlog sims replay a window, not all history)
 
 QL_SCHEMA = T.StructType(
     [
@@ -1017,7 +1020,7 @@ QL_SCHEMA = T.StructType(
 @query(
     "queue_lindley_wait",
     oracle=f"""
-    WITH RECURSIVE it AS (
+    WITH RECURSIVE it0 AS (
         SELECT c.c_nationkey AS nation, o.o_orderkey AS orderkey,
                CAST(epoch(o.o_orderdate) AS BIGINT) AS arr_s,
                q.qty * {QL_SVC_S} AS svc_s,
@@ -1032,6 +1035,7 @@ QL_SCHEMA = T.StructType(
                           AS BIGINT) AS qty
               FROM lineitem GROUP BY 1) q
           ON q.l_orderkey = o.o_orderkey),
+    it AS (SELECT * FROM it0 WHERE rn <= {QL_REPLAY}),
     st(nation, orderkey, arr_s, svc_s, rn, wait_s) AS (
         SELECT nation, orderkey, arr_s, svc_s, rn, CAST(0 AS BIGINT)
         FROM it WHERE rn = 1
@@ -1051,8 +1055,10 @@ def queue_lindley_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X348: Lindley waiting-time recursion — replay each nation's order
     stream through a single-server FIFO queue (service time
     proportional to order quantity, {QL_SVC_S}s per unit) and compute
-    every order's queueing delay: W_i = max(0, W_(i-1) + S_(i-1) -
-    interarrival). This is THE queueing-theory primitive (fulfillment
+    every order's queueing delay over the first {QL_REPLAY} arrivals
+    per server (the replay window — bounds per-group work AND the
+    oracle's recursive-CTE depth at any SF): W_i = max(0, W_(i-1) +
+    S_(i-1) - interarrival). This is THE queueing-theory primitive (fulfillment
     backlogs, ticket queues, GPU job schedulers all replay it to size
     capacity). The max(0, .) reflection is non-linear — no
     window/prefix closed form (the token-bucket argument) — so the
@@ -1087,8 +1093,13 @@ def queue_lindley_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("svc_s")
         )
     )
-    it = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
-        qty, "orderkey"
+    wq = W.partitionBy("nation").orderBy("arr_s", "orderkey")
+    it = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(qty, "orderkey")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= QL_REPLAY)
+        .drop("rn")
     )
 
     def lindley(pdf: "pd.DataFrame") -> "pd.DataFrame":

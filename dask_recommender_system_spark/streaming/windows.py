@@ -1656,7 +1656,7 @@ def stream_queue_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from .stateful import apply_lindley
     from ..data import load_table
-    from ..operators.grouped import QL_SVC_S
+    from ..operators.grouped import QL_REPLAY, QL_SVC_S
 
     src = f"{sf_dir}/orders.parquet"
     schema = _SNIFFED_SCHEMA.get(src)
@@ -1689,9 +1689,31 @@ def stream_queue_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("svc_s")
         )
     )
+    # static eligibility dim: the replay window (first QL_REPLAY
+    # arrivals per server) is computed batch-side and joined into the
+    # stream — the stream_bin_pack stream-static shape
+    ob = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT)").alias(
+            "arr_s"
+        ),
+    )
+    from pyspark.sql import Window as _W
+
+    wq = _W.partitionBy("nation").orderBy("arr_s", "orderkey")
+    elig = (
+        ob.join(c, ob["o_custkey"] == c["c_custkey"])
+        .join(qty, "orderkey")  # same inner join as the batch ranking —
+        # orders without lineitems must not consume replay-window slots
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= QL_REPLAY)
+        .select("orderkey")
+    )
     items = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(qty, "orderkey")
+        .join(elig, "orderkey")
         .select("nation", "orderkey", "arr_s", "svc_s")
     )
     out = apply_lindley(items)
