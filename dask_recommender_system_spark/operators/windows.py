@@ -2463,3 +2463,143 @@ def team_draft_interleaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pos", "item_id", team_col.alias("team")).orderBy(
         "pos"
     )
+
+
+RBO_K = 10  # top-k depth; p = 0.5 (dyadic) so truncated RBO = sum 2^-d X_d/d
+
+
+@query(
+    "ranking_rbo_drift",
+    oracle=f"""
+    WITH wk AS (
+        SELECT CAST(epoch(l_shipdate) AS BIGINT) // 604800 AS week,
+               l_partkey AS item,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2),
+    r AS (
+        SELECT week, item,
+               ROW_NUMBER() OVER (PARTITION BY week
+                                  ORDER BY cents DESC, item) AS rnk
+        FROM wk),
+    top AS (SELECT week, item, rnk FROM r WHERE rnk <= {RBO_K}),
+    common AS (
+        SELECT a.week, a.item, a.rnk AS ra, b.rnk AS rb
+        FROM top a JOIN top b ON b.week = a.week + 1 AND b.item = a.item),
+    terms AS (
+        SELECT c.week, d.d,
+               CAST(COUNT(*) AS BIGINT) AS x_d
+        FROM common c,
+             (SELECT CAST(UNNEST(range(1, {RBO_K} + 1)) AS BIGINT) AS d) d
+        WHERE c.ra <= d.d AND c.rb <= d.d
+        GROUP BY 1, 2),
+    weeks AS (
+        SELECT DISTINCT a.week FROM top a
+        JOIN top b ON b.week = a.week + 1),
+    micro AS (
+        SELECT w.week,
+               COALESCE(CAST(SUM(CAST(ROUND(1000000.0 * t.x_d
+                              / (2 ** t.d) / t.d) AS BIGINT)) AS BIGINT),
+                        0) AS rbo_micro,
+               COALESCE(CAST(MAX(CASE WHEN t.d = {RBO_K} THEN t.x_d END)
+                             AS BIGINT), 0) AS overlap_at_k
+        FROM weeks w LEFT JOIN terms t ON t.week = w.week
+        GROUP BY 1)
+    SELECT week, overlap_at_k, rbo_micro,
+           ROUND(CAST(rbo_micro AS DOUBLE) / 1000000, 6) AS rbo
+    FROM micro
+    ORDER BY week
+    """,
+)
+def ranking_rbo_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X353: rank-biased overlap (Webber et al. 2010) between
+    consecutive weeks' top-{RBO_K} revenue items — the top-heavy
+    ranking-drift monitor (plain set overlap treats rank 1 and rank 10
+    alike; RBO weights agreement at depth d by p^(d-1)). p = 0.5 is
+    DYADIC, so truncated RBO = Sigma_d 2^-d * X_d / d where X_d =
+    |prefix_d(week) intersect prefix_d(week+1)| is an exact INTEGER
+    from a keyed self-join of the top-k table; each term is one fixed
+    double expression over (X_d, d) rounded to BIGINT MICRO-units and
+    the RBO is their order-free integer sum (the ECE discipline).
+    Weekly top-k ranks on exact cents with item tiebreaks (both
+    engines sort identically); week pairs with ZERO overlap still
+    emit (rbo = 0) via the week spine. Plan: one keyed week-item
+    rollup, a week-keyed rank window, a (week+1, item) equi-join, a
+    10-way bounded depth explode — every shuffle keyed, top-k tables
+    are |weeks| x k rows."""
+    from .relational import _utc
+
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.expr(
+            "CAST(FLOOR(unix_timestamp(l_shipdate)) AS BIGINT) DIV 604800"
+        ).alias("week"),
+        F.col("l_partkey").alias("item"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wr = W.partitionBy("week").orderBy(F.col("cents").desc(), "item")
+    top = (
+        wk.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= RBO_K)
+        .select("week", "item", "rnk")
+    )
+    b = top.select(
+        (F.col("week") - 1).alias("week"),
+        "item",
+        F.col("rnk").alias("rb"),
+    )
+    common = top.withColumnRenamed("rnk", "ra").join(b, ["week", "item"])
+    depths = spark.range(1, RBO_K + 1).select(F.col("id").alias("d"))
+    terms = (
+        common.crossJoin(F.broadcast(depths))
+        .filter((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")))
+        .groupBy("week", "d")
+        .agg(F.count("*").cast("long").alias("x_d"))
+    )
+    weeks = (
+        top.select("week")
+        .join(
+            top.select((F.col("week") - 1).alias("week")).distinct(),
+            "week",
+        )
+        .distinct()
+    )
+    micro = (
+        weeks.join(terms, "week", "left")
+        .groupBy("week")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        1000000.0
+                        * F.col("x_d")
+                        / F.pow(F.lit(2.0), F.col("d").cast("double"))
+                        / F.col("d")
+                    ).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rbo_micro"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("d") == RBO_K, F.col("x_d"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("overlap_at_k"),
+        )
+    )
+    return micro.select(
+        "week",
+        "overlap_at_k",
+        "rbo_micro",
+        F.round(F.col("rbo_micro").cast("double") / 1000000, 6).alias(
+            "rbo"
+        ),
+    ).orderBy("week")

@@ -377,6 +377,7 @@ DRIVER_PRIORITY: list[str] = [
     "expected_calibration_error",
     "reorder_point_policy",
     "net_revenue_retention",
+    "ranking_rbo_drift",
 ]
 
 

@@ -338,6 +338,7 @@ _NON_EQUI_OK = {
     "price_volume_mix_bridge",  # 1-row midpoint-day broadcast onto lineitem
     "expected_calibration_error",  # 1-row bin-total broadcast (X99's shape)
     "reorder_point_policy",  # 1-row week-count broadcast onto parts
+    "ranking_rbo_drift",  # 10-row literal depth dim crossJoin (bounded BNLJ)
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3501,3 +3502,22 @@ def test_nrr_identities(spark, sf_dir):
         exp += r["expansion_cents"]
         con += r["contraction_cents"]
     assert exp > 0 and con > 0
+
+
+def test_rbo_bounds_and_recompute(spark, sf_dir):
+    """ranking_rbo_drift: RBO in [0, ~1 - 2^-k * k-th-term remainder],
+    identical-lists bound (sum 2^-d = 1 - 2^-k), and rbo recomputes
+    from the emitted micro integer."""
+    from dask_recommender_system_spark.operators.windows import RBO_K
+
+    rows = q("ranking_rbo_drift", spark, sf_dir).collect()
+    assert rows
+    max_rbo = round(sum(2 ** -d for d in range(1, RBO_K + 1)), 6)
+    for r in rows:
+        assert 0 <= r["overlap_at_k"] <= RBO_K
+        assert 0.0 <= r["rbo"] <= max_rbo + 1e-6
+        assert abs(r["rbo"] - round(r["rbo_micro"] / 1e6, 6)) < 1e-9
+        if r["overlap_at_k"] == 0:
+            assert r["rbo"] == 0.0
+    # rankings drift but are not independent: some week pair overlaps
+    assert any(r["overlap_at_k"] > 0 for r in rows)
