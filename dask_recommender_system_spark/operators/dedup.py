@@ -1595,3 +1595,136 @@ def record_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(w, 6).alias("weight_bits"),
     ).orderBy("field")
+
+
+@query(
+    "blocking_quality_eval",
+    oracle=f"""
+    WITH {ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+    rk AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                   lower(substr(trim(text), 1, {SNM_KEY_LEN}))
+                       || '|' || lpad(CAST(doc_id AS VARCHAR), 8, '0'))
+                   AS rn
+        FROM documents),
+    cand AS (
+        SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+               GREATEST(a.doc_id, b.doc_id) AS doc_b
+        FROM rk a JOIN rk b
+          ON b.rn - a.rn >= 1 AND b.rn - a.rn <= {SNM_WINDOW}),
+    n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    agg AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hit,
+               (SELECT n * (n - 1) // 2 FROM n_docs) AS n_all)
+    SELECT n_true, n_cand, n_hit, n_all,
+           ROUND(CASE WHEN n_true > 0
+                      THEN CAST(n_hit AS DOUBLE) / n_true ELSE 0 END, 6)
+               AS pair_completeness,
+           ROUND(1.0 - CAST(n_cand AS DOUBLE) / n_all, 6)
+               AS reduction_ratio
+    FROM agg
+    """,
+)
+def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X354: blocking-quality evaluation — the two numbers every
+    entity-resolution pipeline reports for its candidate generator
+    (Christen 2012): PAIR COMPLETENESS (recall of the true near-dup
+    pairs inside the candidate set) and REDUCTION RATIO (fraction of
+    the n(n-1)/2 comparisons avoided). Here it certifies
+    dedup_sorted_neighborhood's blocking QUANTITATIVELY: candidates =
+    pairs within {SNM_WINDOW} sort ranks of the SNM key (rebuilt with
+    the same rank-bucket equi-join, no non-equi join at scale); truth
+    = the exact 3-gram Jaccard >= 0.2 pair set (dedup_ngram_jaccard's
+    definition). All four counts are exact BIGINTs; PC and RR are
+    single divisions, rounded 6. The test pins PC = 1.0 on this
+    fixture (the SNM recall claim, now a measured number) and RR near
+    1. At 100 TB the candidate join is the SNM rank-bucket equi-join
+    and truth-set evaluation runs on a SAMPLE in practice — the
+    operator's shape is the audit harness either way."""
+    from ..models.common import encode_sorted_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    keyed = d.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            F.lower(F.substring(F.trim(F.col("text")), 1, SNM_KEY_LEN)),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("sortval"),
+    )
+    ranked = encode_sorted_rank(
+        keyed.select(F.col("sortval").alias("value")), "value", "rn"
+    )
+    rk = keyed.join(ranked, keyed.sortval == ranked.value).select(
+        "doc_id", "rn"
+    )
+    b = rk.select(
+        "doc_id",
+        "rn",
+        F.explode(
+            F.array(
+                F.floor(F.col("rn") / SNM_WINDOW),
+                F.floor(F.col("rn") / SNM_WINDOW) + 1,
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(
+            (F.col("b.rn") - F.col("a.rn") >= 1)
+            & (F.col("b.rn") - F.col("a.rn") <= SNM_WINDOW)
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    n_hit = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    n_all = d.agg(
+        F.expr("COUNT(*) * (COUNT(*) - 1) DIV 2").alias("n_all")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            "n_all",
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_true"),
+                ).otherwise(0.0),
+                6,
+            ).alias("pair_completeness"),
+            F.round(
+                1.0 - F.col("n_cand").cast("double") / F.col("n_all"), 6
+            ).alias("reduction_ratio"),
+        )
+    )

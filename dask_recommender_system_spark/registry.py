@@ -378,6 +378,7 @@ DRIVER_PRIORITY: list[str] = [
     "reorder_point_policy",
     "net_revenue_retention",
     "ranking_rbo_drift",
+    "blocking_quality_eval",
 ]
 
 

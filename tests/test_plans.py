@@ -339,6 +339,7 @@ _NON_EQUI_OK = {
     "expected_calibration_error",  # 1-row bin-total broadcast (X99's shape)
     "reorder_point_policy",  # 1-row week-count broadcast onto parts
     "ranking_rbo_drift",  # 10-row literal depth dim crossJoin (bounded BNLJ)
+    "blocking_quality_eval",  # four 1-row count tables crossJoined
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3521,3 +3522,15 @@ def test_rbo_bounds_and_recompute(spark, sf_dir):
             assert r["rbo"] == 0.0
     # rankings drift but are not independent: some week pair overlaps
     assert any(r["overlap_at_k"] > 0 for r in rows)
+
+
+def test_blocking_quality_certifies_snm(spark, sf_dir):
+    """blocking_quality_eval: the SNM recall claim becomes a measured
+    number — pair completeness 1.0 on the fixture, reduction ratio
+    near 1, counts consistent."""
+    r = q("blocking_quality_eval", spark, sf_dir).collect()[0]
+    assert 0 < r["n_true"] <= r["n_cand"] + r["n_true"]  # sanity
+    assert r["n_hit"] <= min(r["n_true"], r["n_cand"])
+    assert r["n_cand"] < r["n_all"]
+    assert r["pair_completeness"] == 1.0
+    assert r["reduction_ratio"] > 0.9
