@@ -340,6 +340,7 @@ _NON_EQUI_OK = {
     "reorder_point_policy",  # 1-row week-count broadcast onto parts
     "ranking_rbo_drift",  # 10-row literal depth dim crossJoin (bounded BNLJ)
     "blocking_quality_eval",  # four 1-row count tables crossJoined
+    "team_draft_interleaving",  # two 1-row ranker-list tables crossJoined
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
