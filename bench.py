@@ -145,6 +145,23 @@ BENCH_QUERIES = [
     "record_linkage_fs_weights",
     "multimodal_audio_features",
     "stream_join_left_outer",
+    # round-4 session-3 additions (appended — order stable for diffs)
+    "dau_mau_stickiness",
+    "hampel_outlier_filter",
+    "mann_kendall_trend",
+    "bin_pack_next_fit",
+    "multimodal_image_ahash",
+    "multimodal_dup_clusters",
+    "holt_winters_additive",
+    "queue_lindley_wait",
+    "permutation_test_diff",
+    "user_segment_bitmaps",
+    "event_lateness_profile",
+    "price_volume_mix_bridge",
+    "blocking_quality_eval",
+    "ranking_rbo_drift",
+    "funnel_within_window",
+    "growth_accounting_weekly",
 ]
 
 FUNK_EPOCHS = 5
