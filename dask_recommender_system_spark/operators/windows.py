@@ -2603,3 +2603,119 @@ def ranking_rbo_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rbo"
         ),
     ).orderBy("week")
+
+
+ABANDON_GAP_S = 1800  # session gap, same as sessionize (X20)
+
+
+@query(
+    "cart_abandonment_daily",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+        FROM events),
+    g AS (
+        SELECT user_id, event_type, s,
+               CASE WHEN s - LAG(s) OVER (PARTITION BY user_id ORDER BY s)
+                         > {ABANDON_GAP_S}
+                         OR LAG(s) OVER (PARTITION BY user_id ORDER BY s)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+    sid AS (
+        SELECT user_id, event_type, s,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS sess
+        FROM g),
+    per AS (
+        SELECT user_id, sess,
+               MIN(s) AS start_s,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS has_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_purchase
+        FROM sid GROUP BY 1, 2)
+    SELECT CAST(start_s // 86400 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS sessions,
+           CAST(SUM(has_click) AS BIGINT) AS click_sessions,
+           CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS abandoned,
+           ROUND(CASE WHEN SUM(has_click) > 0
+                      THEN CAST(SUM(CASE WHEN has_click = 1
+                                          AND has_purchase = 0
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / SUM(has_click)
+                      ELSE 0 END, 6) AS abandonment_rate
+    FROM per
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X355: daily cart-abandonment rate — of the sessions that showed
+    buying intent (a click), how many ended without a purchase; the
+    conversion-health trend a storefront watches daily, one level up
+    from funnel_conversion (which counts step transitions, not session
+    outcomes). Sessions are the engine's standard 30-min-gap
+    sessionization (user-keyed lag + running sum — the X20 machinery
+    inlined); intent/outcome are per-session MAX flags, the day is the
+    session START day (integer epoch-day), and the rate is one
+    division of exact BIGINT counts, rounded 6. Ties and session
+    boundaries are integer-second comparisons — no tz, no floats.
+    Plan: two user-keyed windows + two keyed rollups; scales as the
+    sessionizer does (the user shuffle dominates)."""
+    from .relational import _utc
+
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("s"),
+    )
+    wu = W.partitionBy("user_id").orderBy("s")
+    sid = (
+        e.withColumn("prev", F.lag("s").over(wu))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (F.col("s") - F.col("prev") > ABANDON_GAP_S)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    per = sid.groupBy("user_id", "sess").agg(
+        F.min("s").alias("start_s"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("has_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    ab = F.when(
+        (F.col("has_click") == 1) & (F.col("has_purchase") == 0), 1
+    ).otherwise(0)
+    return (
+        per.groupBy(
+            F.expr("start_s DIV 86400").cast("long").alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("sessions"),
+            F.sum("has_click").cast("long").alias("click_sessions"),
+            F.sum(ab).cast("long").alias("abandoned"),
+            F.round(
+                F.when(
+                    F.sum("has_click") > 0,
+                    F.sum(ab).cast("double") / F.sum("has_click"),
+                ).otherwise(0.0),
+                6,
+            ).alias("abandonment_rate"),
+        )
+        .orderBy("day")
+    )

@@ -379,6 +379,7 @@ DRIVER_PRIORITY: list[str] = [
     "net_revenue_retention",
     "ranking_rbo_drift",
     "blocking_quality_eval",
+    "cart_abandonment_daily",
 ]
 
 

@@ -3535,3 +3535,21 @@ def test_blocking_quality_certifies_snm(spark, sf_dir):
     assert r["n_cand"] < r["n_all"]
     assert r["pair_completeness"] == 1.0
     assert r["reduction_ratio"] > 0.9
+
+
+def test_abandonment_accounting(spark, sf_dir):
+    """cart_abandonment_daily: abandoned <= click_sessions <= sessions,
+    the rate recomputes, and both outcomes occur on the fixture."""
+    rows = q("cart_abandonment_daily", spark, sf_dir).collect()
+    assert rows
+    some_ab = some_conv = False
+    for r in rows:
+        assert 0 <= r["abandoned"] <= r["click_sessions"] <= r["sessions"]
+        if r["click_sessions"]:
+            assert abs(
+                r["abandonment_rate"]
+                - round(r["abandoned"] / r["click_sessions"], 6)
+            ) < 1e-9
+        some_ab |= r["abandoned"] > 0
+        some_conv |= r["abandoned"] < r["click_sessions"]
+    assert some_ab and some_conv
