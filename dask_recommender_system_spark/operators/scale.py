@@ -595,3 +595,141 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+BLOOM_AUDIT_M = 65536
+
+_H60_KEY = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "(strpos('0123456789abcdef', substr(md5('bf:' || {col}), "
+    "CAST(i + 1 AS INT), 1)) - 1) * [72057594037927936, "
+    "4503599627370496, 281474976710656, 17592186044416, 1099511627776, "
+    "68719476736, 4294967296, 268435456, 16777216, 1048576, 65536, "
+    "4096, 256, 16, 1][i + 1])) AS BIGINT)"
+)
+
+
+@query(
+    "bloom_fpr_audit",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 200000),
+    occ AS (
+        SELECT DISTINCT {_H60_KEY.format(col='k')} % {BLOOM_AUDIT_M} AS b
+        FROM build),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    j AS (
+        SELECT p.k,
+               CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+               CASE WHEN o.b IS NOT NULL THEN 1 ELSE 0 END AS passed
+        FROM probe p
+        LEFT JOIN build b ON b.k = p.k
+        LEFT JOIN occ o
+          ON o.b = {_H60_KEY.format(col='p.k')} % {BLOOM_AUDIT_M})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(is_true) AS BIGINT) AS n_true,
+           CAST(SUM(passed) AS BIGINT) AS n_passed,
+           CAST(SUM(CASE WHEN passed = 1 AND is_true = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN passed = 0 AND is_true = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM occ) AS n_occupied,
+           ROUND(CAST(SUM(CASE WHEN passed = 1 AND is_true = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - SUM(is_true)), 6) AS measured_fpr,
+           ROUND(CAST((SELECT COUNT(*) FROM occ) AS DOUBLE)
+                 / {BLOOM_AUDIT_M}, 6) AS occupancy
+    FROM j
+    """,
+)
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X356: bloom-filter false-positive audit — the measurement that
+    sizes the X65 structure (join_bloom_pruned treats precision as a
+    cost knob; this op MEASURES the knob): build a single-hash bloom
+    over the selective orders subset (bucket = md5-h60(key) mod
+    {BLOOM_AUDIT_M} — portable, unlike xxhash64, so the oracle rebuilds
+    the identical filter), probe every distinct lineitem key, and
+    report measured FPR against the occupancy (for a single-hash bloom
+    the theoretical FPR IS the occupancy — the test pins |measured -
+    occupancy| small, and ZERO false negatives, the bloom contract).
+    All counts exact BIGINT from keyed joins (probe keys against the
+    build set and the broadcast-sized occupied-bucket set); the two
+    ratios are single divisions, rounded 6. At 100 TB this audit runs
+    at the cost of one probe-side scan — the operational answer to
+    'is M big enough for this build side'."""
+    from .dedup import h60_spark
+    from .relational import _utc
+
+    _utc(spark)
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > 200000)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    hb = lambda c: F.pmod(  # noqa: E731
+        h60_spark(F.concat(F.lit("bf:"), c.cast("string"))),
+        F.lit(BLOOM_AUDIT_M),
+    )
+    occ = build.select(hb(F.col("k")).alias("b")).distinct()
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    j = (
+        probe.join(
+            build.withColumn("is_true", F.lit(1)), "k", "left"
+        )
+        .withColumn("b", hb(F.col("k")))
+        .join(
+            F.broadcast(occ.withColumn("passed", F.lit(1))), "b", "left"
+        )
+        .select(
+            F.coalesce("is_true", F.lit(0)).alias("is_true"),
+            F.coalesce("passed", F.lit(0)).alias("passed"),
+        )
+    )
+    n_occ = occ.agg(F.count("*").cast("long").alias("n_occupied"))
+    return (
+        j.agg(
+            F.count("*").cast("long").alias("n_probe"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.sum("passed").cast("long").alias("n_passed"),
+            F.sum(
+                F.when(
+                    (F.col("passed") == 1) & (F.col("is_true") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum(
+                F.when(
+                    (F.col("passed") == 0) & (F.col("is_true") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_neg"),
+        )
+        .crossJoin(F.broadcast(n_occ))
+        .select(
+            "n_probe",
+            "n_true",
+            "n_passed",
+            "n_false_pos",
+            "n_false_neg",
+            "n_occupied",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probe") - F.col("n_true")),
+                6,
+            ).alias("measured_fpr"),
+            F.round(
+                F.col("n_occupied").cast("double") / BLOOM_AUDIT_M, 6
+            ).alias("occupancy"),
+        )
+    )

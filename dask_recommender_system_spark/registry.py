@@ -380,6 +380,7 @@ DRIVER_PRIORITY: list[str] = [
     "ranking_rbo_drift",
     "blocking_quality_eval",
     "cart_abandonment_daily",
+    "bloom_fpr_audit",
 ]
 
 

@@ -341,6 +341,7 @@ _NON_EQUI_OK = {
     "ranking_rbo_drift",  # 10-row literal depth dim crossJoin (bounded BNLJ)
     "blocking_quality_eval",  # four 1-row count tables crossJoined
     "team_draft_interleaving",  # two 1-row ranker-list tables crossJoined
+    "bloom_fpr_audit",  # 1-row occupied-count broadcast onto the audit row
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3553,3 +3554,16 @@ def test_abandonment_accounting(spark, sf_dir):
         some_ab |= r["abandoned"] > 0
         some_conv |= r["abandoned"] < r["click_sessions"]
     assert some_ab and some_conv
+
+
+def test_bloom_audit_contract(spark, sf_dir):
+    """bloom_fpr_audit: zero false negatives (the bloom contract),
+    passed = true + false positives, measured FPR tracks occupancy
+    (single-hash theory) within sampling noise."""
+    r = q("bloom_fpr_audit", spark, sf_dir).collect()[0]
+    assert r["n_false_neg"] == 0
+    assert r["n_passed"] == r["n_true"] + r["n_false_pos"]
+    assert 0 < r["n_true"] < r["n_probe"]
+    assert abs(r["measured_fpr"] - r["occupancy"]) < max(
+        0.05, 3 * (r["occupancy"] / max(r["n_probe"], 1)) ** 0.5
+    )
