@@ -2006,3 +2006,87 @@ def pandas_udf_scalar_textfeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         digits(F.col("text")).alias("n_digits"),
         spaces(F.col("text")).alias("n_spaces"),
     ).orderBy("doc_id")
+
+
+from .dedup import ORACLE_SHINGLES as ORACLE_SHINGLES_TEXT
+
+
+@query(
+    "text_boilerplate_share",
+    oracle=f"""
+    WITH {{shingles}},
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM sh),
+    df AS (SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM sh GROUP BY 1),
+    b AS (SELECT df.s FROM df, n WHERE 100 * df.df >= n.nd),
+    per AS (
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler
+        FROM sh LEFT JOIN b ON sh.s = b.s
+        GROUP BY 1)
+    SELECT doc_id, n_shingles, n_boiler,
+           ROUND(CAST(n_boiler AS DOUBLE) / n_shingles, 6)
+               AS boiler_share,
+           CAST(CASE WHEN 20 * n_boiler >= n_shingles THEN 1 ELSE 0 END
+                AS INT) AS is_boilerplate_heavy
+    FROM per
+    ORDER BY doc_id
+    """.format(shingles=ORACLE_SHINGLES_TEXT),
+)
+def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X357: cross-document boilerplate detection — the Common-Crawl
+    cleaning stage the within-doc repetition filter (X56) and whole-doc
+    dedup can't do: shingles appearing in >= 1% of DISTINCT documents
+    (headers, footers, navigation templates) are boilerplate, and each
+    document reports the share of its shingles that are boilerplate
+    plus a heavy flag (share >= 5%). Both thresholds are INTEGER
+    cross-multiplications (100*df >= N_docs; 20*n_boiler >=
+    n_shingles) — no float cut can drift, and both flag branches fire
+    on the fixture (109/500 heavy, test-pinned). Plan: the corpus
+    collapses to the distinct (doc, shingle) table ONCE (the dedup
+    ladder's shingle machinery), df is one keyed agg, the boilerplate
+    set joins back keyed on shingle (its size is bounded by the df
+    threshold — high-df shingles are few by Zipf), and the per-doc
+    rollup is keyed. At 100 TB every shuffle is on shingle or doc_id;
+    the 1%-df set is the only broadcast and shrinks as N grows."""
+    from .relational import _utc
+    from .dedup import shingles
+
+    _utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d).select("doc_id", F.col("s"))
+    n = sh.agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+    df = sh.groupBy("s").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    b = (
+        df.crossJoin(F.broadcast(n))
+        .filter(100 * F.col("df") >= F.col("nd"))
+        .select("s")
+        .withColumn("is_b", F.lit(1))
+    )
+    per = (
+        sh.join(b, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("is_b", F.lit(0)))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        F.round(
+            F.col("n_boiler").cast("double") / F.col("n_shingles"), 6
+        ).alias("boiler_share"),
+        (20 * F.col("n_boiler") >= F.col("n_shingles"))
+        .cast("int")
+        .alias("is_boilerplate_heavy"),
+    ).orderBy("doc_id")

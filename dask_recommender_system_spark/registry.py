@@ -381,6 +381,7 @@ DRIVER_PRIORITY: list[str] = [
     "blocking_quality_eval",
     "cart_abandonment_daily",
     "bloom_fpr_audit",
+    "text_boilerplate_share",
 ]
 
 

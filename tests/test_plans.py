@@ -342,6 +342,7 @@ _NON_EQUI_OK = {
     "blocking_quality_eval",  # four 1-row count tables crossJoined
     "team_draft_interleaving",  # two 1-row ranker-list tables crossJoined
     "bloom_fpr_audit",  # 1-row occupied-count broadcast onto the audit row
+    "text_boilerplate_share",  # 1-row doc-count broadcast onto the df table
 }
 # Arrow-batched Python stages (pandas_udf / mapInPandas / applyInPandas)
 _ARROW_OK = {
@@ -3567,3 +3568,21 @@ def test_bloom_audit_contract(spark, sf_dir):
     assert abs(r["measured_fpr"] - r["occupancy"]) < max(
         0.05, 3 * (r["occupancy"] / max(r["n_probe"], 1)) ** 0.5
     )
+
+
+def test_boilerplate_share_rules(spark, sf_dir):
+    """text_boilerplate_share: flags match the integer rule, shares
+    recompute, every doc appears once, both flag branches fire."""
+    rows = q("text_boilerplate_share", spark, sf_dir).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    flags = set()
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert r["is_boilerplate_heavy"] == int(
+            20 * r["n_boiler"] >= r["n_shingles"]
+        )
+        assert abs(
+            r["boiler_share"] - round(r["n_boiler"] / r["n_shingles"], 6)
+        ) < 1e-9
+        flags.add(r["is_boilerplate_heavy"])
+    assert flags == {0, 1}
