@@ -382,6 +382,7 @@ DRIVER_PRIORITY: list[str] = [
     "cart_abandonment_daily",
     "bloom_fpr_audit",
     "text_boilerplate_share",
+    "stream_cart_abandonment",
 ]
 
 

@@ -332,3 +332,92 @@ def apply_lindley(items: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SO_OUTPUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, start_s long, "
+    "end_s long, has_click int, has_purchase int"
+)
+SO_STATE_SCHEMA = (
+    "last_s long, session_id long, n_events long, start_s long, "
+    "has_click int, has_purchase int"
+)
+_SO_COLUMNS = [
+    "user_id", "session_id", "n_events", "start_s", "end_s",
+    "has_click", "has_purchase",
+]
+
+
+def sessionize_outcomes_with_state(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Sessionization carrying per-session OUTCOME flags (click intent,
+    purchase conversion) in state — the cart-abandonment deployment of
+    the sessionize kernel: same gap/timer mechanics, two extra ints of
+    state."""
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        last_s, session_id, n_events, start_s, hc, hp = state.get
+        state.remove()
+        rows = (
+            [(user_id, session_id, n_events, start_s, last_s, hc, hp)]
+            if n_events > 0
+            else []
+        )
+        yield pd.DataFrame(rows, columns=_SO_COLUMNS)
+        return
+
+    if state.exists:
+        last_s, session_id, n_events, start_s, hc, hp = state.get
+    else:
+        last_s, session_id, n_events, start_s, hc, hp = (
+            -(10**18), 0, 0, 0, 0, 0,
+        )
+
+    out: list[tuple[int, int, int, int, int, int, int]] = []
+    for pdf in pdfs:
+        recs = sorted(
+            zip(
+                (int(t) for t in pdf["ts_s"]),
+                pdf["event_type"],
+            )
+        )
+        for ts, etype in recs:
+            if ts - last_s > SESSION_GAP_S:
+                if n_events > 0:
+                    out.append(
+                        (user_id, session_id, n_events, start_s, last_s,
+                         hc, hp)
+                    )
+                    session_id += 1
+                n_events, start_s, hc, hp = 0, ts, 0, 0
+            n_events += 1
+            last_s = ts
+            if etype == "click":
+                hc = 1
+            elif etype == "purchase":
+                hp = 1
+    state.update((last_s, session_id, n_events, start_s, hc, hp))
+    target_ms = (last_s + SESSION_GAP_S) * 1000
+    state.setTimeoutTimestamp(
+        max(target_ms, state.getCurrentWatermarkMs() + 1)
+    )
+    yield pd.DataFrame(out, columns=_SO_COLUMNS)
+
+
+def apply_sessionization_outcomes(
+    events_with_epoch: DataFrame, delay: str = WATERMARK_DELAY
+) -> DataFrame:
+    """events_with_epoch: streaming frame with (user_id long, ts_s long,
+    event_type string)."""
+    ev = events_with_epoch.withColumn(
+        "ts", F.timestamp_seconds("ts_s")
+    ).withWatermark("ts", delay)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        sessionize_outcomes_with_state,
+        outputStructType=SO_OUTPUT_SCHEMA,
+        stateStructType=SO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1729,3 +1729,114 @@ def stream_queue_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("nation", "arr_s", "orderkey")
+
+
+@query(
+    "stream_cart_abandonment",
+    # Sealed-session closed form: identical to stream_sessionize's (a
+    # user's final session stays in state iff end_s >= max_t - 3600),
+    # then the batch abandonment rollup runs over exactly the sealed
+    # set — full value verdict for a flagged-session stateful operator.
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+               FROM events),
+    g AS (
+        SELECT user_id, event_type, t,
+               CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                        > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+    s AS (
+        SELECT user_id, event_type, t,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM g),
+    sess AS (
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               MIN(t) AS start_s, MAX(t) AS end_s,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS has_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_purchase
+        FROM s GROUP BY user_id, sid),
+    m AS (SELECT MAX(t) AS max_t FROM e),
+    last AS (SELECT user_id, MAX(session_id) AS last_sid
+             FROM sess GROUP BY user_id),
+    sealed AS (
+        SELECT sess.* FROM sess
+        JOIN last ON sess.user_id = last.user_id CROSS JOIN m
+        WHERE sess.session_id < last.last_sid
+           OR sess.end_s < m.max_t - 3600)
+    SELECT CAST(start_s // 86400 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS sessions,
+           CAST(SUM(has_click) AS BIGINT) AS click_sessions,
+           CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS abandoned,
+           ROUND(CASE WHEN SUM(has_click) > 0
+                      THEN CAST(SUM(CASE WHEN has_click = 1
+                                          AND has_purchase = 0
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / SUM(has_click)
+                      ELSE 0 END, 6) AS abandonment_rate
+    FROM sealed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X358: the STREAMING twin of cart_abandonment_daily — live
+    conversion health from CLOSED sessions: the sessionize stateful
+    kernel extended with two outcome bits of state (click intent,
+    purchase) emits one flagged row per sealed session
+    (streaming/stateful.py:apply_sessionization_outcomes), and the
+    daily abandonment rollup runs as a batch post-pass over the
+    drained output. The sealed-session set has stream_sessionize's
+    closed form (a user's final session survives in state iff its end
+    is within 3600s of the final watermark anchor), so the whole
+    pipeline — custom stateful operator INCLUDING its flag logic plus
+    the rollup — gets a full value verdict against the batch oracle.
+    State per user: six longs/ints. At 100 TB the event-time timer
+    bounds state to watermark-active users."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .stateful import apply_sessionization_outcomes
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_type",
+    )
+    out = apply_sessionization_outcomes(ev)
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sess = spark.table(name)
+    ab = F.when(
+        (F.col("has_click") == 1) & (F.col("has_purchase") == 0), 1
+    ).otherwise(0)
+    return (
+        sess.groupBy(
+            F.expr("start_s DIV 86400").cast("long").alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("sessions"),
+            F.sum("has_click").cast("long").alias("click_sessions"),
+            F.sum(ab).cast("long").alias("abandoned"),
+            F.round(
+                F.when(
+                    F.sum("has_click") > 0,
+                    F.sum(ab).cast("double") / F.sum("has_click"),
+                ).otherwise(0.0),
+                6,
+            ).alias("abandonment_rate"),
+        )
+        .orderBy("day")
+    )

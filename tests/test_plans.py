@@ -3586,3 +3586,30 @@ def test_boilerplate_share_rules(spark, sf_dir):
         ) < 1e-9
         flags.add(r["is_boilerplate_heavy"])
     assert flags == {0, 1}
+
+
+def test_stream_abandonment_vs_batch(spark, sf_dir):
+    """stream_cart_abandonment: sealed-day counts never exceed the batch
+    (all-sessions) counts, agree exactly on days where every session
+    sealed, and the per-day rate recomputes."""
+    batch = {
+        r["day"]: (r["sessions"], r["click_sessions"], r["abandoned"])
+        for r in q("cart_abandonment_daily", spark, sf_dir).collect()
+    }
+    rows = q("stream_cart_abandonment", spark, sf_dir).collect()
+    assert rows
+    exact_days = 0
+    for r in rows:
+        b = batch[r["day"]]
+        assert r["sessions"] <= b[0]
+        assert r["click_sessions"] <= b[1]
+        assert r["abandoned"] <= b[2]
+        if (r["sessions"], r["click_sessions"], r["abandoned"]) == b:
+            exact_days += 1
+        if r["click_sessions"]:
+            assert abs(
+                r["abandonment_rate"]
+                - round(r["abandoned"] / r["click_sessions"], 6)
+            ) < 1e-9
+    # only sessions open at the stream tail are withheld: most days exact
+    assert exact_days >= len(rows) - 2
