@@ -2836,3 +2836,47 @@ def sql_interface_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "supplier"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(TPCH_Q15)
+
+
+@query(
+    "sink_jsonl_gzip",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents
+    FROM customer GROUP BY 1
+    """,
+)
+def sink_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X359: gzip-compressed JSONL sink + read-back — the interchange
+    format the reference's own prep step consumed (json-to-csv.py reads
+    JSONL; this is the WRITE side, S3/S2's missing twin), compressed
+    the way export feeds actually ship. The aggregate is written with
+    ``.write.option("compression", "gzip").json(path)``, read back
+    through the schema-explicit JSONL scanner, and value-checked
+    against the direct oracle — pinning that the text round trip loses
+    nothing. Exactness discipline: the sunk values are BIGINTs (exact
+    integer cents), so JSON text serialization is lossless by
+    construction — no double ever crosses the text boundary. At
+    100 TB: gzip JSONL is splittable per FILE, not per block, so the
+    writer controls read parallelism via files written (partition
+    count) — documented as the operational knob; parquet remains the
+    analytics-native sink (S6), this is the EXPORT path."""
+    _utc(spark)
+    agg = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_acctbal_cents"),
+        )
+    )
+    path = f"{IO_DIR}/seg_jsonl_gz"
+    agg.write.mode("overwrite").option("compression", "gzip").json(path)
+    schema = (
+        "segment string, n_customers long, sum_acctbal_cents long"
+    )
+    return spark.read.schema(schema).json(path)

@@ -383,6 +383,7 @@ DRIVER_PRIORITY: list[str] = [
     "bloom_fpr_audit",
     "text_boilerplate_share",
     "stream_cart_abandonment",
+    "sink_jsonl_gzip",
 ]
 
 

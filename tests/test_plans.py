@@ -3613,3 +3613,22 @@ def test_stream_abandonment_vs_batch(spark, sf_dir):
             ) < 1e-9
     # only sessions open at the stream tail are withheld: most days exact
     assert exact_days >= len(rows) - 2
+
+
+def test_sink_jsonl_gzip_roundtrip(spark, sf_dir):
+    """sink_jsonl_gzip: files are gzip-compressed on disk, the round
+    trip is idempotent (second run overwrites cleanly), and values are
+    integers end-to-end."""
+    import glob
+
+    from dask_recommender_system_spark.operators.relational import IO_DIR
+
+    first = {
+        tuple(r) for r in q("sink_jsonl_gzip", spark, sf_dir).collect()
+    }
+    second = {
+        tuple(r) for r in q("sink_jsonl_gzip", spark, sf_dir).collect()
+    }
+    assert first == second and first
+    files = glob.glob(f"{IO_DIR}/seg_jsonl_gz/part-*")
+    assert files and all(f.endswith(".gz") for f in files)
