@@ -418,130 +418,175 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(clips).orderBy("doc_id")
 
 
-AHASH_T = 2  # max Hamming distance for a near-dup pair
+AHASH_T = 2  # max Hamming distance (of 64 bits) for a near-dup pair
 
-# 16-bit weights, MSB first
-_AHASH_W = [1 << (15 - i) for i in range(16)]
+# The 64-bit hash's 4 x 16-bit band CTEs, shared verbatim by the
+# multimodal_image_ahash oracle and the multimodal_dup_clusters oracle
+# (which clusters the same pair set).
+_AHASH_SQL = f"""
+    cc AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(wd), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(wd), 2, 1)) - 1))
+                   % 64 AS cell,
+               COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS wd
+              FROM documents)
+        GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS total FROM cc GROUP BY 1),
+    hw AS (
+        SELECT cc.doc_id,
+               CAST(COALESCE(SUM(CASE WHEN cell // 16 = 0 AND 64 * c > total
+                   THEN 1 << (15 - CAST(cell % 16 AS INT)) END), 0)
+                   AS BIGINT) AS b0,
+               CAST(COALESCE(SUM(CASE WHEN cell // 16 = 1 AND 64 * c > total
+                   THEN 1 << (15 - CAST(cell % 16 AS INT)) END), 0)
+                   AS BIGINT) AS b1,
+               CAST(COALESCE(SUM(CASE WHEN cell // 16 = 2 AND 64 * c > total
+                   THEN 1 << (15 - CAST(cell % 16 AS INT)) END), 0)
+                   AS BIGINT) AS b2,
+               CAST(COALESCE(SUM(CASE WHEN cell // 16 = 3 AND 64 * c > total
+                   THEN 1 << (15 - CAST(cell % 16 AS INT)) END), 0)
+                   AS BIGINT) AS b3
+        FROM cc JOIN tot USING (doc_id)
+        GROUP BY cc.doc_id),
+    hx AS (
+        SELECT doc_id,
+               printf('%04x', b0) || printf('%04x', b1)
+               || printf('%04x', b2) || printf('%04x', b3) AS hash,
+               b0, b1, b2, b3
+        FROM hw),
+    hl AS (          SELECT doc_id, 0 AS band_idx, b0 AS bv FROM hx
+           UNION ALL SELECT doc_id, 1, b1 FROM hx
+           UNION ALL SELECT doc_id, 2, b2 FROM hx
+           UNION ALL SELECT doc_id, 3, b3 FROM hx),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM hl a JOIN hl b
+          ON a.band_idx = b.band_idx AND a.bv = b.bv
+         AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b, ha.hash AS hash_a, hb.hash AS hash_b,
+               CAST(bit_count(xor(ha.b0, hb.b0))
+                    + bit_count(xor(ha.b1, hb.b1))
+                    + bit_count(xor(ha.b2, hb.b2))
+                    + bit_count(xor(ha.b3, hb.b3)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN hx ha ON ha.doc_id = c.doc_a
+        JOIN hx hb ON hb.doc_id = c.doc_b
+        WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+              + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+              <= {AHASH_T})
+"""
 
 
 @query(
     "multimodal_image_ahash",
-    # Oracle recomputes the perceptual hash from the payload bytes (the
-    # multimodal_decode technique), then finds near-dup pairs the naive-
-    # but-banded way: three band equi-joins UNIONed (never an OR-join,
-    # which would nested-loop at sf0.1), exact popcount verify on the
-    # XOR. The bit rule is the INTEGER compare 16*px > sum(px) — no
-    # float mean anywhere, so the hash is engine-exact by construction.
+    # Oracle recomputes the 64-bit perceptual hash from the text-defined
+    # pixel grid (word-count sketch: cell = first md5 byte of the word
+    # mod 64), bands it 4 x 16 bits, joins candidates on the composite
+    # (band_idx, band_value) key, popcount-verifies. The bit rule is the
+    # INTEGER compare 64*c > total — no float mean anywhere, so the hash
+    # is engine-exact by construction.
     oracle=f"""
-    WITH b AS (
-        SELECT doc_id,
-               [ (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1)
-                 * 16
-                 + (strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)
-                 FOR i IN range(16) ] AS px
-        FROM documents),
-    h AS (
-        SELECT doc_id,
-               CAST(list_sum(
-                   [ CASE WHEN 16 * px[gi + 1] > list_sum(px)
-                          THEN {_AHASH_W} [gi + 1] ELSE 0 END
-                     FOR gi IN range(16) ]) AS BIGINT) AS ahash
-        FROM b),
-    cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM h a JOIN h b
-          ON a.ahash // 1024 = b.ahash // 1024 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id
-        FROM h a JOIN h b
-          ON (a.ahash // 32) % 32 = (b.ahash // 32) % 32
-         AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id
-        FROM h a JOIN h b
-          ON a.ahash % 32 = b.ahash % 32 AND a.doc_id < b.doc_id)
-    SELECT c.doc_a, c.doc_b,
-           ha.ahash AS hash_a, hb.ahash AS hash_b,
-           CAST(bit_count(xor(ha.ahash, hb.ahash)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN h ha ON ha.doc_id = c.doc_a
-    JOIN h hb ON hb.doc_id = c.doc_b
-    WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {AHASH_T}
-    ORDER BY c.doc_a, c.doc_b
+    WITH {_AHASH_SQL}
+    SELECT doc_a, doc_b, hash_a, hash_b, hamming
+    FROM pairs
+    ORDER BY doc_a, doc_b
     """,
 )
 def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X323: perceptual average-hash near-duplicate detection over the
     image payload column — the IMAGE member of the dedup ladder
-    (dedup_simhash_verified's move, one modality over): aHash bit i =
-    [pixel_i > mean], hashes within Hamming distance {AHASH_T} are
-    near-dups. Two determinism moves make this value-exact: (1) the
-    mean compare is the INTEGER cross-multiplication 16*px_i > sum(px)
-    — no float mean can straddle an ULP; (2) candidates come from
-    3-band LSH on the 16-bit hash (6/5/5 bits — pigeonhole: any pair
-    within distance 2 has its differing bits in at most 2 bands, so
-    some band matches EXACTLY; 3 bands > {AHASH_T} errors is the
-    banding guarantee), then the exact popcount on the XOR verifies —
-    recall is structurally total, proven by hash-equality with the
-    oracle's pair set. Plan: hash built in one narrow JVM pass over the
-    payload bytes (md5-hex arithmetic, no UDF), three band equi-joins
-    (keyed, bucket-bounded) + union-distinct + two hash-joins back for
-    the verify. At 100 TB: band buckets bound pair work exactly as in
-    text MinHash; a real deployment swaps the byte source for decoded
-    thumbnails and keeps every plan edge."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "hx", F.md5("text")
+    (dedup_simhash_verified's move, one modality over), on the standard
+    64-bit (8x8) aHash: bit i = [pixel_i > mean], hashes within Hamming
+    distance {AHASH_T} are near-dups. The synthetic 8x8 "thumbnail" is a
+    64-cell word-count sketch of the document text (cell = first md5
+    byte of the word mod 64, pixel = cell count), so near-duplicate
+    TEXTS produce near-equal thumbnails — the synthetic payload models
+    the property real decoded thumbnails have, and every pixel is
+    SQL-recomputable. Determinism: the mean compare is the INTEGER
+    cross-multiplication 64*c_i > total (no float mean can straddle an
+    ULP). Scale: candidates come from 4-band LSH with 16-BIT band keys
+    — the band-key domain is 2^16 per band and grows with the signature
+    (vs the 5-6-bit bands this replaced, whose 32-64-value domains made
+    pair work Theta(N^2/64) at any corpus size); pigeonhole over 4
+    bands guarantees total recall for pairs within 3 errors >= the
+    threshold {AHASH_T}, then the exact popcount on the banded XOR
+    verifies — recall proven by hash-equality with the oracle's pair
+    set. Plan: sketch = one explode + keyed count agg (shuffle on
+    doc_id, the same key every downstream stage reuses), bands as one
+    conditional-sum agg, ONE composite-key equi-join on (band_idx,
+    band_value) for candidates + two hash-joins back for the verify.
+    At 100 TB: band buckets bound pair work exactly as in text MinHash;
+    a real deployment swaps the word sketch for decoded thumbnails and
+    keeps every plan edge."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("wd"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("wd"), 1, 2), 16, 10).cast("long")
+                % 64
+            ).alias("cell"),
+        )
+        .groupBy("doc_id", "cell")
+        .agg(F.count("*").alias("c"))
     )
-    # materialize the 16 pixel bytes and their sum as NAMED columns so
-    # the bit expressions below reference them instead of inlining the
-    # conv/md5 subtree 16x (keeps the codegen'd task binary small)
-    pxd = d.select(
+    tot = cells.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    wrow = cells.join(tot, "doc_id").select(
         "doc_id",
-        *[
-            F.conv(F.substring("hx", 2 * i + 1, 2), 16, 10)
-            .cast("long")
-            .alias(f"px{i}")
-            for i in range(16)
-        ],
-    ).withColumn(
-        "total", sum(F.col(f"px{i}") for i in range(16)).cast("long")
+        F.expr("int(cell DIV 16)").alias("band_idx"),
+        F.when(
+            F.col("c") * 64 > F.col("total"),
+            F.expr("shiftleft(bigint(1), 15 - int(cell % 16))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("w"),
     )
-    ahash = F.lit(0)
-    for i in range(16):
-        ahash = ahash + F.when(
-            F.col(f"px{i}") * 16 > F.col("total"), F.lit(_AHASH_W[i])
-        ).otherwise(0)
-    h = pxd.select("doc_id", ahash.cast("long").alias("ahash"))
-
-    def band_pairs(expr: str) -> DataFrame:
-        a = h.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("ahash").alias("hash_a"),
-            F.expr(expr.format(c="ahash")).alias("band"),
-        )
-        b = h.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("ahash").alias("hash_b"),
-            F.expr(expr.format(c="ahash")).alias("band"),
-        )
-        return a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-
+    h = wrow.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("band_idx") == b, F.col("w"))), F.lit(0))
+            .cast("long")
+            .alias(f"b{b}")
+            for b in range(4)
+        ]
+    )
+    hx = h.withColumn(
+        "hash",
+        F.concat(
+            *[F.lpad(F.lower(F.hex(F.col(f"b{b}"))), 4, "0") for b in range(4)]
+        ),
+    )
+    stack = "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band_idx, bv)"
+    la = hx.selectExpr("doc_id as doc_a", stack)
+    lb = hx.selectExpr("doc_id as doc_b", stack)
     cand = (
-        band_pairs("{c} DIV 1024")
-        .unionAll(band_pairs("({c} DIV 32) % 32"))
-        .unionAll(band_pairs("{c} % 32"))
+        la.join(lb, ["band_idx", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    ha = h.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("hash_a"))
-    hb = h.select(F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hash_b"))
+    ha = hx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash").alias("hash_a"),
+        *[F.col(f"b{b}").alias(f"xa{b}") for b in range(4)],
+    )
+    hb = hx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash").alias("hash_b"),
+        *[F.col(f"b{b}").alias(f"xb{b}") for b in range(4)],
+    )
     return (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .withColumn(
             "hamming",
-            F.expr("bit_count(hash_a ^ hash_b)").cast("long"),
+            sum(
+                F.expr(f"bit_count(xa{b} ^ xb{b})") for b in range(4)
+            ).cast("long"),
         )
         .filter(F.col("hamming") <= AHASH_T)
         .select("doc_a", "doc_b", "hash_a", "hash_b", "hamming")
@@ -552,39 +597,7 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE b AS (
-        SELECT doc_id,
-               [ (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1)
-                 * 16
-                 + (strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1)
-                 FOR i IN range(16) ] AS px
-        FROM documents),
-    h AS (
-        SELECT doc_id,
-               CAST(list_sum(
-                   [ CASE WHEN 16 * px[gi + 1] > list_sum(px)
-                          THEN {_AHASH_W} [gi + 1] ELSE 0 END
-                     FOR gi IN range(16) ]) AS BIGINT) AS ahash
-        FROM b),
-    cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM h a JOIN h b
-          ON a.ahash // 1024 = b.ahash // 1024 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id
-        FROM h a JOIN h b
-          ON (a.ahash // 32) % 32 = (b.ahash // 32) % 32
-         AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id
-        FROM h a JOIN h b
-          ON a.ahash % 32 = b.ahash % 32 AND a.doc_id < b.doc_id),
-    pairs AS (
-        SELECT c.doc_a, c.doc_b
-        FROM cand c
-        JOIN h ha ON ha.doc_id = c.doc_a
-        JOIN h hb ON hb.doc_id = c.doc_b
-        WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {AHASH_T}),
+    WITH RECURSIVE {_AHASH_SQL},
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION ALL
               SELECT doc_b, doc_a FROM pairs),

@@ -2767,26 +2767,28 @@ def test_bin_pack_next_fit_invariants(spark, sf_dir):
 
 def test_image_ahash_banding_recall(spark, sf_dir):
     """multimodal_image_ahash: every emitted pair is within the Hamming
-    threshold, pairs are canonical (a < b, unique), and the 3-band
-    candidate generation has TOTAL recall — verified by recomputing the
-    exact pair set from the per-doc hashes in-process."""
+    threshold, pairs are canonical (a < b, unique), the hex hash matches
+    the popcount, and the 4x16-bit band candidate generation has TOTAL
+    recall — verified by recomputing the exact pair set from the 64-bit
+    word-sketch hashes in-process. Also asserts the structural scale
+    fix: the observed band-key values exceed the old 64-value domain."""
     from dask_recommender_system_spark.operators.multimodal import AHASH_T
 
     df = q("multimodal_image_ahash", spark, sf_dir)
     rows = df.collect()
     assert rows
     seen = set()
-    hashes = {}
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         key = (r["doc_a"], r["doc_b"])
         assert key not in seen
         seen.add(key)
-        assert bin(r["hash_a"] ^ r["hash_b"]).count("1") == r["hamming"]
+        ha, hb = int(r["hash_a"], 16), int(r["hash_b"], 16)
+        assert len(r["hash_a"]) == 16 and len(r["hash_b"]) == 16
+        assert bin(ha ^ hb).count("1") == r["hamming"]
         assert r["hamming"] <= AHASH_T
-        hashes[r["doc_a"]] = r["hash_a"]
-        hashes[r["doc_b"]] = r["hash_b"]
-    # total recall: brute-force the full pair set from all doc hashes
+    # total recall: brute-force the full pair set from the word-sketch
+    # hashes recomputed in-process
     import hashlib
     import itertools
 
@@ -2794,22 +2796,32 @@ def test_image_ahash_banding_recall(spark, sf_dir):
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     all_h = []
+    band_values = set()
     for doc_id, text in zip(
         t.column("doc_id").to_pylist(), t.column("text").to_pylist()
     ):
-        px = hashlib.md5(text.encode()).digest()
-        total = sum(px)
+        words = text.split(" ")
+        counts = [0] * 64
+        for w in words:
+            cell = int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % 64
+            counts[cell] += 1
+        total = len(words)
         h = 0
-        for i, b in enumerate(px):
-            if 16 * b > total:
-                h |= 1 << (15 - i)
+        for i, c in enumerate(counts):
+            if 64 * c > total:
+                h |= 1 << (63 - i)
         all_h.append((doc_id, h))
+        for b in range(4):
+            band_values.add((b, (h >> (48 - 16 * b)) & 0xFFFF))
     brute = {
         (a_id, b_id)
         for (a_id, ah), (b_id, bh) in itertools.combinations(sorted(all_h), 2)
         if bin(ah ^ bh).count("1") <= AHASH_T
     }
     assert brute == seen
+    # the old 16-bit hash banded 6/5/5 bits -> at most 64 distinct band
+    # keys; the 16-bit bands must produce values past that cap
+    assert max(v for _, v in band_values) > 64
 
 
 def test_hampel_filter_invariants(spark, sf_dir):
