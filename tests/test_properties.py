@@ -111,19 +111,25 @@ def test_minhash_planted_duplicates(spark, tmp_path):
 
 
 def test_simhash_planted_near_duplicates(spark, tmp_path):
-    """A one-token edit of a long doc stays within hamming ≤ 12; disjoint
-    vocab docs never pair."""
-    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).split()
+    """A one-token edit of a high-vocabulary doc lands at Hamming 3 of
+    120 — the exact boundary of the 4x30-bit-key pigeonhole guarantee
+    (<= 3 differing bits leave >= 1 clean key; this fixture dirties 3 of
+    the 4 keys, so the one guaranteed-clean key is doing the work) —
+    and must be emitted; disjoint-vocab docs never pair."""
+    from dask_recommender_system_spark.operators.dedup import SIMHASH_T
+
+    base = [f"word{i:03d}" for i in range(400)]
     edited = list(base)
-    edited[7] = "MUTATED"
+    edited[4] = "MUTATED"
     docs = [" ".join(base), " ".join(edited),
-            "uno dos tres cuatro cinco seis siete ocho nueve diez " * 6]
+            " ".join(f"zzz{i:03d}" for i in range(400))]
     d = _write_docs(spark, tmp_path, docs)
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in REGISTRY["dedup_simhash"].fn(spark, d).collect()
     }
-    assert (0, 1) in got and got[(0, 1)] <= 12
+    assert got.get((0, 1)) == 3
+    assert 3 <= SIMHASH_T
     assert (0, 2) not in got and (1, 2) not in got
 
 
