@@ -23,10 +23,25 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship (SURVEY.md §7.1 milestone 0): sf0.001 interactions →
     dedup-keep-last → encode → MLlib ALS fit → per-user top-5
     recommendations (X5), exercising S4, D2, A1-A4, J1 and the blocked-ALS
-    training path in one pipe."""
-    from dask_recommender_system_spark.models.queries import mllib_als_recommend
+    training path in one pipe. Serves the RAW top-k rows; the registered
+    `mllib_als_recommend` query emits the oracle-checkable per-user
+    contract audit over the same model."""
+    from dask_recommender_system_spark.models.mllib_als import (
+        fit_mllib_als,
+        recommend_top_k,
+    )
+    from dask_recommender_system_spark.models.queries import _ratings
 
-    return mllib_als_recommend(spark, "/root/testdata/sf0.001")
+    from pyspark.sql import functions as F
+
+    r = _ratings(spark, "/root/testdata/sf0.001").withColumns(
+        {
+            "user_id": F.col("user_id").cast("int"),
+            "item_id": F.col("item_id").cast("int"),
+            "rating": F.col("rating").cast("float"),
+        }
+    )
+    return recommend_top_k(fit_mllib_als(r, rank=8, max_iter=5), 5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -35,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; training/LSH queries
-    are intentionally absent → driver rows-only check (SURVEY.md §5.2)."""
+    """DuckDB twins for EVERY registered query — since round 5 the three
+    training queries emit invariant-audit columns whose expected rows a
+    DuckDB oracle derives exactly (SURVEY.md §5.2), so no entry is
+    absent and the driver runs full value checks across the board."""
     return all_oracles()
