@@ -77,78 +77,41 @@ def load_all_operators() -> None:
 # per round, so coverage rotates: this list fronts the names that most need
 # a driver verdict; every name NOT listed here is already driver-green
 # (CORRECTNESS_r01-r03) and falls back to registration order behind them.
-# Round-4 front, in order:
-#   (a) the promotions whose implementation or oracle changed this
-#       round (rows-only -> full value verdicts: dedup_minhash +
-#       dedup_simhash via the portable md5-60-bit hash family,
-#       stream_sessionize, both ANN paths, both multimodal kernels;
-#       plan rework: dedup_embedding_cosine) - they must re-earn a
-#       driver row;
-#   (b) the 141 locally-green queries never yet inside a driver window,
-#       float-surface ops first (VERDICT r03 item 1). Slots 1-50 are the
-#       round-4 window; the remainder fronts round 5. Keep in sync when
-#       adding queries until every name has a CORRECTNESS_r* row;
-#   (c) queries NEW in round 4 (X232-X257), appended at the back of the
-#       never-checked queue.
+# Round-5 front, in order (VERDICT r04 item 2):
+#   (a) user_ewma — its only driver row is an r01 no_oracle error and the
+#       oracle has existed since r02; it re-earns a value verdict first;
+#   (b) the queries whose implementation or oracle changed THIS round and
+#       must re-earn driver rows: the 64-bit aHash pair, the 120-bit
+#       simhash pair, and the three training queries promoted from
+#       err:no_oracle to invariant-audit oracles;
+#   (c) the stateful/GROUPED_MAP recurrence family and the round-4
+#       float-surface stats ops the verdict called out;
+#   (d) the remaining never-driver-checked queue, oldest first — keep
+#       appending new queries at the back until every name has a
+#       CORRECTNESS_r* row.
 DRIVER_PRIORITY: list[str] = [
-    # ---- (a) promotions: changed this round, need fresh driver rows ----
-    # raw LSH structures flipped to full value verdicts (portable
-    # md5-60-bit hash family, oracle recomputes the signatures)
-    "dedup_minhash",
+    "user_ewma",
+    "multimodal_image_ahash",
+    "multimodal_dup_clusters",
     "dedup_simhash",
-    "stream_sessionize",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "dedup_embedding_cosine",
-    # money aggregates rewritten in exact integer cents + attribution
-    # oracle re-floored to seconds after the sf0.1 sweep finds — changed
-    # behavior, so they re-earn driver rows (attribution_last_touch is
-    # already below in the never-checked block)
-    "sql_interface_q1",
-    "join_bloom_pruned",
-    # ---- (b) never driver-checked (rotation debt, oldest first) ----
-    "interval_union_length",
-    "sink_compacted",
-    "schema_evolution_merge",
-    "dedup_url_canonicalize",
-    "embedding_covariance",
-    "stream_drift_psi",
-    "bpe_merge_pairs",
-    "bpr_epoch_item_update",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "attribution_last_touch",
-    "decile_lift_table",
-    "ranking_metrics_at_k",
-    "auc_roc",
-    "calibration_bins",
-    "welch_ttest",
-    "ks_test_drift",
-    "mann_whitney_u",
-    "kaplan_meier_retention",
-    "gini_popularity",
-    "zipf_fit",
-    "target_encoding",
-    "feature_hashing",
-    "split_next_item",
-    "als_implicit_epoch",
-    "markov_next_item",
-    "bootstrap_ci",
-    "confusion_threshold_sweep",
-    "graph_triangle_stats",
-    "stream_topk_items",
-    "seasonal_dow_profile",
-    "cohort_ltv",
-    "price_elasticity",
-    "pca_power_iteration",
-    "recommendation_coverage",
-    "ab_power_mde",
-    "kll_quantile_rollup",
-    "theta_sketch_set_ops",
-    "variant_shred",
-    "gaps_islands",
+    "dedup_simhash_verified",
+    "als_fit_metrics",
+    "funk_svd_fit_metrics",
+    "mllib_als_recommend",
+    "holt_winters_additive",
+    "hysteresis_alert_flags",
+    "stream_hysteresis_alerts",
+    "queue_lindley_wait",
+    "stream_queue_lindley",
+    "bin_pack_next_fit",
+    "stream_bin_pack",
+    "rate_limit_token_bucket",
+    "stream_rate_limit",
+    "spearman_corr_grouped",
+    "isotonic_calibration",
+    "conformal_prediction_interval",
+    "mann_kendall_trend",
+    "shapley_attribution",
     "multimodal_payload_dedup",
     "time_decayed_popularity",
     "scan_xml",
@@ -255,7 +218,6 @@ DRIVER_PRIORITY: list[str] = [
     "session_window_dynamic_gap",
     "feature_minmax_scale",
     "peak_activity_cell",
-    # ---- new in round 4 ----
     "split_leakage_audit",
     "dedup_cross_corpus_anti",
     "quality_stratified_sample",
@@ -280,7 +242,6 @@ DRIVER_PRIORITY: list[str] = [
     "grouped_ols_2var",
     "daily_crosscorr_lags",
     "bigram_lm_logprob",
-    "hysteresis_alert_flags",
     "revenue_changepoint_fit",
     "inventory_fifo_matching",
     "woe_iv_binning",
@@ -305,23 +266,19 @@ DRIVER_PRIORITY: list[str] = [
     "dp_noisy_counts",
     "sql_interface_q4",
     "record_linkage_fs_weights",
-    "conformal_prediction_interval",
     "sequence_regex_match",
     "graph_shortest_paths_weighted",
     "survival_nelson_aalen",
     "causal_impact_lite",
     "ipw_ate_by_segment",
-    "stream_hysteresis_alerts",
     "sql_interface_q13",
     "sql_interface_q14",
     "countmin_sketch_rollup",
-    "isotonic_calibration",
     "geo_grid_knn",
     "hybrid_search_rrf",
     "forecast_backtest_mase",
     "wilson_ci_ranking",
     "seasonal_decompose_additive",
-    "shapley_attribution",
     "sql_interface_q6",
     "ab_sequential_sprt",
     "stream_countmin_rollup",
@@ -338,19 +295,12 @@ DRIVER_PRIORITY: list[str] = [
     "sql_interface_q15",
     "recs_intra_list_diversity",
     "bayes_beta_binomial",
-    "rate_limit_token_bucket",
-    "stream_rate_limit",
     "qini_uplift_deciles",
     "dau_mau_stickiness",
     "acf_daily_revenue",
-    "spearman_corr_grouped",
     "herfindahl_concentration",
     "permutation_test_diff",
-    "bin_pack_next_fit",
-    "multimodal_image_ahash",
     "hampel_outlier_filter",
-    "mann_kendall_trend",
-    "stream_bin_pack",
     "xyz_variability_classes",
     "stream_dau_daily",
     "slo_burn_alerts",
@@ -358,8 +308,6 @@ DRIVER_PRIORITY: list[str] = [
     "growth_accounting_weekly",
     "ab_cuped_adjustment",
     "stream_slo_burn",
-    "multimodal_dup_clusters",
-    "holt_winters_additive",
     "user_segment_bitmaps",
     "embedding_outlier_flags",
     "embedding_truncation_overlap",
@@ -372,8 +320,6 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_scene_change",
     "k_anonymity_audit",
     "price_volume_mix_bridge",
-    "queue_lindley_wait",
-    "stream_queue_lindley",
     "expected_calibration_error",
     "reorder_point_policy",
     "net_revenue_retention",
