@@ -1,9 +1,13 @@
 """Benchmark harness (driver contract): runs the headline queries + a
 FunkSVD training segment at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Prints the full JSON object on one line, writes
-it to BENCH_local.json, and prints a <1900-char compact summary as the
-LAST line so the driver's bounded tail capture parses whole
-(BENCH_r03.json arrived truncated — VERDICT r03 item 5).
+local[$SPARK_GRAFT_CPUS]. Each query is timed as the MEDIAN of
+$SPARK_GRAFT_BENCH_RUNS runs (default 3) with the max-min spread
+recorded per query (VERDICT r04 item 3: single-shot timings could not
+distinguish sweep crowding from plan regressions). Prints the full JSON
+object on one line, writes it to BENCH_local.json, and prints a
+<1900-char compact summary as the LAST line so the driver's bounded
+tail capture parses whole (BENCH_r03.json arrived truncated — VERDICT
+r03 item 5).
 
 Reference numbers to beat (BASELINE.md): FunkSVD ≈ 9.47 s/epoch on 219,155
 ratings single-node ⇒ ≈ 23.1k ratings/s/epoch; our bound is ≥ half that
@@ -262,15 +266,29 @@ def main() -> None:
     # JVM/session warmup so the first timed query doesn't absorb startup
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # Median of N runs per query (VERDICT r04 item 3: round-over-round
+    # drift on untouched queries was indistinguishable from sweep
+    # crowding). The median discards the one-off GC pause / cold shuffle
+    # file / crowding hit that a single run bills to whichever query it
+    # lands on; the max-min spread is recorded so BENCH_r* readers can
+    # tell noise from plan regressions. SPARK_GRAFT_BENCH_RUNS=1 restores
+    # the old single-shot mode for quick local iteration.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        n = REGISTRY[name].fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-        # queries that persist() intermediates must not bill the next query
-        # for their executor-memory footprint
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            n = REGISTRY[name].fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+            assert n >= 0
+            # queries that persist() intermediates must not bill the next
+            # run/query for their executor-memory footprint
+            spark.catalog.clearCache()
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = round(runs[-1] - runs[0], 3)
 
     # training benchmark: reference-parity FunkSVD, k=30 (report.pdf config).
     # Marginal s/epoch comes from the models' own per-epoch timers
@@ -346,6 +364,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_median_of": n_runs,
+        "query_spread": spreads,
         "sf": SF_DIR,
         "n_ratings": n_ratings,
         **extras,
@@ -369,6 +389,7 @@ def main() -> None:
         "sf": SF_DIR,
         "n_ratings": n_ratings,
         "n_queries_timed": len(timings),
+        "query_median_of": n_runs,
         "full_map": "BENCH_local.json",
         **extras,
     }

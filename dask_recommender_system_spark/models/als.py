@@ -18,12 +18,18 @@ from __future__ import annotations
 import time
 
 from .base import _SGDRecommenderBase
-from .common import checkpoint
+from .common import checkpoint, release_checkpoint
 
 
 class ALS(_SGDRecommenderBase):
     def _run_epochs(self, r_enc, u, i, collect_errors):
+        # every persisted error frame is materialized immediately so the
+        # cache carries REAL size statistics — see the funk_svd.py epoch
+        # loop for the measured x2/epoch planning blowup (and eventual
+        # BigInteger overflow) that inherited size ESTIMATES cause when
+        # they feed back through the per-epoch localCheckpoints
         err = self._error_df(r_enc, u, i).persist()
+        err.count()
         for _ in range(self.epochs):
             t0 = time.perf_counter()
             if collect_errors:
@@ -34,6 +40,7 @@ class ALS(_SGDRecommenderBase):
 
             # fresh error with updated users (models/als.py:170)
             err2 = self._error_df(r_enc, u_new, i).persist()
+            err2.count()
             err.unpersist()
 
             # item side from the fresh error — its p_j columns ARE the
@@ -42,7 +49,13 @@ class ALS(_SGDRecommenderBase):
 
             # fresh error again → next epoch's start (models/als.py:174)
             err = self._error_df(r_enc, u_new, i_new).persist()
+            err.count()
             err2.unpersist()
+            # superseded factor checkpoints must be released RDD-level
+            # (release_checkpoint docstring: storage otherwise grows until
+            # epoch time blows up x2/epoch past ~epoch 15)
+            release_checkpoint(u)
+            release_checkpoint(i)
             u, i = u_new, i_new
             self.epoch_times.append(time.perf_counter() - t0)
         err.unpersist()

@@ -45,6 +45,19 @@ PROBE_QUERIES = [
     "doc_similarity_sparse",
     "auc_roc",
     "dedup_levenshtein_verified",
+    # round-4 heavy family (VERDICT r04 item 4) — appended, order-stable.
+    # The two multimodal entries run on the round-5 64-bit/4x16-band
+    # aHash; documents DO scale 10x here (per-copy re-tokened text), so
+    # their ratios measure the banding fix directly.
+    "multimodal_image_ahash",
+    "multimodal_dup_clusters",
+    "bin_pack_next_fit",
+    "ngram_novelty_score",
+    "label_propagation_communities",
+    "personalized_pagerank",
+    "mmr_rerank",
+    "stream_join_left_outer",
+    "blocking_quality_eval",
 ]
 
 FUNK_EPOCHS = 5
