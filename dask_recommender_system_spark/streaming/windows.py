@@ -54,12 +54,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(src).schema
         _SNIFFED_SCHEMA[src] = schema
-    stage = f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    raw = spark.readStream.schema(schema).parquet(stage)
+    if os.path.isdir(src):
+        # multi-file table (the realistic at-scale layout, e.g. the sf1
+        # probe's synthesized copy): the file source takes the directory
+        # as-is. Symlink-staging a DIRECTORY would hide the part files
+        # one level deep, where the non-recursive file listing never
+        # looks — the stream would silently drain 0 rows.
+        stream_path = src
+    else:
+        stage = f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+        os.makedirs(stage, exist_ok=True)
+        link = f"{stage}/events.parquet"
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        stream_path = stage
+    raw = spark.readStream.schema(schema).parquet(stream_path)
     # same normalization as the batch loader — one function, so batch and
     # stream cannot desynchronize on the next encoding change
     from ..data import normalize_event_ts
