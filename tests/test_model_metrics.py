@@ -96,3 +96,40 @@ def test_long_horizon_convergence_hits_reference_band(spark, planted):
     assert rmses[-1] < rmses[7], f"no gain after epoch 8: {rmses[7]} -> {rmses[-1]}"
     _, _, rmse = m.eval(m.predict(test))
     assert rmse < 1.0, f"held-out RMSE {rmse} outside reference band"
+
+
+def test_epoch_loop_resource_discipline(spark, sf_dir):
+    """Round-5 regression guard for the two epoch-loop leaks that made a
+    no-metrics fit blow up x2/epoch past ~epoch 15 on a fresh session:
+    (a) superseded factor checkpoints must be released RDD-level — the
+        persistent-RDD count after a fit must be O(1), not O(epochs)
+        (it was 2/epoch before models/common.release_checkpoint);
+    (b) Catalyst size ESTIMATES must not feed back through the
+        localCheckpoints — the final factors' sizeInBytes estimate must
+        stay sane (it squared per epoch before the err.count()
+        materialization, reaching 10^30+ by epoch 16 and eventually
+        'BigInteger would overflow supported range')."""
+    from dask_recommender_system_spark.data import load_table, ratings_from_df
+    from dask_recommender_system_spark.models import FunkSVD
+
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+    def fit(epochs):
+        before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        m = FunkSVD(n_factors=4, lr=0.005, reg=0.001, epochs=epochs)
+        m.fit(r, user_col="user_id", item_col="item_id", rating_col="rating")
+        after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        est = m.u_params._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return after - before, len(str(int(est)))
+
+    leak4, digits4 = fit(4)
+    leak8, digits8 = fit(8)
+    # 8 epochs once leaked 16 checkpoint RDDs; the fit may keep a bounded
+    # handful (final u/i, id maps) but growth must not scale with epochs
+    assert leak8 - leak4 <= 2, (leak4, leak8)
+    assert leak8 <= 8, leak8
+    # the estimate starts high and must CONVERGE with more epochs (it
+    # squared per epoch pre-fix: digits would roughly double 4 -> 8)
+    assert digits8 <= digits4 + 2, (digits4, digits8)
