@@ -273,7 +273,8 @@ def main() -> None:
     # lands on; the max-min spread is recorded so BENCH_r* readers can
     # tell noise from plan regressions. SPARK_GRAFT_BENCH_RUNS=1 restores
     # the old single-shot mode for quick local iteration.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # clamped to >= 1 (ADVICE r05: 0/negative made the median index crash)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -167,8 +167,23 @@ def release_checkpoint(df: DataFrame) -> None:
     the LogicalRDD root of the analyzed plan; silently no-ops for
     non-checkpointed frames (e.g. parity tests inject raw init factors).
     CAUTION: only call once nothing references the frame — a released
-    local checkpoint cannot be recomputed."""
+    local checkpoint cannot be recomputed.
+
+    This reaches through private JVM internals (queryExecution/analyzed/
+    rdd), so a Spark upgrade that reshapes the analyzed plan would turn
+    the release into a silent no-op and reintroduce the 2-RDDs/epoch
+    blowup. Guards (ADVICE r05): successful releases are counted in
+    ``RELEASE_STATS`` so a no-op regression is observable, and
+    tests/test_model_metrics.py::test_epoch_loop_resource_discipline
+    asserts storage stays O(1) across epochs on every CI run."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        RELEASE_STATS["released"] += 1
     except Exception:
-        pass
+        RELEASE_STATS["failed"] += 1
+
+
+#: observability for release_checkpoint (ADVICE r05): epoch loops can
+#: assert released > 0 after a fit; a Spark upgrade that breaks the
+#: private-API reach shows up as failed > 0 instead of silent leakage.
+RELEASE_STATS: dict[str, int] = {"released": 0, "failed": 0}

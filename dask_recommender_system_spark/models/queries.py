@@ -50,12 +50,22 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-epoch rows carry only TRUE invariants (finite metrics, MAE <= RMSE,
+# RMSE^2 = MSE); the EMPIRICAL training outcomes live on ONE summary row
+# (epoch -2) as a bitfield so a legitimate hyperparameter/data change can
+# flip at most one row, and its value says which claim moved (ADVICE r05:
+# SGD does not guarantee per-epoch monotonicity, so per-epoch constants
+# were a spurious-red risk). improved bitfield: +1 = final train RMSE <=
+# first train RMSE (the fit made progress overall), +2 = final train RMSE
+# below the global-mean predictor's train RMSE; expected 3. Non-summary
+# rows emit the literal 3 (schema placeholder, documented, not a claim).
 _FIT_METRICS_ORACLE = f"""
     SELECT CAST(e AS INT) AS epoch,
-           CASE WHEN e < 0 THEN 'test' ELSE 'train' END AS phase,
+           CASE WHEN e = -2 THEN 'summary'
+                WHEN e = -1 THEN 'test' ELSE 'train' END AS phase,
            1 AS metrics_finite, 1 AS mae_le_rmse,
-           1 AS mse_rmse_consistent, 1 AS improved
-    FROM (SELECT UNNEST({list(range(FIT_EPOCHS)) + [-1]}) AS e)
+           1 AS mse_rmse_consistent, 3 AS improved
+    FROM (SELECT UNNEST({[-2, -1] + list(range(FIT_EPOCHS))}) AS e)
     ORDER BY epoch
     """
 
@@ -69,11 +79,11 @@ def _fit_metrics_df(spark, sf_dir, model_cls, epochs=FIT_EPOCHS, k=4):
           collect_errors=True)
     mae, mse, rmse = m.eval(m.predict(test))
     # global-mean baseline RMSE on the TRAIN split, one relational
-    # aggregate: the yardstick for the test row's `improved` flag — SGD
-    # guarantees in-sample improvement over the mean predictor at every
-    # SF; OUT-of-sample wins need sf0.1 density + 100 epochs (bench.py's
-    # holdout 0.643 vs 0.748), so that stronger claim lives in the bench
-    # headline, not in a short-fit invariant
+    # aggregate: the yardstick for the summary row's `improved` bitfield —
+    # SGD reliably achieves in-sample improvement over the mean predictor
+    # at every SF; OUT-of-sample wins need sf0.1 density + 100 epochs
+    # (bench.py's holdout 0.643 vs 0.748), so that stronger claim lives in
+    # the bench headline, not in a short-fit invariant
     mu = float(train.agg(F.avg("rating")).first()[0])
     base_rmse = float(
         train.agg(
@@ -81,22 +91,34 @@ def _fit_metrics_df(spark, sf_dir, model_cls, epochs=FIT_EPOCHS, k=4):
         ).first()[0]
     )
 
-    def flags(tmae: float, tmse: float, trmse: float, improved: bool):
+    def flags(tmae: float, tmse: float, trmse: float):
         return (
             int(all(math.isfinite(x) and x > 0 for x in (tmae, tmse, trmse))),
             int(tmae <= trmse + 1e-9),
             int(abs(trmse * trmse - tmse) <= 1e-6),
-            int(improved),
+            3,  # placeholder — the empirical claim lives on the summary row
         )
 
     rows = []
-    prev = None
     for e, (tmae, tmse, trmse) in enumerate(m.train_errors):
-        rows.append(
-            (e, "train", *flags(tmae, tmse, trmse, prev is None or trmse <= prev + 1e-9))
+        rows.append((e, "train", *flags(tmae, tmse, trmse)))
+    rows.append((-1, "test", *flags(mae, mse, rmse)))
+    # summary row: invariant flags AND-ed over every row above, plus the
+    # empirical bitfield (+1 overall train-RMSE decrease, +2 fit beats the
+    # global-mean predictor in-sample) — see _FIT_METRICS_ORACLE comment
+    first_rmse = m.train_errors[0][2]
+    last_rmse = m.train_errors[-1][2]
+    improved = int(last_rmse <= first_rmse + 1e-9) + 2 * int(last_rmse < base_rmse)
+    rows.append(
+        (
+            -2,
+            "summary",
+            min(r[2] for r in rows),
+            min(r[3] for r in rows),
+            min(r[4] for r in rows),
+            improved,
         )
-        prev = trmse
-    rows.append((-1, "test", *flags(mae, mse, rmse, prev < base_rmse)))
+    )
     return spark.createDataFrame(
         sorted(rows),
         "epoch int, phase string, metrics_finite int, mae_le_rmse int,"
@@ -109,13 +131,15 @@ def funk_svd_fit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 (SURVEY.md §7.3): FunkSVD relational SGD end-to-end — dedup →
     encode → fit (3 epochs, k=4) → predict held-out → eval — emitted as
     the invariant audit the oracle can pin: per-epoch metrics finite,
-    MAE ≤ RMSE (Jensen), RMSE² = MSE, train RMSE monotone
-    non-increasing, and the epoch=-1 test row's `improved` = the fit
-    ended below the global-mean predictor's train RMSE (computed
-    relationally on the same split — the improvement SGD guarantees at
-    any SF; the out-of-sample win needs sf0.1 density + 100 epochs and
-    lives in bench.py's holdout headline). Raw per-epoch values live in
-    BENCH_*.json and tests/test_model_metrics.py."""
+    MAE ≤ RMSE (Jensen), RMSE² = MSE as true per-row invariants, and ONE
+    epoch=-2 summary row whose `improved` bitfield carries the empirical
+    training outcomes (+1 = final train RMSE ≤ first, +2 = final train
+    RMSE below the global-mean predictor on the same split; expected 3) —
+    summary-row placement per ADVICE r05 so a legitimate hyperparameter
+    change can flip at most one diagnosable row. The out-of-sample win
+    needs sf0.1 density + 100 epochs and lives in bench.py's holdout
+    headline. Raw per-epoch values live in BENCH_*.json and
+    tests/test_model_metrics.py."""
     return _fit_metrics_df(spark, sf_dir, FunkSVD)
 
 
@@ -130,11 +154,13 @@ def als_fit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mllib_als_recommend",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS ({RATINGS_SQL}),
+    k AS (SELECT CAST(LEAST({RECOMMEND_K}, COUNT(DISTINCT item_id)) AS INT)
+                 AS n FROM r)
     SELECT DISTINCT CAST(user_id AS INT) AS user_id,
-           {RECOMMEND_K} AS n_recs, 1 AS recs_distinct,
+           k.n AS n_recs, 1 AS recs_distinct,
            1 AS scores_sorted, 1 AS items_known
-    FROM r ORDER BY user_id
+    FROM r, k ORDER BY user_id
     """,
 )
 def mllib_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +169,9 @@ def mllib_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendForAllUsers — emitted as the per-user contract audit:
     EVERY training user present (the oracle derives the exact expected
     user set from the ratings derivation, so a dropped user is a
-    row-count failure), exactly {RECOMMEND_K} recommendations each,
+    row-count failure), exactly min({RECOMMEND_K}, |distinct items|)
+    recommendations each (the recommendForAllUsers contract — the oracle
+    derives LEAST rather than hardcoding {RECOMMEND_K}, ADVICE r05),
     all distinct, all drawn from the training item set, scores
     non-increasing in rank. The factor values themselves are
     non-SQL-expressible; entry() still serves the raw top-k rows as the

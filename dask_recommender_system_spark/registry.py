@@ -76,70 +76,61 @@ def load_all_operators() -> None:
 # The driver's CORRECTNESS gate checks the first 50 entries of ``queries()``
 # per round, so coverage rotates: this list fronts the names that most need
 # a driver verdict; every name NOT listed here is already driver-green
-# (CORRECTNESS_r01-r03) and falls back to registration order behind them.
-# Round-5 front, in order (VERDICT r04 item 2):
-#   (a) user_ewma — its only driver row is an r01 no_oracle error and the
-#       oracle has existed since r02; it re-earns a value verdict first;
-#   (b) the queries whose implementation or oracle changed THIS round and
-#       must re-earn driver rows: the 64-bit aHash pair, the 120-bit
-#       simhash pair, and the three training queries promoted from
-#       err:no_oracle to invariant-audit oracles;
-#   (c) the stateful/GROUPED_MAP recurrence family and the round-4
-#       float-surface stats ops the verdict called out;
-#   (d) the remaining never-driver-checked queue, oldest first — keep
-#       appending new queries at the back until every name has a
-#       CORRECTNESS_r* row.
+# (CORRECTNESS_r01-r05) and falls back to registration order behind them.
+# Round-6 front, in order (VERDICT r05 item 1): after five rounds the
+# cumulative driver-green count is 231/421, so the entire list is now the
+# 190 never-driver-checked queue —
+#   (a) the LLM-pipeline ops still sweep-only (PQ quantize/rerank, kNN
+#       eval, sorted-neighborhood / chunk-rewrite / cross-corpus dedup,
+#       audio + scene-change kernels, n-gram novelty, the composed
+#       curation pipeline, RRF, winnowing, PPMI, bigram LM);
+#   (b) the TPC-H SQL-verbatim pins (Q3-Q22);
+#   (c) the never-checked streaming twins;
+#   (d) the remaining queue, oldest first — keep rotating 50 per round
+#       until every name has a CORRECTNESS_r* row.
 DRIVER_PRIORITY: list[str] = [
-    "user_ewma",
-    "multimodal_image_ahash",
-    "multimodal_dup_clusters",
-    "dedup_simhash",
-    "dedup_simhash_verified",
-    "als_fit_metrics",
-    "funk_svd_fit_metrics",
-    "mllib_als_recommend",
-    "holt_winters_additive",
-    "hysteresis_alert_flags",
-    "stream_hysteresis_alerts",
-    "queue_lindley_wait",
-    "stream_queue_lindley",
-    "bin_pack_next_fit",
-    "stream_bin_pack",
-    "rate_limit_token_bucket",
-    "stream_rate_limit",
-    "spearman_corr_grouped",
-    "isotonic_calibration",
-    "conformal_prediction_interval",
-    "mann_kendall_trend",
-    "shapley_attribution",
-    "multimodal_payload_dedup",
-    "time_decayed_popularity",
-    "scan_xml",
-    "funnel_time_to_convert",
-    "event_rate_cusum",
-    "hierarchy_rollup",
-    "grouped_mode",
-    "benford_deviation",
-    "mutual_information_screen",
-    "pareto_frontier_2d",
-    "approx_percentile_grouped",
-    "fuzzy_join_blocked",
-    "stream_cdc_upsert",
-    "stream_static_enrich",
-    "weighted_sample_topk",
-    "rolling_trend_window",
-    "stream_kll_quantile_monitor",
-    "embedding_topk_dims",
-    "dq_rule_violations",
-    "dedup_fuzzy_clusters",
-    "period_over_period",
-    "basket_lift",
-    "set_ops_bag",
-    "array_functions_suite",
-    "null_semantics_suite",
-    "date_functions_suite",
-    "graph_bfs_levels",
-    "weighted_median_grouped",
+    "similarity_pq_rerank",
+    "embedding_pq_quantize",
+    "knn_classifier_eval",
+    "embedding_truncation_overlap",
+    "doc_similarity_sparse",
+    "minhash_incremental_merge",
+    "minhash_band_sweep",
+    "dedup_sorted_neighborhood",
+    "dedup_chunk_rewrite",
+    "dedup_cross_corpus_anti",
+    "boilerplate_shingle_profile",
+    "multimodal_audio_features",
+    "multimodal_scene_change",
+    "ngram_novelty_score",
+    "corpus_curation_pipeline",
+    "hybrid_search_rrf",
+    "winnowing_fingerprint",
+    "ppmi_cooccurrence",
+    "bigram_lm_logprob",
+    "sql_interface_q3",
+    "sql_interface_q4",
+    "sql_interface_q5",
+    "sql_interface_q6",
+    "sql_interface_q7",
+    "sql_interface_q8",
+    "sql_interface_q10",
+    "sql_interface_q13",
+    "sql_interface_q14",
+    "sql_interface_q15",
+    "sql_interface_q17",
+    "sql_interface_q18",
+    "sql_interface_q19",
+    "sql_interface_q22",
+    "stream_checkpoint_resume",
+    "stream_update_mode",
+    "stream_available_now",
+    "stream_daily_unique_users",
+    "stream_join_left_outer",
+    "stream_countmin_rollup",
+    "stream_dau_daily",
+    "stream_slo_burn",
+    "stream_cart_abandonment",
     "cumulative_unique_users",
     "join_partition_pruned",
     "timeseries_interpolate_linear",
@@ -147,23 +138,17 @@ DRIVER_PRIORITY: list[str] = [
     "map_functions_suite",
     "join_range_bucketized",
     "consistent_hash_assignment",
-    "doc_similarity_sparse",
     "join_asof_tolerance",
     "sketch_persist_roundtrip",
     "scan_struct_pushdown",
-    "dedup_sorted_neighborhood",
     "grouping_id_semantics",
     "explode_outer_semantics",
     "scan_jsonl_quarantine",
-    "minhash_incremental_merge",
     "abc_classification",
     "log2_histogram",
     "grouped_topk_array",
-    "sql_interface_q3",
-    "stream_checkpoint_resume",
     "pii_pseudonymize",
     "try_arithmetic_suite",
-    "corpus_curation_pipeline",
     "union_schema_drift",
     "observe_metrics",
     "generate_date_dim",
@@ -209,90 +194,59 @@ DRIVER_PRIORITY: list[str] = [
     "weighted_moving_avg",
     "trimmed_mean_grouped",
     "sink_parquet_sized",
-    "stream_update_mode",
     "grouped_agg_pandas_udf",
     "map_in_arrow_passthrough",
-    "stream_available_now",
     "surrogate_keys",
     "table_fingerprint",
     "session_window_dynamic_gap",
     "feature_minmax_scale",
     "peak_activity_cell",
     "split_leakage_audit",
-    "dedup_cross_corpus_anti",
     "quality_stratified_sample",
-    "boilerplate_shingle_profile",
     "hierarchy_closure_recursive",
     "udtf_order_milestones",
     "corpus_jsonl_gz_roundtrip",
     "rolling_distinct_users_7d",
-    "stream_daily_unique_users",
-    "sql_interface_q5",
     "personalized_pagerank",
     "session_entropy",
     "percentile_disc_exact",
-    "embedding_pq_quantize",
     "covisitation_timebound",
     "recs_novelty",
-    "dedup_chunk_rewrite",
-    "minhash_band_sweep",
     "quantile_normalize",
     "funnel_step_deadlines",
-    "similarity_pq_rerank",
     "grouped_ols_2var",
     "daily_crosscorr_lags",
-    "bigram_lm_logprob",
     "revenue_changepoint_fit",
     "inventory_fifo_matching",
     "woe_iv_binning",
-    "sql_interface_q18",
-    "winnowing_fingerprint",
     "holt_linear_forecast",
     "diff_in_diff",
     "kmeans_lloyd_epoch",
     "ab_srm_check",
     "largest_remainder_apportionment",
-    "ngram_novelty_score",
-    "sql_interface_q7",
-    "multimodal_audio_features",
     "label_propagation_communities",
     "mmr_rerank",
-    "sql_interface_q10",
     "attribution_position_based",
     "feature_robust_scale",
-    "stream_join_left_outer",
     "frequent_itemsets_l3",
-    "ppmi_cooccurrence",
     "dp_noisy_counts",
-    "sql_interface_q4",
     "record_linkage_fs_weights",
     "sequence_regex_match",
     "graph_shortest_paths_weighted",
     "survival_nelson_aalen",
     "causal_impact_lite",
     "ipw_ate_by_segment",
-    "sql_interface_q13",
-    "sql_interface_q14",
     "countmin_sketch_rollup",
     "geo_grid_knn",
-    "hybrid_search_rrf",
     "forecast_backtest_mase",
     "wilson_ci_ranking",
     "seasonal_decompose_additive",
-    "sql_interface_q6",
     "ab_sequential_sprt",
-    "stream_countmin_rollup",
-    "knn_classifier_eval",
     "graph_degree_assortativity",
     "burstiness_interevent",
     "ratio_metric_delta_method",
-    "sql_interface_q19",
     "pandas_udf_scalar_textfeats",
-    "sql_interface_q17",
     "histogram_equi_depth",
-    "sql_interface_q8",
-    "sql_interface_q22",
-    "sql_interface_q15",
     "recs_intra_list_diversity",
     "bayes_beta_binomial",
     "qini_uplift_deciles",
@@ -302,22 +256,18 @@ DRIVER_PRIORITY: list[str] = [
     "permutation_test_diff",
     "hampel_outlier_filter",
     "xyz_variability_classes",
-    "stream_dau_daily",
     "slo_burn_alerts",
     "cramers_v_matrix",
     "growth_accounting_weekly",
     "ab_cuped_adjustment",
-    "stream_slo_burn",
     "user_segment_bitmaps",
     "embedding_outlier_flags",
-    "embedding_truncation_overlap",
     "attribution_time_decay",
     "funnel_within_window",
     "metric_change_contribution",
     "team_draft_interleaving",
     "join_cardinality_estimate",
     "event_lateness_profile",
-    "multimodal_scene_change",
     "k_anonymity_audit",
     "price_volume_mix_bridge",
     "expected_calibration_error",
@@ -328,10 +278,8 @@ DRIVER_PRIORITY: list[str] = [
     "cart_abandonment_daily",
     "bloom_fpr_audit",
     "text_boilerplate_share",
-    "stream_cart_abandonment",
     "sink_jsonl_gzip",
 ]
-
 
 
 def _driver_order(names: list[str]) -> list[str]:

@@ -13,6 +13,7 @@ execution modes.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -896,16 +897,26 @@ def stream_kll_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint RECOVERY, exercised for real: the stream is started
-    with a durable checkpointLocation, killed partway through its input
-    backlog, and RESTARTED from the same checkpoint — the read-back must
-    equal the source exactly (no loss from under-replay, no duplicates
-    from over-replay). This is the operational half of exactly-once that
-    `stream_foreachbatch_sink` (idempotent writes) assumes: the file
-    source's offsets live in the checkpoint, the restarted query resumes
-    from the last committed batch, and the per-batch-partition dynamic
-    overwrite makes the one possibly-replayed batch idempotent. The
-    events table is staged as MANY small files (maxFilesPerTrigger=1) so
-    the kill point genuinely lands mid-backlog."""
+    with a durable checkpointLocation, dies partway through its input
+    backlog, and is RESTARTED from the same checkpoint — the read-back
+    must equal the source exactly (no loss from under-replay, no
+    duplicates from over-replay). This is the operational half of
+    exactly-once that `stream_foreachbatch_sink` (idempotent writes)
+    assumes: the file source's offsets live in the checkpoint, the
+    restarted query resumes from the last committed batch, and the
+    per-batch-partition dynamic overwrite makes the replayed batch
+    idempotent. The events table is staged as MANY small files
+    (maxFilesPerTrigger=1) so the death genuinely lands mid-backlog.
+
+    The failure is INJECTED in foreachBatch after batch 2's sink write
+    but before its offset commit — the worst-case crash window (output
+    durable, progress not), so the restart MUST replay batch 2 and the
+    dynamic overwrite must absorb the duplicate. Deterministic by
+    construction (no timing poll), and killing at a batch boundary in
+    our own code avoids Spark's mid-task job-cancellation path, whose
+    giant py4j error string overflows the stream thread's error-classify
+    regex (observed java.util.regex StackOverflowError noise under the
+    driver-style plain session)."""
     import shutil
 
     from ..data import load_table
@@ -915,8 +926,11 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = f"{IO_DIR}/ckpt_src"
     out_dir = f"{IO_DIR}/ckpt_sink"
     ckpt_dir = f"{IO_DIR}/ckpt_state"
+    kill_marker = f"{IO_DIR}/ckpt_killed"
     for d in (src_dir, out_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
+    if os.path.exists(kill_marker):
+        os.remove(kill_marker)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -943,6 +957,14 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .partitionBy("batch_id")
                 .parquet(out_dir)
             )
+            # first run only: die AFTER batch 2's output is durable but
+            # BEFORE its offset commits — the restart must replay it
+            if batch_id >= 2 and not os.path.exists(kill_marker):
+                with open(kill_marker, "w") as f:
+                    f.write("injected\n")
+                raise RuntimeError(
+                    "injected mid-backlog crash (checkpoint-resume test)"
+                )
 
         return (
             stream.writeStream.option("checkpointLocation", ckpt_dir)
@@ -952,16 +974,9 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = start()
     try:
-        # let SOME batches commit, then kill mid-backlog
-        import time
-
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            if len(q.recentProgress) >= 2:
-                break
-            time.sleep(0.2)
-    finally:
-        q.stop()
+        q.awaitTermination()  # terminates WITH the injected failure
+    except Exception:
+        pass  # StreamingQueryException: the injected crash, by design
     q2 = start()
     try:
         q2.processAllAvailable()
