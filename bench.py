@@ -171,6 +171,20 @@ BENCH_QUERIES = [
 FUNK_EPOCHS = 5
 FUNK_K = 30
 
+# Queries whose median-of-3 spread exceeded 50% of their median in
+# BENCH_r05 (VERDICT r05 item 4) — their round-over-round deltas were
+# inside measurement noise. These run at median-of-5 (never fewer runs
+# than the rest) so every >1 s query's spread/median lands <= 0.5 and
+# deltas become attributable to plan changes.
+NOISY_QUERIES = {
+    "vocab_coverage",
+    "dedup_keep_last",
+    "dedup_minhash",
+    "stream_cdc_upsert",
+    "similarity_ann_ivf",
+    "hampel_outlier_filter",
+}
+
 # the driver records only the last ~2000 stdout chars (BENCH_r03 captured a
 # truncated tail and lost bench_total), so the LAST line is a compact
 # summary whose per-query map is limited to this headline subset; the full
@@ -279,7 +293,8 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         runs = []
-        for _ in range(n_runs):
+        q_runs = max(n_runs, 5) if name in NOISY_QUERIES else n_runs
+        for _ in range(q_runs):
             t0 = time.perf_counter()
             n = REGISTRY[name].fn(spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)
@@ -348,6 +363,12 @@ def main() -> None:
         et = model.epoch_times
         extras["funk_svd_100ep_first10_s"] = round(sum(et[:10]) / 10, 3)
         extras["funk_svd_100ep_last10_s"] = round(sum(et[-10:]) / 10, 3)
+        # flatness = last10/first10 mean epoch time: the O(1)-lineage claim
+        # as a tracked number (VERDICT r05 item 5; <= 1.3 is the bar —
+        # checkpoint discipline holds plan depth constant through epoch 100)
+        extras["funk_svd_epoch_flatness"] = round(
+            (sum(et[-10:]) / 10) / (sum(et[:10]) / 10), 3
+        )
         extras["funk_svd_100ep_final_rmse"] = round(model.train_errors[-1][2], 6)
         # steady-state s/epoch over all 100 epochs — the apples-to-apples
         # number against the reference's published 100-epoch totals
@@ -366,6 +387,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_median_of": n_runs,
+        "query_median_of_noisy": {n: max(n_runs, 5) for n in sorted(NOISY_QUERIES)},
         "query_spread": spreads,
         "sf": SF_DIR,
         "n_ratings": n_ratings,
@@ -392,6 +414,10 @@ def main() -> None:
         "n_queries_timed": len(timings),
         "query_median_of": n_runs,
         "full_map": "BENCH_local.json",
+        # auxiliary correctness evidence the driver's 50-slot window can't
+        # reach in one round: full-registry Spark-vs-DuckDB sweeps, committed
+        # each round in the driver's own JSON format (see README top)
+        "correctness_evidence": "CORRECTNESS_local.json CORRECTNESS_sf01.json",
         **extras,
     }
     line = json.dumps(summary, separators=(",", ":"))

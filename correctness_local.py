@@ -9,6 +9,9 @@ visible between rounds.
     SPARK_GRAFT_LOCAL_SF_DIR=/root/testdata/sf0.1 \
         SPARK_GRAFT_LOCAL_OUT=CORRECTNESS_sf01.json \
         python correctness_local.py        # 10x-scale sweep, own file
+    SPARK_GRAFT_LOCAL_ONLY=join_asof,decimal_money_suite \
+        python correctness_local.py        # targeted subset (VERDICT r05
+                                           # item 3: sf1 float-surface sweep)
 """
 
 from __future__ import annotations
@@ -32,7 +35,15 @@ def main() -> None:
     spark = get_spark("drs-correctness-local")
     con = duckdb_con(SF_DIR)
     results: dict[str, dict] = {}
-    for name in all_queries():
+    names = all_queries()
+    only = os.environ.get("SPARK_GRAFT_LOCAL_ONLY", "").strip()
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown query names in SPARK_GRAFT_LOCAL_ONLY: {unknown}")
+        names = wanted
+    for name in names:
         q = REGISTRY[name]
         rec: dict = {
             "rows_match": None,

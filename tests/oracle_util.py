@@ -5,6 +5,7 @@ here predicts a pass in CORRECTNESS_r{N}.json."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -15,9 +16,13 @@ from dask_recommender_system_spark.data import TABLES
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (e.g. the synthesized sf1 copy under
+        # /tmp/drs_sf1) are DIRECTORIES of part files; DuckDB needs the
+        # glob form for those, while the driver's single-file testdata
+        # keeps the plain path.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

@@ -64,6 +64,112 @@ FUNK_EPOCHS = 5
 FUNK_K = 30
 
 
+def work_counters(spark, sf_dir: str) -> dict:
+    """Work-volume counters for the two sf1 outliers (VERDICT r05 item 2):
+    wall-time ratios alone can't tell inherent data growth from a plan
+    regression, so measure the algorithmic work each query is BOUNDED by
+    and compare ratios.
+
+    - ``item_cf_similarity``: the only superlinear stage is within-user
+      pair generation, bounded by Σ_u C(min(n_u, CF_USER_CAP), 2)
+      (``cf_capped_pairs`` = rows entering the co-count aggregate) which
+      collapses to ``cf_distinct_copairs`` groups.
+    - ``graph_triangle_stats``: compact-forward joins enumerate exactly
+      Σ_src C(outdeg(src), 2) candidate wedges over the degree-oriented
+      edge set (``tri_oriented_wedges``), each probed once against |E|
+      (``tri_edges``); ``tri_total_wedges`` (= Σ d(d-1)/2, the transitivity
+      denominator) is recorded for contrast — orientation is what keeps
+      the joined volume far below it.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.data import load_table, ratings_from_df
+    from dask_recommender_system_spark.operators.windows import CF_USER_CAP
+
+    out: dict = {}
+
+    # --- item_cf_similarity: capped within-user pair volume ---
+    r = ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    dedup = r.groupBy("user_id", "item_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("t"),
+        F.max("interaction_id").alias("tie"),
+    )
+    w_cap = W.partitionBy("user_id").orderBy(F.col("t").desc(), F.col("tie").desc())
+    capped = (
+        dedup.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= CF_USER_CAP)
+        .select("user_id", "item_id")
+    )
+    per_user = capped.groupBy("user_id").agg(F.count("*").alias("n"))
+    row = per_user.agg(
+        F.count("*").alias("users"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("pairs"),
+    ).first()
+    out["cf_users"] = row["users"]
+    out["cf_capped_pairs"] = row["pairs"]
+    lists = capped.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("item_id")).alias("items")
+    )
+    copairs = (
+        lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i+2, size(items)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+        .distinct()
+        .count()
+    )
+    out["cf_distinct_copairs"] = copairs
+
+    # --- graph_triangle_stats: edge / wedge volumes ---
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    grp = lines.groupBy("o").agg(F.collect_set("p").alias("ps"))
+    e = (
+        grp.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    src = F.when(u_first, F.col("u")).otherwise(F.col("v"))
+    outdeg = ed.select(src.alias("src")).groupBy("src").agg(F.count("*").alias("od"))
+    grow = deg.agg(
+        F.count("*").alias("nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges"),
+    ).first()
+    orow = outdeg.agg(
+        F.sum(F.col("od") * (F.col("od") - 1) / 2).cast("long").alias("ow")
+    ).first()
+    out["tri_nodes"] = grow["nodes"]
+    out["tri_edges"] = e.count()
+    out["tri_total_wedges"] = grow["wedges"]
+    out["tri_oriented_wedges"] = orow["ow"]
+    return out
+
+
 def _offset(maxval: int, mult: int = 1) -> int:
     off = maxval + 1
     return ((off + mult - 1) // mult) * mult
@@ -185,6 +291,29 @@ def main() -> None:
         }
         print(label, train[label], flush=True)
 
+    # work-volume decomposition for the two r05 outliers: if the time
+    # ratio tracks the work ratio the growth is inherent (denser graph /
+    # fuller caps at sf1), not a plan regression
+    work: dict[str, dict] = {}
+    for label, d in (("sf0.1", SRC), ("sf1", DST)):
+        work[label] = work_counters(spark, d)
+        spark.catalog.clearCache()
+        print("work", label, work[label], flush=True)
+    work_ratios = {
+        k: round(work["sf1"][k] / max(work["sf0.1"][k], 1), 2)
+        for k in work["sf0.1"]
+    }
+    decomp = {
+        "item_cf_similarity": {
+            "time_ratio": results["item_cf_similarity"]["ratio"],
+            "work_ratio": work_ratios["cf_capped_pairs"],
+        },
+        "graph_triangle_stats": {
+            "time_ratio": results["graph_triangle_stats"]["ratio"],
+            "work_ratio": work_ratios["tri_oriented_wedges"],
+        },
+    }
+
     out = {
         "metric": "sf1_scale_probe",
         "copies": COPIES,
@@ -194,6 +323,9 @@ def main() -> None:
             train["sf1"]["epoch_s"] / train["sf0.1"]["epoch_s"], 2
         ),
         "max_query_ratio": round(max(r["ratio"] for r in results.values()), 2),
+        "work_counters": work,
+        "work_ratios": work_ratios,
+        "outlier_decomposition": decomp,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "BENCH_sf1.json"), "w") as f:
