@@ -258,15 +258,25 @@ def main() -> None:
     spark.read.parquet(f"{SRC}/region.parquet").count()  # warmup
     build_sf1(spark)
 
+    # MIN of N runs per (query, scale): the probe's product is the
+    # sf1/sf0.1 RATIO, and the min is the least-noise estimator of a
+    # query's intrinsic cost (GC pauses / async checkpoint-cleanup debt
+    # from earlier probe queries only ever ADD time). Default 1 keeps the
+    # historical single-shot mode; the committed BENCH_sf1.json runs use 3.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "1")))
     results: dict[str, dict] = {}
     for name in PROBE_QUERIES:
         row: dict = {}
         for label, d in (("sf0.1", SRC), ("sf1", DST)):
-            t0 = time.perf_counter()
-            n = REGISTRY[name].fn(spark, d).count()
-            row[label] = round(time.perf_counter() - t0, 3)
+            best, n = None, 0
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                n = REGISTRY[name].fn(spark, d).count()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+                spark.catalog.clearCache()
+            row[label] = round(best, 3)
             row[f"{label}_rows"] = n
-            spark.catalog.clearCache()
         row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
         results[name] = row
         print(name, row, flush=True)
@@ -317,6 +327,7 @@ def main() -> None:
     out = {
         "metric": "sf1_scale_probe",
         "copies": COPIES,
+        "query_min_of": n_runs,
         "queries": results,
         "training": train,
         "training_epoch_ratio": round(
