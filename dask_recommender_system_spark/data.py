@@ -83,14 +83,52 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
-# SQL body of the ratings derivation; shared verbatim between the Spark view
-# and the DuckDB oracle (both engines parse this ANSI subset identically).
-RATINGS_SQL = """
+# interaction_id layout: high bits keep the ordinal (orderkey, linenumber)
+# pair; the low 32 bits are a content hash that restores UNIQUENESS — the
+# round-6 testdata generator emits up to ~20% duplicate
+# (l_orderkey, l_linenumber) pairs (600k sf0.1 rows, 456,861 distinct),
+# which silently broke the FIXTURES.md "interaction_id is the unique
+# tiebreak" rule: every window ordered by it was deterministic only while
+# both engines happened to stable-sort the same single-file scan order
+# (the sf1 directory-layout sweep caught it — CORRECTNESS_sf1 round 6).
+# (l_partkey, l_suppkey, FLOOR(l_quantity)) is unique WITHIN a duplicate
+# group at every SF, and all-integer, so the hash input needs no float
+# formatting and is portable across engines. 2^32 low bits keep the
+# composite under 2^63 up to ~10^9 orders; within-group collision odds are
+# ~(group_size^2 / 2^33) per group — negligible, and a collision would only
+# reintroduce one tie, visible in both engines identically.
+_TIE_MOD = 4_294_967_296  # 2^32
+
+# 60-bit md5 prefix as exact BIGINT digit arithmetic (same construction as
+# operators/dedup.py h60_sql — duplicated here because operators import
+# this module; 16^14 = 2^56 so every term and the sum stay exact).
+_H60_POWERS = [16 ** (14 - i) for i in range(15)]
+
+
+def _h60_duck(expr: str) -> str:
+    powers = ", ".join(str(p) for p in _H60_POWERS)
+    return (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), CAST(i + 1 AS INT), 1)) - 1)"
+        f" * [{powers}][i + 1])) AS BIGINT)"
+    )
+
+
+_TIE_EXPR_DUCK = _h60_duck(
+    "CONCAT(l.l_partkey, '|', l.l_suppkey, '|', CAST(FLOOR(l.l_quantity) AS BIGINT))"
+)
+
+# DuckDB body of the ratings derivation — the oracle twin of
+# :func:`ratings_from_df` (interpolated into every recommender oracle).
+# DuckDB-dialect only since the list_transform hash landed; the Spark side
+# is the DataFrame derivation below, kept expression-for-expression in sync.
+RATINGS_SQL = f"""
 SELECT o.o_custkey AS user_id,
        l.l_partkey AS item_id,
        CAST(1 + CAST(FLOOR(l.l_quantity) AS BIGINT) % 5 AS DOUBLE) AS rating,
        l.l_shipdate AS ts,
-       l.l_orderkey * 10 + l.l_linenumber AS interaction_id
+       (l.l_orderkey * 10 + l.l_linenumber) * {_TIE_MOD}
+           + ({_TIE_EXPR_DUCK} % {_TIE_MOD}) AS interaction_id
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
@@ -104,14 +142,35 @@ def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders→lineitem is a 1:N equi-join on the orderkey; at 100 TB this is a
     co-partitioned sort-merge join (both sides hash-shuffled on orderkey,
     AQE handles skew); at testdata scale AQE turns it into a broadcast."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(RATINGS_SQL)
+    return ratings_from_df(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
 
 
 def ratings_from_df(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
-    """Same derivation as :func:`ratings` from already-loaded frames."""
+    """Same derivation as :func:`ratings` from already-loaded frames.
+    ``interaction_id`` must stay expression-for-expression in sync with
+    ``RATINGS_SQL`` above (the oracles recompute it)."""
     l, o = lineitem.alias("l"), orders.alias("o")
+    tie = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l.l_partkey"),
+                        F.col("l.l_suppkey"),
+                        F.floor("l.l_quantity").cast("bigint"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _TIE_MOD
+    )
     return (
         l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
         .select(
@@ -119,6 +178,9 @@ def ratings_from_df(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             F.col("l.l_partkey").alias("item_id"),
             (1 + F.floor("l.l_quantity").cast("bigint") % 5).cast("double").alias("rating"),
             F.col("l.l_shipdate").alias("ts"),
-            (F.col("l.l_orderkey") * 10 + F.col("l.l_linenumber")).alias("interaction_id"),
+            (
+                (F.col("l.l_orderkey") * 10 + F.col("l.l_linenumber")) * F.lit(_TIE_MOD)
+                + tie
+            ).alias("interaction_id"),
         )
     )

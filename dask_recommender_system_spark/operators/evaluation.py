@@ -585,7 +585,7 @@ def _poisson_weight_sql(u: str) -> str:
     oracle=f"""
     WITH e AS ({ENCODED_SQL}),
     x AS (SELECT e.rating, b.b,
-                 {_init_sql("((e.interaction_id * 37 + b.b) % 1000003)", 7, 11, 1.0)} AS u
+                 {_init_sql("(((e.interaction_id % 1000003) * 37 + b.b) % 1000003)", 7, 11, 1.0)} AS u
           FROM e CROSS JOIN (SELECT UNNEST(range(0, {BOOT_B})) AS b) b),
     w AS (SELECT b, rating, {_poisson_weight_sql("u")} AS wt FROM x),
     m AS (SELECT b, SUM(wt * rating) / SUM(wt) AS mean_b
@@ -618,10 +618,15 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..models.common import hash_uniform
 
-    # pre-reduce mod a prime so the hash multiply stays inside int64 at any
-    # interaction_id scale (Spark would wrap silently, DuckDB would error)
+    # pre-reduce mod a prime BEFORE the multiply so the product stays
+    # inside int64 at any interaction_id scale (Spark would wrap silently,
+    # DuckDB would error — the 2^32 tie bits in round-6 interaction_ids
+    # put id*37 past 2^63 at sf1 key ranges)
     u = hash_uniform(
-        (F.col("interaction_id") * 37 + F.col("b")) % 1000003, 7, 1.0, 11
+        ((F.col("interaction_id") % 1000003) * 37 + F.col("b")) % 1000003,
+        7,
+        1.0,
+        11,
     )
     wt = F.lit(len(POISSON_CDF))
     for k in range(len(POISSON_CDF) - 1, -1, -1):

@@ -1380,7 +1380,8 @@ RANGE_BUCKET_W = 500.0  # equi-bucket width for the bucketized interval join
                ROUND(s_acctbal * 2 + 900, 6) AS hi
         FROM supplier WHERE s_acctbal > 0)
     SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 6) AS sum_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS sum_price
     FROM iv JOIN orders
       ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY iv_id
@@ -1430,7 +1431,14 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("iv_id")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+            # money sums accumulate in DECIMAL(18,2): prices carry exactly
+            # 2 decimals, so the decimal sum is EXACT and order-independent
+            # — double accumulation differed from DuckDB by ULPs once sf1
+            # groups got 10x more addends (CORRECTNESS_sf1 round 6)
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("sum_price"),
         )
     )
 

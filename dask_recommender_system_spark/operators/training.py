@@ -28,6 +28,10 @@ NEG_CAND = 8
 # (models/common.py hash_uniform); consecutive +j offsets guarantee the
 # C candidates of one interaction are distinct whenever |items| >= C.
 HASH_A = 2654435761
+# prime > any per-user row count; also the pre-reduction modulus applied to
+# interaction_id before every HASH_A multiply (round-6 ids carry 2^32 tie
+# bits — id*HASH_A would overflow int64: Spark wraps, DuckDB errors)
+SAMPLE_MOD = 1000003
 
 _NEG_ORACLE = f"""
 WITH r AS ({RATINGS_SQL}),
@@ -35,7 +39,8 @@ p AS (SELECT DISTINCT user_id, item_id, interaction_id FROM r),
 m AS (SELECT MAX(item_id) AS n_items FROM p),
 cand AS (
   SELECT p.user_id, p.item_id, p.interaction_id, g.j,
-         1 + ((p.interaction_id * {HASH_A} + p.item_id * 40503) % m.n_items
+         1 + (((p.interaction_id % {SAMPLE_MOD}) * {HASH_A}
+               + p.item_id * 40503) % m.n_items
               + g.j) % m.n_items AS neg_item
   FROM p CROSS JOIN m
   CROSS JOIN (SELECT UNNEST(range(0, {NEG_CAND})) AS j) g
@@ -93,10 +98,16 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
         .withColumn(
+            # interaction_id is pre-reduced mod a prime BEFORE the hash
+            # multiply: round-6 ids carry 2^32 tie bits, so id*HASH_A would
+            # overflow int64 (Spark wraps silently, DuckDB errors)
             "neg_item",
             1
             + (
-                (F.col("interaction_id") * HASH_A + F.col("item_id") * 40503)
+                (
+                    (F.col("interaction_id") % SAMPLE_MOD) * HASH_A
+                    + F.col("item_id") * 40503
+                )
                 % F.col("n_items")
                 + F.col("j")
             )
@@ -254,14 +265,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordering key is (hash, interaction, item, rating): everything after the
 # hash is tiebreak so engines can only disagree on orderings of fully
 # identical rows, which are interchangeable in the output multiset.
-SAMPLE_PER_KEY = 3
-SAMPLE_MOD = 1000003  # prime > any per-user row count
+SAMPLE_PER_KEY = 3  # SAMPLE_MOD (the hash modulus) is defined next to HASH_A
 
 _SAMPLE_ORACLE = f"""
 WITH r AS ({{ratings}}),
 h AS (
   SELECT user_id, item_id, interaction_id, rating,
-         (interaction_id * {HASH_A} + item_id * 40503) % {SAMPLE_MOD} AS hk
+         ((interaction_id % {SAMPLE_MOD}) * {HASH_A}
+          + item_id * 40503) % {SAMPLE_MOD} AS hk
   FROM r
 )
 SELECT user_id, item_id, interaction_id, rating,
@@ -286,7 +297,10 @@ def sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings_from_df(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     )
-    hk = (F.col("interaction_id") * HASH_A + F.col("item_id") * 40503) % SAMPLE_MOD
+    hk = (
+        (F.col("interaction_id") % SAMPLE_MOD) * HASH_A
+        + F.col("item_id") * 40503
+    ) % SAMPLE_MOD
     w = W.partitionBy("user_id").orderBy(
         hk, "interaction_id", "item_id", "rating"
     )

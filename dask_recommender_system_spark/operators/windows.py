@@ -1929,6 +1929,15 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return mmr_from_candidates(cands)
+
+
+def mmr_from_candidates(cands: DataFrame) -> DataFrame:
+    """Greedy MMR selection over a (user_id, item_id, sim_attr, score)
+    candidate frame — split out of mmr_rerank so planted-fixture tests can
+    drive the greedy loop with candidate sets where the redundancy penalty
+    provably fires (whether it fires on the derived ratings is an accident
+    of the testdata generation)."""
     w1 = W.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
     sel = (
         cands.withColumn("rn", F.row_number().over(w1))

@@ -126,11 +126,16 @@ def test_epoch_loop_resource_discipline(spark, sf_dir):
         est = m.u_params._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         return after - before, len(str(int(est)))
 
+    fit(2)  # warmup: absorb ASYNC checkpoint-cleanup debt left by earlier
+    # tests in this session — without it the first measured fit can see a
+    # NEGATIVE delta (releases landing mid-fit) and corrupt the baseline
     leak4, digits4 = fit(4)
     leak8, digits8 = fit(8)
     # 8 epochs once leaked 16 checkpoint RDDs; the fit may keep a bounded
-    # handful (final u/i, id maps) but growth must not scale with epochs
-    assert leak8 - leak4 <= 2, (leak4, leak8)
+    # handful (final u/i, id maps) but growth must not scale with epochs.
+    # Clamp the baseline at 0: a negative delta is cleanup noise, not a
+    # credit against future leaks.
+    assert leak8 - max(leak4, 0) <= 2, (leak4, leak8)
     assert leak8 <= 8, leak8
     # the estimate starts high and must CONVERGE with more epochs (it
     # squared per epoch pre-fix: digits would roughly double 4 -> 8)

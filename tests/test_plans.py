@@ -1683,9 +1683,16 @@ def test_lpa_communities_shrink(spark, sf_dir):
 def test_mmr_diversity_improves(spark, sf_dir):
     """mmr_rerank: exactly 5 distinct picks per user (positions 1..5),
     adjusted <= score always, pick 1 is the plain argmax (adjusted ==
-    score); at sf0.01 the redundancy penalty must actually FIRE (a
-    penalized pick is selected) or the greedy loop is a no-op."""
+    score). Whether the penalty fires on the DERIVED ratings is an
+    accident of the testdata generation (the round-6 interaction_id
+    rehash moved the train-split membership and it stopped firing at
+    sf0.01), so the penalty-must-fire property is pinned on a planted
+    candidate set driven through the greedy core instead."""
     from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.operators.windows import (
+        mmr_from_candidates,
+    )
 
     df = q("mmr_rerank", spark, sf_dir).persist()
     per_user = df.groupBy("user_id").agg(
@@ -1696,12 +1703,25 @@ def test_mmr_diversity_improves(spark, sf_dir):
     assert df.filter(F.col("adjusted") > F.col("score")).count() == 0
     assert df.filter((F.col("pos") == 1) & (F.col("adjusted") != F.col("score"))).count() == 0
     df.unpersist()
-    fired = (
-        q("mmr_rerank", spark, "/root/testdata/sf0.01")
-        .filter(F.col("adjusted") < F.col("score"))
-        .count()
+    # planted: two top candidates share a type — pick 2 must be selected
+    # WITH the 0.5 penalty applied (adjusted < score), pick order must
+    # interleave types once the penalty outweighs the score gap
+    cands = spark.createDataFrame(
+        [
+            (1, 10, "X", 5.0),
+            (1, 11, "X", 4.9),
+            (1, 12, "Y", 4.3),
+            (1, 13, "Y", 4.2),
+            (1, 14, "Z", 3.0),
+            (1, 15, "Z", 2.0),
+        ],
+        "user_id int, item_id int, sim_attr string, score double",
     )
-    assert fired > 0
+    out = {r["pos"]: r for r in mmr_from_candidates(cands).collect()}
+    assert [out[p]["item_id"] for p in (1, 2, 3, 4, 5)] == [10, 11, 12, 13, 14]
+    assert out[2]["adjusted"] == 4.4  # 4.9 - 0.5: penalized pick selected
+    assert out[4]["adjusted"] == 3.7  # 4.2 - 0.5
+    assert out[1]["adjusted"] == out[1]["score"] == 5.0
 
 
 def test_q10_pushdown_and_topk(spark, sf_dir):
