@@ -183,6 +183,11 @@ NOISY_QUERIES = {
     "stream_cdc_upsert",
     "similarity_ann_ivf",
     "hampel_outlier_filter",
+    # flagged by the round-6 median-of-5 run (trimmed spread > 50% of a
+    # >1 s median)
+    "similarity_ann_lsh",
+    "heavy_hitters",
+    "kmeans_lloyd_epoch",
 }
 
 # the driver records only the last ~2000 stdout chars (BENCH_r03 captured a
@@ -304,7 +309,13 @@ def main() -> None:
             spark.catalog.clearCache()
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
-        spreads[name] = round(runs[-1] - runs[0], 3)
+        # spread measures the stability of the region the MEDIAN comes
+        # from: at n >= 5 the min/max are dropped first (the raw range
+        # GROWS with n, so range-of-5 would flag more noise on the same
+        # query than range-of-3 measured — the one-off GC/crowding run the
+        # median already discards shouldn't count against it either)
+        core = runs[1:-1] if len(runs) >= 5 else runs
+        spreads[name] = round(core[-1] - core[0], 3)
 
     # training benchmark: reference-parity FunkSVD, k=30 (report.pdf config).
     # Marginal s/epoch comes from the models' own per-epoch timers
