@@ -28,9 +28,21 @@ class ALS(_SGDRecommenderBase):
         # loop for the measured x2/epoch planning blowup (and eventual
         # BigInteger overflow) that inherited size ESTIMATES cause when
         # they feed back through the per-epoch localCheckpoints
-        err = self._error_df(r_enc, u, i).persist()
-        err.count()
-        for _ in range(self.epochs):
+        # role-specific cache projections: the epoch-start error feeds
+        # metrics + the user-side gradient (u_idx, err, q_j); the mid-epoch
+        # error feeds only the item-side gradient (i_idx, err, p_j).
+        # Caching the full _error_df would serialize ~32 dead doubles per
+        # rating per materialization.
+        q_cols = [f"q_{j}" for j in range(self.k)]
+        p_cols = [f"p_{j}" for j in range(self.k)]
+
+        err = self._error_df(r_enc, u, i).select("u_idx", "err", *q_cols).persist()
+        if not collect_errors:
+            # materialize for real size statistics (see funk_svd.py epoch
+            # loop); with collect_errors the metrics aggregate below is
+            # itself a full scan and doubles as the materializer.
+            err.count()
+        for epoch in range(self.epochs):
             t0 = time.perf_counter()
             if collect_errors:
                 self._collect_metrics(err)
@@ -39,7 +51,9 @@ class ALS(_SGDRecommenderBase):
             u_new = checkpoint(self._update_users(err, u))
 
             # fresh error with updated users (models/als.py:170)
-            err2 = self._error_df(r_enc, u_new, i).persist()
+            err2 = (
+                self._error_df(r_enc, u_new, i).select("i_idx", "err", *p_cols).persist()
+            )
             err2.count()
             err.unpersist()
 
@@ -47,9 +61,13 @@ class ALS(_SGDRecommenderBase):
             # updated user factors (models/als.py:171-173)
             i_new = checkpoint(self._update_items(err2, i))
 
-            # fresh error again → next epoch's start (models/als.py:174)
-            err = self._error_df(r_enc, u_new, i_new).persist()
-            err.count()
+            # fresh error again → next epoch's start (models/als.py:174).
+            # Nothing consumes the FINAL epoch's end error (metrics are
+            # pre-update; fit returns factors only), so leave it lazy then
+            # — persist() alone schedules no job.
+            err = self._error_df(r_enc, u_new, i_new).select("u_idx", "err", *q_cols).persist()
+            if not collect_errors and epoch < self.epochs - 1:
+                err.count()
             err2.unpersist()
             # superseded factor checkpoints must be released RDD-level
             # (release_checkpoint docstring: storage otherwise grows until

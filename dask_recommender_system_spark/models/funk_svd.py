@@ -22,10 +22,20 @@ from .common import checkpoint, release_checkpoint
 
 class FunkSVD(_SGDRecommenderBase):
     def _run_epochs(self, r_enc, u, i, collect_errors):
+        q_cols = [f"q_{j}" for j in range(self.k)]
         for _ in range(self.epochs):
             t0 = time.perf_counter()
-            # one stale error per epoch (models/funk_svd.py:160-161)
-            err = self._error_df(r_enc, u, i).persist()
+            # one stale error per epoch (models/funk_svd.py:160-161).
+            # Cache ONLY what this epoch's consumers read: the user-side
+            # gradient needs (u_idx, err, q_j); the item side re-joins the
+            # UPDATED user factors onto (u_idx, i_idx, err). bu/bi/rating/
+            # p_j exist only inside the err expression — caching them
+            # would serialize ~32 dead doubles per rating per epoch.
+            err = (
+                self._error_df(r_enc, u, i)
+                .select("u_idx", "i_idx", "err", *q_cols)
+                .persist()
+            )
             # ALWAYS materialize the persisted error before anything
             # builds on it, so the cached relation carries REAL size
             # statistics. Without this, Catalyst's size estimates feed
@@ -38,9 +48,13 @@ class FunkSVD(_SGDRecommenderBase):
             # ending in "BigInteger would overflow supported range".
             # With the cache materialized the estimate CONVERGES
             # (measured: 32 digits → 26 over 24 epochs, flat times).
-            err.count()
+            # The metrics aggregate is itself a full scan, so when it
+            # runs it IS the materializer — a separate count() would just
+            # re-read the cache.
             if collect_errors:
                 self._collect_metrics(err)
+            else:
+                err.count()
 
             u_new = self._update_users(err, u)
             u_new = checkpoint(u_new)

@@ -1924,7 +1924,8 @@ def sql_interface_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "observe_metrics",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS rows_seen,
-           ROUND(SUM(l_extendedprice), 6) AS price_seen,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS price_seen,
            CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
                 AS BIGINT) AS high_discount_rows
     FROM lineitem WHERE l_quantity > 10
@@ -1946,7 +1947,13 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("rows_seen"),
-        F.round(F.sum("l_extendedprice"), 6).alias("price_seen"),
+        # money sums accumulate in DECIMAL(18,2) — exact and
+        # order-independent, so the piggybacked metric equals the oracle
+        # bit-for-bit at every SF (double accumulation drifted ULPs from
+        # DuckDB at sf1 magnitudes; same fix as join_range_bucketized)
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("price_seen"),
         F.sum((F.col("l_discount") > 0.05).cast("long")).alias(
             "high_discount_rows"
         ),
