@@ -677,10 +677,12 @@ def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     {TB_REFILL_S}-second tick, each admitted event spends one, empty
     bucket denies. Like hysteresis_alert_flags the state is genuinely
     recursive (the capacity clamp is non-linear — no window/prefix
-    closed form), so the batch form is GROUPED_MAP applyInPandas: one
-    shuffle on user_id, a bounded per-group recurrence in the kernel
-    (numpy over each group's ~dozens of rows; the Arrow transfer is
-    batched regardless). ALL state is integer (tokens, day ticks) —
+    closed form), so the batch form is one hash shuffle on user_id +
+    sortWithinPartitions(user_id, sec, event_id) and a single
+    mapInPandas pass replaying the recurrence with carried state that
+    resets at user_id boundaries (bin_pack_next_fit's shape — per-group
+    applyInPandas paid a pandas-frame construction per tiny group).
+    ALL state is integer (tokens, day ticks) —
     zero float anywhere — and refill accrues on absolute tick
     boundaries, so the recurrence depends only on (tick_i − tick_{{i-1}})
     integer differences the oracle's recursive CTE replays exactly.
@@ -696,30 +698,42 @@ def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("sec"),
     )
 
-    def bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    n_part = spark.sparkContext.defaultParallelism
+
+    def bucket(batches):
         import numpy as np
 
-        pdf = pdf.sort_values(["sec", "event_id"], ignore_index=True)
-        ticks = (pdf["sec"].to_numpy() // TB_REFILL_S).astype("int64")
-        n = len(pdf)
-        allowed = np.zeros(n, dtype="int32")
-        after = np.zeros(n, dtype="int64")
-        tokens = TB_CAP
-        prev_tick = ticks[0] if n else 0
-        for i in range(n):
-            tokens = min(TB_CAP, tokens + (ticks[i] - prev_tick))
-            prev_tick = ticks[i]
-            if tokens >= 1:
-                allowed[i] = 1
-                tokens -= 1
-            after[i] = tokens
-        pdf["allowed"] = allowed
-        pdf["tokens_after"] = after
-        return pdf[["user_id", "event_id", "sec", "allowed", "tokens_after"]]
+        # carried across Arrow batches within one partition; user rows are
+        # contiguous and (sec, event_id)-ordered by sortWithinPartitions
+        cur_user = None
+        tokens, prev_tick = TB_CAP, 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            users = pdf["user_id"].to_numpy()
+            ticks = (pdf["sec"].to_numpy() // TB_REFILL_S).astype("int64")
+            allowed = np.zeros(n, dtype="int32")
+            after = np.zeros(n, dtype="int64")
+            for i in range(n):
+                u = users[i]
+                if u != cur_user:
+                    cur_user = u
+                    tokens, prev_tick = TB_CAP, ticks[i]
+                tokens = min(TB_CAP, tokens + (ticks[i] - prev_tick))
+                prev_tick = ticks[i]
+                if tokens >= 1:
+                    allowed[i] = 1
+                    tokens -= 1
+                after[i] = tokens
+            pdf["allowed"] = allowed
+            pdf["tokens_after"] = after
+            yield pdf[["user_id", "event_id", "sec", "allowed", "tokens_after"]]
 
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(bucket, schema=TB_SCHEMA)
+        ev.repartition(n_part, "user_id")
+        .sortWithinPartitions("user_id", "sec", "event_id")
+        .mapInPandas(bucket, schema=TB_SCHEMA)
         .orderBy("user_id", "sec", "event_id")
     )
 
@@ -780,17 +794,25 @@ def bin_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doesn't fit; you never reopen). Item size = the order's total
     lineitem quantity clamped to the {BP_CAP}-unit capacity. The state
     (open-bin index, remaining space) resets non-linearly on overflow —
-    like the token bucket there is NO window/prefix closed form, so the
-    declared batch shape is GROUPED_MAP applyInPandas: ONE shuffle on
-    custkey, a bounded integer recurrence per group (numpy over each
-    customer's ~dozens of orders). ALL state is BIGINT — zero float —
-    so the oracle's recursive CTE replays the recurrence exactly.
+    like the token bucket there is NO window/prefix closed form. Batch
+    shape: ONE hash shuffle on custkey + sortWithinPartitions(custkey,
+    day, orderkey), then a single mapInPandas pass replaying the
+    recurrence with carried state that resets at custkey boundaries —
+    NOT per-group applyInPandas, whose per-tiny-group pandas-frame
+    overhead dominated wall time (~15k one-customer frames per SF unit;
+    measured ~19.9 s → ~2 s at sf0.1 for the same shuffle volume and
+    identical output). Hash partitioning puts every custkey's rows in
+    one partition; the within-partition sort makes them contiguous, so
+    carried state crosses Arrow batches but never partitions. ALL state
+    is BIGINT — zero float — so the oracle's recursive CTE replays the
+    recurrence exactly.
     Pinned (tests): 0 <= rem_after < {BP_CAP}, bin_idx is nondecreasing
     per customer starting at 1, each bin's contents sum <= {BP_CAP},
     and next-fit's defining guarantee: two CONSECUTIVE bins always sum
     > {BP_CAP} (else the second would have fit in the first), which
     bounds bins used < 2x optimal. At 100 TB: parallelism = number of
-    customers; per-group work linear in their orders."""
+    partitions (keys are spread hash-uniformly); per-key work linear in
+    their orders."""
     from .relational import _utc
 
     _utc(spark)
@@ -814,32 +836,47 @@ def bin_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     it = o.join(li, "orderkey")
+    n_part = spark.sparkContext.defaultParallelism
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["day", "orderkey"], ignore_index=True)
-        sizes = pdf["size"].to_numpy()
-        n = len(pdf)
-        bins = [0] * n
-        rems = [0] * n
+    def pack(batches):
+        import numpy as np
+
+        # carried across Arrow batches WITHIN one partition (the generator
+        # runs once per partition); custkey rows are contiguous and
+        # (day, orderkey)-ordered by the sortWithinPartitions below
+        cur_key = None
         bin_idx, rem = 1, BP_CAP
-        for i in range(n):
-            s = int(sizes[i])
-            if s <= rem:
-                rem -= s
-            else:
-                bin_idx += 1
-                rem = BP_CAP - s
-            bins[i] = bin_idx
-            rems[i] = rem
-        pdf["bin_idx"] = bins
-        pdf["rem_after"] = rems
-        return pdf[
-            ["custkey", "orderkey", "day", "size", "bin_idx", "rem_after"]
-        ]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = pdf["custkey"].to_numpy()
+            sizes = pdf["size"].to_numpy()
+            bins = np.empty(n, dtype="int64")
+            rems = np.empty(n, dtype="int64")
+            for i in range(n):
+                k = keys[i]
+                if k != cur_key:
+                    cur_key = k
+                    bin_idx, rem = 1, BP_CAP
+                s = int(sizes[i])
+                if s <= rem:
+                    rem -= s
+                else:
+                    bin_idx += 1
+                    rem = BP_CAP - s
+                bins[i] = bin_idx
+                rems[i] = rem
+            pdf["bin_idx"] = bins
+            pdf["rem_after"] = rems
+            yield pdf[
+                ["custkey", "orderkey", "day", "size", "bin_idx", "rem_after"]
+            ]
 
     return (
-        it.groupBy("custkey")
-        .applyInPandas(pack, schema=BP_SCHEMA)
+        it.repartition(n_part, "custkey")
+        .sortWithinPartitions("custkey", "day", "orderkey")
+        .mapInPandas(pack, schema=BP_SCHEMA)
         .orderBy("custkey", "day", "orderkey")
     )
 

@@ -352,9 +352,9 @@ _ARROW_OK = {
     "map_in_arrow_passthrough",  # the declared raw-Arrow mapInArrow shape
     "udtf_order_milestones",  # the declared ArrowEvalPythonUDTF shape
     "hysteresis_alert_flags",  # the declared GROUPED_MAP recurrence shape
-    "rate_limit_token_bucket",  # GROUPED_MAP clamp recurrence (no closed form)
+    "rate_limit_token_bucket",  # clamp recurrence: key-sorted mapInPandas pass
     "holt_linear_forecast",  # the declared GROUPED_MAP 2-state recurrence
-    "bin_pack_next_fit",  # the declared GROUPED_MAP next-fit recurrence
+    "bin_pack_next_fit",  # next-fit recurrence: key-sorted mapInPandas pass
     "holt_winters_additive",  # the declared GROUPED_MAP 9-state recurrence
     "queue_lindley_wait",  # the declared GROUPED_MAP Lindley recursion
     "multimodal_audio_features",  # the audio mapInPandas kernel
