@@ -1826,10 +1826,16 @@ def _mmr_oracle() -> str:
     at step k a candidate's adjusted score is its model score minus
     {MMR_PENALTY} if its brand is already in the user's selected set
     (binary max-similarity), and the (adjusted DESC, item_id) argmax
-    joins the selection."""
+    joins the selection.
+
+    train/cands/acc{{k}} are MATERIALIZED: each acc{{k}} is referenced
+    three times by the next pick (EXISTS, NOT EXISTS, union) and cands
+    once per pick, so DuckDB's default CTE inlining re-derived the
+    md5-heavy 6M-row ratings chain combinatorially — >15 min at sf1 vs
+    39 s materialized (identical rows; pure evaluation-order hint)."""
     base = f"""
 WITH r AS ({RATINGS_SQL}),
-train AS (SELECT * FROM r WHERE interaction_id % 10 < 7),
+train AS MATERIALIZED (SELECT * FROM r WHERE interaction_id % 10 < 7),
 mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM train),
 ub AS (SELECT user_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bu
        FROM train GROUP BY user_id),
@@ -1837,7 +1843,7 @@ ib AS (SELECT item_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bi
        FROM train GROUP BY item_id),
 pool AS (SELECT item_id, bi FROM ib
          ORDER BY bi DESC, item_id LIMIT {MMR_POOL}),
-cands AS (
+cands AS MATERIALIZED (
     SELECT u.user_id, p.item_id, pt.p_type AS sim_attr,
            ROUND((SELECT mu FROM mu) + u.bu + p.bi, 6) AS score
     FROM (SELECT user_id, bu FROM ub WHERE user_id % 29 = 0) u
@@ -1848,7 +1854,7 @@ sel1 AS (
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                     ORDER BY score DESC, item_id) AS rn FROM cands) t
     WHERE rn = 1),
-acc1 AS (SELECT * FROM sel1)"""
+acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
     parts = [base]
     for k in range(2, MMR_PICKS + 1):
         parts.append(
@@ -1868,7 +1874,7 @@ sel{k} AS (
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                     ORDER BY adjusted DESC, item_id) AS rn FROM adj{k}) t
     WHERE rn = 1),
-acc{k} AS (SELECT * FROM acc{k - 1} UNION ALL SELECT * FROM sel{k})"""
+acc{k} AS MATERIALIZED (SELECT * FROM acc{k - 1} UNION ALL SELECT * FROM sel{k})"""
         )
     parts.append(
         f"""
