@@ -154,7 +154,7 @@ def als_fit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mllib_als_recommend",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     k AS (SELECT CAST(LEAST({RECOMMEND_K}, COUNT(DISTINCT item_id)) AS INT)
                  AS n FROM r)
     SELECT DISTINCT CAST(user_id AS INT) AS user_id,

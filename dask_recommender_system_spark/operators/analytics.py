@@ -899,7 +899,7 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "gini_popularity",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     cnts AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS cnt
              FROM r GROUP BY item_id),
     g AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_v

@@ -123,7 +123,7 @@ _IDCG_SQL = "[" + ", ".join(repr(v) for v in IDCG) + "]"
 @query(
     "ranking_metrics_at_k",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     s AS (SELECT u_idx, i_idx, rating, {_PRED_SQL} AS pred FROM e),
     r AS (SELECT u_idx,
                  (rating >= {REL_THRESHOLD})::INT AS rel,
@@ -211,7 +211,7 @@ AUC_BUCKET_SCALE = 1000  # coarse bucket = floor(pred * 1000) for level 1
 @query(
     "auc_roc",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     s AS (SELECT ROUND({_PRED_SQL}, 6) AS pred,
                  (rating >= {REL_THRESHOLD})::INT AS pos
           FROM e),
@@ -270,7 +270,7 @@ CAL_BIN_SCALE = 1000  # fixed-width score bins of 1e-3
 @query(
     "calibration_bins",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     s AS (SELECT {_PRED_SQL} AS pred,
                  (rating >= {REL_THRESHOLD})::INT AS pos
           FROM e)
@@ -477,7 +477,7 @@ def _ks_finish(c: DataFrame) -> DataFrame:
 @query(
     "mann_whitney_u",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     s AS (SELECT rating AS val, (i_idx % 2 = 0)::INT AS in_a FROM e),
     g AS (SELECT val,
                  CAST(SUM(in_a) AS BIGINT) AS a,
@@ -583,7 +583,7 @@ def _poisson_weight_sql(u: str) -> str:
 @query(
     "bootstrap_ci",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     x AS (SELECT e.rating, b.b,
                  {_init_sql("(((e.interaction_id % 1000003) * 37 + b.b) % 1000003)", 7, 11, 1.0)} AS u
           FROM e CROSS JOIN (SELECT UNNEST(range(0, {BOOT_B})) AS b) b),
@@ -657,7 +657,7 @@ SWEEP_THRESHOLDS = (0.022, 0.026, 0.030, 0.034, 0.038)
 @query(
     "confusion_threshold_sweep",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     s AS (SELECT {_PRED_SQL} AS pred,
                  (rating >= {REL_THRESHOLD})::INT AS pos
           FROM e),
@@ -1029,7 +1029,7 @@ CONF_ALPHA_PCT = 10  # 90% nominal coverage, alpha = 0.1
 @query(
     "conformal_prediction_interval",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     s AS (SELECT u_idx, i_idx, interaction_id, rating,
                  {_PRED_SQL} AS pred FROM e),
     cal AS (SELECT ABS(rating - pred) AS r, interaction_id
@@ -1360,7 +1360,7 @@ def ipw_ate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "isotonic_calibration",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     s AS (SELECT {_PRED_SQL} AS pred,
                  (rating >= {REL_THRESHOLD})::INT AS pos
           FROM e),
@@ -1487,7 +1487,7 @@ WILSON_TOP = 25  # leaderboard size
 @query(
     "wilson_ci_ranking",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     peritem AS (
         SELECT item_id,
                CAST(COUNT(*) AS BIGINT) AS n,

@@ -42,7 +42,7 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "target_encoding",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     mu AS (SELECT AVG(rating) AS mu FROM r)
     SELECT item_id,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -137,7 +137,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "split_next_item",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     w AS (SELECT user_id, item_id, interaction_id,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY ts DESC, interaction_id DESC,

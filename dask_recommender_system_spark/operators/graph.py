@@ -25,12 +25,12 @@ def _pagerank_oracle() -> str:
     unroll is the portable form of the loop the Spark side runs)."""
     parts = [
         f"""
-WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-edges AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS DOUBLE) AS w
+WITH lines AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS MATERIALIZED (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS DOUBLE) AS w
           FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p
           GROUP BY a.p, b.p),
-deg AS (SELECT u, SUM(w) AS dw FROM edges GROUP BY u),
-en AS (SELECT e.u, e.v, e.w / d.dw AS wn FROM edges e JOIN deg d ON e.u = d.u),
+deg AS MATERIALIZED (SELECT u, SUM(w) AS dw FROM edges GROUP BY u),
+en AS MATERIALIZED (SELECT e.u, e.v, e.w / d.dw AS wn FROM edges e JOIN deg d ON e.u = d.u),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
 pr0 AS (SELECT u AS node, 1.0 / nn.n AS r FROM deg, nn)"""
     ]
@@ -121,7 +121,7 @@ def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_stats",
     oracle="""
-    WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    WITH lines AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     e AS (SELECT DISTINCT a.p AS u, b.p AS v
           FROM lines a JOIN lines b ON a.o = b.o AND a.p < b.p),
     deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -313,21 +313,21 @@ def _ppr_oracle() -> str:
     nodes are carried explicitly so both engines iterate the identical
     |nodes|-row vector."""
     head = f"""
-WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-edges AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS DOUBLE) AS w
+WITH lines AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS MATERIALIZED (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS DOUBLE) AS w
           FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p
           GROUP BY a.p, b.p),
-deg AS (SELECT u, SUM(w) AS dw FROM edges GROUP BY u),
-en AS (SELECT e.u, e.v, e.w / d.dw AS wn FROM edges e JOIN deg d ON e.u = d.u),
+deg AS MATERIALIZED (SELECT u, SUM(w) AS dw FROM edges GROUP BY u),
+en AS MATERIALIZED (SELECT e.u, e.v, e.w / d.dw AS wn FROM edges e JOIN deg d ON e.u = d.u),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
-nodes AS (SELECT u AS node FROM deg),
+nodes AS MATERIALIZED (SELECT u AS node FROM deg),
 seeds AS (SELECT DISTINCT l.l_partkey AS node
           FROM lineitem l
           JOIN orders o ON l.l_orderkey = o.o_orderkey
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN nation na ON c.c_nationkey = na.n_nationkey
           WHERE na.n_name = '{PPR_SEED_NATION}'),
-sn AS (SELECT s.node FROM seeds s JOIN nodes nd ON s.node = nd.node),
+sn AS MATERIALIZED (SELECT s.node FROM seeds s JOIN nodes nd ON s.node = nd.node),
 ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM sn),
 pr0 AS (SELECT nd.node,
                CASE WHEN s.node IS NOT NULL
@@ -465,8 +465,8 @@ def _lpa_oracle() -> str:
     ties to the SMALLEST label; isolated nodes keep their label."""
     parts = [
         """
-WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-edges AS (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+WITH lines AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS MATERIALIZED (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
           FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p
           GROUP BY 1, 2),
 lab0 AS (SELECT DISTINCT p AS node, p AS lab FROM lines)"""
@@ -574,8 +574,8 @@ def _bf_oracle() -> str:
     w = 1 + 1000 // co_count (strong ties = short edges)."""
     parts = [
         """
-WITH lines AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-edges AS (SELECT a.p AS u, b.p AS v,
+WITH lines AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
                  CAST(1 + 1000 // COUNT(*) AS BIGINT) AS w
           FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p
           GROUP BY 1, 2),

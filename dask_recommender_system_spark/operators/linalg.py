@@ -34,12 +34,12 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENCODED_SQL = f"""
-    WITH r0 AS ({RATINGS_SQL}),
+    WITH r0 AS MATERIALIZED ({RATINGS_SQL}),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, item_id
                                      ORDER BY ts DESC, interaction_id DESC) AS rn
         FROM r0),
-    r AS (SELECT user_id, item_id, rating, interaction_id FROM ranked WHERE rn = 1),
+    r AS MATERIALIZED (SELECT user_id, item_id, rating, interaction_id FROM ranked WHERE rn = 1),
     ue AS (SELECT user_id, CAST(ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS BIGINT) AS u_idx
            FROM (SELECT DISTINCT user_id FROM r)),
     ie AS (SELECT item_id, CAST(ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS BIGINT) AS i_idx
@@ -74,7 +74,7 @@ def encoded_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "build_coo",
-    oracle=f"WITH e AS ({ENCODED_SQL}) SELECT u_idx, i_idx, rating FROM e",
+    oracle=f"WITH e AS MATERIALIZED ({ENCODED_SQL}) SELECT u_idx, i_idx, rating FROM e",
 )
 def build_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: sparse COO matrix construction (reference models/als.py:48-66:
@@ -93,7 +93,7 @@ INIT_SQL_EXPR = "CAST((idx * 2654435761 + j * 40503) % 100000 AS DOUBLE) / 10000
 @query(
     "init_params",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     u AS (SELECT DISTINCT u_idx AS idx FROM e)
     SELECT idx, j, ROUND({INIT_SQL_EXPR}, 6) AS init_val
     FROM u CROSS JOIN (SELECT UNNEST(range(0, {K})) AS j)
@@ -144,7 +144,7 @@ def _oracle_dot(u: str, i: str) -> str:
 @query(
     "predict_scores",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL})
+    WITH e AS MATERIALIZED ({ENCODED_SQL})
     SELECT u_idx, i_idx, ROUND({_oracle_dot('u_idx', 'i_idx')}, 6) AS score
     FROM e
     """,
@@ -166,7 +166,7 @@ def predict_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "residuals",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     ub AS (SELECT u_idx, ROUND(AVG(rating), 6) AS u_mean FROM e GROUP BY u_idx)
     SELECT e.interaction_id,
            ROUND(e.rating - ub.u_mean, 6) AS err
@@ -248,20 +248,20 @@ def _init_sql(idc: str, j: int, salt: int, scale: float) -> str:
 @query(
     "sgd_epoch_user_update",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM e),
     ni AS (SELECT CAST(COUNT(DISTINCT i_idx) AS BIGINT) AS n_items FROM e),
-    up AS (SELECT DISTINCT u_idx,
+    up AS MATERIALIZED (SELECT DISTINCT u_idx,
                   {_init_sql('u_idx', 99, 1, 0.01)} AS bu,
                   {_init_sql('u_idx', 0, 1, 0.1)} AS p_0,
                   {_init_sql('u_idx', 1, 1, 0.1)} AS p_1
            FROM e),
-    ip AS (SELECT DISTINCT i_idx,
+    ip AS MATERIALIZED (SELECT DISTINCT i_idx,
                   {_init_sql('i_idx', 99, 2, 0.01)} AS bi,
                   {_init_sql('i_idx', 0, 2, 0.1)} AS q_0,
                   {_init_sql('i_idx', 1, 2, 0.1)} AS q_1
            FROM e),
-    err AS (
+    err AS MATERIALIZED (
         SELECT e.u_idx, e.i_idx,
                e.rating - ((SELECT mu FROM mu) + up.bu + ip.bi
                            + up.p_0 * ip.q_0 + up.p_1 * ip.q_1) AS err,
@@ -338,21 +338,21 @@ def sgd_epoch_user_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sgd_epoch_item_update",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM e),
     ni AS (SELECT CAST(COUNT(DISTINCT i_idx) AS BIGINT) AS n_items FROM e),
     nu AS (SELECT CAST(COUNT(DISTINCT u_idx) AS BIGINT) AS n_users FROM e),
-    up AS (SELECT DISTINCT u_idx,
+    up AS MATERIALIZED (SELECT DISTINCT u_idx,
                   {_init_sql('u_idx', 99, 1, 0.01)} AS bu,
                   {_init_sql('u_idx', 0, 1, 0.1)} AS p_0,
                   {_init_sql('u_idx', 1, 1, 0.1)} AS p_1
            FROM e),
-    ip AS (SELECT DISTINCT i_idx,
+    ip AS MATERIALIZED (SELECT DISTINCT i_idx,
                   {_init_sql('i_idx', 99, 2, 0.01)} AS bi,
                   {_init_sql('i_idx', 0, 2, 0.1)} AS q_0,
                   {_init_sql('i_idx', 1, 2, 0.1)} AS q_1
            FROM e),
-    err1 AS (
+    err1 AS MATERIALIZED (
         SELECT e.u_idx, e.i_idx,
                e.rating - ((SELECT mu FROM mu) + up.bu + ip.bi
                            + up.p_0 * ip.q_0 + up.p_1 * ip.q_1) AS err,
@@ -362,14 +362,14 @@ def sgd_epoch_user_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u_idx, SUM(err) AS err_sum,
                SUM(err * q_0) AS g_0, SUM(err * q_1) AS g_1
         FROM err1 GROUP BY u_idx),
-    up2 AS (
+    up2 AS MATERIALIZED (
         SELECT up.u_idx,
                up.bu + {SGD_LR} * (gu.err_sum
                      - (SELECT n_items FROM ni) * {SGD_REG} * up.bu) AS bu,
                up.p_0 + {SGD_LR} * (gu.g_0 - {SGD_REG} * up.p_0) AS p_0,
                up.p_1 + {SGD_LR} * (gu.g_1 - {SGD_REG} * up.p_1) AS p_1
         FROM up JOIN gu ON up.u_idx = gu.u_idx),
-    err2 AS (
+    err2 AS MATERIALIZED (
         SELECT e.i_idx,
                e.rating - ((SELECT mu FROM mu) + up2.bu + ip.bi
                            + up2.p_0 * ip.q_0 + up2.p_1 * ip.q_1) AS err,
@@ -650,7 +650,7 @@ def _lift_oracle() -> str:
     )
     bucket = " + ".join(f"(pred > q.c{int(p * 10)})::INT" for p in LIFT_QS)
     return f"""
-WITH e AS ({ENCODED_SQL}),
+WITH e AS MATERIALIZED ({ENCODED_SQL}),
 scored AS (SELECT rating, {pred} AS pred FROM e),
 q AS (SELECT {cuts} FROM scored),
 b AS (SELECT s.rating, CAST(1 + {bucket} AS BIGINT) AS decile
@@ -731,7 +731,7 @@ def _ials_y(j: int, idc: str = "i_idx") -> str:
 @query(
     "als_implicit_epoch",
     oracle=f"""
-    WITH e AS ({ENCODED_SQL}),
+    WITH e AS MATERIALIZED ({ENCODED_SQL}),
     y AS (SELECT DISTINCT i_idx,
                  {_ials_y(0)} AS y0,
                  {_ials_y(1)} AS y1

@@ -564,7 +564,7 @@ def dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_keep_last",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     ranked AS (
         SELECT user_id, item_id, rating, {ORACLE_EPOCH.format(col='ts')} AS ts_s,
                ROW_NUMBER() OVER (PARTITION BY user_id, item_id
@@ -625,7 +625,7 @@ def sort_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "split_train_test",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS MATERIALIZED ({RATINGS_SQL})
     SELECT user_id, item_id, rating, interaction_id FROM r
     WHERE interaction_id % 10 < 7
     """,
@@ -646,7 +646,7 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "split_train_test_temporal",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     c AS (SELECT quantile_cont({ORACLE_EPOCH.format(col='ts')}, 0.8) AS cutoff
           FROM r)
     SELECT r.interaction_id,
@@ -677,7 +677,7 @@ def split_train_test_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "split_leakage_audit",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     c AS (SELECT quantile_cont({ORACLE_EPOCH.format(col='ts')}, 0.8) AS cutoff
           FROM r),
     lab AS (SELECT r.user_id, r.item_id,
@@ -793,7 +793,7 @@ K_FOLDS = 5
 @query(
     "split_kfold",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS MATERIALIZED ({RATINGS_SQL})
     SELECT CAST(interaction_id % {K_FOLDS} AS BIGINT) AS fold,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -830,7 +830,7 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "distinct_keys",
-    oracle=f"WITH r AS ({RATINGS_SQL}) SELECT DISTINCT user_id FROM r",
+    oracle=f"WITH r AS MATERIALIZED ({RATINGS_SQL}) SELECT DISTINCT user_id FROM r",
 )
 def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: distinct key values (reference models/als.py:26-27
@@ -841,8 +841,8 @@ def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENCODE_USERS_SQL = f"""
-    WITH r AS ({RATINGS_SQL}),
-    u AS (SELECT DISTINCT user_id FROM r)
+    WITH r_enc_u AS MATERIALIZED ({RATINGS_SQL}),
+    u AS (SELECT DISTINCT user_id FROM r_enc_u)
     SELECT user_id,
            CAST(ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS BIGINT) AS u_idx
     FROM u
@@ -866,7 +866,7 @@ def encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "count_rows",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS MATERIALIZED ({RATINGS_SQL})
     SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items
@@ -887,7 +887,7 @@ def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "global_stats",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS MATERIALIZED ({RATINGS_SQL})
     SELECT CAST(MIN(rating) AS DOUBLE) AS min_rating,
            CAST(MAX(rating) AS DOUBLE) AS max_rating,
            ROUND(AVG(rating), 6) AS mean_rating
@@ -908,7 +908,7 @@ def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grouped_sum_user",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS MATERIALIZED ({RATINGS_SQL})
     SELECT user_id, ROUND(SUM(rating), 6) AS sum_rating,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM r GROUP BY user_id
@@ -929,7 +929,7 @@ def grouped_sum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grouped_sum_item",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS MATERIALIZED ({RATINGS_SQL})
     SELECT item_id, ROUND(SUM(rating), 6) AS sum_rating,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM r GROUP BY item_id
@@ -947,7 +947,7 @@ def grouped_sum_item(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "eval_metrics",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM r)
     SELECT ROUND(AVG(ABS(rating - mu)), 6) AS mae,
            ROUND(AVG((rating - mu) * (rating - mu)), 6) AS mse,
@@ -996,8 +996,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ENCODE_ITEMS_SQL = f"""
-    WITH r AS ({RATINGS_SQL}),
-    i AS (SELECT DISTINCT item_id FROM r)
+    WITH r_enc_i AS MATERIALIZED ({RATINGS_SQL}),
+    i AS (SELECT DISTINCT item_id FROM r_enc_i)
     SELECT item_id,
            CAST(ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS BIGINT) AS i_idx
     FROM i
@@ -1007,7 +1007,7 @@ ENCODE_ITEMS_SQL = f"""
 @query(
     "join_encode",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     ue AS ({ENCODE_USERS_SQL}),
     ie AS ({ENCODE_ITEMS_SQL})
     SELECT r.interaction_id, ue.u_idx, ie.i_idx, r.rating
@@ -1034,7 +1034,7 @@ def join_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PREDICT_SQL = f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     train AS (SELECT * FROM r WHERE interaction_id % 10 < 7),
     test  AS (SELECT * FROM r WHERE interaction_id % 10 >= 7),
     mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM train),
@@ -1096,7 +1096,7 @@ def join_predict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_anti_split",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     train AS (SELECT interaction_id FROM r WHERE interaction_id % 10 < 7)
     SELECT r.user_id, r.item_id, r.rating, r.interaction_id FROM r
     WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.interaction_id = r.interaction_id)
@@ -1184,7 +1184,7 @@ def string_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "merge_upsert_cdc",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     base AS (SELECT user_id, item_id, rating,
                     {ORACLE_EPOCH.format(col="ts")} AS t, interaction_id,
                     0 AS pri, 'K' AS op

@@ -34,7 +34,7 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_salted",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS MATERIALIZED ({RATINGS_SQL})
     SELECT r.item_id,
            p.p_brand,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -250,7 +250,7 @@ _HH_SKEW = "CASE WHEN user_id % 4 = 0 THEN item_id ELSE item_id % 16 END"
 @query(
     "heavy_hitters",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     s AS (SELECT {_HH_SKEW} AS key FROM r),
     t AS (SELECT COUNT(*) AS total FROM s)
     SELECT s.key, CAST(COUNT(*) AS BIGINT) AS cnt

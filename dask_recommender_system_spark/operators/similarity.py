@@ -1116,21 +1116,29 @@ TRUNC_DIM = 16
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    -- score both similarities once into a SKINNY materialized pair table
+    -- (ids + two doubles); ordering a window by the raw
+    -- list_dot_product(...) expression made DuckDB carry both 64-dim
+    -- vectors through two |q|x|e| window sorts (>80 GB spill at the 10x
+    -- sweep). Same scores, same ties, same rows.
+    pairs AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.v, e.v) AS s_full,
+               list_dot_product(q.v[1:{TRUNC_DIM}],
+                                e.v[1:{TRUNC_DIM}]) AS s_trunc
+        FROM q JOIN e ON q.vec_id <> e.vec_id),
     full_r AS (
-        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_dot_product(q.v, e.v) DESC, e.vec_id)
-                   AS rnk
-        FROM q JOIN e ON q.vec_id <> e.vec_id),
+                   PARTITION BY query_id
+                   ORDER BY s_full DESC, neighbor_id) AS rnk
+        FROM pairs),
     trunc_r AS (
-        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_dot_product(q.v[1:{TRUNC_DIM}],
-                                             e.v[1:{TRUNC_DIM}]) DESC,
-                            e.vec_id) AS rnk
-        FROM q JOIN e ON q.vec_id <> e.vec_id),
+                   PARTITION BY query_id
+                   ORDER BY s_trunc DESC, neighbor_id) AS rnk
+        FROM pairs),
     f AS (SELECT query_id, neighbor_id FROM full_r WHERE rnk <= {TOPK}),
     t AS (SELECT query_id, neighbor_id FROM trunc_r WHERE rnk <= {TOPK}),
     o AS (

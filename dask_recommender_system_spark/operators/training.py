@@ -34,7 +34,7 @@ HASH_A = 2654435761
 SAMPLE_MOD = 1000003
 
 _NEG_ORACLE = f"""
-WITH r AS ({RATINGS_SQL}),
+WITH r AS MATERIALIZED ({RATINGS_SQL}),
 p AS (SELECT DISTINCT user_id, item_id, interaction_id FROM r),
 m AS (SELECT MAX(item_id) AS n_items FROM p),
 cand AS (

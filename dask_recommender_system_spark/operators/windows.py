@@ -281,7 +281,7 @@ CF_TOP_NEIGHBORS = 5
 @query(
     "item_cf_similarity",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     dedup AS (SELECT user_id, item_id,
                      MAX({ORACLE_EPOCH.format(col='ts')}) AS t,
                      MAX(interaction_id) AS tie
@@ -395,7 +395,7 @@ RECO_PRUNE_MARGIN = 4
 @query(
     "recommend_top_k",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     train AS (SELECT * FROM r WHERE interaction_id % 10 < 7),
     mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM train),
     ub AS (SELECT user_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bu
@@ -471,7 +471,7 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_functions_suite",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL})
+    WITH r AS MATERIALIZED ({RATINGS_SQL})
     SELECT user_id, interaction_id,
            CAST(RANK() OVER ord AS BIGINT) AS rnk,
            CAST(DENSE_RANK() OVER ord AS BIGINT) AS drnk,
@@ -560,7 +560,7 @@ APPROX_DISTINCT_BOUND = 0.10
 @query(
     "agg_approx_distinct",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     e AS (SELECT user_id % 10 AS bucket,
                  COUNT(DISTINCT item_id) AS exact_items,
                  COUNT(DISTINCT user_id) AS exact_users
@@ -761,7 +761,7 @@ MARKOV_TOP_NEXT = 3  # next-item candidates kept per current item
 @query(
     "markov_next_item",
     oracle=f"""
-    WITH r AS ({RATINGS_SQL}),
+    WITH r AS MATERIALIZED ({RATINGS_SQL}),
     seq AS (SELECT user_id, item_id, ts, interaction_id,
                    LAG(item_id) OVER (PARTITION BY user_id
                                       ORDER BY ts, interaction_id, item_id)
@@ -836,7 +836,7 @@ def _coverage_oracle() -> str:
     recs = _REG["recommend_top_k"].oracle
     return f"""
     WITH recs AS ({recs}),
-    r2 AS ({RATINGS_SQL}),
+    r2 AS MATERIALIZED ({RATINGS_SQL}),
     pop AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM r2 GROUP BY item_id),
     cut AS (SELECT ROUND(quantile_cont(cnt, {HEAD_PCTL}), 6) AS head_cut,
@@ -1834,7 +1834,7 @@ def _mmr_oracle() -> str:
     md5-heavy 6M-row ratings chain combinatorially — >15 min at sf1 vs
     39 s materialized (identical rows; pure evaluation-order hint)."""
     base = f"""
-WITH r AS ({RATINGS_SQL}),
+WITH r AS MATERIALIZED ({RATINGS_SQL}),
 train AS MATERIALIZED (SELECT * FROM r WHERE interaction_id % 10 < 7),
 mu AS (SELECT ROUND(AVG(rating), 6) AS mu FROM train),
 ub AS (SELECT user_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bu

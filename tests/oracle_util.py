@@ -15,6 +15,14 @@ from dask_recommender_system_spark.data import TABLES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle engine: an inlined-CTE plan at the 10x sweep scale
+    # once ballooned past 50 GB RSS and drew the kernel OOM-killer (which
+    # takes the whole compare process down, Spark side included). With a
+    # cap DuckDB spills to disk instead and the sweep stays alive.
+    con.sql("SET memory_limit='24GB'")
+    # per-process spill dir: concurrent sweep workers sharing one temp
+    # directory remove each other's files (fatal IOException in DuckDB)
+    con.sql(f"SET temp_directory='/tmp/drs_duck_spill_{os.getpid()}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables (e.g. the synthesized sf1 copy under
