@@ -424,7 +424,7 @@ AHASH_T = 2  # max Hamming distance (of 64 bits) for a near-dup pair
 # multimodal_image_ahash oracle and the multimodal_dup_clusters oracle
 # (which clusters the same pair set).
 _AHASH_SQL = f"""
-    cc AS (
+    cc AS MATERIALIZED (
         SELECT doc_id,
                ((strpos('0123456789abcdef', substr(md5(wd), 1, 1)) - 1) * 16
                 + (strpos('0123456789abcdef', substr(md5(wd), 2, 1)) - 1))
@@ -433,8 +433,8 @@ _AHASH_SQL = f"""
         FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS wd
               FROM documents)
         GROUP BY 1, 2),
-    tot AS (SELECT doc_id, SUM(c) AS total FROM cc GROUP BY 1),
-    hw AS (
+    tot AS MATERIALIZED (SELECT doc_id, SUM(c) AS total FROM cc GROUP BY 1),
+    hw AS MATERIALIZED (
         SELECT cc.doc_id,
                CAST(COALESCE(SUM(CASE WHEN cell // 16 = 0 AND 64 * c > total
                    THEN 1 << (15 - CAST(cell % 16 AS INT)) END), 0)
@@ -450,22 +450,22 @@ _AHASH_SQL = f"""
                    AS BIGINT) AS b3
         FROM cc JOIN tot USING (doc_id)
         GROUP BY cc.doc_id),
-    hx AS (
+    hx AS MATERIALIZED (
         SELECT doc_id,
                printf('%04x', b0) || printf('%04x', b1)
                || printf('%04x', b2) || printf('%04x', b3) AS hash,
                b0, b1, b2, b3
         FROM hw),
-    hl AS (          SELECT doc_id, 0 AS band_idx, b0 AS bv FROM hx
+    hl AS MATERIALIZED (          SELECT doc_id, 0 AS band_idx, b0 AS bv FROM hx
            UNION ALL SELECT doc_id, 1, b1 FROM hx
            UNION ALL SELECT doc_id, 2, b2 FROM hx
            UNION ALL SELECT doc_id, 3, b3 FROM hx),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM hl a JOIN hl b
           ON a.band_idx = b.band_idx AND a.bv = b.bv
          AND a.doc_id < b.doc_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b, ha.hash AS hash_a, hb.hash AS hash_b,
                CAST(bit_count(xor(ha.b0, hb.b0))
                     + bit_count(xor(ha.b1, hb.b1))
@@ -598,7 +598,7 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_AHASH_SQL},
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION ALL
               SELECT doc_b, doc_a FROM pairs),
     reach(node, lbl) AS (

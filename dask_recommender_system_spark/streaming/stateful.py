@@ -46,6 +46,24 @@ STATE_SCHEMA = "last_s long, session_id long, n_events long, start_s long"
 _COLUMNS = ["user_id", "session_id", "n_events", "start_s", "end_s"]
 
 
+def _gather(pdfs):
+    """Concatenate ALL of a group's Arrow chunks for this micro-batch
+    before sorting. The grouping sort orders rows by KEY only — a group's
+    rows reach the kernel in shuffle-fetch order, split across chunks at
+    arbitrary points, so sorting each chunk independently replays the
+    recurrence in a nondeterministic interleaving (caught by the sf1
+    oracle sweep: 937 divergent bin-pack rows across 107 customers whose
+    rows spanned chunk boundaries). One concat + one sort restores the
+    within-batch total order the recurrences are defined over; the
+    cross-batch contract is unchanged (state carries)."""
+    chunks = list(pdfs)
+    if not chunks:
+        return None
+    if len(chunks) == 1:
+        return chunks[0]
+    return pd.concat(chunks, ignore_index=True)
+
+
 def sessionize_with_state(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -68,8 +86,9 @@ def sessionize_with_state(
         last_s, session_id, n_events, start_s = -(10**18), 0, 0, 0
 
     out: list[tuple[int, int, int, int, int]] = []
-    for pdf in pdfs:
-        for ts in sorted(int(t) for t in pdf["ts_s"]):
+    block = _gather(pdfs)
+    if block is not None:
+        for ts in sorted(int(t) for t in block["ts_s"]):
             if ts - last_s > SESSION_GAP_S:
                 if n_events > 0:
                     out.append((user_id, session_id, n_events, start_s, last_s))
@@ -125,8 +144,9 @@ def hysteresis_with_state(
     (user_id,) = key
     alert = state.get[0] if state.exists else 0
     out: list[tuple[int, int, int, float, int]] = []
-    for pdf in pdfs:
-        block = pdf.sort_values(["sec", "event_id"])
+    block = _gather(pdfs)
+    if block is not None:
+        block = block.sort_values(["sec", "event_id"])
         for _, row in block.iterrows():
             v = float(row["value"])
             if v > HYST_HI:
@@ -181,8 +201,9 @@ def token_bucket_with_state(
     else:
         tokens, prev_tick, first = TB_CAP, 0, True
     out: list[tuple[int, int, int, int, int]] = []
-    for pdf in pdfs:
-        block = pdf.sort_values(["sec", "event_id"])
+    block = _gather(pdfs)
+    if block is not None:
+        block = block.sort_values(["sec", "event_id"])
         for _, row in block.iterrows():
             sec = int(row["sec"])
             tick = sec // TB_REFILL_S
@@ -242,8 +263,9 @@ def bin_pack_with_state(
     else:
         bin_idx, rem = 1, BP_CAP
     out: list[tuple[int, int, int, int, int, int]] = []
-    for pdf in pdfs:
-        block = pdf.sort_values(["day", "orderkey"])
+    block = _gather(pdfs)
+    if block is not None:
+        block = block.sort_values(["day", "orderkey"])
         for _, row in block.iterrows():
             size = int(row["size"])
             if size <= rem:
@@ -304,8 +326,9 @@ def lindley_with_state(
     else:
         w, pa, ps, first = 0, 0, 0, True
     out: list[tuple[int, int, int, int, int, int]] = []
-    for pdf in pdfs:
-        block = pdf.sort_values(["arr_s", "orderkey"])
+    block = _gather(pdfs)
+    if block is not None:
+        block = block.sort_values(["arr_s", "orderkey"])
         for _, row in block.iterrows():
             a, s = int(row["arr_s"]), int(row["svc_s"])
             if first:
@@ -376,11 +399,12 @@ def sessionize_outcomes_with_state(
         )
 
     out: list[tuple[int, int, int, int, int, int, int]] = []
-    for pdf in pdfs:
+    block = _gather(pdfs)
+    if block is not None:
         recs = sorted(
             zip(
-                (int(t) for t in pdf["ts_s"]),
-                pdf["event_type"],
+                (int(t) for t in block["ts_s"]),
+                block["event_type"],
             )
         )
         for ts, etype in recs:

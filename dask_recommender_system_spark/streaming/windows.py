@@ -30,6 +30,30 @@ from ..registry import REGISTRY
 _SNIFFED_SCHEMA: dict[str, T.StructType] = {}
 
 
+
+def _stream_src_path(src: str, leaf: str) -> str:
+    """Directory-or-file stream source resolution (the read_events_stream
+    rule, shared by every file-source stream): a multi-file table (the
+    realistic at-scale layout, e.g. the sf1 probe's synthesized copy) is
+    streamed as-is — symlink-staging a DIRECTORY would hide the part
+    files one level below the non-recursive file listing and the stream
+    would silently drain 0 rows (caught by the sf1 oracle sweep on
+    stream_bin_pack / stream_queue_lindley); a single parquet FILE is
+    staged under a symlink directory because the file source requires a
+    directory."""
+    import hashlib
+    import os
+
+    if os.path.isdir(src):
+        return src
+    stage = f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/{leaf}"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stage
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema-explicit — file
     streams cannot infer). The file source requires a *directory*, so the
@@ -55,21 +79,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(src).schema
         _SNIFFED_SCHEMA[src] = schema
-    if os.path.isdir(src):
-        # multi-file table (the realistic at-scale layout, e.g. the sf1
-        # probe's synthesized copy): the file source takes the directory
-        # as-is. Symlink-staging a DIRECTORY would hide the part files
-        # one level deep, where the non-recursive file listing never
-        # looks — the stream would silently drain 0 rows.
-        stream_path = src
-    else:
-        stage = f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
-        os.makedirs(stage, exist_ok=True)
-        link = f"{stage}/events.parquet"
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        stream_path = stage
-    raw = spark.readStream.schema(schema).parquet(stream_path)
+    raw = spark.readStream.schema(schema).parquet(
+        _stream_src_path(src, "events.parquet")
+    )
     # same normalization as the batch loader — one function, so batch and
     # stream cannot desynchronize on the next encoding change
     from ..data import normalize_event_ts
@@ -1411,9 +1423,6 @@ def stream_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shares its recursive-CTE oracle VERBATIM — token-bucket-grade
     parity for a 2-field packing state. At 100 TB: state is two longs
     per active customer."""
-    import hashlib
-    import os
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from .stateful import apply_bin_pack
 
@@ -1422,14 +1431,33 @@ def stream_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(src).schema
         _SNIFFED_SCHEMA[src] = schema
-    stage = (
-        f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/orders.parquet"
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    o = spark.readStream.schema(schema).parquet(stage).select(
+    # Arrival order IS the packing order (next-fit packs in service
+    # order; the state recurrence has no sort). A single-file source
+    # already arrives time-ordered, but a multi-file directory streams
+    # file-by-file, and part files of a union carry interleaved date
+    # ranges — the sf1 sweep caught 41 divergent bins from that. So a
+    # directory source is staged ONCE as a (o_orderdate, o_orderkey)-
+    # sorted single-file copy: the simulated source then honors the
+    # production contract that orders arrive chronologically.
+    if os.path.isdir(src):
+        import hashlib
+
+        stage = (
+            "/tmp/drs_stream_src/"
+            f"{hashlib.md5(src.encode()).hexdigest()[:12]}_sorted"
+        )
+        if not os.path.exists(f"{stage}/_SUCCESS"):
+            (
+                spark.read.parquet(src)
+                .orderBy("o_orderdate", "o_orderkey")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+        stream_path = stage
+    else:
+        stream_path = _stream_src_path(src, "orders.parquet")
+    o = spark.readStream.schema(schema).parquet(stream_path).select(
         F.col("o_custkey").cast("long").alias("custkey"),
         F.col("o_orderkey").cast("long").alias("orderkey"),
         F.expr(
@@ -1687,14 +1715,9 @@ def stream_queue_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(src).schema
         _SNIFFED_SCHEMA[src] = schema
-    stage = (
-        f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/orders.parquet"
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    o = spark.readStream.schema(schema).parquet(stage).select(
+    o = spark.readStream.schema(schema).parquet(
+        _stream_src_path(src, "orders.parquet")
+    ).select(
         "o_custkey",
         F.col("o_orderkey").cast("long").alias("orderkey"),
         F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT)").alias(
