@@ -469,7 +469,7 @@ WITH lines AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM
 edges AS MATERIALIZED (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
           FROM lines a JOIN lines b ON a.o = b.o AND a.p <> b.p
           GROUP BY 1, 2),
-lab0 AS (SELECT DISTINCT p AS node, p AS lab FROM lines)"""
+lab0 AS MATERIALIZED (SELECT DISTINCT p AS node, p AS lab FROM lines)"""
     ]
     for r in range(1, LPA_ROUNDS + 1):
         parts.append(
@@ -482,7 +482,7 @@ win{r} AS (
     SELECT node, lab,
            ROW_NUMBER() OVER (PARTITION BY node ORDER BY wv DESC, lab) AS rn
     FROM votes{r}) t WHERE rn = 1),
-lab{r} AS (
+lab{r} AS MATERIALIZED (
   SELECT p.node, COALESCE(w.lab, p.lab) AS lab
   FROM lab{r - 1} p LEFT JOIN win{r} w ON p.node = w.node)"""
         )

@@ -597,17 +597,205 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_AHASH_SQL},
+    WITH {_AHASH_SQL},
     edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION ALL
               SELECT doc_b, doc_a FROM pairs),
-    reach(node, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
-    SELECT node AS doc_id, MIN(lbl) AS cluster_id,
-           (node = MIN(lbl)) AS is_canonical
-    FROM reach GROUP BY node
+    -- min-label iteration with POINTER JUMPING, unrolled (lab_r+1 =
+    -- least(own, min neighbor label, label-of-own-label)): O(|V|) rows
+    -- per round and logarithmic convergence, replacing the recursive
+    -- transitive closure whose (node, label) set is quadratic in
+    -- component size (sum K^2 was ~1.1e8 at the 10x sweep -- hundreds
+    -- of GB of UNION-dedup state). 18 rounds reach the
+    -- fixpoint for any component up to 2^18 nodes; the
+    -- tested corpora are orders of magnitude below that, and any
+    -- shortfall would surface as a hash mismatch against the Spark
+    -- fixpoint, never silently.
+    lab0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl
+                          FROM documents),
+    lab1 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab0 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab0 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab0 pj ON pj.node = v.lbl),
+    lab2 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab1 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab1 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab1 pj ON pj.node = v.lbl),
+    lab3 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab2 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab2 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab2 pj ON pj.node = v.lbl),
+    lab4 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab3 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab3 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab3 pj ON pj.node = v.lbl),
+    lab5 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab4 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab4 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab4 pj ON pj.node = v.lbl),
+    lab6 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab5 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab5 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab5 pj ON pj.node = v.lbl),
+    lab7 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab6 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab6 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab6 pj ON pj.node = v.lbl),
+    lab8 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab7 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab7 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab7 pj ON pj.node = v.lbl),
+    lab9 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab8 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab8 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab8 pj ON pj.node = v.lbl),
+    lab10 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab9 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab9 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab9 pj ON pj.node = v.lbl),
+    lab11 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab10 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab10 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab10 pj ON pj.node = v.lbl),
+    lab12 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab11 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab11 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab11 pj ON pj.node = v.lbl),
+    lab13 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab12 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab12 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab12 pj ON pj.node = v.lbl),
+    lab14 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab13 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab13 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab13 pj ON pj.node = v.lbl),
+    lab15 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab14 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab14 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab14 pj ON pj.node = v.lbl),
+    lab16 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab15 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab15 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab15 pj ON pj.node = v.lbl),
+    lab17 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab16 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab16 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab16 pj ON pj.node = v.lbl),
+    lab18 AS MATERIALIZED (
+        SELECT v.node,
+               LEAST(v.lbl,
+                     COALESCE(nm.m, v.lbl),
+                     COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM lab17 v
+        LEFT JOIN (SELECT e.src AS node, MIN(l.lbl) AS m
+                   FROM edges e JOIN lab17 l ON e.dst = l.node
+                   GROUP BY e.src) nm ON nm.node = v.node
+        LEFT JOIN lab17 pj ON pj.node = v.lbl)
+    SELECT node AS doc_id, lbl AS cluster_id,
+           (node = lbl) AS is_canonical
+    FROM lab18
     """,
 )
 def multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
