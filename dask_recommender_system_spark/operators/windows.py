@@ -403,10 +403,18 @@ RECO_PRUNE_MARGIN = 4
     ib AS (SELECT item_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bi
            FROM train GROUP BY item_id),
     users AS (SELECT user_id, bu FROM ub WHERE user_id % 29 = 0),
+    -- same containment prune as the engine side (see recommend_top_k):
+    -- score = mu + bu + bi is additive, so per-user rank order equals
+    -- (bi DESC, item_id) order up to 1e-6 rounding collisions, and the
+    -- 4x-margin pool contains every user's top-k. The unpruned
+    -- users x catalog cross join is ~1e9 rows at the 10x sweep.
+    pool AS MATERIALIZED (
+        SELECT item_id, bi FROM ib
+        ORDER BY bi DESC, item_id LIMIT 20),
     scored AS (
         SELECT u.user_id, i.item_id,
                ROUND((SELECT mu FROM mu) + u.bu + i.bi, 6) AS score
-        FROM users u CROSS JOIN ib i),
+        FROM users u CROSS JOIN pool i),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                      ORDER BY score DESC, item_id) AS rnk
@@ -1738,10 +1746,18 @@ def percentile_disc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib AS (SELECT item_id, ROUND(AVG(rating) - (SELECT mu FROM mu), 6) AS bi
            FROM train GROUP BY item_id),
     users AS (SELECT user_id, bu FROM ub WHERE user_id % 29 = 0),
+    -- same containment prune as the engine side (see recommend_top_k):
+    -- score = mu + bu + bi is additive, so per-user rank order equals
+    -- (bi DESC, item_id) order up to 1e-6 rounding collisions, and the
+    -- 4x-margin pool contains every user's top-k. The unpruned
+    -- users x catalog cross join is ~1e9 rows at the 10x sweep.
+    pool AS MATERIALIZED (
+        SELECT item_id, bi FROM ib
+        ORDER BY bi DESC, item_id LIMIT 20),
     scored AS (
         SELECT u.user_id, i.item_id,
                ROUND((SELECT mu FROM mu) + u.bu + i.bi, 6) AS score
-        FROM users u CROSS JOIN ib i),
+        FROM users u CROSS JOIN pool i),
     recs AS (
         SELECT user_id, item_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
