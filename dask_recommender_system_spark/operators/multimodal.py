@@ -793,9 +793,19 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM edges e JOIN lab17 l ON e.dst = l.node
                    GROUP BY e.src) nm ON nm.node = v.node
         LEFT JOIN lab17 pj ON pj.node = v.lbl)
+    -- convergence guard (ADVICE r06): the 18-round bound is proven for
+    -- pure pointer doubling, not for this combined min-neighbor +
+    -- label-of-label operator — so under-convergence must fail loudly
+    -- IN the oracle (sentinel row => rows/hash mismatch), not silently
+    -- via a downstream value diff. lab18 <> lab17 anywhere means the
+    -- chain had not reached its fixpoint.
     SELECT node AS doc_id, lbl AS cluster_id,
            (node = lbl) AS is_canonical
     FROM lab18
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE
+    WHERE EXISTS (SELECT 1 FROM lab18 a JOIN lab17 b
+                  ON a.node = b.node AND a.lbl <> b.lbl)
     """,
 )
 def multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -390,6 +390,23 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers picking these at a 10⁹-item catalog.
 RECO_TOP_K = 5
 RECO_PRUNE_MARGIN = 4
+RECO_POOL = RECO_TOP_K * RECO_PRUNE_MARGIN
+
+# Containment guard shared by the recommend_top_k / recs_novelty oracles.
+# The pruned oracle embeds the engine's own pool cut, so the containment
+# assumption (per-user top-k ⊆ global top-pool by bi) must stay checked
+# INSIDE the oracle: bi sits on the 1e-6 ROUND grid, so the only way
+# ROUND(mu + bu + bi, 6) can collide across the pool boundary is a
+# boundary gap of exactly one grid step (0 < gap < 2e-6). An exact bi tie
+# is safe — the pool keeps the smaller item_id, which is also the per-user
+# score tiebreak. When the unsafe gap occurs the guard emits a sentinel
+# row, turning a silent wrong top-k into a loud rows/hash mismatch.
+RECO_GUARD_SQL = f"""
+    boundary AS MATERIALIZED (
+        SELECT bi FROM (
+            SELECT bi, ROW_NUMBER() OVER (ORDER BY bi DESC, item_id) AS rn
+            FROM ib)
+        WHERE rn IN ({RECO_POOL}, {RECO_POOL} + 1))"""
 
 
 @query(
@@ -406,11 +423,12 @@ RECO_PRUNE_MARGIN = 4
     -- same containment prune as the engine side (see recommend_top_k):
     -- score = mu + bu + bi is additive, so per-user rank order equals
     -- (bi DESC, item_id) order up to 1e-6 rounding collisions, and the
-    -- 4x-margin pool contains every user's top-k. The unpruned
+    -- margin pool contains every user's top-k. The unpruned
     -- users x catalog cross join is ~1e9 rows at the 10x sweep.
     pool AS MATERIALIZED (
         SELECT item_id, bi FROM ib
-        ORDER BY bi DESC, item_id LIMIT 20),
+        ORDER BY bi DESC, item_id LIMIT {RECO_POOL}),
+    {RECO_GUARD_SQL},
     scored AS (
         SELECT u.user_id, i.item_id,
                ROUND((SELECT mu FROM mu) + u.bu + i.bi, 6) AS score
@@ -421,6 +439,11 @@ RECO_PRUNE_MARGIN = 4
         FROM scored)
     SELECT user_id, item_id, CAST(rnk AS BIGINT) AS rnk, score
     FROM ranked WHERE rnk <= {RECO_TOP_K}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS DOUBLE)
+    WHERE (SELECT COUNT(*) FROM boundary) = 2
+      AND (SELECT MAX(bi) - MIN(bi) FROM boundary) BETWEEN 1e-12 AND 2e-6
     """,
 )
 def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,9 +478,7 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MLlib's blocked top-k. orderBy+limit compiles to
     # TakeOrderedAndProject — per-partition top-k merged at the driver, no
     # single-partition ranking window even at a 10⁹-item dimension.
-    ib_top = ib.orderBy(F.col("bi").desc(), F.col("item_id")).limit(
-        RECO_TOP_K * RECO_PRUNE_MARGIN
-    )
+    ib_top = ib.orderBy(F.col("bi").desc(), F.col("item_id")).limit(RECO_POOL)
     scored = (
         users.crossJoin(F.broadcast(ib_top))
         .crossJoin(F.broadcast(mu))
@@ -1749,11 +1770,12 @@ def percentile_disc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- same containment prune as the engine side (see recommend_top_k):
     -- score = mu + bu + bi is additive, so per-user rank order equals
     -- (bi DESC, item_id) order up to 1e-6 rounding collisions, and the
-    -- 4x-margin pool contains every user's top-k. The unpruned
+    -- margin pool contains every user's top-k. The unpruned
     -- users x catalog cross join is ~1e9 rows at the 10x sweep.
     pool AS MATERIALIZED (
         SELECT item_id, bi FROM ib
-        ORDER BY bi DESC, item_id LIMIT 20),
+        ORDER BY bi DESC, item_id LIMIT {RECO_POOL}),
+    {RECO_GUARD_SQL},
     scored AS (
         SELECT u.user_id, i.item_id,
                ROUND((SELECT mu FROM mu) + u.bu + i.bi, 6) AS score
@@ -1785,6 +1807,11 @@ def percentile_disc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN pop p ON r.item_id = p.item_id
     LEFT JOIN head h ON r.item_id = h.item_id
     GROUP BY r.user_id
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS DOUBLE), CAST(-1 AS BIGINT),
+           CAST(-1 AS DOUBLE)
+    WHERE (SELECT COUNT(*) FROM boundary) = 2
+      AND (SELECT MAX(bi) - MIN(bi) FROM boundary) BETWEEN 1e-12 AND 2e-6
     """.replace("{RATINGS}", RATINGS_SQL),
 )
 def recs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

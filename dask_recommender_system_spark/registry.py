@@ -76,88 +76,61 @@ def load_all_operators() -> None:
 # The driver's CORRECTNESS gate checks the first 50 entries of ``queries()``
 # per round, so coverage rotates: this list fronts the names that most need
 # a driver verdict; every name NOT listed here is already driver-green
-# (CORRECTNESS_r01-r05) and falls back to registration order behind them.
-# Round-6 front, in order (VERDICT r05 item 1): after five rounds the
-# cumulative driver-green count is 231/421, so the entire list is now the
-# 190 never-driver-checked queue —
-#   (a) the LLM-pipeline ops still sweep-only (PQ quantize/rerank, kNN
-#       eval, sorted-neighborhood / chunk-rewrite / cross-corpus dedup,
-#       audio + scene-change kernels, n-gram novelty, the composed
-#       curation pipeline, RRF, winnowing, PPMI, bigram LM);
-#   (b) the TPC-H SQL-verbatim pins (Q3-Q22);
-#   (c) the never-checked streaming twins;
-#   (d) the remaining queue, oldest first — keep rotating 50 per round
-#       until every name has a CORRECTNESS_r* row.
+# (CORRECTNESS_r01-r06) and falls back to registration order behind them.
+# Round-7 front, in order (VERDICT r06 item 1): cumulative driver-green is
+# 281/421 after six rounds, so this list is exactly the 140 never-checked
+# queue. The first 50 lead with the ops where a driver hash-pass adds the
+# most new information —
+#   (a) the Arrow/UDF surface still sweep-only (grouped-agg / scalar pandas
+#       UDFs, mapInArrow, UDTF);
+#   (b) the recurrence kernels (Holt forecast, Lloyd k-means epoch, Hampel);
+#   (c) graph / recs (personalized PageRank, LPA communities, MMR, novelty,
+#       intra-list diversity);
+#   (d) the semantics pins (null-safe / outer joins, explode_outer,
+#       grouping_id, overflow, DECIMAL money, collation, try_* arithmetic);
+#   (e) sketch / scan plumbing (count-min rollup, sketch persist, struct
+#       pushdown, multi-format union, sized parquet / gzip jsonl sinks);
+#   (f) hierarchy closure + lateral top-k, then the queue oldest-first —
+#       keep rotating 50 per round until every name has a CORRECTNESS_r* row.
 DRIVER_PRIORITY: list[str] = [
-    "similarity_pq_rerank",
-    "embedding_pq_quantize",
-    "knn_classifier_eval",
-    "embedding_truncation_overlap",
-    "doc_similarity_sparse",
-    "minhash_incremental_merge",
-    "minhash_band_sweep",
-    "dedup_sorted_neighborhood",
-    "dedup_chunk_rewrite",
-    "dedup_cross_corpus_anti",
-    "boilerplate_shingle_profile",
-    "multimodal_audio_features",
-    "multimodal_scene_change",
-    "ngram_novelty_score",
-    "corpus_curation_pipeline",
-    "hybrid_search_rrf",
-    "winnowing_fingerprint",
-    "ppmi_cooccurrence",
-    "bigram_lm_logprob",
-    "sql_interface_q3",
-    "sql_interface_q4",
-    "sql_interface_q5",
-    "sql_interface_q6",
-    "sql_interface_q7",
-    "sql_interface_q8",
-    "sql_interface_q10",
-    "sql_interface_q13",
-    "sql_interface_q14",
-    "sql_interface_q15",
-    "sql_interface_q17",
-    "sql_interface_q18",
-    "sql_interface_q19",
-    "sql_interface_q22",
-    "stream_checkpoint_resume",
-    "stream_update_mode",
-    "stream_available_now",
-    "stream_daily_unique_users",
-    "stream_join_left_outer",
-    "stream_countmin_rollup",
-    "stream_dau_daily",
-    "stream_slo_burn",
-    "stream_cart_abandonment",
-    "cumulative_unique_users",
-    "join_partition_pruned",
-    "timeseries_interpolate_linear",
-    "grouped_skew_kurtosis",
-    "map_functions_suite",
-    "join_range_bucketized",
-    "consistent_hash_assignment",
-    "join_asof_tolerance",
+    "grouped_agg_pandas_udf",
+    "map_in_arrow_passthrough",
+    "pandas_udf_scalar_textfeats",
+    "udtf_order_milestones",
+    "holt_linear_forecast",
+    "kmeans_lloyd_epoch",
+    "hampel_outlier_filter",
+    "personalized_pagerank",
+    "label_propagation_communities",
+    "mmr_rerank",
+    "recs_novelty",
+    "recs_intra_list_diversity",
+    "join_null_safe_keys",
+    "join_outer_suite",
+    "explode_outer_semantics",
+    "grouping_id_semantics",
+    "overflow_semantics",
+    "decimal_money_suite",
+    "collation_semantics",
+    "try_arithmetic_suite",
+    "countmin_sketch_rollup",
     "sketch_persist_roundtrip",
     "scan_struct_pushdown",
-    "grouping_id_semantics",
-    "explode_outer_semantics",
+    "scan_multi_format_union",
+    "sink_parquet_sized",
+    "sink_jsonl_gzip",
+    "hierarchy_closure_recursive",
+    "sql_lateral_topk",
     "scan_jsonl_quarantine",
     "abc_classification",
     "log2_histogram",
     "grouped_topk_array",
     "pii_pseudonymize",
-    "try_arithmetic_suite",
     "union_schema_drift",
     "observe_metrics",
     "generate_date_dim",
-    "overflow_semantics",
-    "decimal_money_suite",
     "sink_parquet_zstd",
     "join_hint_merge",
-    "collation_semantics",
-    "sql_lateral_topk",
     "interval_overlap_join",
     "activity_heatmap",
     "argmax_per_group",
@@ -171,7 +144,6 @@ DRIVER_PRIORITY: list[str] = [
     "join_dirty_keys",
     "top_movers",
     "concurrent_intervals_daily",
-    "scan_multi_format_union",
     "dedup_keep_best",
     "snapshot_diff",
     "nth_value_suite",
@@ -186,16 +158,11 @@ DRIVER_PRIORITY: list[str] = [
     "bitwise_ops_suite",
     "boolean_agg_suite",
     "rolling_zscore",
-    "join_null_safe_keys",
-    "join_outer_suite",
     "monotonicity_audit",
     "share_of_parent",
     "join_fallback_hierarchy",
     "weighted_moving_avg",
     "trimmed_mean_grouped",
-    "sink_parquet_sized",
-    "grouped_agg_pandas_udf",
-    "map_in_arrow_passthrough",
     "surrogate_keys",
     "table_fingerprint",
     "session_window_dynamic_gap",
@@ -203,15 +170,11 @@ DRIVER_PRIORITY: list[str] = [
     "peak_activity_cell",
     "split_leakage_audit",
     "quality_stratified_sample",
-    "hierarchy_closure_recursive",
-    "udtf_order_milestones",
     "corpus_jsonl_gz_roundtrip",
     "rolling_distinct_users_7d",
-    "personalized_pagerank",
     "session_entropy",
     "percentile_disc_exact",
     "covisitation_timebound",
-    "recs_novelty",
     "quantile_normalize",
     "funnel_step_deadlines",
     "grouped_ols_2var",
@@ -219,13 +182,9 @@ DRIVER_PRIORITY: list[str] = [
     "revenue_changepoint_fit",
     "inventory_fifo_matching",
     "woe_iv_binning",
-    "holt_linear_forecast",
     "diff_in_diff",
-    "kmeans_lloyd_epoch",
     "ab_srm_check",
     "largest_remainder_apportionment",
-    "label_propagation_communities",
-    "mmr_rerank",
     "attribution_position_based",
     "feature_robust_scale",
     "frequent_itemsets_l3",
@@ -236,7 +195,6 @@ DRIVER_PRIORITY: list[str] = [
     "survival_nelson_aalen",
     "causal_impact_lite",
     "ipw_ate_by_segment",
-    "countmin_sketch_rollup",
     "geo_grid_knn",
     "forecast_backtest_mase",
     "wilson_ci_ranking",
@@ -245,16 +203,13 @@ DRIVER_PRIORITY: list[str] = [
     "graph_degree_assortativity",
     "burstiness_interevent",
     "ratio_metric_delta_method",
-    "pandas_udf_scalar_textfeats",
     "histogram_equi_depth",
-    "recs_intra_list_diversity",
     "bayes_beta_binomial",
     "qini_uplift_deciles",
     "dau_mau_stickiness",
     "acf_daily_revenue",
     "herfindahl_concentration",
     "permutation_test_diff",
-    "hampel_outlier_filter",
     "xyz_variability_classes",
     "slo_burn_alerts",
     "cramers_v_matrix",
@@ -278,7 +233,6 @@ DRIVER_PRIORITY: list[str] = [
     "cart_abandonment_daily",
     "bloom_fpr_audit",
     "text_boilerplate_share",
-    "sink_jsonl_gzip",
 ]
 
 

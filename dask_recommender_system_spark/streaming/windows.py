@@ -42,7 +42,6 @@ def _stream_src_path(src: str, leaf: str) -> str:
     staged under a symlink directory because the file source requires a
     directory."""
     import hashlib
-    import os
 
     if os.path.isdir(src):
         return src
@@ -51,6 +50,53 @@ def _stream_src_path(src: str, leaf: str) -> str:
     link = f"{stage}/{leaf}"
     if not os.path.exists(link):
         os.symlink(src, link)
+    return stage
+
+
+def _stage_fingerprint(src: str) -> str:
+    """Content fingerprint of a parquet source: the path plus every
+    listed file's (relative name, size, mtime_ns). Keying a staged copy
+    on this — not on the path alone — means a regenerated dataset at the
+    same path re-stages instead of silently replaying stale rows
+    (ADVICE r06; the old symlink staging tracked live content for free,
+    a materialized sorted copy must earn it)."""
+    import hashlib
+
+    h = hashlib.md5(src.encode())
+    for root, _dirs, files in sorted(os.walk(src)):
+        rel = os.path.relpath(root, src)
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            h.update(f"{rel}/{fn}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
+def _staged_sorted_copy(spark: SparkSession, src: str, sort_cols: list[str]) -> str:
+    """Stage a directory-shaped parquet source as ONE sort_cols-sorted
+    file for order-sensitive file-source streams. Written to a unique
+    temp dir then atomically os.rename'd into place, so two concurrent
+    sweep workers cannot race a mode('overwrite') into the same
+    directory: rename onto an existing stage fails (ENOTEMPTY), the
+    loser discards its temp copy and reads the winner's — which is
+    complete by construction, because rename is atomic and only ever
+    publishes a finished write (ADVICE r06)."""
+    import shutil
+    import uuid as _uuid
+
+    stage = f"/tmp/drs_stream_src/{_stage_fingerprint(src)}_sorted"
+    if not os.path.exists(f"{stage}/_SUCCESS"):
+        tmp = f"{stage}.tmp_{_uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(src)
+            .orderBy(*sort_cols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return stage
 
 
@@ -66,9 +112,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) (readable only as int64 via the legacy conf) and
     TIMESTAMP(MICROS), and batch (`data.load_table`) and stream must agree
     on the same microsecond TimestampType either way."""
-    import hashlib
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
     # footer-sniff once per src path: the eager batch read exists only to
@@ -1440,21 +1483,7 @@ def stream_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted single-file copy: the simulated source then honors the
     # production contract that orders arrive chronologically.
     if os.path.isdir(src):
-        import hashlib
-
-        stage = (
-            "/tmp/drs_stream_src/"
-            f"{hashlib.md5(src.encode()).hexdigest()[:12]}_sorted"
-        )
-        if not os.path.exists(f"{stage}/_SUCCESS"):
-            (
-                spark.read.parquet(src)
-                .orderBy("o_orderdate", "o_orderkey")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(stage)
-            )
-        stream_path = stage
+        stream_path = _staged_sorted_copy(spark, src, ["o_orderdate", "o_orderkey"])
     else:
         stream_path = _stream_src_path(src, "orders.parquet")
     o = spark.readStream.schema(schema).parquet(stream_path).select(
@@ -1702,9 +1731,6 @@ def stream_queue_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drained output equals the batch recurrence and shares its
     recursive-CTE oracle VERBATIM. At 100 TB: three longs of state per
     active server."""
-    import hashlib
-    import os
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from .stateful import apply_lindley
     from ..data import load_table
