@@ -658,3 +658,38 @@ def test_rolling_distinct_users_7d_planted(spark, tmp_path):
     # day 13: window is days 7..13 — user 3's day-6 visit expired (it
     # contributes through day 12), leaving only user 4
     assert out[day0 + 13] == 1
+
+
+def _oracle_parity_at_batch_size_1(spark, sf_dir, name):
+    """Shared body: run a carried-state mapInPandas kernel with ONE row
+    per Arrow batch and compare against its recursive-CTE DuckDB oracle."""
+    from .oracle_util import compare, duckdb_con
+
+    q = REGISTRY[name]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        got = q.fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    con = duckdb_con(sf_dir)  # .sql() is lazy — keep the connection alive
+    problems = compare(got, con.sql(q.oracle).df(), name)
+    assert not problems, problems
+
+
+def test_token_bucket_state_survives_one_row_arrow_batches(spark, sf_dir):
+    """Carried-state contract of the key-sorted mapInPandas rewrite
+    (rate_limit_token_bucket): state must cross Arrow batch boundaries
+    intact, so the output is EXACTLY invariant to the Arrow batch size.
+    maxRecordsPerBatch=1 is the adversarial chunking that would have
+    caught the applyInPandasWithState per-chunk-sort bug the sf1 sweep
+    found — every row arrives in its own batch, so any per-batch
+    re-sort, state reset, or batch-local assumption diverges from the
+    recursive-CTE oracle immediately (VERDICT r06 item 4)."""
+    _oracle_parity_at_batch_size_1(spark, sf_dir, "rate_limit_token_bucket")
+
+
+def test_bin_pack_state_survives_one_row_arrow_batches(spark, sf_dir):
+    """Same carried-state pin for bin_pack_next_fit: (open bin,
+    remaining space) must survive 1-row Arrow batches unchanged."""
+    _oracle_parity_at_batch_size_1(spark, sf_dir, "bin_pack_next_fit")
