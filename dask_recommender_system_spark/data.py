@@ -147,6 +147,60 @@ def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bump when the ratings derivation above changes (e.g. the round-6
+# content-hash interaction_id) so stale materialized caches self-invalidate.
+_RATINGS_CACHE_VERSION = 1
+
+
+def _ratings_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the ratings view's inputs (lineitem+orders
+    listings: size + mtime_ns) plus the derivation version — the cache key
+    for :func:`ratings_cached`, so regenerated testdata or a changed
+    derivation re-materializes instead of replaying stale rows."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(f"v{_RATINGS_CACHE_VERSION}|{sf_dir}".encode())
+    for t in ("lineitem", "orders"):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            for root, _dirs, files in sorted(os.walk(p)):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns};".encode())
+        else:
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
+def ratings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive-once-materialize form of :func:`ratings` — the 100 TB answer
+    to the md5-per-row cost of the content-hash ``interaction_id``
+    (SCALE.md: a derived view consumed by many queries is materialized
+    once, not recomputed per consumer; the round-6 determinism fix made
+    every re-derivation pay an md5 per row, which tripled
+    join_predict_lookup's bench time purely in view prep). First call per
+    dataset content writes the view to a fingerprint-keyed parquet under
+    /tmp via write-to-temp + atomic rename (concurrent workers can't race
+    the overwrite; the rename loser reads the winner's complete copy);
+    every later call is a plain parquet scan. Values are identical to
+    :func:`ratings` — parquet round-trips BIGINT/DOUBLE/DATE exactly."""
+    import os
+    import shutil
+    import uuid
+
+    stage = f"/tmp/drs_ratings_cache/{_ratings_fingerprint(sf_dir)}"
+    if not os.path.exists(f"{stage}/_SUCCESS"):
+        tmp = f"{stage}.tmp_{uuid.uuid4().hex[:8]}"
+        ratings(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(stage)
+
+
 def ratings_from_df(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Same derivation as :func:`ratings` from already-loaded frames.
     ``interaction_id`` must stay expression-for-expression in sync with

@@ -1059,8 +1059,14 @@ def join_predict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT OUTER joins against per-user/per-item bias tables + COALESCE for
     unseen keys + clip (L8). The driver loop becomes one distributed plan;
     bias tables are broadcast when they fit, sort-merge otherwise (AQE
-    decides)."""
-    r = _ratings(spark, sf_dir)
+    decides). Reads the derive-once materialized ratings view
+    (data.ratings_cached): this plan consumes the view three times
+    (train/test/biases), so re-deriving the md5 interaction_id per
+    consumption tripled its bench time after the round-6 determinism fix
+    — materialize-once is the at-scale shape."""
+    from ..data import ratings_cached
+
+    r = ratings_cached(spark, sf_dir)
     train = r.filter(F.col("interaction_id") % 10 < 7)
     test = r.filter(F.col("interaction_id") % 10 >= 7)
     mu = train.agg(F.round(F.avg("rating"), 6).alias("mu"))

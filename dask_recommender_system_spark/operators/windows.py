@@ -452,10 +452,14 @@ def recommend_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     models/queries.py). Declared oracle form: score every (user, item) pair
     for a deterministic user sample with the bias model, window-rank ≤ k.
     At 100 TB the cross join is the cost — the real path prunes with LSH
-    (see operators/similarity.py) or MLlib's blocked BLAS ranking."""
-    r = ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    (see operators/similarity.py) or MLlib's blocked BLAS ranking.
+    Reads the derive-once materialized ratings view (data.ratings_cached)
+    — recs_novelty consumes this query AND the view again, so
+    materialize-once removes the repeated md5 interaction_id derivation
+    the round-6 determinism fix introduced."""
+    from ..data import ratings_cached
+
+    r = ratings_cached(spark, sf_dir)
     train = r.filter(F.col("interaction_id") % 10 < 7).persist()
     mu = train.agg(F.round(F.avg("rating"), 6).alias("mu"))
     ub = (
@@ -1828,10 +1832,10 @@ def recs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global rank window), and head membership is a broadcast-sized LEFT
     join. At 100 TB: popularity is one keyed agg of the train facts; recs
     are users×k rows; everything downstream is rec-list-sized."""
+    from ..data import ratings_cached
+
     recs = recommend_top_k(spark, sf_dir).select("user_id", "item_id")
-    r = ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    r = ratings_cached(spark, sf_dir)
     train = r.filter(F.col("interaction_id") % 10 < 7)
     pop = train.groupBy("item_id").agg(F.count("*").alias("c")).persist()
     m = pop.count()
