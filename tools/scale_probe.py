@@ -30,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/drs_sf1")
-COPIES = 10
+# copy count is env-tunable so the same builder synthesizes other scales
+# (VERDICT r06 item 3: a 30-copy /tmp/drs_sf3 for the targeted >10x sweep
+# of the scale-fragile oracle families); pair it with SPARK_GRAFT_SF1_DIR
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 
 # the ten heaviest round-3 bench queries (BENCH_local r03, training
 # segments excluded — those are probed separately below)
@@ -257,6 +260,9 @@ def main() -> None:
     spark = get_spark("drs-scale-probe")
     spark.read.parquet(f"{SRC}/region.parquet").count()  # warmup
     build_sf1(spark)
+    if "--build-only" in sys.argv:
+        print(f"built {DST} ({COPIES} copies)", flush=True)
+        return
 
     # MIN of N runs per (query, scale): the probe's product is the
     # sf1/sf0.1 RATIO, and the min is the least-noise estimator of a
