@@ -34,6 +34,10 @@ def get_spark(app_name: str = "dask-recommender-system-spark") -> SparkSession:
         # starved AQE's runtime broadcast builds at the sf1 probe scale
         # (Not-enough-memory-to-broadcast), so size the heap to the box
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # the oracle sweeps collect data-grain results (e.g. the per-SKU
+        # revenue bridge is 17.7M rows at the 30x sweep scale) — the 1g
+        # default aborts the collect long before the 16g heap is at risk
+        .config("spark.driver.maxResultSize", "4g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
