@@ -161,7 +161,8 @@ _BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
 RANGE_BAND_SQL = f"""
     WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
     SELECT b.band, COUNT(*) AS n_parts,
-           ROUND(SUM(p.p_retailprice), 6) AS sum_price
+           ROUND(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 6) AS sum_price
     FROM part p
     JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
     GROUP BY b.band
@@ -185,7 +186,12 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.sum("p_retailprice"), 6).alias("sum_price"),
+            # DECIMAL(18,2) accumulate: ~600k-row per-band double sums at
+            # sf1 drift past the ROUND(6) grid with summation order
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("sum_price"),
         )
     )
 

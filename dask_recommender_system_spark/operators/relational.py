@@ -106,7 +106,8 @@ SEG_CSV_SCHEMA = T.StructType(
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c_acctbal), 6) AS sum_acctbal
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DOUBLE), 6) AS sum_acctbal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -120,7 +121,13 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 6).alias("sum_acctbal"),
+            # DECIMAL(18,2) accumulate (the money-sum discipline): five
+            # segments × 300k customers at sf1 drift past ROUND(6) as
+            # plain double sums
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("sum_acctbal"),
         )
     )
     path = f"{IO_DIR}/seg_csv"
@@ -1125,7 +1132,8 @@ def join_anti_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 6) AS sum_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 6) AS sum_price
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o_orderpriority
@@ -1149,7 +1157,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+            # DECIMAL(18,2) accumulate: 300k-row double sums at 7e10
+            # magnitude drift past the ROUND(6) grid with summation order
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("sum_price"),
         )
     )
 
@@ -1712,7 +1725,8 @@ def sql_interface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o.o_totalprice), 6) AS sum_price
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 6) AS sum_price
     FROM orders o
     JOIN (SELECT DISTINCT o_orderpriority FROM orders
           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d
@@ -1748,7 +1762,14 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+            # money sums accumulate in DECIMAL(18,2): a double SUM over
+            # 300k+ rows at 7e10 magnitude drifts ~5e-4 with summation
+            # order — past the ROUND(6) grid (caught by the rebuilt-sf1
+            # sweep; the observe_metrics discipline)
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("sum_price"),
         )
     )
 
