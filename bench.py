@@ -453,7 +453,10 @@ def main() -> None:
         # auxiliary correctness evidence the driver's 50-slot window can't
         # reach in one round: full-registry Spark-vs-DuckDB sweeps, committed
         # each round in the driver's own JSON format (see README top)
-        "correctness_evidence": "CORRECTNESS_local.json CORRECTNESS_sf01.json",
+        "correctness_evidence": (
+            "CORRECTNESS_local.json CORRECTNESS_sf01.json "
+            "CORRECTNESS_sf1.json CORRECTNESS_sf3.json"
+        ),
         "notes": BENCH_NOTES,
         **extras,
     }
