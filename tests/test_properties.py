@@ -693,3 +693,35 @@ def test_bin_pack_state_survives_one_row_arrow_batches(spark, sf_dir):
     """Same carried-state pin for bin_pack_next_fit: (open bin,
     remaining space) must survive 1-row Arrow batches unchanged."""
     _oracle_parity_at_batch_size_1(spark, sf_dir, "bin_pack_next_fit")
+
+
+def test_ratings_cache_is_content_keyed_and_value_identical(spark, sf_dir):
+    """data.ratings_cached: (1) the materialized view is value-identical
+    to the live derivation; (2) the cache key tracks dataset CONTENT —
+    touching a source file's mtime yields a different stage, so a
+    regenerated dataset can never silently serve stale rows."""
+    import os
+
+    from dask_recommender_system_spark.data import (
+        _ratings_fingerprint,
+        ratings,
+        ratings_cached,
+    )
+
+    live = ratings(spark, sf_dir).orderBy("interaction_id").collect()
+    cached = ratings_cached(spark, sf_dir).orderBy("interaction_id").collect()
+    assert live == cached
+
+    fp0 = _ratings_fingerprint(sf_dir)
+    # bump mtime on one source file (directory-shaped sources stat parts)
+    p = f"{sf_dir}/orders.parquet"
+    target = p
+    if os.path.isdir(p):
+        target = os.path.join(p, sorted(os.listdir(p))[0])
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    try:
+        assert _ratings_fingerprint(sf_dir) != fp0
+    finally:
+        os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert _ratings_fingerprint(sf_dir) == fp0
