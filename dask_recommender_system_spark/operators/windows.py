@@ -2189,7 +2189,7 @@ def _ild_oracle() -> str:
     st AS (SELECT user_id, CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS same_t
            FROM per_type GROUP BY 1)
     SELECT u.user_id, u.n AS n_items,
-           u.n * (u.n - 1) / 2 AS total_pairs,
+           CAST(u.n * (u.n - 1) / 2 AS BIGINT) AS total_pairs,
            sb.same_b AS same_brand_pairs,
            st.same_t AS same_type_pairs,
            ROUND(1 - CAST(sb.same_b AS DOUBLE) / (u.n * (u.n - 1) / 2), 6)

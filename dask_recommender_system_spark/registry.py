@@ -76,73 +76,47 @@ def load_all_operators() -> None:
 # The driver's CORRECTNESS gate checks the first 50 entries of ``queries()``
 # per round, so coverage rotates: this list fronts the names that most need
 # a driver verdict; every name NOT listed here is already driver-green
-# (CORRECTNESS_r01-r06) and falls back to registration order behind them.
-# Round-7 front, in order (VERDICT r06 item 1): cumulative driver-green is
-# 281/421 after six rounds, so this list is exactly the 140 never-checked
-# queue. The first 50 lead with the ops where a driver hash-pass adds the
-# most new information —
-#   (a) the Arrow/UDF surface still sweep-only (grouped-agg / scalar pandas
-#       UDFs, mapInArrow, UDTF);
-#   (b) the recurrence kernels (Holt forecast, Lloyd k-means epoch, Hampel);
-#   (c) graph / recs (personalized PageRank, LPA communities, MMR, novelty,
-#       intra-list diversity);
-#   (d) the semantics pins (null-safe / outer joins, explode_outer,
-#       grouping_id, overflow, DECIMAL money, collation, try_* arithmetic);
-#   (e) sketch / scan plumbing (count-min rollup, sketch persist, struct
-#       pushdown, multi-format union, sized parquet / gzip jsonl sinks);
-#   (f) hierarchy closure + lateral top-k, then the queue oldest-first —
-#       keep rotating 50 per round until every name has a CORRECTNESS_r* row.
+# (CORRECTNESS_r01-r07) and falls back to registration order behind them.
+# Round-8 front, in order (VERDICT r07 items 1+3): cumulative driver-green
+# is 330/421 after seven rounds; this list is the round's one red row plus
+# the 90-query never-checked queue —
+#   (a) recs_intra_list_diversity FIRST: its r07 hash miss was an oracle
+#       dtype bug (int / yields DOUBLE in DuckDB; now CAST ... AS BIGINT,
+#       operators/windows.py) and the driver must re-check it green;
+#   (b) the recurrence/stateful kernels (inventory FIFO, changepoint fit,
+#       seasonal decompose, Nelson-Aalen, quantile normalize);
+#   (c) the float-surface statistics (ACF, Cramer's V, ECE, delta-method,
+#       Qini, causal-impact, permutation test);
+#   (d) the ranking/eval reports (percentile_disc, equi-depth histogram,
+#       RBO drift, Wilson CI, split-leakage audit);
+#   (e) the remaining candidates-then-verify members (geo-grid kNN,
+#       blocking quality, Bloom FPR, covisitation, itemsets);
+#   (f) then the queue oldest-first — 41 names carry to round 9, which
+#       closes full-registry driver coverage.
 DRIVER_PRIORITY: list[str] = [
-    "grouped_agg_pandas_udf",
-    "map_in_arrow_passthrough",
-    "pandas_udf_scalar_textfeats",
-    "udtf_order_milestones",
-    "holt_linear_forecast",
-    "kmeans_lloyd_epoch",
-    "hampel_outlier_filter",
-    "personalized_pagerank",
-    "label_propagation_communities",
-    "mmr_rerank",
-    "recs_novelty",
     "recs_intra_list_diversity",
-    "join_null_safe_keys",
-    "join_outer_suite",
-    "explode_outer_semantics",
-    "grouping_id_semantics",
-    "overflow_semantics",
-    "decimal_money_suite",
-    "collation_semantics",
-    "try_arithmetic_suite",
-    "countmin_sketch_rollup",
-    "sketch_persist_roundtrip",
-    "scan_struct_pushdown",
-    "scan_multi_format_union",
-    "sink_parquet_sized",
-    "sink_jsonl_gzip",
-    "hierarchy_closure_recursive",
-    "sql_lateral_topk",
-    "scan_jsonl_quarantine",
-    "abc_classification",
-    "log2_histogram",
-    "grouped_topk_array",
-    "pii_pseudonymize",
-    "union_schema_drift",
-    "observe_metrics",
-    "generate_date_dim",
-    "sink_parquet_zstd",
-    "join_hint_merge",
-    "interval_overlap_join",
-    "activity_heatmap",
-    "argmax_per_group",
-    "string_agg_ordered",
-    "id_gap_audit",
-    "dense_scaffold_fill",
-    "date_format_suite",
-    "event_debounce",
-    "regex_extract_all_suite",
-    "session_duration_stats",
-    "join_dirty_keys",
-    "top_movers",
+    "inventory_fifo_matching",
+    "revenue_changepoint_fit",
+    "seasonal_decompose_additive",
+    "survival_nelson_aalen",
+    "quantile_normalize",
+    "acf_daily_revenue",
+    "cramers_v_matrix",
+    "expected_calibration_error",
+    "ratio_metric_delta_method",
+    "qini_uplift_deciles",
+    "causal_impact_lite",
+    "permutation_test_diff",
+    "percentile_disc_exact",
+    "histogram_equi_depth",
+    "ranking_rbo_drift",
+    "wilson_ci_ranking",
+    "split_leakage_audit",
+    "geo_grid_knn",
+    "blocking_quality_eval",
+    "bloom_fpr_audit",
+    "covisitation_timebound",
+    "frequent_itemsets_l3",
     "concurrent_intervals_daily",
     "dedup_keep_best",
     "snapshot_diff",
@@ -168,51 +142,33 @@ DRIVER_PRIORITY: list[str] = [
     "session_window_dynamic_gap",
     "feature_minmax_scale",
     "peak_activity_cell",
-    "split_leakage_audit",
     "quality_stratified_sample",
     "corpus_jsonl_gz_roundtrip",
     "rolling_distinct_users_7d",
     "session_entropy",
-    "percentile_disc_exact",
-    "covisitation_timebound",
-    "quantile_normalize",
     "funnel_step_deadlines",
     "grouped_ols_2var",
     "daily_crosscorr_lags",
-    "revenue_changepoint_fit",
-    "inventory_fifo_matching",
     "woe_iv_binning",
     "diff_in_diff",
     "ab_srm_check",
     "largest_remainder_apportionment",
     "attribution_position_based",
     "feature_robust_scale",
-    "frequent_itemsets_l3",
     "dp_noisy_counts",
     "record_linkage_fs_weights",
     "sequence_regex_match",
     "graph_shortest_paths_weighted",
-    "survival_nelson_aalen",
-    "causal_impact_lite",
     "ipw_ate_by_segment",
-    "geo_grid_knn",
     "forecast_backtest_mase",
-    "wilson_ci_ranking",
-    "seasonal_decompose_additive",
     "ab_sequential_sprt",
     "graph_degree_assortativity",
     "burstiness_interevent",
-    "ratio_metric_delta_method",
-    "histogram_equi_depth",
     "bayes_beta_binomial",
-    "qini_uplift_deciles",
     "dau_mau_stickiness",
-    "acf_daily_revenue",
     "herfindahl_concentration",
-    "permutation_test_diff",
     "xyz_variability_classes",
     "slo_burn_alerts",
-    "cramers_v_matrix",
     "growth_accounting_weekly",
     "ab_cuped_adjustment",
     "user_segment_bitmaps",
@@ -225,13 +181,9 @@ DRIVER_PRIORITY: list[str] = [
     "event_lateness_profile",
     "k_anonymity_audit",
     "price_volume_mix_bridge",
-    "expected_calibration_error",
     "reorder_point_policy",
     "net_revenue_retention",
-    "ranking_rbo_drift",
-    "blocking_quality_eval",
     "cart_abandonment_daily",
-    "bloom_fpr_audit",
     "text_boilerplate_share",
 ]
 

@@ -34,6 +34,32 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def dtype_class(series: pd.Series) -> str:
+    """Coarse dtype class used for strict Spark-vs-oracle comparison.
+
+    The driver's value-hash distinguishes 10 (BIGINT) from 10.0 (DOUBLE),
+    so a pass here must too: normalize() coerces each frame per its OWN
+    dtype, which silently forgave int-vs-double finals (the
+    recs_intra_list_diversity r07 miss). Classes: bool < int < float are
+    checked as distinct; decimal objects count as 'decimal'; everything
+    else stringifies."""
+    if pd.api.types.is_bool_dtype(series):
+        return "bool"
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    if series.dtype == object:
+        import decimal
+
+        for v in series:
+            if v is None:
+                continue
+            return "decimal" if isinstance(v, decimal.Decimal) else "str"
+        return "str"
+    return "str"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -54,6 +80,18 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> lis
     if s_cols != o_cols:
         problems.append(f"{name}: columns {s_cols} vs oracle {o_cols}")
         return problems
+    if problems:
+        return problems
+    for c in s_cols:
+        sc, oc = dtype_class(spark_pdf[c]), dtype_class(oracle_pdf[c])
+        if sc != oc:
+            # A null-bearing int column arrives as float64 from BOTH
+            # Spark (Arrow toPandas) and DuckDB, so a genuine int/float
+            # class split here means the engines disagree on the column
+            # type — exactly what the driver's value-hash will reject.
+            problems.append(
+                f"{name}: column {c}: dtype class {sc} (spark) vs {oc} (oracle)"
+            )
     if problems:
         return problems
     s, o = normalize(spark_pdf), normalize(oracle_pdf)

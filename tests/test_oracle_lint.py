@@ -40,3 +40,36 @@ def test_no_oracle_emits_unportable_types(sf_dir):
         "oracle columns with pandas-unportable DuckDB types "
         "(CAST them to BIGINT/DOUBLE):\n" + "\n".join(offenders)
     )
+
+
+def test_comparator_rejects_dtype_class_mismatch():
+    """VERDICT r07 item 2: oracle_util.compare must fail when the Spark
+    and oracle frames disagree on a column's dtype CLASS (int vs float vs
+    decimal vs bool/str), because the driver's value hash distinguishes
+    10 from 10.0 while normalize() used to coerce each frame per its own
+    dtype and silently pass (the recs_intra_list_diversity r07 red row:
+    DuckDB integer `/` is true division, so `n*(n-1)/2` came back DOUBLE
+    against the engine's BIGINT)."""
+    import decimal
+
+    import pandas as pd
+
+    from .oracle_util import compare
+
+    ints = pd.DataFrame({"k": [1, 2], "total_pairs": [10, 3]})
+    doubles = pd.DataFrame({"k": [1, 2], "total_pairs": [10.0, 3.0]})
+    problems = compare(ints, doubles, "seeded")
+    assert any("dtype class" in p and "total_pairs" in p for p in problems), problems
+
+    # negative control: identical classes (and values) pass
+    assert compare(ints, ints.copy(), "seeded_ok") == []
+
+    # bool vs int and decimal vs float are also distinct classes
+    bools = pd.DataFrame({"k": [1, 2], "flag": [True, False]})
+    as_int = pd.DataFrame({"k": [1, 2], "flag": [1, 0]})
+    assert any("dtype class" in p for p in compare(bools, as_int, "seeded_bool"))
+    decs = pd.DataFrame(
+        {"k": [1, 2], "v": [decimal.Decimal("1.50"), decimal.Decimal("2.25")]}
+    )
+    floats = pd.DataFrame({"k": [1, 2], "v": [1.50, 2.25]})
+    assert any("dtype class" in p for p in compare(decs, floats, "seeded_dec"))
