@@ -307,7 +307,12 @@ def main() -> None:
     # median would discard it anyway, this just makes run 1 comparable
     from dask_recommender_system_spark.data import ratings_cached
 
+    t0 = time.perf_counter()
     ratings_cached(spark, SF_DIR).count()
+    # one-time materialization cost, recorded as ingest (ADVICE r07: the
+    # pre-warm moved this out of every measured query; it must still be
+    # visible somewhere) — near-zero when the content-keyed cache is warm
+    ratings_cache_ingest_s = round(time.perf_counter() - t0, 3)
 
     # Median of N runs per query (VERDICT r04 item 3: round-over-round
     # drift on untouched queries was indistinguishable from sweep
@@ -383,6 +388,7 @@ def main() -> None:
     # (same meaning with or without the endurance segment below).
     extras: dict[str, object] = {
         "ratings_per_s_per_epoch": round(n_ratings / epoch_s),
+        "ratings_cache_ingest_s": ratings_cache_ingest_s,
     }
     if os.environ.get("SPARK_GRAFT_ENDURANCE", "1") != "0":
         model = FunkSVD(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=100)
@@ -412,6 +418,31 @@ def main() -> None:
         steady_s = sum(et) / len(et)
         extras["funk_svd_epoch_steady"] = round(steady_s, 3)
         extras["ratings_per_s_per_epoch_steady"] = round(n_ratings / steady_s)
+        # Noise decomposition for the endurance headline (VERDICT r07
+        # item 5: the bench total moves +-12% round-to-round almost
+        # entirely through this one number). The 100 per-epoch times ARE
+        # the spread sample — a second full run would double 50% of bench
+        # wall for strictly less information than the within-run
+        # distribution already carries:
+        #   epoch_median/p90  — the distribution a regression must shift;
+        #   total_robust      — 100 x median epoch, the GC-outlier-free
+        #                       total: compare THIS across rounds (a plan
+        #                       regression moves it; a pause-heavy round
+        #                       moves only the raw total);
+        #   epoch_spread      — p90 - p10, the noisy-query-style band;
+        #   overhead_s        — fit wall minus summed epochs (prep/encode
+        #                       + error collection), tracked separately.
+        et_sorted = sorted(et)
+        n_et = len(et_sorted)
+        ep_med = et_sorted[n_et // 2]
+        ep_p10 = et_sorted[int(n_et * 0.10)]
+        ep_p90 = et_sorted[int(n_et * 0.90)]
+        extras["funk_svd_100ep_epoch_median"] = round(ep_med, 3)
+        extras["funk_svd_100ep_epoch_spread"] = round(ep_p90 - ep_p10, 3)
+        extras["funk_svd_100ep_total_robust"] = round(ep_med * n_et, 3)
+        extras["funk_svd_100ep_overhead_s"] = round(
+            timings["funk_svd_fit_total_100ep"] - sum(et), 3
+        )
 
     extras.update(_planted_holdout_rmse(spark))
 

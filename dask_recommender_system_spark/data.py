@@ -147,27 +147,46 @@ def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bump when the ratings derivation above changes (e.g. the round-6
-# content-hash interaction_id) so stale materialized caches self-invalidate.
+# Manual escape hatch on top of the mechanical source hash below (e.g. a
+# semantics change that lives outside ratings_from_df's source text).
 _RATINGS_CACHE_VERSION = 1
+
+
+def _derivation_hash() -> str:
+    """Mechanical staleness key for the ratings derivation (ADVICE r07):
+    hash of ratings_from_df's SOURCE plus the tie-break constants it
+    closes over — an edit to the derivation self-invalidates every cache
+    without anyone remembering to bump _RATINGS_CACHE_VERSION."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(ratings_from_df)
+    return hashlib.md5(
+        f"{_RATINGS_CACHE_VERSION}|{_TIE_MOD}|{src}".encode()
+    ).hexdigest()[:8]
 
 
 def _ratings_fingerprint(sf_dir: str) -> str:
     """Content fingerprint of the ratings view's inputs (lineitem+orders
-    listings: size + mtime_ns) plus the derivation version — the cache key
-    for :func:`ratings_cached`, so regenerated testdata or a changed
-    derivation re-materializes instead of replaying stale rows."""
+    listings: relative path + size + mtime_ns) plus the derivation hash —
+    the cache key for :func:`ratings_cached`, so regenerated testdata or a
+    changed derivation re-materializes instead of replaying stale rows."""
     import hashlib
     import os
 
-    h = hashlib.md5(f"v{_RATINGS_CACHE_VERSION}|{sf_dir}".encode())
+    h = hashlib.md5(f"v{_derivation_hash()}|{sf_dir}".encode())
     for t in ("lineitem", "orders"):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
             for root, _dirs, files in sorted(os.walk(p)):
                 for fn in sorted(files):
+                    # relative path, not basename: two layouts whose part
+                    # files share names but sit in different subdirs must
+                    # not collide (matches _stage_fingerprint's discipline
+                    # in streaming/windows.py)
+                    rel = os.path.relpath(os.path.join(root, fn), p)
                     st = os.stat(os.path.join(root, fn))
-                    h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns};".encode())
+                    h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
         else:
             st = os.stat(p)
             h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
@@ -186,18 +205,43 @@ def ratings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overwrite; the rename loser reads the winner's complete copy);
     every later call is a plain parquet scan. Values are identical to
     :func:`ratings` — parquet round-trips BIGINT/DOUBLE/DATE exactly."""
+    import hashlib
     import os
     import shutil
     import uuid
 
-    stage = f"/tmp/drs_ratings_cache/{_ratings_fingerprint(sf_dir)}"
+    # per-dataset-PATH namespace: stale generations of the same dataset
+    # can be pruned without touching a concurrently-used cache for a
+    # different sf_dir (parallel sf0.01 + sf1 sweeps share this /tmp root)
+    ns = f"/tmp/drs_ratings_cache/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    fp = _ratings_fingerprint(sf_dir)
+    stage = f"{ns}/{fp}"
     if not os.path.exists(f"{stage}/_SUCCESS"):
         tmp = f"{stage}.tmp_{uuid.uuid4().hex[:8]}"
         ratings(spark, sf_dir).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, stage)
+            # publish succeeded: prune stale sibling generations of THIS
+            # dataset (ADVICE r07 — fingerprints otherwise accumulate one
+            # dir per touched content, unboundedly). Only fully published
+            # dirs; a concurrent writer's .tmp_* staging dirs are left
+            # alone.
+            for sib in os.listdir(ns):
+                sp = os.path.join(ns, sib)
+                if (
+                    sib != fp
+                    and ".tmp_" not in sib
+                    and os.path.exists(os.path.join(sp, "_SUCCESS"))
+                ):
+                    shutil.rmtree(sp, ignore_errors=True)
         except OSError:
+            # Only the lost-the-race case is recoverable (the winner's
+            # complete copy is in place); any other rename failure (EXDEV,
+            # permissions) must surface HERE, not as a confusing
+            # missing-path error from the read below. (ADVICE r07)
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(f"{stage}/_SUCCESS"):
+                raise
     return spark.read.parquet(stage)
 
 

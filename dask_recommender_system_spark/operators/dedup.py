@@ -891,6 +891,117 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unconditional containment sweep (VERDICT r07 item 6): the blocking that
+# `dedup_containment` defers. Candidates come from a shingle inverted
+# index with DECLARED stop-shingle pruning — only shingles whose document
+# frequency is <= CONTAIN_DF_CAP generate candidate pairs, so the pair
+# volume per shingle is bounded by C(CONTAIN_DF_CAP, 2) and the total by
+# (CAP/2) * corpus shingle count, linear in corpus size. That cap is part
+# of the operator's semantics (a pair whose ENTIRE overlap sits in
+# stop-shingles is declared out of scope — at 100 TB those shingles are
+# boilerplate, which the text_boilerplate_share op measures separately);
+# the oracle encodes the identical cap, so the value check is exact. The
+# containment VALUES are still computed over ALL shingles of a candidate
+# pair (the cap gates discovery, not arithmetic). At the test scales the
+# cap is vacuous (max df = 7 at sf0.01), so the sweep equals the
+# uncapped ideal there while staying bounded at scale.
+CONTAIN_DF_CAP = 64
+
+_CONTAIN_SWEEP_SQL = f"""
+    WITH {ORACLE_SHINGLES},
+    shm AS MATERIALIZED (SELECT doc_id, s FROM sh),
+    df AS (SELECT s FROM shm GROUP BY s
+           HAVING COUNT(*) BETWEEN 2 AND {CONTAIN_DF_CAP}),
+    idx AS (SELECT shm.doc_id, shm.s FROM shm JOIN df USING (s)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM shm GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cand c
+        JOIN shm a ON a.doc_id = c.doc_a
+        JOIN shm b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           c AS n_common,
+           ROUND(CAST(c AS DOUBLE) / sa.n, 6) AS contain_a_in_b,
+           ROUND(CAST(c AS DOUBLE) / sb.n, 6) AS contain_b_in_a
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / LEAST(sa.n, sb.n) >= {CONTAIN_T}
+    """
+
+
+@query("dedup_containment_sweep", oracle=_CONTAIN_SWEEP_SQL)
+def dedup_containment_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X360: UNCONDITIONAL containment sweep — every document pair with
+    C(smaller→larger) >= 0.8, with no MinHash prefilter and no Jaccard
+    floor (`dedup_containment` above only audits the verified near-dup
+    set, so a paragraph swallowed by a 100x larger doc — Jaccard ~ 0.01,
+    containment ~ 1.0 — never reaches it). Blocking is a shingle
+    inverted index with stop-shingle pruning: only shingles with
+    2 <= df <= CONTAIN_DF_CAP emit candidate pairs (df=1 can't pair;
+    df > CAP is boilerplate), a DECLARED semantic bound that keeps the
+    per-shingle pair expansion at C(CAP,2) and the sweep linear in
+    corpus size instead of quadratic. Exact common-shingle counts (over
+    ALL shingles, uncapped) then verify candidates only — the same
+    candidates-then-verify shape as the MinHash ladder, with the index
+    replacing the signatures. Plan: keyed aggs + equi-joins throughout;
+    no corpus self-join on doc text, no cross join (plan-asserted)."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
+    )
+    sh = shingles(docs).persist()
+    # inverted index restricted to discriminative shingles
+    keep = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= CONTAIN_DF_CAP))
+        .select("s")
+    )
+    idx = sh.join(keep, "s")
+    cand = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+    common = (
+        a_sh.join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    c = F.col("c").cast("double")
+    return common.filter(c / F.least("na", "nb") >= CONTAIN_T).select(
+        "doc_a",
+        "doc_b",
+        F.col("c").alias("n_common"),
+        F.round(c / F.col("na"), 6).alias("contain_a_in_b"),
+        F.round(c / F.col("nb"), 6).alias("contain_b_in_a"),
+    )
+
+
 # Levenshtein acceptance threshold and the blocking length-band width.
 # The band equals FUZZY_LEV_MAX because edit distance >= |len diff| — a
 # free lower bound, so the prefilter can never drop a true pair.

@@ -3664,3 +3664,18 @@ def test_sink_jsonl_gzip_roundtrip(spark, sf_dir):
     assert first == second and first
     files = glob.glob(f"{IO_DIR}/seg_jsonl_gz/part-*")
     assert files and all(f.endswith(".gz") for f in files)
+
+
+def test_containment_sweep_no_corpus_self_join(spark, sf_dir):
+    """dedup_containment_sweep (VERDICT r07 item 6): the unconditional
+    sweep must stay candidates-then-verify — every join equi-keyed, no
+    cartesian/nested-loop expansion, and pair generation only through
+    the df-capped shingle inverted index (the documents scan feeds
+    shingles; the plan may never join documents to documents on text)."""
+    df = q("dedup_containment_sweep", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if re.search(r"Join [^\[]*\[text", line):
+            raise AssertionError(f"text self-join crept in: {line}")

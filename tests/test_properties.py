@@ -708,8 +708,11 @@ def test_ratings_cache_is_content_keyed_and_value_identical(spark, sf_dir):
         ratings_cached,
     )
 
-    live = ratings(spark, sf_dir).orderBy("interaction_id").collect()
-    cached = ratings_cached(spark, sf_dir).orderBy("interaction_id").collect()
+    # sort by the FULL row tuple, not interaction_id alone: the
+    # content-hash id is not guaranteed collision-free, and a duplicate id
+    # would make single-key tie order nondeterministic (ADVICE r07)
+    live = sorted(map(tuple, ratings(spark, sf_dir).collect()))
+    cached = sorted(map(tuple, ratings_cached(spark, sf_dir).collect()))
     assert live == cached
 
     fp0 = _ratings_fingerprint(sf_dir)
