@@ -60,6 +60,72 @@ def encode_sorted_rank(
     )
 
 
+def exact_quantiles_cont(
+    df: DataFrame, col: str, qs: tuple[float, ...], num_parts: int | None = None
+) -> dict[float, float]:
+    """Exact continuous quantiles (quantile_cont / Spark ``percentile``
+    semantics: 0-indexed position (n-1)·q, linear interpolation between
+    the two bracketing order statistics) of one column, WITHOUT the
+    built-in exact ``percentile`` aggregate.
+
+    Spark's exact percentile buffers every DISTINCT value of the column
+    in a single aggregation buffer (an OpenHashMap merged onto one
+    reducer) — fine for low-cardinality measures, a guaranteed heap OOM
+    for a continuous score column at scale (observed: 18M unique doubles
+    killed the JVM in the 30× sweep). This is the block-offset variant of
+    ``encode_sorted_rank`` applied to the full multiset:
+
+    1. range-partition the values (partition order = value order), pin
+       block identity with an eager localCheckpoint;
+    2. O(num_partitions) count collect → cumulative offsets;
+    3. global rank = offset[pid] + per-block row_number (window is
+       PARTITIONED by block — no single-partition sort anywhere);
+    4. fetch ONLY the ≤ 2·|qs| bracketing rows and interpolate
+       driver-side.
+
+    The largest task holds n/num_parts raw values instead of every
+    distinct value; the only driver traffic is O(parts + |qs|) rows.
+    Ties may straddle block boundaries — irrelevant, since equal values
+    interpolate to the same result regardless of tie order."""
+    import math
+
+    spark = df.sparkSession
+    p = num_parts or spark.sparkContext.defaultParallelism
+    blocked = (
+        df.select(F.col(col).alias("_v"))
+        .repartitionByRange(p, "_v")
+        .localCheckpoint(eager=True)
+    )
+    tagged = blocked.withColumn("_pid", F.spark_partition_id())
+    counts = tagged.groupBy("_pid").count().collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    n = acc
+    if n == 0:
+        return {q: float("nan") for q in qs}
+    plan, targets = [], set()
+    for q in qs:
+        pos = (n - 1) * q
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        plan.append((q, pos, lo, hi))
+        targets.update((lo, hi))
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off LONG")
+    w = W.partitionBy("_pid").orderBy("_v")
+    ranked = (
+        tagged.withColumn("_lrank", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "_pid")
+        .select("_v", (F.col("_off") + F.col("_lrank")).alias("_rank"))
+    )
+    rows = ranked.filter(F.col("_rank").isin(sorted(targets))).collect()
+    by_rank = {r["_rank"]: r["_v"] for r in rows}
+    return {
+        q: by_rank[lo] + (pos - lo) * (by_rank[hi] - by_rank[lo])
+        for q, pos, lo, hi in plan
+    }
+
+
 def encode_column(df: DataFrame, col: str, idx_name: str) -> DataFrame:
     """Dictionary-encode a key column to dense 0..n-1 ints (reference
     models/als.py:29-32's enumerate-dict, as a DataFrame). Delegates to the

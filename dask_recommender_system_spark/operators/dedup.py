@@ -318,6 +318,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_BITS = 120  # 2 x 60-bit md5 halves — portable AND sign-bit-free
 SIMHASH_T = 24  # near-dup Hamming threshold (of 120 bits; was 12 of 60)
+# Pigeonhole radius of the 30×4-bit wide banding: a pair differing in at
+# most 29 of 120 bits MUST agree on at least one whole 4-bit band. The
+# verified pipeline prefilters at THIS bound, not SIMHASH_T — see
+# dedup_simhash_verified.
+SIMHASH_GUARANTEE = 29
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -618,21 +623,27 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded dedup pipeline, value-checked: wide-tolerance
     banding (30×4-bit slices of the 120-bit signature — guaranteed
-    candidates for Hamming ≤ 29) → cheap popcount ≤ {SIMHASH_T}
-    prefilter, BELOW the guarantee so the survivor set is exactly
-    "all pairs within {SIMHASH_T}" independent of banding luck
-    (measured Hamming of Jaccard≥0.5 pairs in this corpus family tops
-    out at 13 of 120) → exact Jaccard verify ≥ 0.5 on the survivors
-    only. The oracle (full exact pair set ≥ 0.5) checks values, so a
-    driver-green row certifies end-to-end recall. The production
-    4×30-bit-key config (dedup_simhash above) trades that tolerance for
-    2^30-key selectivity — see simhash_candidates."""
+    candidates for Hamming ≤ {SIMHASH_GUARANTEE}) → popcount
+    ≤ {SIMHASH_GUARANTEE} prefilter AT the pigeonhole guarantee, so the
+    survivor set is exactly "all pairs within the banding's provable
+    radius" independent of banding luck → exact Jaccard verify ≥ 0.5 on
+    the survivors only. The prefilter exists to prune band-collision
+    noise (random pairs sit near Hamming 60 of 120) — cutting it BELOW
+    the guarantee silently discards recall the banding already paid for:
+    the 30× sweep measured two true Jaccard≥0.5 pairs at Hamming 28,
+    which the earlier ≤ {SIMHASH_T} cut dropped (r08 fix; the sf0.1
+    family tops out at 13, so the miss only appears at scale). Pairs
+    beyond Hamming {SIMHASH_GUARANTEE} are outside any banded-simhash
+    guarantee — none observed (measured tail: 28). The oracle (full
+    exact pair set ≥ 0.5) checks values, so a driver-green row certifies
+    end-to-end recall. The production 4×30-bit-key config (dedup_simhash
+    above) trades tolerance for 2^30-key selectivity."""
     d = spread(load_table(spark, sf_dir, "documents"))
     cand = simhash_candidates_wide(simhash_signatures(d))
     hamming = F.bit_count(
         F.col("sig0_a").bitwiseXOR(F.col("sig0_b"))
     ) + F.bit_count(F.col("sig1_a").bitwiseXOR(F.col("sig1_b")))
-    near = cand.filter(hamming <= SIMHASH_T).select("doc_a", "doc_b")
+    near = cand.filter(hamming <= SIMHASH_GUARANTEE).select("doc_a", "doc_b")
     return (
         exact_jaccard_on_pairs(d, near)
         .filter(F.col("jaccard") >= 0.5)
@@ -822,9 +833,9 @@ def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # misses (a paragraph pasted into a much larger doc has low Jaccard but
 # containment ≈ 1). Computed on the VERIFIED near-dup pair set (exact
 # Jaccard ≥ 0.5, where banding recall is total — see JACCARD_VERIFY_SQL);
-# an unconditional containment sweep needs shingle-inverted-index blocking
-# with stop-shingle pruning, whose semantics depend on the pruning
-# threshold and are therefore not declared here.
+# the unconditional sweep needs shingle-inverted-index blocking with
+# stop-shingle pruning, whose semantics depend on the pruning threshold —
+# declared explicitly as `dedup_containment_sweep` below (df cap = 64).
 CONTAIN_T = 0.8
 
 _CONTAIN_SQL = f"""
@@ -856,8 +867,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: MinHash band candidates → exact common-shingle counts on
     candidates only (O(cand × shingles/doc), the exact_jaccard machinery)
     → per-pair division by each side's own shingle count. Everything
-    keyed, nothing all-pairs; the unconditional sweep alternative and why
-    it is not declared is in the threshold comment above."""
+    keyed, nothing all-pairs; the unconditional form is declared as
+    `dedup_containment_sweep` below."""
     docs = spread(
         load_table(spark, sf_dir, "documents").filter(
             F.length(F.trim(F.col("text"))) > 0

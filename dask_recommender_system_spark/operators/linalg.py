@@ -671,10 +671,13 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eval_metrics = pointwise RMSE/MAE; this = ranking usefulness).
     Predictions are the deterministic hash-init k=2 model the epoch
     operators share, so the whole report is value-checkable. Deciles via
-    the broadcast exact-percentile cut row + comparison chain — the
-    rfm_segmentation shape, never a global NTILE sort; the only
-    data-sized shuffle is the final decile agg."""
-    from ..models.common import hash_uniform
+    exact block-offset quantiles (models/common.exact_quantiles_cont) —
+    never a global NTILE sort, and NOT the built-in exact ``percentile``
+    aggregate either: pred is unique per (user, item) pair, so that
+    aggregate's distinct-value buffer is data-sized and killed the JVM at
+    the 30× sweep (r08). The cuts enter the plan as folded literals; the
+    only data-sized shuffle is the final decile agg."""
+    from ..models.common import exact_quantiles_cont, hash_uniform
 
     e = encoded_ratings(spark, sf_dir)
     pred = (
@@ -686,19 +689,17 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         * hash_uniform(F.col("i_idx"), 1, 0.1, 2)
     )
     scored = e.select("rating", pred.alias("pred"))
-    cuts = scored.agg(
-        *[
-            F.round(F.expr(f"percentile(pred, {q})"), 6).alias(f"c{int(q * 10)}")
-            for q in LIFT_QS
-        ]
-    )
+    cuts = exact_quantiles_cont(scored, "pred", LIFT_QS)
     decile = F.lit(1)
     for q in LIFT_QS:
-        decile = decile + (F.col("pred") > F.col(f"c{int(q * 10)}")).cast("int")
+        # round the cut in-plan (F.round = HALF_UP, matching the oracle's
+        # DuckDB ROUND — python round() is half-even and would diverge)
+        decile = decile + (
+            F.col("pred") > F.round(F.lit(cuts[q]), 6)
+        ).cast("int")
     mu = scored.agg(F.avg("rating").alias("mu"))
     return (
-        scored.crossJoin(F.broadcast(cuts))
-        .select("rating", decile.cast("long").alias("decile"))
+        scored.select("rating", decile.cast("long").alias("decile"))
         .groupBy("decile")
         .agg(F.count("*").alias("n"), F.avg("rating").alias("avg"))
         .crossJoin(F.broadcast(mu))

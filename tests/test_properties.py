@@ -728,3 +728,59 @@ def test_ratings_cache_is_content_keyed_and_value_identical(spark, sf_dir):
     finally:
         os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns))
     assert _ratings_fingerprint(sf_dir) == fp0
+
+
+def test_exact_quantiles_cont_matches_builtin_percentile(spark):
+    """r08 regression: exact_quantiles_cont (block-offset rank quantiles,
+    the scale-safe replacement for the built-in exact `percentile` whose
+    distinct-value buffer OOM'd the 30x sweep in decile_lift_table) must
+    be bit-identical to Spark's percentile on the same multiset —
+    including duplicates straddling range-partition boundaries and
+    interpolated positions."""
+    import random
+
+    from dask_recommender_system_spark.models.common import exact_quantiles_cont
+
+    rng = random.Random(87)
+    # duplicates (coarse grid) + unique tail, sized so several values
+    # straddle the 8 range-partition boundaries
+    vals = [round(rng.uniform(0, 10), 1) for _ in range(4000)] + [
+        rng.uniform(0, 10) for _ in range(1000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    qs = (0.1, 0.25, 0.5, 0.736, 0.9, 0.0, 1.0)
+    got = exact_quantiles_cont(df, "v", qs, num_parts=8)
+    want_row = df.agg(
+        *[F.expr(f"percentile(v, {q})").alias(f"q{i}") for i, q in enumerate(qs)]
+    ).first()
+    for i, q in enumerate(qs):
+        assert got[q] == want_row[f"q{i}"], (q, got[q], want_row[f"q{i}"])
+
+
+def test_simhash_verified_prefilter_sits_at_banding_guarantee(spark):
+    """r08 regression (30x sweep found two true Jaccard>=0.5 pairs at
+    Hamming 28 dropped by the old <= SIMHASH_T prefilter): the wide
+    banding's pigeonhole radius is 120/width - 1 = 29, the verified
+    pipeline must prefilter AT that radius, and a signature pair
+    differing in exactly 29 bits must survive candidates + prefilter."""
+    from dask_recommender_system_spark.operators.dedup import (
+        SIMHASH_GUARANTEE,
+        simhash_candidates_wide,
+    )
+
+    assert SIMHASH_GUARANTEE == 120 // 4 - 1
+    # doc 2 differs from doc 1 in 29 bits: 15 low bits of sig0 plus 14
+    # low bits of sig1 flipped — every OTHER 4-bit band agrees, so the
+    # banding must emit the pair and a guarantee-level prefilter keeps it
+    s0a, s1a = 0, 0
+    s0b, s1b = (1 << 15) - 1, (1 << 14) - 1
+    sig = spark.createDataFrame(
+        [(1, s0a, s1a), (2, s0b, s1b)], "doc_id LONG, sig0 LONG, sig1 LONG"
+    )
+    cand = simhash_candidates_wide(sig)
+    ham = F.bit_count(F.col("sig0_a").bitwiseXOR(F.col("sig0_b"))) + F.bit_count(
+        F.col("sig1_a").bitwiseXOR(F.col("sig1_b"))
+    )
+    rows = cand.withColumn("h", ham).collect()
+    assert len(rows) == 1 and rows[0]["h"] == 29
+    assert rows[0]["h"] <= SIMHASH_GUARANTEE  # prefilter keeps it
