@@ -1674,14 +1674,18 @@ BASKET_MIN_PAIR = 3
 @query(
     "basket_lift",
     oracle=f"""
-    WITH pc AS (
+    WITH pc AS MATERIALIZED (
         SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
                CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS pair_n
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2),
-    ic AS (SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
-           FROM lineitem GROUP BY 1),
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT a.l_orderkey) >= {BASKET_MIN_PAIR}),
+    -- MATERIALIZED + pre-filter: inlined, DuckDB estimated pc at 1 row
+    -- and cross-producted ic x ic x t (~10^13 at 30x) before the probe
+    ic AS MATERIALIZED (
+        SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1),
     t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
           FROM lineitem)
     SELECT item_a, item_b, pair_n,

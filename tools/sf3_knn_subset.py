@@ -1,0 +1,188 @@
+"""Bounded-subset sf3 value checks for the two brute-force-kNN twins
+(VERDICT r07 item 4).
+
+At the 30-copy sf3 scale the DuckDB ORACLES for `geo_grid_knn` and
+`knn_classifier_eval` are the quadratic all-pairs formulation the engine
+exists to avoid (r07: >40 GB spill, /tmp exhausted) — the engine side
+runs fine. Rather than leave those two rows absent, this tool samples the
+QUERY side so the oracle cost collapses while the engine values stay
+value-checked at full sf3 data:
+
+- geo_grid_knn: the ENGINE runs the registered full query at sf3; the
+  comparison keeps only customers with c_custkey % GEO_SUB == 0 (the
+  output is per-customer, so post-filtering selects exact full-plan
+  rows). The oracle gets the same predicate inside its customer CTE, so
+  its all-pairs side is |customers|/GEO_SUB x |suppliers|.
+- knn_classifier_eval: the output is a per-label rollup, so the subset
+  must enter the computation — both sides run with the query-side mod
+  widened from KNN_QUERY_MOD to KNN_QUERY_MOD * KNN_SUB (engine via the
+  module constant it reads at plan-build time, oracle via the same
+  literal), i.e. the leave-one-out eval over a 1/KNN_SUB query sample of
+  the full sf3 corpus.
+- dedup_containment_sweep: the ENGINE runs the registered full query at
+  sf3 (7680 pairs); the oracle's candidate-generation CTE is what
+  exhausts DuckDB's spill disk at 30x, so the compare keeps pairs with
+  doc_a % CONTAIN_SUB == 0 (per-pair output — post-filter selects exact
+  full-plan rows) and the oracle gets the same predicate inside cand.
+- item_cf_similarity: the ENGINE runs the registered full query at sf3;
+  the oracle's within-user pair aggregation input is Σ_u cap² ≈ 3.3e9
+  rows at 30x (observed 65 GB DuckDB spill). The compare keeps items
+  with item % ICF_SUB == 0: the oracle prunes the pair join to pairs
+  touching a kept item (OR predicate — every pair of a kept item
+  survives, so its co counts, degree normalizations and neighbor ranks
+  are the exact full-plan values) and the final select keeps the same
+  items the engine post-filter does.
+
+Writes/merges driver-format records (plus a `note` field documenting the
+bound) into CORRECTNESS_sf3.json.
+
+    SPARK_GRAFT_LOCAL_SF_DIR=/tmp/drs_sf3 python tools/sf3_knn_subset.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LOCAL_SF_DIR", "/tmp/drs_sf3")
+OUT = os.path.join(REPO, os.environ.get("SPARK_GRAFT_LOCAL_OUT", "CORRECTNESS_sf3.json"))
+GEO_SUB = 149  # keep ~1/149 of customers in the geo compare
+KNN_SUB = 73  # widen the query mod 5 -> 365 (~1/365 of vectors query)
+CONTAIN_SUB = 29  # keep pairs with doc_a % 29 == 0 in the containment compare
+ICF_SUB = 29  # keep items with item % 29 == 0 in the item-CF compare
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dask_recommender_system_spark.registry import REGISTRY, load_all_operators
+    from dask_recommender_system_spark.session import get_spark
+    from oracle_util import compare, duckdb_con
+
+    load_all_operators()
+    spark = get_spark("drs-sf3-knn-subset")
+    con = duckdb_con(SF_DIR)
+    results: dict[str, dict] = {}
+
+    def record(name: str, spark_pdf, oracle_sql: str, note: str) -> None:
+        oracle_pdf = con.sql(oracle_sql).df()
+        problems = compare(spark_pdf, oracle_pdf, name)
+        results[name] = {
+            "rows_match": len(spark_pdf) == len(oracle_pdf),
+            "schema_match": not any("columns" in p for p in problems),
+            "hash_match": not problems,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(oracle_pdf),
+            "err": "; ".join(problems) if problems else None,
+            "note": note,
+        }
+        print(f"{name}: {'PASS' if not problems else problems}", flush=True)
+
+    # --- geo_grid_knn: full engine plan, subset compare -------------------
+    q = REGISTRY["geo_grid_knn"]
+    full = q.fn(spark, SF_DIR)
+    subset = full.filter(F.col("c_custkey") % GEO_SUB == 0).toPandas()
+    oracle = q.oracle.replace(
+        "FROM customer", f"FROM customer WHERE c_custkey % {GEO_SUB} = 0"
+    )
+    assert oracle != q.oracle
+    record(
+        "geo_grid_knn",
+        subset,
+        oracle,
+        f"sf3 bounded-subset oracle: engine ran the FULL registered plan; "
+        f"compare restricted to c_custkey % {GEO_SUB} == 0 (oracle's "
+        f"all-pairs side is quadratic at sf3)",
+    )
+
+    # --- knn_classifier_eval: query-side sample through the whole eval ----
+    from dask_recommender_system_spark.operators import similarity
+
+    q = REGISTRY["knn_classifier_eval"]
+    wide_mod = similarity.KNN_QUERY_MOD * KNN_SUB
+    old_pat = f"vec_id % {similarity.KNN_QUERY_MOD} = 0"
+    assert q.oracle.count(old_pat) == 1, q.oracle
+    oracle = q.oracle.replace(old_pat, f"vec_id % {wide_mod} = 0")
+    saved = similarity.KNN_QUERY_MOD
+    try:
+        similarity.KNN_QUERY_MOD = wide_mod
+        spark_pdf = q.fn(spark, SF_DIR).toPandas()
+    finally:
+        similarity.KNN_QUERY_MOD = saved
+    record(
+        "knn_classifier_eval",
+        spark_pdf,
+        oracle,
+        f"sf3 bounded-subset oracle: leave-one-out eval with query mod "
+        f"widened {saved} -> {wide_mod} on BOTH sides (full sf3 corpus, "
+        f"1/{KNN_SUB} of the usual query sample; unsampled oracle is "
+        f"quadratic at sf3)",
+    )
+
+    # --- dedup_containment_sweep: full engine plan, subset compare --------
+    q = REGISTRY["dedup_containment_sweep"]
+    full = q.fn(spark, SF_DIR)
+    subset = full.filter(F.col("doc_a") % CONTAIN_SUB == 0).toPandas()
+    anchor = "FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id"
+    assert q.oracle.count(anchor) == 1, q.oracle
+    oracle = q.oracle.replace(
+        anchor, anchor + f" AND a.doc_id % {CONTAIN_SUB} = 0"
+    )
+    record(
+        "dedup_containment_sweep",
+        subset,
+        oracle,
+        f"sf3 bounded-subset oracle: engine ran the FULL registered plan; "
+        f"compare restricted to doc_a % {CONTAIN_SUB} == 0 "
+        f"(oracle's candidate CTE exhausts DuckDB spill disk at 30x)",
+    )
+
+    # --- item_cf_similarity: full engine plan, subset compare ------------
+    q = REGISTRY["item_cf_similarity"]
+    full = q.fn(spark, SF_DIR)
+    subset = full.filter(F.col("item") % ICF_SUB == 0).toPandas()
+    join_anchor = "ON a.user_id = b.user_id AND a.item_id < b.item_id"
+    assert q.oracle.count(join_anchor) == 1, q.oracle
+    oracle = q.oracle.replace(
+        join_anchor,
+        join_anchor
+        + f" AND (a.item_id % {ICF_SUB} = 0 OR b.item_id % {ICF_SUB} = 0)",
+    )
+    from dask_recommender_system_spark.operators.windows import CF_TOP_NEIGHBORS
+
+    final_anchor = f"WHERE rnk <= {CF_TOP_NEIGHBORS}"
+    assert oracle.count(final_anchor) == 1, oracle
+    oracle = oracle.replace(
+        final_anchor, final_anchor + f" AND item % {ICF_SUB} = 0"
+    )
+    record(
+        "item_cf_similarity",
+        subset,
+        oracle,
+        f"sf3 bounded-subset oracle: engine ran the FULL registered plan; "
+        f"compare restricted to item % {ICF_SUB} == 0 — oracle pair join "
+        f"pruned to pairs touching a kept item, so each kept item's "
+        f"co/sim/rnk are exact full-plan values (unpruned oracle spilled "
+        f"65 GB at 30x)",
+    )
+
+    merged: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(OUT, "w") as f:
+        json.dump(merged, f, indent=2)
+    n_fail = sum(1 for r in results.values() if not r["hash_match"])
+    print(f"\n{len(results)} subset checks, {n_fail} FAIL; merged into {OUT}")
+    if n_fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
