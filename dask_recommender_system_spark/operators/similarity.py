@@ -381,10 +381,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture radii are wide so the allowlist stays dense — same exact
     output, measured and documented. At 1000 executors the cell id is the
     shuffle key; skew across mega-cells is handled by raising n_cells (or
-    salting within a cell), not by changing the plan shape."""
+    salting within a cell), not by changing the plan shape.
+
+    r08 addition — EXACT-DUP COLLAPSE BEFORE PAIRING: real corpora (and
+    the 30x sweep's verbatim-replicated vectors) carry bit-identical
+    embedding clumps, and a clump of size m contributes C(m,2) pairs to
+    every bucket it lands in — the one blowup no metric pruning can cut
+    (the 30x sweep measured a single straggler task grinding ~900x pair
+    volume). Identical vectors need no search to pair, so the plan
+    groups by the raw vector first, runs the cell-pruned near-dup
+    search over DISTINCT vectors only, then expands each qualifying
+    group pair (and each group's internal clique) in-row from the
+    grouped id arrays. Output is bit-identical (cos of any member pair
+    equals cos of the reps — the bits are the same); search work drops
+    from O(n²) to O(distinct²) + output size. This is the standard
+    production ladder: dedup_exact -> near-dup, fused into one plan."""
     n_cells = 16
     e = _emb(spark, sf_dir)
-    assigned, meta = _kmeans_cells(e, n_cells)
+    groups = e.groupBy("v").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.sort_array(F.collect_list("vec_id")).alias("ids"),
+    )
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "v")
+    # intra-group cliques: identical vectors pair iff self-dot >= T
+    # (vectors are near-unit but the self-dot is computed, not assumed)
+    intra = (
+        groups.filter(F.size("ids") >= 2)
+        .withColumn("cos", dot(F.col("v"), F.col("v")))
+        .filter(F.col("cos") >= DEDUP_COS_THRESHOLD)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i+2, size(ids)), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p"),
+            "cos",
+        )
+        .select("p.vec_a", "p.vec_b", F.round("cos", 6).alias("cos"))
+    )
+    assigned, meta = _kmeans_cells(reps, n_cells)
 
     def _dist(c1: list[float], c2: list[float]) -> float:
         return sum((x - y) ** 2 for x, y in zip(c1, c2)) ** 0.5
@@ -409,14 +446,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("cell_b"),
     )
     cos = dot(F.col("va"), F.col("vb"))
-    return (
+    rep_pairs = (
         a.join(F.broadcast(allowed_df), "cell_a")
         .join(b, "cell_b")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= DEDUP_COS_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+        .select("vec_a", "vec_b", "cos")
     )
+    # cross-group expansion: every member of group a pairs with every
+    # member of group b at the reps' cos; in-row nested transform keeps
+    # the expansion output-proportional (arrays are dup-clump-sized)
+    cross = (
+        rep_pairs.join(
+            groups.select(
+                F.col("rep_id").alias("vec_a"), F.col("ids").alias("ids_a")
+            ),
+            "vec_a",
+        )
+        .join(
+            groups.select(
+                F.col("rep_id").alias("vec_b"), F.col("ids").alias("ids_b")
+            ),
+            "vec_b",
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids_a, x -> transform(ids_b, "
+                    "y -> struct(least(x, y) AS vec_a, "
+                    "greatest(x, y) AS vec_b))))"
+                )
+            ).alias("p"),
+            "cos",
+        )
+        .select("p.vec_a", "p.vec_b", F.round("cos", 6).alias("cos"))
+    )
+    return cross.unionByName(intra)
 
 # 16 subspaces x 16 centroids x 4 dims, Lloyd-trained on the 500-vector
 # corpus sample (deterministic index-spread init, 60 iters, round 4dp).

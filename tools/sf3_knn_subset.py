@@ -55,6 +55,7 @@ GEO_SUB = 149  # keep ~1/149 of customers in the geo compare
 KNN_SUB = 73  # widen the query mod 5 -> 365 (~1/365 of vectors query)
 CONTAIN_SUB = 29  # keep pairs with doc_a % 29 == 0 in the containment compare
 ICF_SUB = 29  # keep items with item % 29 == 0 in the item-CF compare
+EMB_SUB = 29  # keep pairs with vec_a % 29 == 0 in the embedding-cosine compare
 
 
 def main() -> None:
@@ -140,6 +141,26 @@ def main() -> None:
         f"sf3 bounded-subset oracle: engine ran the FULL registered plan; "
         f"compare restricted to doc_a % {CONTAIN_SUB} == 0 "
         f"(oracle's candidate CTE exhausts DuckDB spill disk at 30x)",
+    )
+
+    # --- dedup_embedding_cosine: full engine plan, subset compare --------
+    q = REGISTRY["dedup_embedding_cosine"]
+    full = q.fn(spark, SF_DIR)
+    subset = full.filter(F.col("vec_a") % EMB_SUB == 0).toPandas()
+    emb_anchor = "FROM e a JOIN e b ON a.vec_id < b.vec_id"
+    assert q.oracle.count(emb_anchor) == 1, q.oracle
+    oracle = q.oracle.replace(
+        emb_anchor, emb_anchor + f" AND a.vec_id % {EMB_SUB} = 0"
+    )
+    record(
+        "dedup_embedding_cosine",
+        subset,
+        oracle,
+        f"sf3 bounded-subset oracle: engine ran the FULL registered plan "
+        f"(exact-dup collapse + cell-pruned rep search); compare keeps "
+        f"pairs with vec_a % {EMB_SUB} == 0 (per-pair output — "
+        f"post-filter selects exact full-plan rows; unpruned oracle is "
+        f"all-pairs over 60k vectors at 30x)",
     )
 
     # --- item_cf_similarity: full engine plan, subset compare ------------
