@@ -23,7 +23,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..data import RATINGS_SQL
 from ..registry import query
 from .als import ALS
 from .funk_svd import FunkSVD
@@ -34,9 +34,9 @@ RECOMMEND_K = 5
 
 
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    from ..data import ratings_cached
+
+    r = ratings_cached(spark, sf_dir)
     # reference prep pipeline: dedup keep-last then split (run_als.py:9-14)
     from pyspark.sql import Window as W
 

@@ -927,11 +927,9 @@ def gini_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v*(n_v*below + n_v(n_v+1)/2). One item-keyed agg, one agg to the
     bounded distinct-count table, a pmod-partitioned cumsum, a 1-row
     reduce. No global sort of the catalog at any point."""
-    from ..data import load_table as _lt, ratings_from_df
+    from ..data import ratings_cached
 
-    r = ratings_from_df(
-        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "orders")
-    )
+    r = ratings_cached(spark, sf_dir)
     cnts = r.groupBy("item_id").agg(F.count("*").alias("cnt"))
     g = cnts.groupBy("cnt").agg(F.count("*").alias("n_v"))
     w_prev = (
@@ -1173,11 +1171,9 @@ def time_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is incrementally maintainable: yesterday's scores halve every
     half-life and today's delta adds — see `rollup_incremental_merge` for
     the merge pattern."""
-    from ..data import ratings_from_df
+    from ..data import ratings_cached
 
-    r = ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    r = ratings_cached(spark, sf_dir)
     tmax = r.agg(F.max("ts").alias("tmax"))
     k = F.least(
         F.floor(F.datediff("tmax", "ts") / DECAY_HALFLIFE_D), F.lit(DECAY_K_CAP)

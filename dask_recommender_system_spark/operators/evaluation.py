@@ -1534,11 +1534,9 @@ def wilson_ci_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     penalizes), the ranking differs from the raw-phat ranking on the
     fixture (the lesson the operator exists to teach), and bounds lie
     in [0, 1]. At 100 TB: one scan, one keyed agg, O(k) after."""
-    from ..data import load_table as _lt, ratings_from_df
+    from ..data import ratings_cached
 
-    r = ratings_from_df(
-        _lt(spark, sf_dir, "lineitem"), _lt(spark, sf_dir, "orders")
-    )
+    r = ratings_cached(spark, sf_dir)
     peritem = (
         r.groupBy("item_id")
         .agg(

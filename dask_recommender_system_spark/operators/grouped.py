@@ -17,16 +17,18 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..data import load_table, ratings_from_df, spread
+from ..data import load_table, spread
 from ..registry import query
 
 EWMA_ALPHA = 0.3
 
 
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    from ..data import ratings_cached
+
+    # derive-once materialized view (SCALE.md): values identical to the
+    # live ratings_from_df derivation, minus the md5-per-row view prep
+    return ratings_cached(spark, sf_dir)
 
 
 EWMA_SCHEMA = T.StructType(

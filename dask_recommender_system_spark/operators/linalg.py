@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..data import RATINGS_SQL, load_table
 from ..models.common import encode_sorted_rank
 from ..registry import query
 
@@ -28,9 +28,11 @@ K = 4  # factor rank used by the declared linalg queries (models use their own)
 
 
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    from ..data import ratings_cached
+
+    # derive-once materialized view (SCALE.md): values identical to the
+    # live ratings_from_df derivation, minus the md5-per-row view prep
+    return ratings_cached(spark, sf_dir)
 
 
 ENCODED_SQL = f"""

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..data import RATINGS_SQL, load_table
 from ..models.common import encode_sorted_rank
 from ..registry import query
 
@@ -38,9 +38,11 @@ def _epoch(col: str) -> F.Column:
 
 
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    from ..data import ratings_cached
+
+    # derive-once materialized view (SCALE.md): values identical to the
+    # live ratings_from_df derivation, minus the md5-per-row view prep
+    return ratings_cached(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1233,9 +1235,7 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge key — the same cost as the dedup_keep_last it generalizes — and
     no join-skew surface. Base/delta/op assignments are deterministic
     interaction_id splits so both engines see identical inputs."""
-    r = ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    ).withColumn("t", F.unix_timestamp("ts"))
+    r = _ratings(spark, sf_dir).withColumn("t", F.unix_timestamp("ts"))
     base = r.filter(F.col("interaction_id") % 10 < 8).select(
         "user_id", "item_id", "rating", "t", "interaction_id",
         F.lit(0).alias("pri"), F.lit("K").alias("op"),

@@ -17,7 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data import RATINGS_SQL, load_table, ratings_from_df
+from ..data import RATINGS_SQL, load_table
 from ..registry import query
 
 N_SALTS = 8
@@ -26,9 +26,11 @@ IO_DIR = os.environ.get("SPARK_GRAFT_IO_DIR", "/tmp/drs_spark_io")
 
 
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    from ..data import ratings_cached
+
+    # derive-once materialized view (SCALE.md): values identical to the
+    # live ratings_from_df derivation, minus the md5-per-row view prep
+    return ratings_cached(spark, sf_dir)
 
 
 @query(

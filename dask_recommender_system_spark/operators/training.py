@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..data import RATINGS_SQL, load_table, ratings_from_df, spread
+from ..data import RATINGS_SQL, load_table, spread
 from ..registry import query
 from .text import ORACLE_TOKENS, TOKENS
 
@@ -80,10 +80,10 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     off a 1-row broadcast max; the seen-filter is a keyed LEFT ANTI join
     on (user_id, item); the keep-K ranking window is keyed per positive
     triple. Nothing global, nothing driver-side."""
+    from ..data import ratings_cached
+
     r = (
-        ratings_from_df(
-            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-        )
+        ratings_cached(spark, sf_dir)
         .select("user_id", "item_id", "interaction_id")
         .distinct()
     )
@@ -294,9 +294,9 @@ def sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample is identical across engines, retries, and repartitionings.
     ONE user-keyed ranking window — same shuffle shape as
     dedup_keep_last; at 100 TB the window's per-user state is K rows."""
-    r = ratings_from_df(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
+    from ..data import ratings_cached
+
+    r = ratings_cached(spark, sf_dir)
     hk = (
         (F.col("interaction_id") % SAMPLE_MOD) * HASH_A
         + F.col("item_id") * 40503

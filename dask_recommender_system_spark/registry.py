@@ -185,6 +185,7 @@ DRIVER_PRIORITY: list[str] = [
     "net_revenue_retention",
     "cart_abandonment_daily",
     "text_boilerplate_share",
+    "dedup_containment_sweep",
 ]
 
 

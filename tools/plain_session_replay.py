@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 SF_DIR = os.environ.get("PLAIN_REPLAY_SF_DIR", "/root/testdata/sf0.01")
 N = int(os.environ.get("PLAIN_REPLAY_N", "50"))
+OFFSET = int(os.environ.get("PLAIN_REPLAY_OFFSET", "0"))
 OUT = os.environ.get("PLAIN_REPLAY_OUT", "CORRECTNESS_r08_preflight.json")
 
 
@@ -55,7 +56,7 @@ def main() -> None:
     print(f"entry() smoke: {n_flagship} rows", flush=True)
 
     qs, oracles = E.queries(), E.oracle_sql()
-    window = list(qs)[:N]
+    window = list(qs)[OFFSET : OFFSET + N]
     con = duckdb_con(SF_DIR)
     results: dict[str, dict] = {}
     for name in window:
