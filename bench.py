@@ -206,6 +206,11 @@ BENCH_NOTES = {
         "ratings view 3x/query; r07 reads derive-once data.ratings_cached"
     ),
     "recommend_top_k": "same md5 view-derivation tax; r07 uses ratings_cached",
+    "_r08": (
+        "every remaining ratings-view consumer (~40 queries incl the "
+        "training fit_total segments) now reads ratings_cached; broad "
+        "r08 drops in ratings-derived queries are the removed view prep"
+    ),
 }
 
 # the driver records only the last ~2000 stdout chars (BENCH_r03 captured a
@@ -293,7 +298,6 @@ def _planted_holdout_rmse(spark) -> dict[str, float]:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from dask_recommender_system_spark.data import ratings_from_df, load_table
     from dask_recommender_system_spark.models import ALS, FunkSVD
     from dask_recommender_system_spark.registry import REGISTRY, load_all_operators
     from dask_recommender_system_spark.session import get_spark
@@ -353,9 +357,7 @@ def main() -> None:
     # previous two-fit subtraction estimator ((total5 - first1) / 4) was
     # noise-amplifying: one GC pause in either fit lands fully in the
     # difference (observed 3x swings on identical code).
-    r = ratings_from_df(
-        load_table(spark, SF_DIR, "lineitem"), load_table(spark, SF_DIR, "orders")
-    )
+    r = ratings_cached(spark, SF_DIR)
     n_ratings = r.count()
     model = FunkSVD(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=FUNK_EPOCHS)
     t0 = time.perf_counter()
