@@ -193,6 +193,30 @@ def _ratings_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
+# Process-lifetime root for the materialized ratings view. A cross-run
+# cache under a stable /tmp path (round 7) would let a later bench/oracle
+# invocation skip the derivation entirely — a persisted intermediate keyed
+# on the test data, which the optimization-round rules prohibit. Scoping
+# the root to THIS process (fresh mkdtemp, removed at exit) keeps the
+# derive-once-per-invocation win (the md5-per-row view is built once per
+# process, not once per consumer query) while every new invocation
+# recomputes from the parquet inputs; bench.py times that first
+# materialization as `ratings_cache_ingest_s`.
+_CACHE_ROOT: str | None = None
+
+
+def _cache_root() -> str:
+    global _CACHE_ROOT
+    if _CACHE_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _CACHE_ROOT = tempfile.mkdtemp(prefix="drs_ratings_cache_")
+        atexit.register(shutil.rmtree, _CACHE_ROOT, ignore_errors=True)
+    return _CACHE_ROOT
+
+
 def ratings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive-once-materialize form of :func:`ratings` — the 100 TB answer
     to the md5-per-row cost of the content-hash ``interaction_id``
@@ -200,48 +224,17 @@ def ratings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, not recomputed per consumer; the round-6 determinism fix made
     every re-derivation pay an md5 per row, which tripled
     join_predict_lookup's bench time purely in view prep). First call per
-    dataset content writes the view to a fingerprint-keyed parquet under
-    /tmp via write-to-temp + atomic rename (concurrent workers can't race
-    the overwrite; the rename loser reads the winner's complete copy);
-    every later call is a plain parquet scan. Values are identical to
-    :func:`ratings` — parquet round-trips BIGINT/DOUBLE/DATE exactly."""
-    import hashlib
+    (process, dataset content) writes the view to a fingerprint-keyed
+    parquet under a process-lifetime tempdir; later calls in the SAME
+    process are a plain parquet scan. The fingerprint keeps a long-lived
+    process (pytest, the oracle sweeps) correct across multiple sf_dirs
+    and regenerated fixtures. Values are identical to :func:`ratings` —
+    parquet round-trips BIGINT/DOUBLE/DATE exactly."""
     import os
-    import shutil
-    import uuid
 
-    # per-dataset-PATH namespace: stale generations of the same dataset
-    # can be pruned without touching a concurrently-used cache for a
-    # different sf_dir (parallel sf0.01 + sf1 sweeps share this /tmp root)
-    ns = f"/tmp/drs_ratings_cache/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    fp = _ratings_fingerprint(sf_dir)
-    stage = f"{ns}/{fp}"
+    stage = f"{_cache_root()}/{_ratings_fingerprint(sf_dir)}"
     if not os.path.exists(f"{stage}/_SUCCESS"):
-        tmp = f"{stage}.tmp_{uuid.uuid4().hex[:8]}"
-        ratings(spark, sf_dir).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, stage)
-            # publish succeeded: prune stale sibling generations of THIS
-            # dataset (ADVICE r07 — fingerprints otherwise accumulate one
-            # dir per touched content, unboundedly). Only fully published
-            # dirs; a concurrent writer's .tmp_* staging dirs are left
-            # alone.
-            for sib in os.listdir(ns):
-                sp = os.path.join(ns, sib)
-                if (
-                    sib != fp
-                    and ".tmp_" not in sib
-                    and os.path.exists(os.path.join(sp, "_SUCCESS"))
-                ):
-                    shutil.rmtree(sp, ignore_errors=True)
-        except OSError:
-            # Only the lost-the-race case is recoverable (the winner's
-            # complete copy is in place); any other rename failure (EXDEV,
-            # permissions) must surface HERE, not as a confusing
-            # missing-path error from the read below. (ADVICE r07)
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(f"{stage}/_SUCCESS"):
-                raise
+        ratings(spark, sf_dir).write.mode("overwrite").parquet(stage)
     return spark.read.parquet(stage)
 
 

@@ -101,8 +101,14 @@ class _SGDRecommenderBase:
             .select("u_idx", "i_idx", "rating")
             # the chunk grid's moral equivalent (models/als.py:53-62):
             # co-partition the facts by user so every epoch's u-side
-            # join/agg reuses one partitioning.
+            # join/agg reuses one partitioning — and SORT within
+            # partitions so the per-epoch params join is a zero-exchange
+            # zero-sort SortMergeJoin against the identically
+            # partitioned+sorted factor checkpoints (guide §2.4: two
+            # operations keyed the same way share one exchange; the sort
+            # is paid once at materialization, never per epoch).
             .repartition(n_part, "u_idx")
+            .sortWithinPartitions("u_idx")
         )
         r_enc = r_enc.persist()
         self.stats = corpus_stats(r_enc)
@@ -111,6 +117,12 @@ class _SGDRecommenderBase:
         i_ids = self.i_map.select("i_idx")
         u = u_params_init or init_params(u_ids, "u_idx", self.k, self.init_scale, self._U_SALT)
         i = i_params_init or init_params(i_ids, "i_idx", self.k, self.init_scale, self._I_SALT)
+        # factor tables live hash-partitioned + sorted on their key for the
+        # whole fit: localCheckpoint preserves partitioning AND ordering,
+        # and every update join/groupBy below is keyed the same way, so no
+        # epoch ever exchanges or re-sorts the factor side (guide §2.4).
+        u = u.repartition(n_part, "u_idx").sortWithinPartitions("u_idx")
+        i = i.repartition(n_part, "i_idx").sortWithinPartitions("i_idx")
         u, i = checkpoint(u), checkpoint(i)
 
         self.train_errors = []
@@ -125,6 +137,44 @@ class _SGDRecommenderBase:
     def _run_epochs(self, r_enc, u, i, collect_errors):  # pragma: no cover
         raise NotImplementedError
 
+    # ------------------------------------------------------- join strategy
+
+    def _dim(self, df: DataFrame, n_rows: int) -> DataFrame:
+        """Size-aware broadcast hint for the dimension-sized frames the
+        epoch loop joins every epoch (params, gradients — guide §3.1).
+
+        The frames are localCheckpoint scans, whose LogicalRDD carries no
+        usable size statistics, so the INITIAL plan of every epoch join
+        came out SortMergeJoin: both sides exchanged, and AQE only rescued
+        the join to broadcast at runtime AFTER materializing the dim-side
+        shuffle (measured: 16 jobs and 3 wasted dim exchanges per epoch).
+        The driver KNOWS the exact row count from corpus_stats, so when
+        n_rows x (k+2) doubles fits comfortably under the session's
+        autoBroadcastJoinThreshold the hint makes the initial plan the
+        final plan. Beyond the threshold (e.g. 10^9-user factors, which
+        must never broadcast) the frame is returned unhinted and the
+        planner/AQE keeps the shuffle strategy — the hint is
+        scale-adaptive, not a local[32] constant."""
+        est_bytes = n_rows * (self.k + 2) * 8
+        raw = str(
+            df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        ).strip().lower()
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+        mult = 1
+        raw = raw.removesuffix("b")
+        if raw and raw[-1] in units:
+            mult = units[raw[-1]]
+            raw = raw[:-1]
+        try:
+            thr = int(raw) * mult
+        except ValueError:
+            thr = 10 * 1024**2
+        if 0 < est_bytes <= thr:
+            return F.broadcast(df)
+        return df
+
     # ------------------------------------------------------------ epoch ops
 
     def _error_df(self, r_enc: DataFrame, u: DataFrame, i: DataFrame) -> DataFrame:
@@ -132,19 +182,30 @@ class _SGDRecommenderBase:
         relational form of ``x - pred * x_mask`` (models/funk_svd.py:160-161).
         Keeps p_j/q_j columns for the downstream gradient aggregates.
 
-        Params are dimension tables: Spark broadcasts them while they fit
-        (AQE decides); beyond that this is a co-partitioned shuffle join on
-        u_idx (r_enc is already hash-partitioned by u_idx) plus one shuffle
-        on i_idx."""
+        The u-side join is a ZERO-exchange zero-sort SortMergeJoin: both
+        r_enc and the user-factor checkpoint are hash(u_idx, n)-partitioned
+        and sorted (established once in fit). The i-side factor table is
+        broadcast-hinted while the driver-known row count says it fits
+        (``_dim``); at catalog scales past the threshold it falls back to
+        the planner's shuffle strategy against an already i_idx-partitioned
+        factor table."""
         up = u.select("u_idx", F.col("bias").alias("bu"),
                       *[F.col(f"f_{j}").alias(f"p_{j}") for j in range(self.k)])
-        ip = i.select("i_idx", F.col("bias").alias("bi"),
-                      *[F.col(f"f_{j}").alias(f"q_{j}") for j in range(self.k)])
+        ip = self._dim(
+            i.select("i_idx", F.col("bias").alias("bi"),
+                     *[F.col(f"f_{j}").alias(f"q_{j}") for j in range(self.k)]),
+            self.stats.n_items,
+        )
         pred = F.lit(self.stats.mean_rating) + F.col("bu") + F.col("bi") + dot_wide(
             self.k, "p_", "q_"
         )
         return (
-            r_enc.join(up, "u_idx")
+            # MERGE hint: both sides are hash(u_idx, n)-partitioned and
+            # sorted, so this compiles to SortMergeJoin with zero Exchange
+            # and zero Sort — deterministic, instead of letting the
+            # planner broadcast from a checkpoint's inherited estimate
+            # (an extra broadcast-build job per epoch).
+            r_enc.join(up.hint("merge"), "u_idx")
             .join(ip, "i_idx")
             .withColumn("err", F.col("rating") - pred)
         )
@@ -163,9 +224,12 @@ class _SGDRecommenderBase:
         upd = {"bias": F.col("bias") + lr * (F.col("err_sum") - axis_n * reg * F.col("bias"))}
         for j in range(self.k):
             upd[f"f_{j}"] = F.col(f"f_{j}") + lr * (F.col(f"g_{j}") - reg * F.col(f"f_{j}"))
-        return u.join(grads, "u_idx").withColumns(upd).select(
-            "u_idx", "bias", *[f"f_{j}" for j in range(self.k)]
-        )
+        # grads comes out of a u_idx-keyed agg over the u_idx-partitioned
+        # error cache, so u ⋈ grads is an exchange-free merge join (only
+        # the dimension-sized grads side sorts, in-partition).
+        return u.join(grads.hint("merge"), "u_idx").withColumns(
+            upd
+        ).select("u_idx", "bias", *[f"f_{j}" for j in range(self.k)])
 
     def _update_items(self, err_with_p: DataFrame, i: DataFrame) -> DataFrame:
         """i_factors += lr·((u_factorsᵀ @ error)ᵀ − reg·i_factors);
@@ -183,9 +247,12 @@ class _SGDRecommenderBase:
         upd = {"bias": F.col("bias") + lr * (F.col("err_sum") - axis_n * reg * F.col("bias"))}
         for j in range(self.k):
             upd[f"f_{j}"] = F.col(f"f_{j}") + lr * (F.col(f"g_{j}") - reg * F.col(f"f_{j}"))
-        return i.join(grads, "i_idx").withColumns(upd).select(
-            "i_idx", "bias", *[f"f_{j}" for j in range(self.k)]
-        )
+        # grads is hash(i_idx)-partitioned by its groupBy exchange and the
+        # item factor checkpoint is partitioned+sorted the same way — merge
+        # join, zero additional exchange.
+        return i.join(grads.hint("merge"), "i_idx").withColumns(
+            upd
+        ).select("i_idx", "bias", *[f"f_{j}" for j in range(self.k)])
 
     def _collect_metrics(self, err_df: DataFrame) -> None:
         self.train_errors.append(metrics_row(err_df, self.stats.n_ratings))

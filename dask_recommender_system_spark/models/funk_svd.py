@@ -61,10 +61,13 @@ class FunkSVD(_SGDRecommenderBase):
 
             # item update: stale error × UPDATED user factors
             # (models/funk_svd.py:166-167: u_factors was reassigned above)
+            # exchange-free merge join: the error cache and the updated
+            # user checkpoint are both hash(u_idx, n)-partitioned + sorted
             err_with_new_p = err.select("u_idx", "i_idx", "err").join(
                 u_new.select(
-                    "u_idx", *[F.col(f"f_{j}").alias(f"p_{j}") for j in range(self.k)]
-                ),
+                    "u_idx",
+                    *[F.col(f"f_{j}").alias(f"p_{j}") for j in range(self.k)],
+                ).hint("merge"),
                 "u_idx",
             )
             i_new = self._update_items(err_with_new_p, i)
