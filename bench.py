@@ -207,9 +207,9 @@ BENCH_NOTES = {
     ),
     "recommend_top_k": "same md5 view-derivation tax; r07 uses ratings_cached",
     "_r08": (
-        "every remaining ratings-view consumer (~40 queries incl the "
-        "training fit_total segments) now reads ratings_cached; broad "
-        "r08 drops in ratings-derived queries are the removed view prep"
+        "caches are process-scoped now (no cross-run reuse); the shared "
+        "dedup+encode view is also derive-once (encoded_cache_ingest_s) — "
+        "drops in the linalg/eval families are the removed per-query prep"
     ),
 }
 
@@ -315,8 +315,17 @@ def main() -> None:
     ratings_cached(spark, SF_DIR).count()
     # one-time materialization cost, recorded as ingest (ADVICE r07: the
     # pre-warm moved this out of every measured query; it must still be
-    # visible somewhere) — near-zero when the content-keyed cache is warm
+    # visible somewhere). The cache is process-scoped (r08), so every
+    # bench invocation pays and records this cost afresh.
     ratings_cache_ingest_s = round(time.perf_counter() - t0, 3)
+    # same discipline for the shared dedup+encode view (r08): ~17 queries
+    # across the linalg/evaluation families read it; its one-time build is
+    # ingest, recorded separately, paid once per process
+    from dask_recommender_system_spark.operators.linalg import encoded_ratings
+
+    t0 = time.perf_counter()
+    encoded_ratings(spark, SF_DIR).count()
+    encoded_cache_ingest_s = round(time.perf_counter() - t0, 3)
 
     # Median of N runs per query (VERDICT r04 item 3: round-over-round
     # drift on untouched queries was indistinguishable from sweep
@@ -391,6 +400,7 @@ def main() -> None:
     extras: dict[str, object] = {
         "ratings_per_s_per_epoch": round(n_ratings / epoch_s),
         "ratings_cache_ingest_s": ratings_cache_ingest_s,
+        "encoded_cache_ingest_s": encoded_cache_ingest_s,
     }
     if os.environ.get("SPARK_GRAFT_ENDURANCE", "1") != "0":
         model = FunkSVD(n_factors=FUNK_K, lr=0.001, reg=0.001, epochs=100)

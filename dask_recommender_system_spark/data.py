@@ -217,6 +217,18 @@ def _cache_root() -> str:
     return _CACHE_ROOT
 
 
+def view_stage(sf_dir: str, name: str, version_src: str) -> str:
+    """Stage path for a derived-view materialization under the
+    process-lifetime cache root: keyed by the view name, a hash of the
+    derivation SOURCE (so edits self-invalidate, like _derivation_hash),
+    and the dataset content fingerprint. Shared by ratings_cached and
+    operators/linalg.encoded_ratings."""
+    import hashlib
+
+    h = hashlib.md5(version_src.encode()).hexdigest()[:8]
+    return f"{_cache_root()}/{name}_{h}_{_ratings_fingerprint(sf_dir)}"
+
+
 def ratings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive-once-materialize form of :func:`ratings` — the 100 TB answer
     to the md5-per-row cost of the content-hash ``interaction_id``

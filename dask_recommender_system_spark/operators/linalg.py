@@ -51,9 +51,10 @@ ENCODED_SQL = f"""
 """
 
 
-def encoded_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared prep: dedup-keep-last (D2) then dense-encode (A2/J1) — the
-    reference's pipeline order (run_als.py:9-11 → models/als.py:26-32)."""
+def _encoded_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live derivation behind :func:`encoded_ratings`: dedup-keep-last
+    (D2) then dense-encode (A2/J1) — the reference's pipeline order
+    (run_als.py:9-11 → models/als.py:26-32)."""
     r = _ratings(spark, sf_dir)
     w = W.partitionBy("user_id", "item_id").orderBy(
         F.col("ts").desc(), F.col("interaction_id").desc()
@@ -72,6 +73,33 @@ def encoded_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ie, "item_id")
         .select("u_idx", "i_idx", "rating", "interaction_id")
     )
+
+
+def encoded_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared prep for ~17 declared queries (the linalg/evaluation
+    families): derive-once-materialize form of :func:`_encoded_live`,
+    same process-lifetime staging discipline as ``data.ratings_cached``
+    (guide §1.2 step 1: don't recompute what many consumers share —
+    every caller was re-running the dedup window plus TWO block-offset
+    sorted-rank encodes, several seconds of identical prep per bench
+    query). The derivation is deterministic (sorted-rank encode, unique
+    interaction_id tiebreak) and the columns are BIGINT/DOUBLE, so the
+    parquet round-trip is value-exact; the stage key hashes the
+    derivation source + dataset content, and the cache root dies with
+    the process (no cross-run reuse)."""
+    import inspect
+    import os
+
+    from ..data import view_stage
+
+    stage = view_stage(
+        sf_dir,
+        "encoded",
+        inspect.getsource(_encoded_live) + inspect.getsource(encode_sorted_rank),
+    )
+    if not os.path.exists(f"{stage}/_SUCCESS"):
+        _encoded_live(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    return spark.read.parquet(stage)
 
 
 @query(
