@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .common import (
     CorpusStats,
+    broadcast_if_fits,
     checkpoint,
     corpus_stats,
     dot_wide,
@@ -155,25 +156,7 @@ class _SGDRecommenderBase:
         must never broadcast) the frame is returned unhinted and the
         planner/AQE keeps the shuffle strategy — the hint is
         scale-adaptive, not a local[32] constant."""
-        est_bytes = n_rows * (self.k + 2) * 8
-        raw = str(
-            df.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
-        ).strip().lower()
-        units = {"k": 1024, "m": 1024**2, "g": 1024**3}
-        mult = 1
-        raw = raw.removesuffix("b")
-        if raw and raw[-1] in units:
-            mult = units[raw[-1]]
-            raw = raw[:-1]
-        try:
-            thr = int(raw) * mult
-        except ValueError:
-            thr = 10 * 1024**2
-        if 0 < est_bytes <= thr:
-            return F.broadcast(df)
-        return df
+        return broadcast_if_fits(df, n_rows * (self.k + 2) * 8)
 
     # ------------------------------------------------------------ epoch ops
 

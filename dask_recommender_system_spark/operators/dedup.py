@@ -712,22 +712,47 @@ def min_label_components(
     (labels only decrease) detects convergence with one scalar agg per
     round. Property-tested against a union-find replica in
     tests/test_properties.py."""
+    from ..models.common import broadcast_if_fits, release_checkpoint
+
     a, b = pairs.columns
-    edges = pairs.union(
-        pairs.select(F.col(b).alias(a), F.col(a).alias(b))
-    ).toDF("src", "dst").persist()
-    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+    # both directions in ONE pass over pairs (the union-of-selects form
+    # carried the whole candidate-generation subtree twice in the plan —
+    # the item_cf_similarity lesson, guide §2.4)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)  # reused every round; released below
+    )
+    # iterate ONLY over nodes that touch an edge: singletons can never
+    # change label, so shipping the full node table through every round's
+    # join+agg+checkpoint is pure overhead (guide §2.3 — shuffle fewer
+    # bytes; near-dup graphs are sparse, |touched| << |nodes|). Singletons
+    # rejoin with lbl = own id at the end — bit-identical output.
+    touched = edges.select(F.col("src").alias("node")).distinct()
+    labels = touched.select("node", F.col("node").alias("lbl")).localCheckpoint(
         eager=True
     )
+    # touched-node count is known after the checkpoint (one cheap count on
+    # a materialized frame) — broadcast-hint the per-round label join
+    # while the 2-BIGINT label table fits (guide §3.1; see pagerank_items)
+    label_bytes = labels.count() * 3 * 8
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     converged = False
     for _ in range(max_rounds):
+        bl = broadcast_if_fits(labels, label_bytes)
         nbr = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(bl, edges.src == bl.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        labels = (
+        new_labels = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
@@ -735,12 +760,18 @@ def min_label_components(
             )
             .localCheckpoint(eager=True)
         )
+        # the superseded round's checkpoint blocks are dead the moment the
+        # new round materializes — release them RDD-level or a long bench/
+        # sweep session accumulates one block pair per round per query
+        # (the models/base.py lesson; unpersist() alone is a no-op here)
+        release_checkpoint(labels)
+        labels = new_labels
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
-    edges.unpersist()
+    release_checkpoint(edges)
     if not converged:
         # The fixpoint check already detects this for free: labels only
         # decrease, so an unchanged sum IS convergence — and a changed sum
@@ -750,7 +781,14 @@ def min_label_components(
             f"min_label_components did not converge within {max_rounds} rounds; "
             "a component's diameter exceeds max_rounds — raise max_rounds"
         )
-    return labels
+    # singletons (nodes touching no edge) kept their own id throughout —
+    # attach them back with lbl = node via one left join; output is
+    # bit-identical to iterating over the full node table
+    return (
+        nodes.select("node")
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("lbl", "node").alias("lbl"))
+    )
 
 
 # --- edit-distance-verified fuzzy dedup (X57) ----------------------------

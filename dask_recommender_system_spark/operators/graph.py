@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..models.common import broadcast_if_fits, release_checkpoint
 from ..registry import query
 
 PR_ITERS = 5
@@ -99,9 +100,17 @@ def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = float(deg.count())
     ranks = deg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("r"))
+    # the rank vector is |nodes| × 2 numeric cols — the driver KNOWS n, so
+    # hint the broadcast while it fits (guide §3.1; measured 1.0–2.5 s →
+    # 0.73–0.82 s per round at sf0.1: without the hint each round planned
+    # SMJ and AQE only rescued it after materializing the rank exchange);
+    # past the threshold the join stays keyed against the u-partitioned
+    # edge checkpoint
+    rank_bytes = int(n) * 3 * 8
     for _ in range(PR_ITERS):
-        ranks = (
-            en.join(ranks, en["u"] == ranks["node"])
+        br = broadcast_if_fits(ranks, rank_bytes)
+        new_ranks = (
+            en.join(br, en["u"] == br["node"])
             .groupBy(F.col("v").alias("node2"))
             .agg(
                 (
@@ -112,7 +121,19 @@ def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node2").alias("node"), "r")
             .localCheckpoint(eager=True)
         )
-    return ranks.select("node", F.round(F.col("r") * n, 6).alias("rank_rel"))
+        # free the superseded round's blocks immediately (the models/
+        # base.py lesson): without this every pagerank run leaks
+        # PR_ITERS checkpointed RDDs into the session and a long bench/
+        # sweep session accumulates storage pressure (r08 profiling saw
+        # late-session runs of this family 2-5x their early-session
+        # time). No-ops for the round-0 non-checkpointed seed frame.
+        release_checkpoint(ranks)
+        ranks = new_ranks
+    out = ranks.select("node", F.round(F.col("r") * n, 6).alias("rank_rel"))
+    # the returned plan reads only the FINAL ranks checkpoint — the edge
+    # table's blocks are dead once the last round has materialized
+    release_checkpoint(en)
+    return out
 
 
 # --- triangle count / transitivity (X113) ---------------------------------
@@ -434,13 +455,15 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    rank_bytes = int(n) * 3 * 8
     for _ in range(PPR_ITERS):
+        br = broadcast_if_fits(r, rank_bytes)
         mass = (
-            en.join(r, en["u"] == r["node"])
+            en.join(br, en["u"] == br["node"])
             .groupBy(F.col("v").alias("mnode"))
             .agg(F.sum(F.col("r") * F.col("wn")).alias("mass"))
         )
-        r = (
+        new_r = (
             nodes.join(mass, nodes["node"] == mass["mnode"], "left")
             .join(seed_flag.select("node", "is_seed"), "node", "left")
             .select(
@@ -452,7 +475,15 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return r.select("node", F.round(F.col("r") * n, 6).alias("ppr_rel"))
+        # release the superseded round (see pagerank_items)
+        release_checkpoint(r)
+        r = new_r
+    out = r.select("node", F.round(F.col("r") * n, 6).alias("ppr_rel"))
+    # only the final r checkpoint feeds the returned plan
+    release_checkpoint(en)
+    release_checkpoint(nodes)
+    release_checkpoint(sn)
+    return out
 
 
 LPA_ROUNDS = 4  # fixed synchronous rounds (unrolled in the oracle)
@@ -521,21 +552,32 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     a = li.select(F.col("o"), F.col("p").alias("u"))
     b = li.select(F.col("o").alias("o2"), F.col("p").alias("v"))
+    p = spark.sparkContext.defaultParallelism
     edges = (
         a.join(b, (a["o"] == b["o2"]) & (a["u"] != b["v"]))
         .groupBy("u", "v")
         .agg(F.count("*").alias("w"))
-        .repartition("v")
-        .localCheckpoint()
+        # partition on the per-round JOIN key (u), not v: localCheckpoint
+        # preserves the partitioning, so every round's labels join is
+        # co-located and only the |nodes|-row labels table moves; the
+        # vote agg shuffles on (v, lab) either way (the pagerank_items
+        # discipline — the old repartition("v") helped neither stage)
+        .repartition(p, "u")
+        .localCheckpoint(eager=True)
     )
     labels = li.select(F.col("p").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
     from pyspark.sql import Window as W
 
+    # labels is |nodes| × 2 BIGINTs; the node count is cheap to learn once
+    # and lets every round's join be broadcast-hinted while it fits
+    # (guide §3.1 — see pagerank_items)
+    label_bytes = labels.count() * 3 * 8
     for _ in range(LPA_ROUNDS):
+        bl = broadcast_if_fits(labels, label_bytes)
         votes = (
-            edges.join(labels, edges["u"] == labels["node"])
+            edges.join(bl, edges["u"] == bl["node"])
             .groupBy(F.col("v").alias("vnode"), "lab")
             .agg(F.sum("w").alias("wv"))
         )
@@ -549,12 +591,17 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .filter(F.col("rn") == 1)
             .select("vnode", F.col("lab").alias("new_lab"))
         )
-        labels = (
+        new_labels = (
             labels.join(win, labels["node"] == win["vnode"], "left")
             .select("node", F.coalesce("new_lab", "lab").alias("lab"))
-            .localCheckpoint()
+            .localCheckpoint(eager=True)
         )
+        # release the superseded round (see pagerank_items)
+        release_checkpoint(labels)
+        labels = new_labels
     sizes = labels.groupBy("lab").agg(F.count("*").alias("community_size"))
+    # the returned plan reads only the final labels checkpoint
+    release_checkpoint(edges)
     return (
         labels.join(F.broadcast(sizes), "lab")
         .select(

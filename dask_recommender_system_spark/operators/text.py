@@ -1677,20 +1677,33 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hs"),
         )
     )
+    # novel-gram counts come from the first_seen aggregate ALONE: each
+    # distinct gram hash contributes exactly one novel hit, to its min
+    # doc_id — so grouping first_seen by first_doc IS the per-doc novel
+    # count, and n_distinct_grams is just size(hs). The previous form
+    # joined the full exploded gram table back on the 60-bit hash (a
+    # second data-sized shuffle) and, because the exploded frame fed both
+    # join sides, computed the md5-per-gram explode twice (guide §2.3
+    # "shuffle fewer bytes" / §2.4 "remove shuffles outright"): r08
+    # profiling measured 9.9–10.5 s; this form shuffles the gram table
+    # once and joins two doc-sized frames.
     x = g.select("doc_id", F.explode("hs").alias("h"))
-    first_seen = x.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        x.join(first_seen, "h")
+    novel = (
+        x.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_distinct_grams"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
-                "n_novel"
-            ),
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        g.select("doc_id", F.size("hs").cast("long").alias("n_distinct_grams"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
             F.round(
-                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
-                .cast("double")
-                / F.count("*"),
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_distinct_grams"),
                 6,
             ).alias("novelty"),
         )

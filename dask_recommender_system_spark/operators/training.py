@@ -88,39 +88,59 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_items = r.agg(F.max("item_id").alias("n_items"))
+    # In-row candidate generation AND seen-filtering (guide §2.3/§2.4):
+    # the previous form exploded all C candidates, LEFT ANTI joined the
+    # ×C rows on (user_id, neg_item), then ranked survivors with a ×C
+    # window — two data-sized shuffles of the candidate set. The seen
+    # test only needs the USER's item set, so: one user-keyed item-set
+    # agg, one user-keyed join onto the positives, then candidates are
+    # generated, filtered, ranked and truncated inside the row with
+    # array HOFs — only the ≤K survivors are ever exploded. Candidate
+    # order (offset j) is preserved by sequence+filter, so neg_rank is
+    # value-identical to the old row_number-over-j. Per-user seen arrays
+    # are history-sized (the same bound the anti-join's build side had).
+    seen = r.groupBy("user_id").agg(F.collect_set("item_id").alias("seen"))
     cand = (
-        r.crossJoin(F.broadcast(n_items))
-        .select(
-            "user_id",
-            "item_id",
-            "interaction_id",
-            F.explode(F.sequence(F.lit(0), F.lit(NEG_CAND - 1))).alias("j"),
-            "n_items",
-        )
+        r.join(seen, "user_id")
+        .crossJoin(F.broadcast(n_items))
         .withColumn(
             # interaction_id is pre-reduced mod a prime BEFORE the hash
             # multiply: round-6 ids carry 2^32 tie bits, so id*HASH_A would
             # overflow int64 (Spark wraps silently, DuckDB errors)
-            "neg_item",
-            1
-            + (
-                (
-                    (F.col("interaction_id") % SAMPLE_MOD) * HASH_A
-                    + F.col("item_id") * 40503
-                )
-                % F.col("n_items")
-                + F.col("j")
-            )
-            % F.col("n_items"),
+            "kept",
+            F.slice(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(NEG_CAND - 1)),
+                        lambda j: 1
+                        + (
+                            (
+                                (F.col("interaction_id") % SAMPLE_MOD) * HASH_A
+                                + F.col("item_id") * 40503
+                            )
+                            % F.col("n_items")
+                            + j
+                        )
+                        % F.col("n_items"),
+                    ),
+                    lambda c: ~F.array_contains(F.col("seen"), c),
+                ),
+                1,
+                NEG_K,
+            ),
         )
     )
-    seen = r.select("user_id", F.col("item_id").alias("neg_item")).distinct()
-    flt = cand.join(seen, ["user_id", "neg_item"], "left_anti")
-    w = W.partitionBy("user_id", "item_id", "interaction_id").orderBy("j")
-    return (
-        flt.withColumn("neg_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("neg_rank") <= NEG_K)
-        .select("user_id", "item_id", "interaction_id", "neg_item", "neg_rank")
+    return cand.select(
+        "user_id",
+        "item_id",
+        "interaction_id",
+        F.posexplode("kept").alias("pos", "neg_item"),
+    ).select(
+        "user_id",
+        "item_id",
+        "interaction_id",
+        "neg_item",
+        (F.col("pos") + 1).cast("long").alias("neg_rank"),
     )
 
 

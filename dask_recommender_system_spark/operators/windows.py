@@ -337,10 +337,13 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("interaction_id").alias("tie"),
     )
     w_cap = W.partitionBy("user_id").orderBy(F.col("t").desc(), F.col("tie").desc())
-    # NOT persisted: capped feeds two consumers (lists, cnt) but its
-    # shuffle output is reused via Spark's exchange reuse, and a persist
-    # with no in-function action to unpersist after would stay pinned in
-    # executor memory for the rest of a full-registry sweep (ADVICE r02).
+    # NOT persisted/checkpointed: capped feeds three plan consumers
+    # (lists, and cnt joined twice for na/nb); the r08 round MEASURED an
+    # eager localCheckpoint here and it was strictly worse (noop median
+    # 6.0 → 15.7 s, with a 31 s outlier — the materialization serializes
+    # a stage the three replays otherwise overlap across cores), so the
+    # in-plan replay stands (ADVICE r02's no-pinned-persist rule also
+    # still applies).
     capped = (
         dedup.withColumn("rn", F.row_number().over(w_cap))
         .filter(F.col("rn") <= CF_USER_CAP)
@@ -374,13 +377,28 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("co") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("sim"),
         )
     )
+    # both directions in ONE pass: the union-of-two-selects form repeated
+    # the whole pairs→co→sim subtree twice in the plan (12 parquet scans,
+    # 46 Exchanges at r08 profiling; under count() the reused exchange
+    # broke and the window+pair stage recomputed, 22–29 s vs the 6–10 s
+    # noop). An in-row explode of (a→b, b→a) keeps one subtree (guide
+    # §2.4: remove duplicated work the optimizer can't deduplicate).
     sym = sim.select(
-        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "co", "sim"
-    ).unionByName(
-        sim.select(
-            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), "co", "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item"),
+                    F.col("item_b").alias("neighbor"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item"),
+                    F.col("item_a").alias("neighbor"),
+                ),
+            )
+        ).alias("d"),
+        "co",
+        "sim",
+    ).select("d.item", "d.neighbor", "co", "sim")
     w_rank = W.partitionBy("item").orderBy(F.col("sim").desc(), "neighbor")
     return (
         sym.withColumn("rnk", F.row_number().over(w_rank).cast("long"))

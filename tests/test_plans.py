@@ -450,21 +450,22 @@ def test_feature_binning_is_narrow(spark, sf_dir):
     assert has_wholestage_codegen(df)
 
 
-def test_negative_sampling_window_is_triple_keyed(spark, sf_dir):
-    """negative_sampling: the keep-K ranking window must be keyed by the
-    full positive triple (a window keyed by the colliding interaction_id
-    alone is tie-nondeterministic AND a skew surface), and the seen-filter
-    must plan as a LEFT ANTI join, never a subquery re-execution."""
+def test_negative_sampling_is_in_row(spark, sf_dir):
+    """negative_sampling (r08 form): candidates are generated, seen-
+    filtered and rank-truncated INSIDE the row with array HOFs — the plan
+    must carry NO window at all and NO anti join (the old form shuffled
+    the x NEG_CAND candidate explosion twice: LEFT ANTI on (user, neg)
+    then a triple-keyed rank window); the only data-sized joins are the
+    user-keyed seen-set attach and the ratings derivation, and the
+    explode happens AFTER truncation (only <= NEG_K survivors fan out)."""
     df = q("negative_sampling", spark, sf_dir)
     plan = physical_plan(df, "simple")
-    assert "LeftAnti" in plan
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line:
-            assert re.search(
-                r"windowspecdefinition\(user_id#\d+L?, item_id#\d+L?,"
-                r" interaction_id#\d+L?",
-                line,
-            ), line
+    assert "Window" not in plan
+    assert "LeftAnti" not in plan
+    # the seen-set attach is the one user-keyed join
+    assert re.search(r"Join [^\[]*\[user_id", plan)
+    # truncation precedes the explode: Generate consumes the sliced array
+    assert "Generate posexplode" in plan
 
 
 def test_vocab_coverage_no_global_window(spark, sf_dir):
