@@ -359,6 +359,27 @@ def main() -> None:
         core = runs[1:-1] if len(runs) >= 5 else runs
         spreads[name] = round(core[-1] - core[0], 3)
 
+    # r08 measurement-bug note (guide §1.4): the optimized
+    # ngram_novelty_score attaches novel counts via a LEFT join, so
+    # count() now prunes the whole novelty-aggregate subtree (row count =
+    # |docs| regardless) and the count-timed number stops measuring the
+    # query's work. The old key stays (count-timed, comparable across
+    # rounds); this ADDS a noop-sink-timed entry that computes every
+    # column (never remove/rename existing keys — driver contract).
+    for name in ["ngram_novelty_score"]:
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        runs.sort()
+        timings[f"{name}_noop"] = round(runs[len(runs) // 2], 3)
+        core = runs[1:-1] if len(runs) >= 5 else runs
+        spreads[f"{name}_noop"] = round(core[-1] - core[0], 3)
+
     # training benchmark: reference-parity FunkSVD, k=30 (report.pdf config).
     # Marginal s/epoch comes from the models' own per-epoch timers
     # (model.epoch_times, which exclude prep/encode), averaging the last

@@ -1248,7 +1248,18 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = encode_sorted_rank(
         keyed.select(F.col("sortval").alias("value")), "value", "rn"
     )
-    rk = keyed.join(ranked, keyed.sortval == ranked.value).select("doc_id", "rn")
+    # doc_id is embedded in sortval's zero-padded 8-char suffix (the
+    # uniqueness tiebreak) — parse it back instead of joining `keyed` on
+    # the full sort-key STRING (r08: that join shuffled the string column
+    # a second time and replayed the keyed projection; guide §2.3).
+    # Checkpoint: rk is the junction of TWO diamonds (the bucket frame
+    # self-joins, and cand feeds both the verify and the final join), so
+    # un-pinned it replayed the rank window + parse 4x. |docs| rows of
+    # two BIGINTs — one tiny materialization.
+    rk = ranked.select(
+        F.substring(F.col("value"), -8, 8).cast("long").alias("doc_id"),
+        "rn",
+    ).localCheckpoint(eager=True)
     b = rk.select(
         "doc_id",
         "rn",
@@ -1272,6 +1283,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.rn") - F.col("a.rn")).cast("long").alias("rank_dist"),
         )
         .distinct()
+        # cand feeds the Jaccard verify AND the final rank_dist join —
+        # checkpoint the O(n·w)-row candidate set once (see rk above)
+        .localCheckpoint(eager=True)
     )
     verified = exact_jaccard_on_pairs(d, cand.select("doc_a", "doc_b"))
     return (

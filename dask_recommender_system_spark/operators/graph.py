@@ -203,6 +203,13 @@ def triangle_stats_from_edges(e: DataFrame) -> DataFrame:
     given as (u, v) rows with u < v, deduplicated. Split out of
     graph_triangle_stats so planted-graph tests can drive the counting
     core directly."""
+    # e is the junction of a diamond — it feeds deg (via BOTH unionAll
+    # branches), the orientation join and the final edge count; without a
+    # checkpoint the scan→collect_set→explode→distinct edge build replays
+    # 4x in the plan (r08 audit — the item_cf_similarity union lesson).
+    # The edge set is (u, v) BIGINT pairs, far smaller than the fact
+    # table; one materialization job replaces three replays.
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -221,7 +228,9 @@ def triangle_stats_from_edges(e: DataFrame) -> DataFrame:
         F.when(
             u_first, F.col("dv") * 10000000 + F.col("v")
         ).otherwise(F.col("du") * 10000000 + F.col("u")).alias("kdst"),
-    )
+        # same diamond: o feeds the two wedge legs AND the closing join —
+        # checkpoint once instead of re-running the degree joins 3x
+    ).localCheckpoint(eager=True)
     e1 = o.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("kb")
     )

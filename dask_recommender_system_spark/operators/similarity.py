@@ -111,7 +111,22 @@ def _kmeans_cells(e: DataFrame, n_cells: int):
     from pyspark.ml.functions import array_to_vector
 
     fe = e.withColumn("fv", array_to_vector(F.col("v")))
-    km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell")
+    # Few, cheap iterations (r08, guide §1.2): every caller's OUTPUT is
+    # exact by construction whatever the clustering quality (cells only
+    # steer triangle-inequality pruning), so the default 20 Lloyd
+    # iterations + multi-round k-means|| init bought ~25 driver-visible
+    # jobs of pruning quality nothing downstream needs — on the
+    # near-random fixture radii are wide either way (both docstrings
+    # already documented the degenerate case). Seeded random init + 4
+    # iterations keeps assignment deterministic.
+    km = KMeans(
+        k=n_cells,
+        seed=42,
+        maxIter=4,
+        initMode="random",
+        featuresCol="fv",
+        predictionCol="cell",
+    )
     model = km.fit(fe)
     assigned = model.transform(fe).select("vec_id", "v", "cell").persist()
 
