@@ -1152,8 +1152,15 @@ def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = topk.groupBy("doc_id").agg(
         F.round(F.sqrt(F.sum(F.col("score") * F.col("score"))), 6).alias("nn")
     )
-    wn = topk.join(nrm, "doc_id").select(
-        "doc_id", "term", (F.col("score") / F.col("nn")).alias("w")
+    # wn is the junction of TWO diamonds (it self-joins as a/b, and topk
+    # above feeds both nrm and wn) — un-pinned, the tokenize→tf→topk
+    # chain replays up to 4x in the plan (r08 audit; the item_cf lesson).
+    # |docs| × TFIDF_TOP_N rows of (long, string, double) — one tiny
+    # materialization job.
+    wn = (
+        topk.join(nrm, "doc_id")
+        .select("doc_id", "term", (F.col("score") / F.col("nn")).alias("w"))
+        .localCheckpoint(eager=True)
     )
     a = wn.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
     b = wn.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
