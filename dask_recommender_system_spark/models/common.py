@@ -286,3 +286,38 @@ def release_checkpoint(df: DataFrame) -> None:
 #: assert released > 0 after a fit; a Spark upgrade that breaks the
 #: private-API reach shows up as failed > 0 instead of silent leakage.
 RELEASE_STATS: dict[str, int] = {"released": 0, "failed": 0}
+
+
+#: per-query localCheckpoints whose blocks become dead once the query's
+#: action completes (ADVICE r08: the diamond-junction checkpoints that
+#: feed RETURNED plans — triangle e/o, SNM rk/cand, doc_similarity wn,
+#: encode_sorted_rank's block pin — cannot be released inside the
+#: operator, because the caller has not run the plan yet; un-released
+#: they accumulate executor storage across a 125-query bench or a
+#: 422-query sweep, the same pressure the pagerank leak fix removed).
+#: Operators register them via tracked_checkpoint; harnesses (bench.py,
+#: tools/profile_queries.py, correctness sweeps) call
+#: release_query_checkpoints() AFTER each query's action completes.
+QUERY_CHECKPOINTS: list[DataFrame] = []
+
+
+def tracked_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager) + register the result for harness-side
+    release once the consuming query's action has completed. ONLY for
+    checkpoints that feed the query's returned plan — a released local
+    checkpoint cannot be recomputed, so callers that re-run the same
+    DataFrame must call the query fn again (every harness here does)."""
+    out = df.localCheckpoint(eager=True)
+    QUERY_CHECKPOINTS.append(out)
+    return out
+
+
+def release_query_checkpoints() -> int:
+    """Free every tracked per-query checkpoint's storage blocks; returns
+    how many were released. Safe to call between queries in any harness;
+    a no-op when nothing was tracked."""
+    n = 0
+    while QUERY_CHECKPOINTS:
+        release_checkpoint(QUERY_CHECKPOINTS.pop())
+        n += 1
+    return n

@@ -322,12 +322,13 @@ def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.round(F.sum("value"), 6).alias("v"))
-        # both the span branch and the calendar join consume daily; the
-        # eager checkpoint (output-sized: |user|×|days| rows) keeps the
-        # static plan from re-scanning the corpus per branch — same fix as
-        # data_drift_psi / chi2_independence
-        .localCheckpoint(eager=True)
     )
+    # both the span branch and the calendar join consume daily; the
+    # eager checkpoint (output-sized: |user|×|days| rows) keeps the
+    # static plan from re-scanning the corpus per branch — same fix as
+    # data_drift_psi / chi2_independence; tracked for harness-side
+    # release (ADVICE r08)
+    daily = tracked_checkpoint(daily)
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
@@ -468,8 +469,8 @@ def data_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bin", "day")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
     )
+    cells = tracked_checkpoint(cells)
     mid = cells.agg(((F.min("day") + F.max("day")) / 2).alias("m"))
     c = (
         cells.crossJoin(F.broadcast(mid))
@@ -544,10 +545,8 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("dow"),
     )
-    o = (
-        d.groupBy("event_type", "dow")
-        .agg(F.count("*").alias("obs"))
-        .localCheckpoint(eager=True)
+    o = tracked_checkpoint(
+        d.groupBy("event_type", "dow").agg(F.count("*").alias("obs"))
     )
     rm = o.groupBy("event_type").agg(F.sum("obs").cast("double").alias("row_n"))
     cm = o.groupBy("dow").agg(F.sum("obs").cast("double").alias("col_n"))
@@ -1594,9 +1593,7 @@ def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("y"),
     )
     p = spark.sparkContext.defaultParallelism
-    blocked = it.repartitionByRange(p, F.col("x").desc()).localCheckpoint(
-        eager=True
-    )
+    blocked = tracked_checkpoint(it.repartitionByRange(p, F.col("x").desc()))
     tagged = blocked.withColumn("_pid", F.spark_partition_id())
     # per-partition y-maxima in pid order (= descending x order), combined
     # into an EXCLUSIVE prefix max: everything in earlier blocks has
@@ -2042,9 +2039,9 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     p = spark.sparkContext.defaultParallelism
-    blocks = it.repartitionByRange(
-        p, F.col("rev_cents").desc(), F.col("item_id")
-    ).localCheckpoint(eager=True)
+    blocks = tracked_checkpoint(
+        it.repartitionByRange(p, F.col("rev_cents").desc(), F.col("item_id"))
+    )
     tagged = blocks.withColumn("_pid", F.spark_partition_id())
     stats = tagged.groupBy("_pid").agg(
         F.count("*").alias("_n"), F.sum("rev_cents").alias("_mass")
@@ -3274,7 +3271,7 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(W.partitionBy("grp")).alias("ng"),
     )
     h = src.groupBy("cents").agg(F.count("*").alias("c"))
-    blocked = h.repartitionByRange(p, "cents").localCheckpoint(eager=True)
+    blocked = tracked_checkpoint(h.repartitionByRange(p, "cents"))
     tagged = blocked.withColumn("_pid", F.spark_partition_id())
     totals = tagged.groupBy("_pid").agg(F.sum("c").alias("s")).collect()
     offsets, acc = [], 0
@@ -6041,10 +6038,9 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
 
     def one_pair(df: DataFrame, a: str, b: str, label: str) -> DataFrame:
-        o = (
+        o = tracked_checkpoint(
             df.groupBy(F.col(a).alias("a"), F.col(b).alias("b"))
             .agg(F.count("*").cast("long").alias("obs"))
-            .localCheckpoint(eager=True)
         )
         rm = o.groupBy("a").agg(F.sum("obs").cast("long").alias("r_n"))
         cm = o.groupBy("b").agg(F.sum("obs").cast("long").alias("c_n"))

@@ -708,11 +708,24 @@ def min_label_components(
     undirected ``pairs`` (two columns: endpoint a, endpoint b); every row
     of ``nodes`` (column ``node``) gets a label — singletons keep their
     own id. Returns (node, lbl) where lbl = min node id in the component.
+
+    PRECONDITION (ADVICE r08): every endpoint of ``pairs`` must appear in
+    ``nodes`` — labels are seeded from edge endpoints (so singleton nodes
+    skip the iteration entirely), which means an endpoint OUTSIDE
+    ``nodes`` would still propagate its id as a component min-label. All
+    callers here derive pairs from the node universe, so the output is
+    bit-identical to iterating over the full node table; a new caller
+    whose edges can dangle must semi-join pairs against nodes first.
+
     Per-round localCheckpoint bounds lineage; the label-sum fixpoint
     (labels only decrease) detects convergence with one scalar agg per
     round. Property-tested against a union-find replica in
     tests/test_properties.py."""
-    from ..models.common import broadcast_if_fits, release_checkpoint
+    from ..models.common import (
+        broadcast_if_fits,
+        release_checkpoint,
+        track_for_release,
+    )
 
     a, b = pairs.columns
     # both directions in ONE pass over pairs (the union-of-selects form
@@ -772,6 +785,9 @@ def min_label_components(
             break
         prev_sum = cur_sum
     release_checkpoint(edges)
+    # the returned plan reads the FINAL labels checkpoint — tracked for
+    # harness-side release after the caller's action (ADVICE r08)
+    track_for_release(labels)
     if not converged:
         # The fixpoint check already detects this for free: labels only
         # decrease, so an unchanged sum IS convergence — and a changed sum
@@ -1234,7 +1250,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     within rank distance 2 — measured); the honest caveat is that SNM
     recall depends on the sort key clustering true pairs, which is why
     production runs multi-pass SNM with different keys."""
-    from ..models.common import encode_sorted_rank
+    from ..models.common import encode_sorted_rank, tracked_checkpoint
 
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
@@ -1242,24 +1258,30 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|",
             F.lower(F.substring(F.trim(F.col("text")), 1, SNM_KEY_LEN)),
-            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            # 20-char pad covers any BIGINT (ADVICE r08: lpad TRUNCATES
+            # past the width, so an 8-char pad silently corrupted doc_ids
+            # at >= 10^8 docs; same-length pads keep the order identical)
+            F.lpad(F.col("doc_id").cast("string"), 20, "0"),
         ).alias("sortval"),
     )
     ranked = encode_sorted_rank(
         keyed.select(F.col("sortval").alias("value")), "value", "rn"
     )
-    # doc_id is embedded in sortval's zero-padded 8-char suffix (the
+    # doc_id is embedded in sortval's zero-padded 20-char suffix (the
     # uniqueness tiebreak) — parse it back instead of joining `keyed` on
     # the full sort-key STRING (r08: that join shuffled the string column
     # a second time and replayed the keyed projection; guide §2.3).
     # Checkpoint: rk is the junction of TWO diamonds (the bucket frame
     # self-joins, and cand feeds both the verify and the final join), so
     # un-pinned it replayed the rank window + parse 4x. |docs| rows of
-    # two BIGINTs — one tiny materialization.
-    rk = ranked.select(
-        F.substring(F.col("value"), -8, 8).cast("long").alias("doc_id"),
-        "rn",
-    ).localCheckpoint(eager=True)
+    # two BIGINTs — one tiny materialization, tracked for harness-side
+    # release (ADVICE r08).
+    rk = tracked_checkpoint(
+        ranked.select(
+            F.substring(F.col("value"), -20, 20).cast("long").alias("doc_id"),
+            "rn",
+        )
+    )
     b = rk.select(
         "doc_id",
         "rn",
@@ -1283,10 +1305,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.rn") - F.col("a.rn")).cast("long").alias("rank_dist"),
         )
         .distinct()
-        # cand feeds the Jaccard verify AND the final rank_dist join —
-        # checkpoint the O(n·w)-row candidate set once (see rk above)
-        .localCheckpoint(eager=True)
     )
+    # cand feeds the Jaccard verify AND the final rank_dist join —
+    # checkpoint the O(n·w)-row candidate set once (see rk above)
+    cand = tracked_checkpoint(cand)
     verified = exact_jaccard_on_pairs(d, cand.select("doc_a", "doc_b"))
     return (
         cand.join(verified, ["doc_a", "doc_b"])
@@ -1938,7 +1960,10 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|",
             F.lower(F.substring(F.trim(F.col("text")), 1, SNM_KEY_LEN)),
-            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            # 20-char pad covers any BIGINT (ADVICE r08: lpad TRUNCATES
+            # past the width, so an 8-char pad silently corrupted doc_ids
+            # at >= 10^8 docs; same-length pads keep the order identical)
+            F.lpad(F.col("doc_id").cast("string"), 20, "0"),
         ).alias("sortval"),
     )
     ranked = encode_sorted_rank(

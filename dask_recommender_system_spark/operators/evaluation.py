@@ -1072,11 +1072,15 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
     coverage lands within the finite-sample band of 90% (test-pinned).
     """
     e = encoded_ratings(spark, sf_dir)
-    s = e.select(
-        "interaction_id",
-        "rating",
-        _pred_expr().alias("pred"),
-    ).localCheckpoint()
+    from ..models.common import tracked_checkpoint
+
+    s = tracked_checkpoint(
+        e.select(
+            "interaction_id",
+            "rating",
+            _pred_expr().alias("pred"),
+        )
+    )
     cal = s.filter(
         (F.col("interaction_id") % 100 >= 70)
         & (F.col("interaction_id") % 100 <= 89)
@@ -1428,13 +1432,17 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    pre = b.select(
-        "bin",
-        "n",
-        "s_pos",
-        F.sum("n").over(w_cum).alias("cn"),
-        F.sum("s_pos").over(w_cum).alias("cs"),
-    ).localCheckpoint()
+    from ..models.common import tracked_checkpoint
+
+    pre = tracked_checkpoint(
+        b.select(
+            "bin",
+            "n",
+            "s_pos",
+            F.sum("n").over(w_cum).alias("cn"),
+            F.sum("s_pos").over(w_cum).alias("cs"),
+        )
+    )
     pi = pre.select(
         F.col("bin").alias("i"),
         F.col("n").alias("n_i"),

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
-from ..models.common import broadcast_if_fits, release_checkpoint
+from ..models.common import (
+    broadcast_if_fits,
+    release_checkpoint,
+    track_for_release,
+    tracked_checkpoint,
+)
 from ..registry import query
 
 PR_ITERS = 5
@@ -131,8 +136,11 @@ def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = new_ranks
     out = ranks.select("node", F.round(F.col("r") * n, 6).alias("rank_rel"))
     # the returned plan reads only the FINAL ranks checkpoint — the edge
-    # table's blocks are dead once the last round has materialized
+    # table's blocks are dead once the last round has materialized; the
+    # final checkpoint itself is registered for harness-side release
+    # after the caller's action completes (ADVICE r08)
     release_checkpoint(en)
+    track_for_release(ranks)
     return out
 
 
@@ -208,8 +216,9 @@ def triangle_stats_from_edges(e: DataFrame) -> DataFrame:
     # checkpoint the scan→collect_set→explode→distinct edge build replays
     # 4x in the plan (r08 audit — the item_cf_similarity union lesson).
     # The edge set is (u, v) BIGINT pairs, far smaller than the fact
-    # table; one materialization job replaces three replays.
-    e = e.localCheckpoint(eager=True)
+    # table; one materialization job replaces three replays. Tracked for
+    # harness-side release once the caller's action completes (ADVICE r08).
+    e = tracked_checkpoint(e)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -228,9 +237,11 @@ def triangle_stats_from_edges(e: DataFrame) -> DataFrame:
         F.when(
             u_first, F.col("dv") * 10000000 + F.col("v")
         ).otherwise(F.col("du") * 10000000 + F.col("u")).alias("kdst"),
-        # same diamond: o feeds the two wedge legs AND the closing join —
-        # checkpoint once instead of re-running the degree joins 3x
-    ).localCheckpoint(eager=True)
+    )
+    # same diamond: o feeds the two wedge legs AND the closing join —
+    # checkpoint once instead of re-running the degree joins 3x; tracked
+    # for harness-side release (ADVICE r08)
+    o = tracked_checkpoint(o)
     e1 = o.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("kb")
     )
@@ -312,21 +323,25 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = lines.agg(F.min("p").alias("node")).select(
         "node", F.lit(0).cast("long").alias("level")
     )
-    levels = seed.localCheckpoint(eager=True)
+    # depth <= BFS_MAX_DEPTH bounds the checkpoint count; all of them are
+    # tracked for harness-side release after the caller's action (ADVICE
+    # r08 — only the FINAL levels checkpoint feeds the returned plan, the
+    # rest are dead the moment the next union materializes)
+    levels = track_for_release(seed.localCheckpoint(eager=True))
     frontier = levels.select("node")
     for d in range(1, BFS_MAX_DEPTH + 1):
-        nxt = (
+        nxt = tracked_checkpoint(
             edges.join(frontier, edges["u"] == frontier["node"])
             .select(F.col("v").alias("node"))
             .distinct()
             .join(levels.select("node"), "node", "left_anti")
             .select("node", F.lit(d).cast("long").alias("level"))
-            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        levels = tracked_checkpoint(levels.unionByName(nxt))
         frontier = nxt.select("node")
+    release_checkpoint(edges)
     return levels
 
 
@@ -488,10 +503,12 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_checkpoint(r)
         r = new_r
     out = r.select("node", F.round(F.col("r") * n, 6).alias("ppr_rel"))
-    # only the final r checkpoint feeds the returned plan
+    # only the final r checkpoint feeds the returned plan — tracked for
+    # harness-side release (ADVICE r08)
     release_checkpoint(en)
     release_checkpoint(nodes)
     release_checkpoint(sn)
+    track_for_release(r)
     return out
 
 
@@ -609,8 +626,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         release_checkpoint(labels)
         labels = new_labels
     sizes = labels.groupBy("lab").agg(F.count("*").alias("community_size"))
-    # the returned plan reads only the final labels checkpoint
+    # the returned plan reads only the final labels checkpoint — tracked
+    # for harness-side release (ADVICE r08)
     release_checkpoint(edges)
+    track_for_release(labels)
     return (
         labels.join(F.broadcast(sizes), "lab")
         .select(
@@ -698,12 +717,18 @@ def graph_shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.min(F.col("dist") + F.col("w")).alias("cdist"))
             .select(F.col("cnode").alias("node"), F.col("cdist").alias("dist"))
         )
-        dist = (
+        new_dist = (
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+        # the superseded round's blocks are dead once the union has
+        # materialized (the pagerank discipline, ADVICE r08)
+        release_checkpoint(dist)
+        dist = new_dist
+    release_checkpoint(edges)
+    track_for_release(dist)
     return dist.orderBy("node")
 
 

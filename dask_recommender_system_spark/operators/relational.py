@@ -1655,7 +1655,10 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08)).cast("long")
         ).alias("v_disc"),
         F.sum(F.col("l_shipdate").isNull().cast("long")).alias("v_null"),
-    ).localCheckpoint(eager=True)
+    )
+    from ..models.common import tracked_checkpoint
+
+    local = tracked_checkpoint(local)
     rules_local = local.selectExpr(
         "stack(3, 'quantity_range', n_violations, n_checked,"
         " 'discount_range', v_disc, n_checked,"

@@ -1157,10 +1157,11 @@ def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain replays up to 4x in the plan (r08 audit; the item_cf lesson).
     # |docs| × TFIDF_TOP_N rows of (long, string, double) — one tiny
     # materialization job.
-    wn = (
+    from ..models.common import tracked_checkpoint
+
+    wn = tracked_checkpoint(
         topk.join(nrm, "doc_id")
         .select("doc_id", "term", (F.col("score") / F.col("nn")).alias("w"))
-        .localCheckpoint(eager=True)
     )
     a = wn.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
     b = wn.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))

@@ -248,9 +248,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark_ = spark
     p = spark_.sparkContext.defaultParallelism
-    blocks = f.repartitionByRange(
-        p, F.col("freq").desc(), F.col("term")
-    ).localCheckpoint(eager=True)
+    from ..models.common import tracked_checkpoint
+
+    blocks = tracked_checkpoint(
+        f.repartitionByRange(p, F.col("freq").desc(), F.col("term"))
+    )
     tagged = blocks.withColumn("_pid", F.spark_partition_id())
     stats = tagged.groupBy("_pid").agg(
         F.count("*").alias("_n"), F.sum("freq").alias("_mass")

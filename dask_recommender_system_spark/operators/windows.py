@@ -337,45 +337,54 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("interaction_id").alias("tie"),
     )
     w_cap = W.partitionBy("user_id").orderBy(F.col("t").desc(), F.col("tie").desc())
-    # NOT persisted/checkpointed: capped feeds three plan consumers
-    # (lists, and cnt joined twice for na/nb); the r08 round MEASURED an
-    # eager localCheckpoint here and it was strictly worse (noop median
-    # 6.0 → 15.7 s, with a 31 s outlier — the materialization serializes
-    # a stage the three replays otherwise overlap across cores), so the
-    # in-plan replay stands (ADVICE r02's no-pinned-persist rule also
-    # still applies).
     capped = (
         dedup.withColumn("rn", F.row_number().over(w_cap))
         .filter(F.col("rn") <= CF_USER_CAP)
         .select("user_id", "item_id")
     )
+    # Degrees ride WITH the rows (VERDICT r08 item 4): the r08 form
+    # joined a `cnt = capped.groupBy(item_id).count()` aggregate back
+    # onto the pairs TWICE (na/nb) — capped fed three plan consumers, so
+    # under the bench's count() action the dedup→cap-window subtree
+    # replayed (count median ~2x the noop; an eager checkpoint of capped
+    # measured worse, r08). Attaching n as a count window BEFORE pair
+    # generation makes the whole query ONE linear pipeline — no diamond,
+    # no degree joins, nothing for count() to break; the two extra
+    # narrow-row exchanges (by item_id, back by user_id) are the price,
+    # measured cheaper than the replay (guide §2.4).
+    capped_n = capped.withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("item_id"))
+    )
     # pair generation: gather each user's (already ≤ cap) items into one
     # sorted array, emit ordered pairs with a narrow nested transform —
     # measured ~30% faster than the a⋈b self-join at sf0.1 because the
-    # pairs never cross a second user_id shuffle, only the (a,b) co agg
-    lists = capped.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("item_id")).alias("items")
+    # pairs never cross a second user_id shuffle, only the (a,b) co agg.
+    # (item_id, n) structs sort by item_id first (unique per user), so
+    # the pair order is the r08 order exactly.
+    lists = capped_n.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("item_id", "n"))).alias("items")
     )
     pairs = lists.select(
         F.explode(
             F.expr(
                 "flatten(transform(items, (x, i) -> "
                 "transform(slice(items, i+2, size(items)), "
-                "y -> struct(x AS item_a, y AS item_b))))"
+                "y -> struct(x.item_id AS item_a, x.n AS na, "
+                "y.item_id AS item_b, y.n AS nb))))"
             )
         ).alias("p")
-    ).select("p.item_a", "p.item_b")
-    co = pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("co"))
-    cnt = capped.groupBy("item_id").agg(F.count("*").alias("n"))
-    sim = (
-        co.join(cnt.select(F.col("item_id").alias("item_a"), F.col("n").alias("na")), "item_a")
-        .join(cnt.select(F.col("item_id").alias("item_b"), F.col("n").alias("nb")), "item_b")
-        .select(
-            "item_a",
-            "item_b",
-            "co",
-            F.round(F.col("co") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("sim"),
-        )
+    ).select("p.item_a", "p.na", "p.item_b", "p.nb")
+    # na/nb are functions of item_a/item_b — grouping by all four keeps
+    # the group grain (item_a, item_b) while carrying the degrees through
+    # the aggregate for free
+    co = pairs.groupBy("item_a", "item_b", "na", "nb").agg(
+        F.count("*").alias("co")
+    )
+    sim = co.select(
+        "item_a",
+        "item_b",
+        "co",
+        F.round(F.col("co") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("sim"),
     )
     # both directions in ONE pass: the union-of-two-selects form repeated
     # the whole pairs→co→sim subtree twice in the plan (12 parquet scans,
@@ -1994,8 +2003,10 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim_attr",
             F.round(F.col("mu") + F.col("bu") + F.col("bi"), 6).alias("score"),
         )
-        .localCheckpoint()
     )
+    from ..models.common import tracked_checkpoint
+
+    cands = tracked_checkpoint(cands)
     return mmr_from_candidates(cands)
 
 
@@ -2005,6 +2016,8 @@ def mmr_from_candidates(cands: DataFrame) -> DataFrame:
     drive the greedy loop with candidate sets where the redundancy penalty
     provably fires (whether it fires on the derived ratings is an accident
     of the testdata generation)."""
+    from ..models.common import release_checkpoint, track_for_release
+
     w1 = W.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
     sel = (
         cands.withColumn("rn", F.row_number().over(w1))
@@ -2041,7 +2054,13 @@ def mmr_from_candidates(cands: DataFrame) -> DataFrame:
                 F.lit(k).alias("pos"),
             )
         )
-        acc = acc.unionByName(pick).localCheckpoint()
+        new_acc = acc.unionByName(pick).localCheckpoint()
+        # the superseded accumulator's blocks are dead once the union has
+        # materialized (the pagerank discipline, ADVICE r08); round 1's
+        # acc is not a checkpoint — release_checkpoint no-ops there
+        release_checkpoint(acc)
+        acc = new_acc
+    track_for_release(acc)
     return acc.select(
         "user_id", F.col("pos").cast("long").alias("pos"),
         "item_id", "sim_attr", "score", "adjusted",

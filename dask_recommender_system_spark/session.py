@@ -30,6 +30,13 @@ def get_spark(app_name: str = "dask-recommender-system-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # the bench's machine-independent counters (bench._group_counters)
+        # read job/stage data back from the AppStatusStore; the 1000-entry
+        # defaults evict a 100-epoch fit's ~1400 jobs before they can be
+        # counted. ~8k JobData/StageData entries are a few MB of driver
+        # heap — noise against the 16g heap.
+        .config("spark.ui.retainedJobs", "8000")
+        .config("spark.ui.retainedStages", "8000")
         # local mode = one JVM for driver AND all 32 executor threads; 8g
         # starved AQE's runtime broadcast builds at the sf1 probe scale
         # (Not-enough-memory-to-broadcast), so size the heap to the box

@@ -31,6 +31,19 @@ _SNIFFED_SCHEMA: dict[str, T.StructType] = {}
 
 
 
+def _stream_stage_root() -> str:
+    """Staging root for stream-source adapters — under the PROCESS-scoped
+    cache root (data._cache_root: fresh mkdtemp per process, removed at
+    exit). VERDICT r08 item 6: the old stable /tmp/drs_stream_src was the
+    tree's last cross-run /tmp artifact; symlinks and sorted copies are
+    cheap to recreate per process and must not outlive one."""
+    from ..data import _cache_root
+
+    root = f"{_cache_root()}/stream_src"
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def _stream_src_path(src: str, leaf: str) -> str:
     """Directory-or-file stream source resolution (the read_events_stream
     rule, shared by every file-source stream): a multi-file table (the
@@ -45,7 +58,7 @@ def _stream_src_path(src: str, leaf: str) -> str:
 
     if os.path.isdir(src):
         return src
-    stage = f"/tmp/drs_stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    stage = f"{_stream_stage_root()}/{hashlib.md5(src.encode()).hexdigest()[:12]}"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/{leaf}"
     if not os.path.exists(link):
@@ -72,27 +85,57 @@ def _stage_fingerprint(src: str) -> str:
 
 
 def _staged_sorted_copy(spark: SparkSession, src: str, sort_cols: list[str]) -> str:
-    """Stage a directory-shaped parquet source as ONE sort_cols-sorted
-    file for order-sensitive file-source streams. Written to a unique
-    temp dir then atomically os.rename'd into place, so two concurrent
-    sweep workers cannot race a mode('overwrite') into the same
-    directory: rename onto an existing stage fails (ENOTEMPTY), the
-    loser discards its temp copy and reads the winner's — which is
-    complete by construction, because rename is atomic and only ever
-    publishes a finished write (ADVICE r06)."""
+    """Stage a directory-shaped parquet source as RANGE-SHARDED
+    sort_cols-sorted files the file source consumes in global order —
+    the arrival-order adapter for order-sensitive streams.
+
+    VERDICT r08 item 6 replaced two scale problems here: (a) the stage
+    lived under a stable /tmp path that survived the process (the last
+    cross-run artifact in the tree) — it now lives under the
+    process-scoped cache root; (b) the copy was coalesce(1) — a single
+    write task and a single unsplittable file, impossible past toy SFs.
+    Now the copy is repartitionByRange(sort_cols) + sortWithinPartitions:
+    shard k holds a contiguous sort-key range and shards are mtime-dated
+    in range order, so Spark's FileStreamSource (which orders files by
+    modification time) delivers every micro-batch prefix in global sort
+    order — any batch boundary then respects the arrival-order contract,
+    because the stateful kernels re-sort WITHIN a batch themselves
+    (stateful._gather) and the state recurrence carries across batches.
+    Shard count is derived from input bytes (~64 MB targets), not from
+    the local core count.
+
+    Written to a unique temp dir then atomically os.rename'd into place,
+    so two concurrent sweep workers cannot race a mode('overwrite') into
+    the same directory: rename onto an existing stage fails (ENOTEMPTY),
+    the loser discards its temp copy and reads the winner's — which is
+    complete by construction (ADVICE r06)."""
     import shutil
     import uuid as _uuid
 
-    stage = f"/tmp/drs_stream_src/{_stage_fingerprint(src)}_sorted"
+    stage = f"{_stream_stage_root()}/{_stage_fingerprint(src)}_sorted"
     if not os.path.exists(f"{stage}/_SUCCESS"):
+        src_bytes = 0
+        for root, _dirs, files in os.walk(src):
+            for fn in files:
+                src_bytes += os.stat(os.path.join(root, fn)).st_size
+        n_shards = max(1, min(256, src_bytes // (64 * 1024 * 1024) + 1))
         tmp = f"{stage}.tmp_{_uuid.uuid4().hex[:8]}"
         (
             spark.read.parquet(src)
-            .orderBy(*sort_cols)
-            .coalesce(1)
+            .repartitionByRange(int(n_shards), *sort_cols)
+            .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        # mtime-date the shards in range order: range partition i lands in
+        # part-{i:05d}-*, so lexicographic part order IS sort-key order
+        parts = sorted(
+            fn for fn in os.listdir(tmp)
+            if fn.startswith("part-") and fn.endswith(".parquet")
+        )
+        base = int(os.stat(tmp).st_mtime)
+        for k, fn in enumerate(parts):
+            os.utime(os.path.join(tmp, fn), (base + k, base + k))
         try:
             os.rename(tmp, stage)
         except OSError:
